@@ -1,0 +1,196 @@
+"""Technical-indicator library (SURVEY §2.11) with pinned canonical semantics.
+
+The reference computes indicators three different, mutually inconsistent ways
+(batch Spark ``pipeline/util/util.py:76-105``, pandas ``warehouse.py:179-181``,
+and the deleted ``compute.py``). This module pins ONE canonical definition per
+indicator and implements it in a single window pass per key — no self-join
+(the reference's RSI outer-join at util.py:95-97 both shuffles twice and drops
+``symbol`` from the join key, a correctness bug at >1 symbol).
+
+Canonical semantics (documented + golden-tested):
+
+- ``change_abs``  = close_t − close_{t−1}            (reference to_db.py:45)
+- ``change_pct``  = close_t/close_{t−1} − 1          (reference warehouse.py:181)
+- ``sma(n)``      = mean of the trailing n closes (null until n seen)
+- ``ema(n)``      = recursive EMA, α=2/(n+1), seeded with the first close:
+                    EMA_1 = c_1; EMA_t = α·c_t + (1−α)·EMA_{t−1}
+                    (== pandas ``ewm(span=n, adjust=False).mean()``)
+- ``rsi(n)``      = Cutler RSI over the last n diffs (simple means, matching
+                    the reference's Spark form minus its bugs):
+                    RSI = 100 − 100/(1 + avgGain_n/avgLoss_n); 100 when
+                    avgLoss==0 and avgGain>0; 50 when both are 0; null until
+                    n diffs seen.
+
+Scale notes: every indicator is ONE hash-exchange on the key column followed
+by an in-partition sort — all indicators over the same key reuse the exchange
+(Catalyst EnsureRequirements sees identical partitioning). EMA is the only
+non-SQL-expressible recursion; it runs as a grouped ``applyInPandas`` (Arrow
+batches, linear per key) — per-key cardinality is bounded (a price series per
+symbol), so a group always fits an executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _wspec(key_cols: Sequence[str], order_col: str):
+    return Window.partitionBy(*key_cols).orderBy(order_col)
+
+
+def change_abs(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    out_col: str = "change_abs",
+) -> DataFrame:
+    """W1+F4: absolute day-over-day change (reference to_db.py:45)."""
+    w = _wspec(key_cols, order_col)
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w))
+
+
+def change_pct(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    out_col: str = "change_pct",
+) -> DataFrame:
+    """F6: percent change (reference warehouse.py:181, pandas pct_change)."""
+    w = _wspec(key_cols, order_col)
+    prev = F.lag(value_col).over(w)
+    return df.withColumn(out_col, (F.col(value_col) - prev) / prev)
+
+
+def sma(
+    df: DataFrame,
+    n: int,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    out_col: str | None = None,
+) -> DataFrame:
+    """A3: trailing n-row simple moving average; null during warm-up
+    (reference frame semantics at util.py:93-94, canonicalized to exactly n
+    rows ending at the current row)."""
+    out_col = out_col or f"sma_{n}"
+    w = _wspec(key_cols, order_col).rowsBetween(-(n - 1), 0)
+    cnt = F.count(value_col).over(w)
+    return df.withColumn(out_col, F.when(cnt >= n, F.avg(value_col).over(w)))
+
+
+def rolling_min(
+    df: DataFrame,
+    n: int,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    out_col: str | None = None,
+) -> DataFrame:
+    w = _wspec(key_cols, order_col).rowsBetween(-(n - 1), 0)
+    return df.withColumn(out_col or f"min_{n}", F.min(value_col).over(w))
+
+
+def rolling_max(
+    df: DataFrame,
+    n: int,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    out_col: str | None = None,
+) -> DataFrame:
+    w = _wspec(key_cols, order_col).rowsBetween(-(n - 1), 0)
+    return df.withColumn(out_col or f"max_{n}", F.max(value_col).over(w))
+
+
+def rsi(
+    df: DataFrame,
+    n: int = 14,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cutler RSI in one window pass (reference util.py:84-105 re-expressed
+    without the avg_gain⨝avg_loss outer join J1 and its missing-symbol key).
+
+    diff_t = c_t − c_{t−1}; gain = max(diff,0); loss = max(−diff,0);
+    RSI = 100 − 100/(1 + mean(gain,n)/mean(loss,n)) over the last n diffs.
+    """
+    out_col = out_col or f"rsi_{n}"
+    w = _wspec(key_cols, order_col)
+    wn = _wspec(key_cols, order_col).rowsBetween(-(n - 1), 0)
+    diff = F.col(value_col) - F.lag(value_col).over(w)
+    gain = F.when(diff > 0, diff).otherwise(F.when(diff.isNotNull(), F.lit(0.0)))
+    loss = F.when(diff < 0, -diff).otherwise(F.when(diff.isNotNull(), F.lit(0.0)))
+    tmp_g, tmp_l = f"__{out_col}_gain", f"__{out_col}_loss"
+    out = df.withColumn(tmp_g, gain).withColumn(tmp_l, loss)
+    n_diffs = F.count(tmp_g).over(wn)
+    avg_gain = F.avg(tmp_g).over(wn)
+    avg_loss = F.avg(tmp_l).over(wn)
+    rsi_val = (
+        F.when(n_diffs < n, F.lit(None).cast("double"))
+        .when((avg_loss == 0) & (avg_gain == 0), F.lit(50.0))
+        .when(avg_loss == 0, F.lit(100.0))
+        .otherwise(100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
+    )
+    return out.withColumn(out_col, rsi_val).drop(tmp_g, tmp_l)
+
+
+def ema(
+    df: DataFrame,
+    n: int = 25,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Recursive EMA via grouped ``applyInPandas`` (SURVEY §2.11 canonical:
+    α=2/(n+1), adjust=False, seeded with the first value — exactly pandas
+    ``ewm(span=n, adjust=False).mean()``; mirrors the recovered ``compute.py``
+    EWM path rather than the degenerate loop at reference util.py:76-82).
+
+    One shuffle on the key; linear work per key inside an Arrow batch. Null
+    values propagate pandas-style (skipped by ewm, re-aligned on output).
+    """
+    out_col = out_col or f"ema_{n}"
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    order_cols = [order_col]
+
+    def _ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].astype("float64").ewm(span=n, adjust=False).mean()
+        )
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_ema_group, schema=out_schema)
+
+
+def with_indicators(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    ema_n: int = 25,
+    rsi_n: int = 14,
+    sma_n: int = 20,
+) -> DataFrame:
+    """The full indicator backfill (reference to_db.py:40-49 pipeline:
+    change → EMA → RSI, plus SMA), composed so all window ops share one
+    exchange on the key."""
+    out = change_abs(df, key_cols, order_col, value_col)
+    out = change_pct(out, key_cols, order_col, value_col)
+    out = sma(out, sma_n, key_cols, order_col, value_col)
+    out = rsi(out, rsi_n, key_cols, order_col, value_col)
+    out = ema(out, ema_n, key_cols, order_col, value_col)
+    return out

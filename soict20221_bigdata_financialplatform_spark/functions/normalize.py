@@ -1,0 +1,84 @@
+"""Normalization of messy string-typed market data — native expressions only.
+
+The reference does this with row-at-a-time Python UDFs (``toFloat``/``toInt``,
+reference ``pipeline/util/util.py:41-49,68-73``) and driver-side string helpers
+(``convertPrice``/``convertChange``/``convertTime``, ``util.py:21-39``). Every
+one of those is re-expressed here as a JVM-side Catalyst expression
+(SURVEY §2.8 F1, F7-F11): they stay inside WholeStageCodegen, cost no Python
+worker round-trip, and scale linearly with executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#   = non-breaking space (the scrape emits it; reference util.py:21-22).
+_WS_CLASS = "[\\s\\u00a0]+"
+
+
+def strip_ws(col: Column | str) -> Column:
+    """F8: strip spaces / newlines / non-breaking spaces anywhere in the value
+    (reference ``convertPrice``/``convertSingle``, util.py:21-33)."""
+    return F.regexp_replace(F.col(col) if isinstance(col, str) else col, _WS_CLASS, "")
+
+
+def parse_comma_number(col: Column | str, to: str = "double") -> Column:
+    """F7: ``"60,902,000,000 "`` → 60902000000 (reference ``toFloat``/``toInt``
+    UDFs, util.py:41-49 — replaced by regexp_replace + cast)."""
+    c = strip_ws(col)
+    return F.regexp_replace(c, ",", "").cast(to)
+
+
+def parse_vn_date(col: Column | str, fmt: str = "dd/MM/yyyy") -> Column:
+    """F1/F10: ``"07/02/2023"`` → date (reference util.py:66; epoch variants
+    ``convertTime``/``convertDate``, util.py:24-39)."""
+    c = strip_ws(col)
+    return F.to_date(c, fmt)
+
+
+def parse_pct_change(col: Column | str) -> Column:
+    """F9: ``"(+1.2 %)"`` → 0.012 (reference ``convertChange``, util.py:27-29).
+
+    Extracts the signed decimal and divides by 100; malformed input → null.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    num = F.regexp_extract(c, r"([+-]?\d+(?:\.\d+)?)", 1)
+    return (F.when(num != "", num).cast("double") / F.lit(100.0)).alias("change_pct")
+
+
+def to_local_ts(col: Column | str, tz: str = "Asia/Ho_Chi_Minh") -> Column:
+    """F10 tail: the reference shifted epoch seconds by a hard-coded +7 h
+    (``convertToDate``, util.py:51-55); the portable form is an explicit
+    timezone conversion."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_utc_timestamp(c, tz)
+
+
+def normalize_bars(raw: DataFrame) -> DataFrame:
+    """``normalize_data`` re-expressed (reference util.py:57-74; SURVEY §2.11).
+
+    raw string-typed bars → typed bars: keyed dedup (O3 — the scraper re-emits
+    rows), date parse (F1), comma-strip numeric casts (F7/F8). Output schema =
+    FIXTURES.md ``bars``: (symbol string, date date, open/high/low/close
+    double, volume/value long).
+
+    Scale notes: the dedup is a hash aggregation on (symbol, date) — it
+    shuffles once on the natural key of every downstream per-symbol window, so
+    Catalyst reuses the exchange; no global sort is needed (the reference's
+    ``df.sort(date)`` at util.py:67 was only cosmetic — window specs order
+    explicitly).
+    """
+    return (
+        raw.dropDuplicates(["symbol", "date"])
+        .select(
+            F.col("symbol"),
+            parse_vn_date("date").alias("date"),
+            parse_comma_number("open").alias("open"),
+            parse_comma_number("high").alias("high"),
+            parse_comma_number("low").alias("low"),
+            parse_comma_number("close").alias("close"),
+            parse_comma_number("volume", "long").alias("volume"),
+            parse_comma_number("value", "long").alias("value"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis functions for corpus pipelines (driver brief: language-ID,
+quality scoring, token counting, document fingerprinting) — native Catalyst
+expressions throughout; each has an exact ANSI-SQL twin in the oracle.
+
+The reference's only text op is ``splitTextToTriplet`` (n-word grouping of
+news text, ``pipeline/util/util.py:16-19``) — generalized here to
+``word_groups``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the ratio heuristics. Public/common
+# words; the point is a reproducible scoring formula, not linguistics.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BPE-ish refinement can follow; the contract is
+    deterministic and cheap)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("long")
+
+
+def stopword_count(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    """Occurrences of any stopword as a standalone lowercase word."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pattern)).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[.,;:!?]")).cast("long")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: blend of length band, stopword
+    ratio, and mean word length band — the standard cheap pre-filter shape
+    (cf. C4/Gopher rules) with an exactly SQL-expressible formula.
+
+    score = 0.4·len_ok + 0.3·min(1, 5·stopwords/tokens) + 0.3·wordlen_ok
+    where len_ok = 1 if 50 <= chars <= 10000 else 0, and wordlen_ok = 1 if
+    3 <= chars/tokens <= 12 else 0. Empty text scores 0.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = char_count(c).cast("double")
+    n_toks = token_count(c).cast("double")
+    n_stop = stopword_count(c).cast("double")
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), 1.0).otherwise(0.0)
+    mean_wl = n_chars / n_toks
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    stop_term = F.least(F.lit(1.0), F.lit(5.0) * n_stop / n_toks)
+    score = 0.4 * len_ok + 0.3 * stop_term + 0.3 * wl_ok
+    return F.when(n_toks > 0, score).otherwise(F.lit(0.0))
+
+
+def lang_id_en_score(col: Column | str) -> Column:
+    """Language-ID heuristic: English stopword hits per token. Classify
+    ``en`` when the rate exceeds a threshold (n-gram profiles are the richer
+    public approach; this is the deterministic, oracle-checkable core)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_toks = token_count(c).cast("double")
+    return F.when(n_toks > 0, stopword_count(c).cast("double") / n_toks).otherwise(
+        F.lit(0.0)
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """64-bit document fingerprint: xxhash64 of the whitespace-normalized
+    lowercased text — stable under reformatting, O(len) single pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def word_groups(col: Column | str, n: int = 3) -> Column:
+    """``splitTextToTriplet`` generalized (reference util.py:16-19): split
+    text into groups of n consecutive words, as array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    n_groups = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+    idx = F.sequence(F.lit(0), n_groups - 1)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * n + 1, n)))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All features in one projection (single scan pass, codegen'd)."""
+    return df.select(
+        "*",
+        char_count(text_col).alias("n_chars_computed"),
+        token_count(text_col).alias("n_tokens"),
+        stopword_count(text_col).alias("n_stopwords"),
+        punct_count(text_col).alias("n_punct"),
+        quality_score(text_col).alias("quality"),
+        lang_id_en_score(text_col).alias("en_score"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,78 @@
+"""As-of join — match each left row to the latest right row at-or-before its
+timestamp (SURVEY §2.4: news⨝bars on nearest prior timestamp; no Spark
+builtin).
+
+Implementation: union-and-carry. Tag both sides, union by name, then per key
+``last(right_value, ignorenulls=True)`` over an ordered window up to the
+current row, and keep left rows. One shuffle on the key (same exchange the
+per-key windows use), no range-explosion — this is the scalable form; a
+broadcast range-join variant only wins when the right side is tiny.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, append the most recent right row with
+    ``right_ts <= left_ts`` within the same key group.
+
+    ``right_cols`` defaults to every non-key, non-ts right column. With
+    ``tolerance_seconds``, matches older than the tolerance are nulled.
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    rc = list(right_cols)
+
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs = (
+        right.select(*on, right_ts, *rc)
+        .withColumn("__side", F.lit(0))
+        .withColumn("__ts", F.col(right_ts))
+    )
+    # Align schemas for unionByName.
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in rhs.columns:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None).cast(dict(rhs.dtypes)[c]))
+    both = lhs.unionByName(rhs.select(*lhs.columns))
+
+    # Right rows sort before left rows at the same instant (__side 0 < 1), so
+    # a bar stamped exactly at the left timestamp is visible to it.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}") for c in rc]
+    carried_ts = F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
+
+    out = both.select("*", *carried, carried_ts.alias("__carry_ts")).where(
+        F.col("__side") == 1
+    )
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__ts").cast("long") - F.col("__carry_ts").cast("long")
+        ) <= F.lit(tolerance_seconds)
+        for c in rc:
+            out = out.withColumn(f"__carry_{c}", F.when(in_tol, F.col(f"__carry_{c}")))
+
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep, *[F.col(f"__carry_{c}").alias(c) for c in rc]
+    )

@@ -1,0 +1,281 @@
+"""Deduplication operators for large-scale text corpora (driver brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard) — all native Catalyst expressions, no
+Python UDFs, so every stage is JVM-side and shuffle-minimal.
+
+Scale design:
+- exact: one hash aggregation on a 128-bit digest — never groups by the full
+  text (at 100 TB the digest is the shuffle key, not the document).
+- MinHash+LSH: per-doc signature is computed in a single projection (k
+  xxhash64 min-reductions over the shingle array — higher-order functions, no
+  explode); only the b band keys are exploded (b rows/doc, not #shingles
+  rows/doc); candidate generation is a self-join on (band, band_key); exact
+  Jaccard verification only touches candidate pairs.
+- SimHash: explode-to-tokens → one grouped agg with 64 conditional sums →
+  16-bit band join (pigeonhole: hamming ≤ 3 ⇒ some 16-bit quarter equal) →
+  ``bit_count(xor)`` verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared text → shingle plumbing
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (space-joined)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate grouping by content digest: returns one row per
+    distinct text with the minimum id as the canonical survivor and the
+    duplicate count.
+
+    groupBy(md5(text)) — the digest (not the document) is the shuffle key;
+    partial aggregation runs map-side, so the shuffle carries one row per
+    distinct digest per map partition.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>): sig[i] = min over shingles of xxhash64(i, s).
+
+    Seeding xxhash64 with the permutation index as a first column gives k
+    independent hash families without any Python; the k min-reductions happen
+    inside one Project over the shingle array (no explode)."""
+    sh = word_shingles(text_col, shingle_n).alias("__sh")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sh).select(
+        F.col(id_col), sig.alias("signature")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    LSH: split the signature into ``bands`` bands of r=num_hashes/bands rows,
+    hash each band, self-join on (band, key) → candidates; verify candidates
+    with exact shingle-set Jaccard (array_intersect/array_union on only the
+    candidate pairs)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col("signature")[b * r + j] for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    out = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard above a threshold.
+
+    Candidate pruning uses the inverted-index trick rather than a cross join:
+    explode shingles, self-join on the shingle, count shared shingles per
+    pair, then compute |A∩B|/(|A|+|B|−|A∩B|). Quadratic only within a
+    shingle's posting list — at corpus scale combine with LSH
+    (``minhash_near_dup_pairs``) instead."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit sum of token hashes.
+
+    explode → xxhash64(token) → one grouped aggregation with 64 conditional
+    sums → bits reassembled into one BIGINT. The agg is partial+final (map-
+    side combine), so the shuffle carries 64 longs per doc per map partition.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = tok.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: with 4 16-bit chunks, any pair within hamming 3 shares
+    at least one exact chunk → join per chunk, union, verify with
+    bit_count(a XOR b)."""
+    sigs = simhash(df, text_col, id_col)
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * q)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"c{q}")
+                    for q in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (driver brief: ANN over
+``array<float>`` — brute-force cosine top-k baseline + LSH-bucketed scale
+path). All-native expressions: dot products via ``zip_with``+``aggregate``
+higher-order functions (JVM-side, no Python), top-k via per-query windows.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the corpus,
+    score every pair, keep k per query.
+
+    At scale: the corpus is the big side and is only scanned once; queries are
+    broadcast (no corpus shuffle for scoring). The top-k is a per-query-key
+    window — the one shuffle, keyed by query_id, carrying only
+    (query_id, vec_id, score). Ties break on vec_id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).join(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit hyperplanes for sign-LSH (public random-projection
+    construction; seeded so plans are reproducible across runs/executors)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i), packed into a BIGINT."""
+    bucket = None
+    for i, p in enumerate(planes):
+        lits = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec_col, lits) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket.bitwiseXOR(term)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's sign-LSH
+    bucket. 2^n_planes buckets → ~corpus/2^n candidates per query; recall
+    rises with fewer planes or multi-probe (engine-added later).
+
+    The bucket id is computed in the scan projection for both sides; the join
+    is an equi-join on (bucket) with the query side broadcast — the corpus
+    never shuffles.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("__b")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            lsh_bucket(F.col(vec_col), planes).alias("__b"),
+        )
+    )
+    scored = c.join(q, "__b").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: self-join within LSH buckets,
+    verify cosine >= threshold. (id_a < id_b.)"""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("__b")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__b") == F.col("r.__b"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,955 @@
+"""Named query registry — the engine's capability surface, one entry per
+SURVEY.md §2 inventory row plus the large-scale-pipeline operators.
+
+Every entry in ``QUERIES`` is ``name -> (spark, sf_dir) -> DataFrame``; every
+SQL-expressible entry has a DuckDB twin in ``ORACLE`` with IDENTICAL column
+names and rounding (the driver hashes values after sorting columns by name).
+
+Float policy: aggregate outputs that sum many doubles are rounded to 2 (money
+sums) or 6 (means/ratios) decimals on BOTH sides, because Spark and DuckDB
+accumulate in different orders; per-row arithmetic (lag diffs, window means
+over fixed frames) is rounded to 6 for the same reason. Rankings always break
+ties on a unique key so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from soict20221_bigdata_financialplatform_spark.functions import indicators as ind
+from soict20221_bigdata_financialplatform_spark.functions import text as tx
+from soict20221_bigdata_financialplatform_spark.operators import dedup as dd
+from soict20221_bigdata_financialplatform_spark.operators import serving as srv
+from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
+from soict20221_bigdata_financialplatform_spark.operators.asof import asof_join
+from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_EN_STOP_RE = r"\b(" + "|".join(tx.EN_STOPWORDS) + r")\b"
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Relational core (SURVEY §2.3, §2.5, §2.7) — TPC-H-shaped
+# ===========================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan→filter→grouped agg (partial+final hash agg;
+    predicate pushed to parquet). Covers A-family grouped aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= "2001-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_flagship_range",
+    """
+    SELECT user_id, ts, value
+    FROM events
+    WHERE user_id = 7
+      AND ts > TIMESTAMP '2024-01-05 00:00:00'
+      AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY ts
+    """,
+)
+def q02_flagship_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship ``Query(start, end, kind, ticker)`` (reference
+    Query.ipynb:143-147): parameterized scan-project-range-filter-sort with
+    exclusive bounds. Covers S2/P1/P2/P3/O1."""
+    e = _t(spark, sf_dir, "events")
+    return srv.range_query(
+        e,
+        order_col="ts",
+        lo="2024-01-05 00:00:00",
+        hi="2024-01-20 00:00:00",
+        kind="value",
+        key_col="user_id",
+        key=7,
+    )
+
+
+@register(
+    "q03_latest_n_per_key",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q03_latest_n_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: newest-N per key (reference ORDER BY time DESC LIMIT n per
+    Cassandra partition, API.py:44,66)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return srv.latest_n_per_key(
+        e, 3, key_cols=("user_id",), order_col="ts", tiebreak_cols=("event_id",)
+    )
+
+
+@register(
+    "q04_global_minmax",
+    """
+    SELECT max(o_totalprice) AS max_price, min(o_totalprice) AS min_price,
+           count(DISTINCT o_custkey) AS n_buyers
+    FROM orders
+    """,
+)
+def q04_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: dict-form global agg (reference Query.ipynb:498-526) + a distinct
+    aggregate (engine-added)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.countDistinct("o_custkey").alias("n_buyers"),
+    )
+
+
+@register(
+    "q05_summary_stats",
+    """
+    SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+           round(avg(l_quantity), 6) AS mean, round(stddev_samp(l_quantity), 6) AS stddev,
+           min(l_quantity) AS min_v, max(l_quantity) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice),
+           round(avg(l_extendedprice), 6), round(stddev_samp(l_extendedprice), 6),
+           min(l_extendedprice), max(l_extendedprice)
+    FROM lineitem
+    """,
+)
+def q05_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: describe()-equivalent in stable long form (reference
+    Query.ipynb:100,132)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = srv.summary_stats(l, ["l_quantity", "l_extendedprice"])
+    return s.select(
+        "col_name",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        "min_v",
+        "max_v",
+    )
+
+
+@register(
+    "q06_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q06_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O5: global ordered top-k (Spark plans TakeOrderedAndProject — no
+    full sort at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.4)
+# ===========================================================================
+
+
+@register(
+    "q07_segment_revenue",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q07_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi join + grouped agg; AQE/broadcast picks the physical
+    strategy (customer ≪ orders at scale)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q08_asia_nations",
+    """
+    SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q08_asia_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions — at 100 TB the fact
+    side never shuffles for these joins."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "q09_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q09_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join, grouped revenue, ordered
+    top-k on the ROUNDED measure (deterministic across engines)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-01-01 00:00:00"
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1996-01-01 00:00:00"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q10_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q10_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; dims broadcast, facts co-shuffled once."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (c.c_nationkey == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q11_outer_join_activity",
+    """
+    SELECT coalesce(a.user_id, b.user_id) AS user_id, a.n_clicks, b.n_errors
+    FROM (SELECT user_id, count(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY user_id) a
+    FULL OUTER JOIN
+         (SELECT user_id, count(*) AS n_errors FROM events WHERE event_type = 'error' GROUP BY user_id) b
+    ON a.user_id = b.user_id
+    """,
+)
+def q11_outer_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's intended semantics (full outer join of two per-key aggregated
+    sub-streams — reference util.py:95-97, with the key bug fixed)."""
+    e = _t(spark, sf_dir, "events")
+    a = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    b = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return a.join(b, on=["user_id"], how="outer")
+
+
+@register(
+    "q12_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q13_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q25_asof_view_before_purchase",
+    """
+    SELECT p.user_id, p.event_id, p.ts, v.value AS view_value
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def q25_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine-added, SURVEY §2.4): for each purchase, the latest
+    prior view's value. Spark has no builtin; implemented as union-and-carry
+    in ``operators/asof.py`` (one shuffle on the key, no range explosion).
+    DuckDB's native ASOF JOIN is the oracle."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["view_value"],
+    )
+
+
+# ===========================================================================
+# Grouping extensions, set ops, dedup (SURVEY §2.5, §2.7)
+# ===========================================================================
+
+
+@register(
+    "q14_monthly_rollup",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q14_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily→monthly rollup (SURVEY §2.5 engine-added: time-bucketed agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q15_rollup_status",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q15_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (ROLLUP) — subtotals + grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q16_set_union",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q16_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "q17_set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def q17_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 0).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "q18_set_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def q18_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 0).select("c_custkey")
+    return a.subtract(b)
+
+
+@register(
+    "q19_keyed_dedup",
+    """
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q19_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 keyed dedup with DETERMINISTIC survivor (min event_id) — the
+    deterministic form of dropDuplicates([keys]) (reference util.py:65)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+
+
+# ===========================================================================
+# Window analytics + indicators (SURVEY §2.6, §2.11)
+# ===========================================================================
+
+
+@register(
+    "q20_window_change",
+    """
+    SELECT user_id, event_id, ts, value,
+           round(value - lag(value) OVER w, 6) AS change_abs,
+           round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS change_pct
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q20_window_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+F4/F6: per-key lag change, absolute and percent (reference
+    to_db.py:45 / warehouse.py:181)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ind.change_abs(e, ("user_id",), "ts", "value")
+    out = ind.change_pct(out, ("user_id",), "ts", "value")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round("change_abs", 6).alias("change_abs"),
+        F.round("change_pct", 6).alias("change_pct"),
+    )
+
+
+@register(
+    "q21_window_sma",
+    """
+    SELECT user_id, event_id, ts,
+           CASE WHEN count(value) OVER wn >= 20 THEN round(avg(value) OVER wn, 6) END AS sma_20,
+           min(value) OVER w5 AS min_5,
+           max(value) OVER w5 AS max_5
+    FROM events
+    WINDOW wn AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           w5 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q21_window_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W3: trailing SMA with warm-up nulls + rolling min/max."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ind.sma(e, 20, ("user_id",), "ts", "value")
+    out = ind.rolling_min(out, 5, ("user_id",), "ts", "value")
+    out = ind.rolling_max(out, 5, ("user_id",), "ts", "value")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("sma_20", 6).alias("sma_20"),
+        "min_5",
+        "max_5",
+    )
+
+
+@register(
+    "q22_rsi",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts, value,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS diff
+      FROM events
+    ), g AS (
+      SELECT *,
+             CASE WHEN diff > 0 THEN diff WHEN diff IS NOT NULL THEN 0.0 END AS gain,
+             CASE WHEN diff < 0 THEN -diff WHEN diff IS NOT NULL THEN 0.0 END AS loss
+      FROM d
+    )
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN count(gain) OVER wn < 14 THEN NULL
+                WHEN avg(loss) OVER wn = 0 AND avg(gain) OVER wn = 0 THEN 50.0
+                WHEN avg(loss) OVER wn = 0 THEN 100.0
+                ELSE round(100.0 - 100.0 / (1.0 + (avg(gain) OVER wn) / (avg(loss) OVER wn)), 6)
+           END AS rsi_14
+    FROM g
+    WINDOW wn AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q22_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler RSI(14) in one window pass (SURVEY §2.11 canonical; reference
+    util.py:84-105 minus the outer-join bug). Fully SQL-expressible →
+    full DuckDB oracle."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ind.rsi(e, 14, ("user_id",), "ts", "value")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round("rsi_14", 6).alias("rsi_14"),
+    )
+
+
+@register("q23_ema")  # EWM recursion: not SQL-expressible → rows-only check
+def q23_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive EMA(25) per key via grouped applyInPandas (SURVEY §2.11
+    canonical: span-25, adjust=False, seeded with first value). Golden-tested
+    against hand-computed values in tests/test_indicators.py; the driver
+    records the weaker rows-only check here."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ind.ema(e, 25, ("user_id",), "ts", "value")
+    return out.select(
+        "user_id", "event_id", "ts", "value", F.round("ema_25", 6).alias("ema_25")
+    )
+
+
+@register(
+    "q24_daily_bars",
+    """
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           arg_min(value, ts) AS open, max(value) AS high,
+           min(value) AS low, arg_max(value, ts) AS close,
+           round(sum(value), 2) AS turnover, count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q24_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick→bar resampling (SURVEY §2.10's tumbling-window OHLC agg, batch
+    form): first/max/min/last/sum per (key, day) via min_by/max_by."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.round(F.sum("value"), 2).alias("turnover"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ===========================================================================
+# Scalar-function surface (SURVEY §2.8)
+# ===========================================================================
+
+
+@register(
+    "q26_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 analog batch-side: JSON field extraction + cast (the streaming path
+    uses from_json; see streaming/)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+@register(
+    "q27_gain_loss_split",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN diff > 0 THEN round(diff, 6) WHEN diff IS NOT NULL THEN 0.0 END AS gain,
+           CASE WHEN diff < 0 THEN round(-diff, 6) WHEN diff IS NOT NULL THEN 0.0 END AS loss
+    FROM (
+      SELECT user_id, event_id,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS diff
+      FROM events
+    )
+    """,
+)
+def q27_gain_loss_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: when/otherwise conditional split (reference util.py:89-90)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    diff = F.col("value") - F.lag("value").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.when(diff > 0, F.round(diff, 6))
+        .otherwise(F.when(diff.isNotNull(), F.lit(0.0)))
+        .alias("gain"),
+        F.when(diff < 0, F.round(-diff, 6))
+        .otherwise(F.when(diff.isNotNull(), F.lit(0.0)))
+        .alias("loss"),
+    )
+
+
+# ===========================================================================
+# Text analysis (driver brief: token counting, quality, lang-ID, fingerprint)
+# ===========================================================================
+
+
+@register(
+    "q28_doc_text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens,
+           len(regexp_extract_all(lower(text), '{_EN_STOP_RE}')) AS n_stopwords,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+    FROM documents
+    """,
+)
+def q28_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/stopword/punct counting over the corpus — single codegen'd
+    projection, no UDFs."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.char_count("text").alias("n_chars_computed"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.stopword_count("text").alias("n_stopwords"),
+        tx.punct_count("text").alias("n_punct"),
+    )
+
+
+@register(
+    "q29_doc_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS nc,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
+             len(regexp_extract_all(lower(text), '{_EN_STOP_RE}'))::DOUBLE AS ns
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN nt > 0 THEN round(
+                0.4 * (CASE WHEN nc >= 50 AND nc <= 10000 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * least(1.0, 5.0 * ns / nt)
+              + 0.3 * (CASE WHEN nc / nt >= 3.0 AND nc / nt <= 12.0 THEN 1.0 ELSE 0.0 END), 6)
+           ELSE 0.0 END AS quality,
+           CASE WHEN nt > 0 THEN round(ns / nt, 6) ELSE 0.0 END AS en_score
+    FROM t
+    """,
+)
+def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language-ID heuristic (stopword rate), exactly
+    mirrored in the oracle formula."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(tx.quality_score("text"), 6).alias("quality"),
+        F.round(tx.lang_id_en_score("text"), 6).alias("en_score"),
+    )
+
+
+# ===========================================================================
+# Deduplication (exact + near-dup families)
+# ===========================================================================
+
+
+@register(
+    "q30_exact_dedup",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest — groups by md5, not by the document."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q31_ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common / (sa.sz + sb.sz - common) >= 0.5
+    """,
+)
+def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index candidate
+    pruning (no cross join)."""
+    out = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("q32_minhash_pairs")  # xxhash64 family has no DuckDB twin → rows-only
+def q32_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup candidate pairs verified by exact
+    Jaccard ≥ 0.5. Signature correctness is pytest-verified against exact
+    Jaccard (LSH recall property); driver records rows-only."""
+    out = dd.minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=64,
+        bands=16,
+        jaccard_threshold=0.5,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("q33_simhash_pairs")  # xxhash64-based → rows-only
+def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit pigeonhole bands."""
+    return dd.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+_ANN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS score
+      FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@register("q34_ann_bruteforce", _ANN_ORACLE)
+def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 8 query vectors: broadcast queries,
+    score via zip_with/aggregate HOFs (JVM-side), per-query window top-k."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@register("q35_ann_lsh")  # approximate by construction → rows-only
+def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-10 (the 100 TB scale path: corpus never
+    shuffles; bucket equi-join). Approximate ⇒ no exact oracle; recall vs
+    brute force is pytest-asserted."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.lsh_topk(emb, queries, k=10, n_planes=6, dim=64)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@register(
+    "q36_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.9
+    """,
+)
+def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos ≥ 0.9). Exact all-pairs is
+    the correctness baseline; the LSH-bucketed variant
+    (operators/similarity.py:embedding_near_dup_pairs) is the scale path."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = sim.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )

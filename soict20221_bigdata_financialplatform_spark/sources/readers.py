@@ -1,0 +1,107 @@
+"""Batch sources (SURVEY §2.1 S1/S2/S5).
+
+All readers return lazily-planned DataFrames; filters and projections applied
+by callers reach the scan via Catalyst pushdown (verified in
+``tests/test_plans.py``). At cluster scale the parquet reads are split by
+``spark.sql.files.maxPartitionBytes``; no collect, no driver loops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Driver-provided TPC-H-ish star schema + pipeline tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that an optimizer should broadcast in joins.
+SMALL_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table (S5 analog: keyed reads answered by
+    parquet row-group pruning + pushed filters rather than Cassandra's
+    partition key; cf. reference ``pipeline/warehouse.py:61-100``).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``nanosAsLong`` it arrives as raw nanos and is converted here to a µs
+    timestamp via integer division (``div`` — float division would lose
+    precision above 2^53 ns), matching DuckDB's ns→µs truncation bit-for-bit.
+    Both confs are set at runtime too, so the loader works under ANY caller's
+    SparkSession (the verification driver passes its own), not just this
+    package's factory.
+    """
+    # Runtime-settable SQL confs; idempotent. UTC keeps timestamp semantics
+    # host-independent and aligned with the DuckDB oracle's naive timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped raw sources (S1 multiline JSON, S2 CSV-with-schema).
+# ---------------------------------------------------------------------------
+
+# Raw OHLC bar files are arrays of all-string objects with Vietnamese number
+# formatting (reference ``data/data_olhc/*.json``; parsed at ``util.py:57-74``).
+BARS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("open", T.StringType()),
+        T.StructField("high", T.StringType()),
+        T.StructField("low", T.StringType()),
+        T.StructField("close", T.StringType()),
+        T.StructField("volume", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+# Daily-bar CSV with explicit schema (reference ``Query.ipynb:27-35``).
+BARS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("Ticker", T.StringType()),
+        T.StructField("DTYYYYMMDD", T.StringType()),
+        T.StructField("OpenFixed(K)", T.DoubleType()),
+        T.StructField("HighFixed(K)", T.DoubleType()),
+        T.StructField("LowFixed(K)", T.DoubleType()),
+        T.StructField("CloseFixed(K)", T.DoubleType()),
+        T.StructField("Volume", T.IntegerType()),
+    ]
+)
+
+
+def read_bars_json(spark: SparkSession, path: str) -> DataFrame:
+    """S1: multiline JSON array-of-objects scan with an explicit all-string
+    schema (schema inference on strings is wasted work at scale — one extra
+    full pass over the input)."""
+    return spark.read.option("multiLine", True).schema(BARS_RAW_SCHEMA).json(path)
+
+
+def read_bars_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: header CSV with the notebook's 7-column schema."""
+    return spark.read.csv(path, header=True, schema=BARS_CSV_SCHEMA)
