@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Each query is forced to full execution with a noop sink (no collect cost, no
+driver materialization — measures the whole plan, like a real write would).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+from soict20221_bigdata_financialplatform_spark.session import get_spark
+
+# Headline set: one per capability family (scan/filter, agg, fact-fact join,
+# 6-way join, window indicator, pandas-UDF indicator, resample, as-of,
+# dedup exact + minhash, text features, ANN).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_flagship_range",
+    "q03_latest_n_per_key",
+    "q09_shipping_priority",
+    "q10_local_supplier_volume",
+    "q20_window_change",
+    "q22_rsi",
+    "q23_ema",
+    "q24_daily_bars",
+    "q25_asof_view_before_purchase",
+    "q28_doc_text_stats",
+    "q30_exact_dedup",
+    "q32_minhash_pairs",
+    "q34_ann_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("spark-finplat-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,8 @@ indicator and implements it in a single window pass per key — no self-join
 Canonical semantics (documented + golden-tested):
 
 - ``change_abs``  = close_t − close_{t−1}            (reference to_db.py:45)
-- ``change_pct``  = close_t/close_{t−1} − 1          (reference warehouse.py:181)
+- ``change_pct``  = close_t/close_{t−1} − 1; null when close_{t−1} = 0
+                    (reference warehouse.py:181)
 - ``sma(n)``      = mean of the trailing n closes (null until n seen)
 - ``ema(n)``      = recursive EMA, α=2/(n+1), seeded with the first close:
                     EMA_1 = c_1; EMA_t = α·c_t + (1−α)·EMA_{t−1}
@@ -63,10 +64,14 @@ def change_pct(
     value_col: str = "close",
     out_col: str = "change_pct",
 ) -> DataFrame:
-    """F6: percent change (reference warehouse.py:181, pandas pct_change)."""
+    """F6: percent change (reference warehouse.py:181, pandas pct_change).
+    Zero previous value → null (ANSI-safe: the division is guarded, never
+    evaluated on a zero divisor)."""
     w = _wspec(key_cols, order_col)
     prev = F.lag(value_col).over(w)
-    return df.withColumn(out_col, (F.col(value_col) - prev) / prev)
+    return df.withColumn(
+        out_col, F.when(prev != 0, (F.col(value_col) - prev) / prev)
+    )
 
 
 def sma(

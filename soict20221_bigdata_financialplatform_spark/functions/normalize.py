@@ -27,7 +27,9 @@ def parse_comma_number(col: Column | str, to: str = "double") -> Column:
     """F7: ``"60,902,000,000 "`` → 60902000000 (reference ``toFloat``/``toInt``
     UDFs, util.py:41-49 — replaced by regexp_replace + cast)."""
     c = strip_ws(col)
-    return F.regexp_replace(c, ",", "").cast(to)
+    # try_cast: malformed input → null instead of an ANSI runtime error
+    # (defensive parsing, like the reference's try/except float()).
+    return F.regexp_replace(c, ",", "").try_cast(to)
 
 
 def parse_vn_date(col: Column | str, fmt: str = "dd/MM/yyyy") -> Column:

@@ -547,7 +547,9 @@ def q19_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_id, ts, value,
            round(value - lag(value) OVER w, 6) AS change_abs,
-           round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS change_pct
+           CASE WHEN lag(value) OVER w <> 0
+                THEN round((value - lag(value) OVER w) / lag(value) OVER w, 6)
+           END AS change_pct
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     """,
