@@ -81,13 +81,19 @@ def minhash_signature(
 
     Seeding xxhash64 with the permutation index as a first column gives k
     independent hash families without any Python; the k min-reductions happen
-    inside one Project over the shingle array (no explode)."""
+    inside one Project over the shingle array (no explode).
+
+    NB: the per-family lambda must take exactly ONE parameter — PySpark
+    interprets a two-arg lambda as (element, array_index) and would silently
+    replace the family seed with the element position."""
+
+    def _family(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
     sh = word_shingles(text_col, shingle_n).alias("__sh")
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
+            F.array_min(F.transform(F.col("__sh"), _family(i)))
             for i in range(num_hashes)
         ]
     )

@@ -1,0 +1,176 @@
+"""Streaming tick path (SURVEY §2.10, §3.3) — the reference's Kafka→foreach
+job re-expressed as one Structured Streaming pipeline with event-time
+semantics the reference lacked:
+
+    source → from_json decode (F2) → struct flatten (P9) → normalize →
+    watermark → dedup → tumbling-window OHLC bars → foreachBatch idempotent
+    parquet upsert
+
+The reference opened a Cassandra session PER ROW inside ``writeStream.foreach``
+(``test.py:42-56``, ``warehouse.py:148-162``) and had no watermark, no
+windowing, no dedup. Here the sink is ``foreachBatch`` (one write per
+micro-batch), late data is bounded by a watermark, at-least-once delivery is
+deduplicated, and the upsert is idempotent under micro-batch replay (dynamic
+partition overwrite keyed on the bar window's day).
+
+Scale notes: state size = one entry per open (symbol × window) plus the dedup
+index inside the watermark — both bounded. The bar agg is a streaming partial
+agg (update-side combine) shuffled on (symbol, window), the same key the sink
+partitions by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Kafka tick message schema (reference ``test.py:13-27`` / warehouse.py:119-133):
+# numerics arrive as formatted STRINGS because the scraper emits text.
+TICK_MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("open", T.StringType()),
+        T.StructField("high", T.StringType()),
+        T.StructField("low", T.StringType()),
+        T.StructField("close", T.StringType()),
+        T.StructField("volume", T.StringType()),
+        T.StructField("previous_close", T.StringType()),
+        T.StructField("ref", T.StringType()),
+        T.StructField("ceil", T.StringType()),
+        T.StructField("floor", T.StringType()),
+    ]
+)
+
+
+def read_tick_stream_json(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stand-in for the Kafka topic (S3): JSON-lines files shaped
+    like the producer's messages, read as a raw ``value`` string column so the
+    decode path is identical to Kafka's ``value`` bytes."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).withColumnRenamed("value", "value")
+
+
+def decode_ticks(raw: DataFrame) -> DataFrame:
+    """F2 + P9 + normalization: ``from_json`` decode of the message value,
+    flatten, comma-strip numeric casts (native expressions — the reference's
+    scalar UDFs eliminated)."""
+    from soict20221_bigdata_financialplatform_spark.functions.normalize import parse_comma_number
+
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), TICK_MSG_SCHEMA).alias("t")
+    ).select("t.*")
+    return parsed.select(
+        "symbol",
+        "time",
+        parse_comma_number("open").alias("open"),
+        parse_comma_number("high").alias("high"),
+        parse_comma_number("low").alias("low"),
+        parse_comma_number("close").alias("close"),
+        parse_comma_number("volume", "long").alias("volume"),
+        parse_comma_number("previous_close").alias("previous_close"),
+        parse_comma_number("ref").alias("ref"),
+        parse_comma_number("ceil").alias("ceil"),
+        parse_comma_number("floor").alias("floor"),
+    )
+
+
+def dedup_ticks(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """At-least-once → effectively-once: drop (symbol, time) duplicates within
+    the watermark horizon (bounded state)."""
+    return ticks.withWatermark("time", watermark).dropDuplicates(["symbol", "time"])
+
+
+def bar_aggregate(
+    ticks: DataFrame,
+    window: str = "1 minute",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window OHLC bars per symbol (engine-added per SURVEY §2.10:
+    the reference stores raw ticks and recomputes client-side).
+
+    open/close via min_by/max_by on event time; volume is the max cumulative
+    counter in the window (the producer emits cumulative day volume).
+    Pass ``watermark=None`` when the input already carries one (re-defining a
+    watermark downstream of another stateful operator is disallowed)."""
+    w = ticks.withWatermark("time", watermark) if watermark else ticks
+    return (
+        w.groupBy(F.window("time", window).alias("w"), F.col("symbol"))
+        .agg(
+            F.min_by("close", "time").alias("open"),
+            F.max("close").alias("high"),
+            F.min("close").alias("low"),
+            F.max_by("close", "time").alias("close"),
+            F.max("volume").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            F.col("w.end").alias("bar_end"),
+            "symbol",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_ticks",
+        )
+    )
+
+
+def make_bar_batch_writer(out_path: str):
+    """The foreachBatch body, exposed for direct (replay) testing.
+
+    Idempotence: partitions are (bar_date, __batch) and written with DYNAMIC
+    partition overwrite — a replayed micro-batch (same batch_id after a
+    checkpoint restart) rewrites exactly its own partition with the same
+    rows, while partitions written by other batches are untouched.
+    (Overwriting by bar_date alone would clobber sibling batches' bars for
+    the same day.) A periodic compaction job can fold __batch partitions
+    into date-only layout for read efficiency at scale."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("bar_date", F.to_date("bar_start"))
+            .withColumn("__batch", F.lit(batch_id))
+            .repartition("symbol")
+            .sortWithinPartitions("symbol", "bar_start")
+            .write.mode("overwrite")
+            .partitionBy("bar_date", "__batch")
+            .parquet(out_path)
+        )
+
+    return _write
+
+
+def write_bars_idempotent(bars: DataFrame, out_path: str, checkpoint: str):
+    """foreachBatch sink (K1/K2 replacement — the reference opened a DB
+    session per ROW; this writes once per micro-batch)."""
+    return (
+        bars.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(make_bar_batch_writer(out_path))
+    )
+
+
+def run_tick_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+):
+    """Full pipeline, returns the started StreamingQuery."""
+    raw = read_tick_stream_json(spark, in_path, max_files_per_trigger)
+    ticks = dedup_ticks(decode_ticks(raw), watermark)
+    bars = bar_aggregate(ticks, window, watermark=None)  # watermark set above
+    return write_bars_idempotent(bars, out_path, checkpoint).start()

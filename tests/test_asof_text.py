@@ -1,0 +1,90 @@
+"""As-of join semantics on hand-built frames + text feature functions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from soict20221_bigdata_financialplatform_spark.functions import text as tx
+from soict20221_bigdata_financialplatform_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", ts=_ts(10)), Row(k="a", ts=_ts(12)), Row(k="b", ts=_ts(9))]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rts=_ts(9, 30), px=1.0),
+         Row(k="a", rts=_ts(11, 0), px=2.0),
+         Row(k="b", rts=_ts(9, 30), px=9.0)]  # after left's only b row
+    )
+    out = {(r.k, r.ts): r.px for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts").collect()}
+    assert out[("a", _ts(10))] == 1.0   # latest at-or-before 10:00
+    assert out[("a", _ts(12))] == 2.0
+    assert out[("b", _ts(9))] is None   # no prior right row -> null
+
+
+def test_asof_join_exact_timestamp_match(spark):
+    left = spark.createDataFrame([Row(k="a", ts=_ts(10))])
+    right = spark.createDataFrame([Row(k="a", rts=_ts(10), px=5.0)])
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()
+    assert out[0].px == 5.0  # <= is inclusive
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([Row(k="a", ts=_ts(12))])
+    right = spark.createDataFrame([Row(k="a", rts=_ts(9), px=1.0)])
+    keep = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                     tolerance_seconds=4 * 3600).collect()
+    drop = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                     tolerance_seconds=3600).collect()
+    assert keep[0].px == 1.0
+    assert drop[0].px is None  # match older than tolerance nulled
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [Row(text="The quick brown fox, with a vengeance!"),
+         Row(text=""),
+         Row(text="   ")]
+    )
+    out = df.select(
+        tx.token_count("text").alias("nt"),
+        tx.char_count("text").alias("nc"),
+        tx.stopword_count("text").alias("ns"),
+        tx.punct_count("text").alias("np"),
+        tx.quality_score("text").alias("q"),
+        tx.fingerprint("text").alias("fp"),
+    ).collect()
+    r = out[0]
+    assert r.nt == 7
+    assert r.ns == 3  # the, with, a
+    assert r.np == 2  # comma + bang
+    assert 0.0 <= r.q <= 1.0
+    assert out[1].nt == 0 and out[2].nt == 0
+    assert out[1].q == 0.0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [Row(a="hello   world", b="Hello world"), Row(a="x", b="y")]
+    )
+    out = df.select(
+        (tx.fingerprint("a") == tx.fingerprint("b")).alias("same")
+    ).collect()
+    assert out[0].same is True   # case + whitespace normalized
+    assert out[1].same is False
+
+
+def test_word_groups_triplets(spark):
+    df = spark.createDataFrame([Row(text="a b c d e f g")])
+    out = df.select(tx.word_groups("text", 3).alias("g")).collect()[0].g
+    assert out == ["a b c", "d e f", "g"]

@@ -1,0 +1,121 @@
+"""Dedup + similarity operators on planted fixtures: exact groups, LSH recall
+against exact Jaccard, simhash hamming, ANN top-k vs numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from soict20221_bigdata_financialplatform_spark.operators import dedup as dd
+from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup of 0
+        Row(doc_id=2, text=BASE.replace("garden", "meadow")),  # near dup of 0
+        Row(doc_id=3, text="completely different content about spark engines "
+                           "and distributed query processing at large scale"),
+        Row(doc_id=4, text=BASE.replace("quick", "swift").replace("lazy", "idle")),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups(spark):
+    out = dd.exact_dedup(_docs(spark)).collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[0] == 2  # docs 0,1 collapse, survivor = min id
+    assert len(out) == 4  # 4 distinct texts
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = dd.minhash_near_dup_pairs(
+        _docs(spark), num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found  # exact dup always found
+    assert (0, 2) in found or (1, 2) in found  # one-word change
+    assert all(0.5 <= r.jaccard <= 1.0 for r in pairs)
+    assert not any(3 in (a, b) for a, b in found)  # unrelated doc never pairs
+
+
+def test_minhash_signature_approximates_jaccard(spark):
+    """LSH theory check: signature agreement rate ≈ true Jaccard."""
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["signature"]
+            for r in dd.minhash_signature(docs, num_hashes=128).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in dd.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    j01 = exact[(0, 2)]
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 128
+    assert agree == pytest.approx(j01, abs=0.15)
+
+
+def test_simhash_near_dup(spark):
+    pairs = dd.simhash_near_dup_pairs(_docs(spark), max_hamming=10).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    assert not any(3 in (a, b) for a, b in found)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in dd.ngram_jaccard_pairs(_docs(spark), threshold=0.0).collect()}
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert 0.5 < out[(0, 2)] < 1.0
+
+
+def _vecs(spark, n=50, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim).astype("float64")
+    rows = [Row(vec_id=i, embedding=[float(x) for x in m[i]]) for i in range(n)]
+    return spark.createDataFrame(rows), m
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    corpus, m = _vecs(spark)
+    queries = corpus.where("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = sim.brute_force_topk(corpus, queries, k=5).collect()
+    norms = np.linalg.norm(m, axis=1)
+    for qid in range(3):
+        scores = (m @ m[qid]) / (norms * norms[qid])
+        expect = list(np.argsort(-scores)[:5])
+        mine = [r.vec_id for r in sorted(
+            (r for r in got if r.query_id == qid), key=lambda r: r.rank)]
+        assert mine == expect
+        assert mine[0] == qid  # self is rank 1
+
+
+def test_lsh_topk_recall(spark):
+    corpus, _ = _vecs(spark, n=100, dim=16)
+    queries = corpus.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    exact = sim.brute_force_topk(corpus, queries, k=5).collect()
+    approx = sim.lsh_topk(corpus, queries, k=5, n_planes=4, dim=16).collect()
+    # self-match always lands in the query's own bucket
+    for qid in range(5):
+        mine = [r.vec_id for r in approx if r.query_id == qid]
+        assert qid in mine
+    # recall over all queries is nontrivial
+    e = {(r.query_id, r.vec_id) for r in exact}
+    a = {(r.query_id, r.vec_id) for r in approx}
+    assert len(e & a) / len(e) >= 0.3
+
+
+def test_embedding_near_dup_pairs_finds_duplicate_vector(spark):
+    corpus, m = _vecs(spark, n=20, dim=16)
+    dup = spark.createDataFrame(
+        [Row(vec_id=999, embedding=[float(x) for x in m[0]])]
+    )
+    out = sim.embedding_near_dup_pairs(
+        corpus.unionByName(dup), threshold=0.999, n_planes=4, dim=16
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 999)}

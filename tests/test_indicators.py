@@ -1,0 +1,139 @@
+"""Golden + property tests for the indicator library (SURVEY §5.2, §5.3).
+
+Golden values are hand-derivable from the canonical definitions pinned in
+SURVEY §2.11; pandas ewm is the second oracle for EMA.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+
+from soict20221_bigdata_financialplatform_spark.functions import indicators as ind
+
+CLOSES = [10.0, 11.0, 12.0, 11.5, 11.0, 12.5, 13.0, 12.0, 12.5, 13.5]
+
+
+def _bars(spark, closes=CLOSES, symbol="AAA"):
+    rows = [
+        Row(symbol=symbol, date=datetime.date(2023, 1, 1) + datetime.timedelta(days=i),
+            close=c)
+        for i, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _col(df, name, key="symbol", order="date"):
+    return [r[name] for r in df.orderBy(key, order).collect()]
+
+
+def test_change_abs_and_pct(spark):
+    df = ind.change_pct(ind.change_abs(_bars(spark)))
+    ca = _col(df, "change_abs")
+    cp = _col(df, "change_pct")
+    assert ca[0] is None and cp[0] is None
+    assert ca[1] == pytest.approx(1.0)
+    assert cp[1] == pytest.approx(0.1)
+    assert ca[3] == pytest.approx(-0.5)
+
+
+def test_change_pct_zero_prev_is_null(spark):
+    df = ind.change_pct(_bars(spark, [0.0, 5.0, 5.0]))
+    cp = _col(df, "change_pct")
+    assert cp[0] is None and cp[1] is None  # prev=0 -> null, no ANSI error
+    assert cp[2] == pytest.approx(0.0)
+
+
+def test_sma_golden(spark):
+    df = ind.sma(_bars(spark), 3)
+    s = _col(df, "sma_3")
+    assert s[0] is None and s[1] is None  # warm-up nulls until n rows
+    assert s[2] == pytest.approx((10 + 11 + 12) / 3)
+    assert s[3] == pytest.approx((11 + 12 + 11.5) / 3)
+
+
+def test_ema_golden_recursive(spark):
+    """EMA(3): alpha=0.5, seeded with first close — hand recursion."""
+    df = ind.ema(_bars(spark), 3)
+    e = _col(df, "ema_3")
+    alpha = 2 / (3 + 1)
+    expected = [CLOSES[0]]
+    for c in CLOSES[1:]:
+        expected.append(alpha * c + (1 - alpha) * expected[-1])
+    assert e == pytest.approx(expected, abs=1e-9)
+
+
+def test_ema_matches_pandas_ewm(spark):
+    df = ind.ema(_bars(spark), 5)
+    e = _col(df, "ema_5")
+    expected = pd.Series(CLOSES).ewm(span=5, adjust=False).mean().tolist()
+    assert e == pytest.approx(expected, abs=1e-9)
+
+
+def test_rsi_golden(spark):
+    """RSI(3) by hand: diffs of CLOSES = [1,1,-.5,-.5,1.5,.5,-1,.5,1]."""
+    df = ind.rsi(_bars(spark), 3)
+    r = _col(df, "rsi_3")
+    # rows 0..2 have <3 diffs -> null; row 3: diffs (1,1,-.5)
+    assert r[0] is None and r[1] is None and r[2] is None
+    ag, al = (1 + 1 + 0) / 3, (0 + 0 + 0.5) / 3
+    assert r[3] == pytest.approx(100 - 100 / (1 + ag / al), abs=1e-9)
+    # row 4: diffs (1,-.5,-.5)
+    ag, al = 1 / 3, 1.0 / 3
+    assert r[4] == pytest.approx(100 - 100 / (1 + ag / al), abs=1e-9)
+
+
+def test_rsi_all_gain_is_100_all_flat_is_50(spark):
+    up = ind.rsi(_bars(spark, [1.0, 2.0, 3.0, 4.0, 5.0]), 3)
+    assert _col(up, "rsi_3")[-1] == 100.0
+    flat = ind.rsi(_bars(spark, [5.0] * 6), 3)
+    assert _col(flat, "rsi_3")[-1] == 50.0
+
+
+def test_rsi_bounds_property(spark):
+    import random
+
+    rng = random.Random(7)
+    closes = [100.0]
+    for _ in range(200):
+        closes.append(max(0.1, closes[-1] + rng.uniform(-5, 5)))
+    vals = [v for v in _col(ind.rsi(_bars(spark, closes), 14), "rsi_14") if v is not None]
+    assert vals and all(0.0 <= v <= 100.0 for v in vals)
+
+
+def test_ema_between_running_min_max(spark):
+    vals = _col(ind.ema(_bars(spark), 4), "ema_4")
+    for i, v in enumerate(vals):
+        assert min(CLOSES[: i + 1]) - 1e-9 <= v <= max(CLOSES[: i + 1]) + 1e-9
+
+
+def test_indicators_input_order_invariance(spark):
+    """Windows order by date internally — shuffled input must give identical
+    results (SURVEY §5.3)."""
+    base = _bars(spark)
+    shuffled = base.orderBy(__import__("pyspark").sql.functions.rand(seed=1))
+    a = _col(ind.rsi(base, 3), "rsi_3")
+    b = _col(ind.rsi(shuffled, 3), "rsi_3")
+    assert a == b
+
+
+def test_multi_symbol_independence(spark):
+    """Keys must not leak into each other (the reference's J1 join-key bug
+    did exactly that — util.py:97)."""
+    one = _bars(spark, CLOSES, "AAA")
+    two = _bars(spark, [c * 10 for c in CLOSES], "BBB")
+    both = ind.rsi(one.unionByName(two), 3)
+    only = ind.rsi(one, 3)
+    a = [r["rsi_3"] for r in both.where("symbol='AAA'").orderBy("date").collect()]
+    b = _col(only, "rsi_3")
+    assert a == pytest.approx(b, nan_ok=True)
+
+
+def test_with_indicators_composes(spark):
+    out = ind.with_indicators(_bars(spark), ema_n=3, rsi_n=3, sma_n=3)
+    cols = set(out.columns)
+    assert {"change_abs", "change_pct", "sma_3", "rsi_3", "ema_3"} <= cols
+    assert out.count() == len(CLOSES)

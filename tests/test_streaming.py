@@ -1,0 +1,126 @@
+"""Streaming tick path (SURVEY §5.4): file-source micro-batches shaped like
+the Kafka tick schema — bar aggregation, watermark late-row handling, dedup,
+and foreachBatch idempotence under replay."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from soict20221_bigdata_financialplatform_spark.streaming import ticks as st
+
+
+def _msg(symbol, time, close, volume="1,000"):
+    return json.dumps(
+        {
+            "symbol": symbol,
+            "time": time,
+            "open": close,
+            "high": close,
+            "low": close,
+            "close": close,
+            "volume": volume,
+            "previous_close": close,
+            "ref": close,
+            "ceil": close,
+            "floor": close,
+        }
+    )
+
+
+def _write_file(d, name, lines):
+    p = os.path.join(d, name)
+    with open(p + ".tmp", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(p + ".tmp", p)  # atomic: file source must not see partial files
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return str(src), str(out), str(ckpt)
+
+
+def test_bar_aggregation_and_dedup(spark, dirs):
+    src, out, ckpt = dirs
+    lines = [
+        _msg("FPT", "2024-01-02 09:30:05", "80.0", "1,000"),
+        _msg("FPT", "2024-01-02 09:30:25", "80.5", "2,000"),
+        _msg("FPT", "2024-01-02 09:30:45", "80.2", "3,000"),
+        _msg("FPT", "2024-01-02 09:30:45", "80.2", "3,000"),  # duplicate tick
+        _msg("FPT", "2024-01-02 09:31:10", "81.0", "4,000"),
+        _msg("VIC", "2024-01-02 09:30:10", "55.0", "500"),
+        # watermark pusher: advances event-time clock well past 09:31+10min
+        _msg("ZZZ", "2024-01-02 10:00:00", "1.0", "1"),
+    ]
+    _write_file(src, "batch1.json", lines)
+    q = st.run_tick_pipeline(
+        spark, src, out, ckpt, window="1 minute", watermark="10 minutes"
+    )
+    try:
+        q.processAllAvailable()
+        # one more empty-ish batch so finalized windows flush in append mode
+        _write_file(src, "batch2.json", [_msg("ZZZ", "2024-01-02 10:30:00", "1.0", "1")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    bars = spark.read.parquet(out)
+    rows = {(r.symbol, str(r.bar_start)): r for r in bars.collect()}
+    fpt = rows[("FPT", "2024-01-02 09:30:00")]
+    assert fpt.open == 80.0 and fpt.close == 80.2
+    assert fpt.high == 80.5 and fpt.low == 80.0
+    assert fpt.n_ticks == 3  # duplicate dropped by watermark dedup
+    assert fpt.volume == 3000
+    assert ("VIC", "2024-01-02 09:30:00") in rows
+
+
+def test_late_row_beyond_watermark_dropped(spark, dirs):
+    src, out, ckpt = dirs
+    _write_file(src, "b1.json", [
+        _msg("FPT", "2024-01-02 09:30:05", "80.0"),
+        _msg("FPT", "2024-01-02 10:00:00", "81.0"),  # watermark -> 09:50
+    ])
+    q = st.run_tick_pipeline(
+        spark, src, out, ckpt, window="1 minute", watermark="10 minutes",
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        # 09:30 window closed (< 09:50 watermark); this row is too late
+        _write_file(src, "b2.json", [_msg("FPT", "2024-01-02 09:30:59", "99.0")])
+        q.processAllAvailable()
+        _write_file(src, "b3.json", [_msg("FPT", "2024-01-02 10:30:00", "82.0")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    bars = spark.read.parquet(out)
+    fpt930 = [r for r in bars.collect()
+              if r.symbol == "FPT" and str(r.bar_start) == "2024-01-02 09:30:00"]
+    assert len(fpt930) == 1
+    assert fpt930[0].n_ticks == 1  # late 09:30:59 tick NOT merged
+    assert fpt930[0].close == 80.0
+
+
+def test_foreachbatch_sink_idempotent_on_replay(spark, dirs):
+    """Replaying the same micro-batch must not duplicate rows (dynamic
+    partition overwrite keyed on bar_date)."""
+    src, out, ckpt = dirs
+    from pyspark.sql import Row
+    import datetime as dt
+
+    batch = spark.createDataFrame([
+        Row(bar_start=dt.datetime(2024, 1, 2, 9, 30), bar_end=dt.datetime(2024, 1, 2, 9, 31),
+            symbol="FPT", open=80.0, high=80.5, low=80.0, close=80.2,
+            volume=3000, n_ticks=3),
+    ])
+    writer = st.make_bar_batch_writer(out)
+    writer(batch, 0)
+    writer(batch, 0)  # replay of the same micro-batch
+    assert spark.read.parquet(out).count() == 1
