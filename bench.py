@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
 from soict20221_bigdata_financialplatform_spark.queries import QUERIES
 from soict20221_bigdata_financialplatform_spark.session import get_spark
 
@@ -46,6 +47,22 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("spark-finplat-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen + Python-worker warmup only — no testdata touched, all IO
+    # stays timed. The pandas roundtrip spins up the Arrow Python workers so
+    # the one pandas-backed query (EMA) measures steady-state, not fork cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+
+    (
+        spark.range(1000)
+        .withColumn("g", F.col("id") % 8)
+        .groupBy("g")
+        .applyInPandas(lambda p: p, schema="id long, g long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -156,6 +156,7 @@ def ema(
     order_col: str = "date",
     value_col: str = "close",
     out_col: str | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Recursive EMA via grouped ``applyInPandas`` (SURVEY §2.11 canonical:
     α=2/(n+1), adjust=False, seeded with the first value — exactly pandas
@@ -169,6 +170,11 @@ def ema(
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
     )
+    if num_partitions is not None:
+        # The pandas stage pays a fixed Arrow-stream cost per shuffle
+        # partition; when keys ≪ shuffle.partitions, fewer fatter partitions
+        # are faster. Callers with cluster-scale key counts leave this None.
+        df = df.repartition(num_partitions, *key_cols)
     order_cols = [order_col]
 
     def _ema_group(pdf: pd.DataFrame) -> pd.DataFrame:

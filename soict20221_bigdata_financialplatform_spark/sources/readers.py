@@ -62,6 +62,54 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def load_events_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    ts_lo: str | None = None,
+    ts_hi: str | None = None,
+    closed: bool = False,
+) -> DataFrame:
+    """Events scan with a PUSHED-DOWN time-range predicate.
+
+    ``load_table`` converts the ns-long ``ts`` to a timestamp, which makes a
+    later ``ts > lit`` filter a post-scan DataFilter (computed column — no
+    row-group pruning). This loader translates the bounds to raw nanoseconds
+    and filters the BIGINT column before conversion, so the comparison
+    reaches the parquet reader as a PushedFilter and prunes row groups via
+    min/max stats — the difference between scanning a day and scanning 100 TB.
+    """
+    import datetime as dt
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def _ns(s: str) -> int:
+        t = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000 + t.microsecond * 1000
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        # ns-exact translations of the µs-truncated comparisons (a row with
+        # sub-µs nanos must land on the same side as after truncation):
+        #   ts_µs > lo ⟺ ts_ns ≥ lo_ns+1000;  ts_µs ≥ lo ⟺ ts_ns ≥ lo_ns
+        #   ts_µs < hi ⟺ ts_ns < hi_ns;       ts_µs ≤ hi ⟺ ts_ns < hi_ns+1000
+        if ts_lo is not None:
+            lo = _ns(ts_lo)
+            df = df.where(F.col("ts") >= (lo if closed else lo + 1000))
+        if ts_hi is not None:
+            hi = _ns(ts_hi)
+            df = df.where(F.col("ts") < (hi + 1000 if closed else hi))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    else:  # plain timestamp column (already µs)
+        if ts_lo is not None:
+            df = df.where(F.col("ts") >= ts_lo if closed else F.col("ts") > ts_lo)
+        if ts_hi is not None:
+            df = df.where(F.col("ts") <= ts_hi if closed else F.col("ts") < ts_hi)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Reference-shaped raw sources (S1 multiline JSON, S2 CSV-with-schema).
 # ---------------------------------------------------------------------------
