@@ -1,0 +1,60 @@
+"""Multimodal plumbing: binary columns through mapInPandas, frame-sample and
+resize planning — decode itself is stubbed (no media libs in container)."""
+
+from __future__ import annotations
+
+import pytest
+
+from soict20221_bigdata_financialplatform_spark.operators import multimodal as mm
+
+
+def _media(spark):
+    rows = [
+        (1, "image", "image/png", bytes([10, 20, 30, 40] * 25), 640, 480, -1),
+        (2, "image", "image/jpeg", bytes(range(256)), 2048, 1024, -1),
+        (3, "video", "video/mp4", b"\x00\x01", 1920, 1080, 3500),
+        (4, "audio", "audio/wav", b"\x05" * 10, -1, -1, 2000),
+        (5, "image", "image/png", b"", 0, 0, -1),
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+def test_image_features_shape_and_determinism(spark):
+    out = mm.extract_image_features(_media(spark), feature_dim=8)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 5}  # only images cross the Arrow boundary
+    assert rows[1].n_bytes == 100
+    assert rows[2].n_bytes == 256
+    # entropy: 4 distinct bytes equally likely -> 2 bits; 256 distinct -> 8
+    assert rows[1].byte_entropy == pytest.approx(2.0)
+    assert rows[2].byte_entropy == pytest.approx(8.0)
+    assert len(rows[1].feature) == 8
+    assert sum(rows[1].feature) == pytest.approx(1.0)
+    # deterministic across runs
+    again = {r.media_id: r for r in
+             mm.extract_image_features(_media(spark), feature_dim=8).collect()}
+    assert again[1].feature == rows[1].feature
+    # empty blob: defined output, no crash
+    assert rows[5].n_bytes == 0 and rows[5].byte_entropy == 0.0
+
+
+def test_decode_stub_is_loud():
+    with pytest.raises(NotImplementedError):
+        mm._decode_image_stub(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    out = mm.frame_sample_plan(_media(spark), every_ms=1000).collect()
+    # 3500ms video at 1s cadence -> frames at 0,1000,2000
+    assert [(r.media_id, r.frame_ts_ms) for r in out] == [
+        (3, 0), (3, 1000), (3, 2000)]
+
+
+def test_resize_metadata(spark):
+    out = {r.media_id: r for r in
+           mm.resize_metadata(_media(spark), max_side=512).collect()}
+    assert out[1].needs_resize and (out[1].target_width, out[1].target_height) == (512, 384)
+    assert out[2].needs_resize and (out[2].target_width, out[2].target_height) == (512, 256)
+    assert not out[3].needs_resize or out[3].target_width == 512  # video 1920x1080 -> 512x288
+    assert out[5].needs_resize is False  # unknown dims: passthrough
+    assert (out[5].target_width, out[5].target_height) == (0, 0)

@@ -1,0 +1,64 @@
+"""Plan assertions (SURVEY §4): the optimizer claims are tested, not assumed.
+Runs against sf0.001 — plan shape, not data volume, is under test."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from soict20221_bigdata_financialplatform_spark.plans import checks
+from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+from soict20221_bigdata_financialplatform_spark.sources import load_table
+from soict20221_bigdata_financialplatform_spark.sources.readers import (
+    load_events_time_range,
+)
+
+
+def test_flagship_pushes_both_predicates(spark, sf_dir):
+    """The events time-range loader must push BOTH user_id and the raw-ns ts
+    range into the parquet scan (row-group pruning at scale)."""
+    q = (
+        load_events_time_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        .where(F.col("user_id") == 7)
+        .select("user_id", "ts", "value")
+    )
+    pushed = checks.pushed_filters(q)
+    assert "user_id" in pushed
+    assert "ts" in pushed  # the BIGINT range comparison, not the computed col
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    rs = checks.read_schema(li)
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs  # untouched columns not read
+
+
+def test_q01_filter_pushdown(spark, sf_dir):
+    q = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert "l_shipdate" in checks.pushed_filters(q)
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    q = QUERIES["q08_asia_nations"](spark, sf_dir)
+    assert checks.uses_broadcast_join(q)
+
+
+def test_windows_share_one_exchange(spark, sf_dir):
+    """change_abs + change_pct + sma over the same key/order must plan ONE
+    hash exchange, not three (EnsureRequirements reuses the partitioning)."""
+    from soict20221_bigdata_financialplatform_spark.functions import indicators as ind
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = ind.sma(
+        ind.change_pct(ind.change_abs(e, ("user_id",), "ts", "value"),
+                       ("user_id",), "ts", "value"),
+        20, ("user_id",), "ts", "value",
+    )
+    plan = checks.executed_plan(out)
+    # exactly one exchange for the window partitioning
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_hot_path_is_codegen(spark, sf_dir):
+    q = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert checks.codegen_stage_count(q) >= 1
