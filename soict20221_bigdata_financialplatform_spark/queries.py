@@ -871,6 +871,241 @@ def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search over embeddings
 # ===========================================================================
 
+# ===========================================================================
+# Engine-added relational breadth (SURVEY §2.5/§2.6/§2.8 extensions)
+# ===========================================================================
+
+
+@register(
+    "q37_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). At 100 TB swap to ``approx_percentile`` with a
+    documented error bound; the exact form is the correctness baseline."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "q38_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q38_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the lag/cumsum idiom:
+    two window passes over ONE exchange, then a grouped agg on the same key
+    prefix. The streaming twin is ``F.session_window``."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    # µs-exact gap (TIMESTAMP_NTZ has no direct long cast; via LTZ under the
+    # UTC session — matches DuckDB epoch_us)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    new_s = F.when(
+        prev.isNull() | ((us(F.col("ts")) - us(prev)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = e.withColumn("new_session", new_s).withColumn(
+        "session_id", F.sum("new_session").over(wsum)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q39_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q39_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with pinned value set (unpinned pivot needs an extra pass to
+    collect distinct keys — always pin at scale)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+@register(
+    "q40_window_grabbag",
+    """
+    SELECT user_id, event_id,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_v,
+           rank() OVER w2 AS rnk,
+           dense_rank() OVER w2 AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w2, 6) AS prank,
+           round(cume_dist() OVER w2, 6) AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+           w2 AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def q40_window_grabbag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation window-function surface (SURVEY §2.6 engine-added:
+    lead, first_value, rank family, ntile, percent_rank, cume_dist)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    w2 = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_v"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w2), 6).alias("prank"),
+        F.round(F.cume_dist().over(w2), 6).alias("cdist"),
+    )
+
+
+@register(
+    "q41_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q41_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q42_scalar_subquery",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def q42_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface: scalar subquery through ``spark.sql`` over a temp
+    view (the engine exposes both DataFrame and SQL entry points)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer_v
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+        """
+    )
+
+
+@register(
+    "q43_null_fill",
+    """
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           coalesce(a.n_clicks, 0) AS n_clicks,
+           coalesce(b.n_errors, 0) AS n_errors
+    FROM (SELECT user_id, count(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY user_id) a
+    FULL OUTER JOIN
+         (SELECT user_id, count(*) AS n_errors FROM events WHERE event_type = 'error' GROUP BY user_id) b
+    ON a.user_id = b.user_id
+    """,
+)
+def q43_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: na.fill over outer-join gaps (reference to_db.py:49)."""
+    return QUERIES["q11_outer_join_activity"](spark, sf_dir).na.fill(
+        0, ["n_clicks", "n_errors"]
+    )
+
+
+@register(
+    "q44_string_funcs",
+    """
+    SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 10) AS name10,
+           length(p_name) AS name_len, concat(p_brand, ':', p_type) AS brand_type
+    FROM part WHERE p_name LIKE '%a%'
+    """,
+)
+def q44_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F12 analog surface: upper/substr/length/concat/LIKE."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "q45_date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q45_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F10/F13 analog surface: extraction, date arithmetic, day diffs."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
 _ANN_ORACLE = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
