@@ -9,11 +9,20 @@ from soict20221_bigdata_financialplatform_spark.functions.indicators import (
     change_abs,
     change_pct,
     ema,
+    ema_native,
     rolling_max,
     rolling_min,
     rsi,
     sma,
     with_indicators,
+)
+from soict20221_bigdata_financialplatform_spark.functions.text import (
+    fingerprint,
+    lang_id_en_score,
+    quality_score,
+    token_count,
+    with_text_features,
+    word_groups,
 )
 
 __all__ = [
@@ -25,9 +34,16 @@ __all__ = [
     "change_abs",
     "change_pct",
     "ema",
+    "ema_native",
     "rolling_max",
     "rolling_min",
     "rsi",
     "sma",
     "with_indicators",
+    "fingerprint",
+    "lang_id_en_score",
+    "quality_score",
+    "token_count",
+    "with_text_features",
+    "word_groups",
 ]

@@ -12,7 +12,17 @@ from soict20221_bigdata_financialplatform_spark.operators.dedup import (
 )
 from soict20221_bigdata_financialplatform_spark.operators.similarity import (
     brute_force_topk,
+    embedding_near_dup_pairs,
     lsh_topk,
+)
+from soict20221_bigdata_financialplatform_spark.operators.skew import (
+    salted_agg_count,
+    salted_join,
+)
+from soict20221_bigdata_financialplatform_spark.operators.multimodal import (
+    extract_image_features,
+    frame_sample_plan,
+    resize_metadata,
 )
 
 __all__ = [
@@ -25,5 +35,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
     "brute_force_topk",
+    "embedding_near_dup_pairs",
     "lsh_topk",
+    "salted_agg_count",
+    "salted_join",
+    "extract_image_features",
+    "frame_sample_plan",
+    "resize_metadata",
 ]
