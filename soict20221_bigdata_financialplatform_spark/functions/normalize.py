@@ -57,6 +57,43 @@ def to_local_ts(col: Column | str, tz: str = "Asia/Ho_Chi_Minh") -> Column:
     return F.from_utc_timestamp(c, tz)
 
 
+def prev_weekday(col: Column | str) -> Column:
+    """F13: roll a date back to the latest Mon-Fri (reference
+    ``prev_weekday``, util.py:122-125). Sat→Fri, Sun→Fri, else unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    dow = F.dayofweek(c)  # 1=Sunday .. 7=Saturday
+    return (
+        F.when(dow == 7, F.date_sub(c, 1))
+        .when(dow == 1, F.date_sub(c, 2))
+        .otherwise(c)
+    )
+
+
+def clamp_to_trading_hours(
+    col: Column | str,
+    open_hour: int = 9,
+    close_hour: int = 16,
+) -> Column:
+    """F14: map off-hours timestamps to the session close (reference
+    ``check_trading_hour``, producer.py:43-50).
+
+    Before open → previous day's close; after close → today's close; weekend
+    handling composes with :func:`prev_weekday` on the date part.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    day = F.date_trunc("day", c)
+    close_today = day + F.make_interval(hours=F.lit(close_hour))
+    close_prev = F.date_sub(day.cast("date"), 1).cast("timestamp") + F.make_interval(
+        hours=F.lit(close_hour)
+    )
+    h = F.hour(c)
+    return (
+        F.when(h < open_hour, close_prev)
+        .when(h >= close_hour, close_today)
+        .otherwise(c)
+    )
+
+
 def normalize_bars(raw: DataFrame) -> DataFrame:
     """``normalize_data`` re-expressed (reference util.py:57-74; SURVEY §2.11).
 

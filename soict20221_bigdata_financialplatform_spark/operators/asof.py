@@ -17,6 +17,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join: match left rows whose ``left_ts`` falls in
+    ``[right_start, right_end)`` for the same key.
+
+    Naive non-equi joins degenerate to per-key cross products (BNLJ). This
+    bucketizes time: the left row joins on (key, bucket(ts)); each right
+    interval explodes into the buckets it covers — the join becomes an
+    EQUI-join Catalyst can hash-partition, with the exact interval predicate
+    applied as a post-filter. Bucket count per interval = interval/bucket + 1,
+    so pick ``bucket_seconds`` near the typical interval length.
+    """
+    on = list(on)
+    lb = F.floor(F.col(left_ts).cast("timestamp").cast("double") / bucket_seconds)
+    l = left.withColumn("__bucket", lb.cast("long"))
+    s0 = F.floor(F.col(right_start).cast("timestamp").cast("double") / bucket_seconds).cast("long")
+    e0 = F.floor(F.col(right_end).cast("timestamp").cast("double") / bucket_seconds).cast("long")
+    r = right.withColumn("__bucket", F.explode(F.sequence(s0, e0)))
+    joined = l.join(r, on=on + ["__bucket"], how="inner").where(
+        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
+    )
+    out = joined.drop("__bucket")
+    if how == "inner":
+        return out
+    if how == "left":
+        right_cols = [c for c in right.columns if c not in on]
+        matched = out
+        lonely = left.join(
+            matched.select(*left.columns), on=left.columns, how="left_anti"
+        )
+        for c in right_cols:
+            lonely = lonely.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+        return matched.unionByName(lonely)
+    raise ValueError(f"unsupported how={how!r}")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

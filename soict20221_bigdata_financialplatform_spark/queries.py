@@ -877,6 +877,64 @@ def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_range_join",
+    """
+    WITH r AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS win_start,
+             date_trunc('day', ts) + INTERVAL 12 HOUR AS win_end
+      FROM events
+    )
+    SELECT e.user_id, e.event_id, e.ts, CAST(r.win_start AS DATE) AS win_start
+    FROM events e JOIN r
+      ON e.user_id = r.user_id AND e.ts >= r.win_start AND e.ts < r.win_end
+    """,
+)
+def q46_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (engine-added, SURVEY §2.4): events falling inside
+    per-user [day, day+12h) windows. Implemented as a bucketized EQUI-join
+    (operators/asof.py:range_join) — a naive non-equi join degenerates to a
+    per-key cross product; DuckDB's native range join is the oracle."""
+    from soict20221_bigdata_financialplatform_spark.operators.asof import range_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    r = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("win_start"))
+        .distinct()
+        .withColumn("win_end", F.col("win_start") + F.make_interval(hours=F.lit(12)))
+    )
+    out = range_join(
+        e, r, on=["user_id"], left_ts="ts",
+        right_start="win_start", right_end="win_end",
+        bucket_seconds=12 * 3600,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", F.col("win_start").cast("date").alias("win_start")
+    )
+
+
+@register(
+    "q47_union_all",
+    """
+    SELECT user_id, event_id, value, 'click' AS src FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, event_id, value, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q47_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 append-union (reference pd.concat, warehouse.py:178) — bag
+    semantics, no dedup shuffle."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value", F.lit("click").alias("src")
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", F.lit("purchase").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@register(
     "q37_percentiles",
     """
     SELECT event_type,
