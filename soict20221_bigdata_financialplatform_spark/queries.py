@@ -914,6 +914,51 @@ def q46_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_corpus_survivors",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             length(text)::DOUBLE AS nc,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
+             len(regexp_extract_all(lower(text), '{{STOP}}'))::DOUBLE AS ns
+      FROM documents
+    ), q AS (
+      SELECT doc_id, text FROM scored
+      WHERE nt > 0 AND
+            0.4 * (CASE WHEN nc >= 50 AND nc <= 10000 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * least(1.0, 5.0 * ns / nt)
+          + 0.3 * (CASE WHEN nc / nt >= 3.0 AND nc / nt <= 12.0 THEN 1.0 ELSE 0.0 END)
+            >= 0.5
+    )
+    SELECT doc_id FROM q
+    WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
+    """.replace("{STOP}", _EN_STOP_RE),
+)
+def q48_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic prefix of the corpus-cleaning pipeline (quality gate →
+    exact dedup), fully SQL-expressible → oracle-checked. The full pipeline
+    adds MinHash near-dup removal (q49, rows-only — hash-family dependent)."""
+    from soict20221_bigdata_financialplatform_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = corpus.drop_exact_dups(corpus.quality_filter(d, min_quality=0.5))
+    return out.select("doc_id")
+
+
+@register("q49_corpus_clean")  # minhash stage → rows-only
+def q49_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-data cleaning pipeline: quality gate → exact dedup →
+    MinHash-LSH near-dup removal (survivor = min doc_id)."""
+    from soict20221_bigdata_financialplatform_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.clean_corpus(d, min_quality=0.5, jaccard_threshold=0.8).select(
+        "doc_id"
+    )
+
+
+@register(
     "q47_union_all",
     """
     SELECT user_id, event_id, value, 'click' AS src FROM events WHERE event_type = 'click'

@@ -1,0 +1,38 @@
+"""Corpus-cleaning pipeline: stage policies on planted fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from soict20221_bigdata_financialplatform_spark.operators import corpus
+from tests.test_dedup_similarity import BASE
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),                              # exact dup -> dropped
+        Row(doc_id=2, text=BASE.replace("garden", "meadow")),  # near dup -> dropped
+        Row(doc_id=3, text="short junk"),                      # fails quality gate
+        Row(doc_id=4, text="a completely different well formed document about "
+                           "the architecture of distributed query engines and "
+                           "the cost of shuffles in large clusters"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_quality_filter_drops_junk(spark):
+    kept = {r.doc_id for r in corpus.quality_filter(_docs(spark)).collect()}
+    assert 3 not in kept
+    assert {0, 1, 4} <= kept
+
+
+def test_drop_exact_dups_keeps_min_id(spark):
+    kept = {r.doc_id for r in corpus.drop_exact_dups(_docs(spark)).collect()}
+    assert 0 in kept and 1 not in kept
+
+
+def test_clean_corpus_end_to_end(spark):
+    kept = {r.doc_id for r in
+            corpus.clean_corpus(_docs(spark), jaccard_threshold=0.5).collect()}
+    assert kept == {0, 4}  # dup, near-dup and junk all removed; min-id wins

@@ -1,0 +1,51 @@
+"""applyInPandasWithState: state carries across micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+from soict20221_bigdata_financialplatform_spark.streaming import ticks as st
+from soict20221_bigdata_financialplatform_spark.streaming.stateful import (
+    running_symbol_stats,
+)
+from tests.test_streaming import _msg, _write_file
+
+
+def test_running_stats_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "mem")
+    _write_file(str(src), "b1.json", [
+        _msg("FPT", "2024-01-02 09:30:05", "80.0"),
+        _msg("FPT", "2024-01-02 09:30:25", "82.0"),
+        _msg("VIC", "2024-01-02 09:30:10", "55.0"),
+    ])
+    raw = st.read_tick_stream_json(spark, str(src), max_files_per_trigger=1)
+    stats = running_symbol_stats(st.decode_ticks(raw))
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_file(str(src), "b2.json", [
+            _msg("FPT", "2024-01-02 09:31:00", "79.0"),  # new low
+        ])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM running_stats"
+        ).collect()
+    finally:
+        q.stop()
+
+    # last emitted FPT row reflects state accumulated over BOTH batches
+    fpt = [r for r in rows if r.symbol == "FPT"]
+    final = max(fpt, key=lambda r: r.n_ticks)
+    assert final.n_ticks == 3
+    assert final.high == 82.0 and final.low == 79.0
+    assert final.last_price == 79.0
+    vic = [r for r in rows if r.symbol == "VIC"]
+    assert max(v.n_ticks for v in vic) == 1
