@@ -754,8 +754,11 @@ def q27_gain_loss_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/char/stopword/punct counting over the corpus — single codegen'd
-    projection, no UDFs."""
-    d = _t(spark, sf_dir, "documents")
+    projection, no UDFs. Repartitioned first: regex work is CPU-bound and a
+    single-file input otherwise runs it on one core."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         tx.char_count("text").alias("n_chars_computed"),
@@ -789,7 +792,9 @@ def q28_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + language-ID heuristic (stopword rate), exactly
     mirrored in the oracle formula."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         F.round(tx.quality_score("text"), 6).alias("quality"),
@@ -955,6 +960,30 @@ def q49_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return corpus.clean_corpus(d, min_quality=0.5, jaccard_threshold=0.8).select(
         "doc_id"
+    )
+
+
+@register(
+    "q50_decimal_money",
+    """
+    SELECT o_orderstatus,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))) AS revenue_exact,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q50_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic (SURVEY §1.2: the reference stores prices as
+    FLOAT — a known deficiency; DecimalType is the fix). Decimal sums are
+    order-independent and EXACT, so this query needs no rounding to
+    hash-match the oracle — the proof that the decimal path, unlike doubles,
+    is reproducible across engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue_exact"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
