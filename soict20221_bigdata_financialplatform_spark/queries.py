@@ -5,11 +5,18 @@ Every entry in ``QUERIES`` is ``name -> (spark, sf_dir) -> DataFrame``; every
 SQL-expressible entry has a DuckDB twin in ``ORACLE`` with IDENTICAL column
 names and rounding (the driver hashes values after sorting columns by name).
 
-Float policy: aggregate outputs that sum many doubles are rounded to 2 (money
-sums) or 6 (means/ratios) decimals on BOTH sides, because Spark and DuckDB
-accumulate in different orders; per-row arithmetic (lag diffs, window means
-over fixed frames) is rounded to 6 for the same reason. Rankings always break
-ties on a unique key so top-k is deterministic.
+Float policy (each direction matters):
+- MULTI-VALUE accumulations (sums, avgs, stddev, percentile interpolation)
+  are rounded — 2 decimals for money sums, 6 for means/ratios — on BOTH
+  sides, because Spark and DuckDB accumulate in different orders (DuckDB
+  windows use segment trees) and can differ in the last bits.
+- SINGLE-OP per-row arithmetic (lag diffs, divisions of two values,
+  percent_rank ratios) is NEVER rounded: identical IEEE ops on identical
+  inputs are bit-equal across engines, and rounding would only introduce
+  half-way boundary mismatches (Spark rounds doubles via their shortest
+  decimal string, DuckDB via the true binary value — they disagree on
+  exact .5 cases like 8.0046875).
+Rankings always break ties on a unique key so top-k is deterministic.
 """
 
 from __future__ import annotations
@@ -548,9 +555,9 @@ def q19_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_window_change",
     """
     SELECT user_id, event_id, ts, value,
-           round(value - lag(value) OVER w, 6) AS change_abs,
+           value - lag(value) OVER w AS change_abs,
            CASE WHEN lag(value) OVER w <> 0
-                THEN round((value - lag(value) OVER w) / lag(value) OVER w, 6)
+                THEN (value - lag(value) OVER w) / lag(value) OVER w
            END AS change_pct
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -567,8 +574,9 @@ def q20_window_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.round("change_abs", 6).alias("change_abs"),
-        F.round("change_pct", 6).alias("change_pct"),
+        "change_abs",  # single-op arithmetic: bit-identical across engines,
+        "change_pct",  # rounding would only ADD half-way boundary mismatches
+
     )
 
 
@@ -707,8 +715,8 @@ def q26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_gain_loss_split",
     """
     SELECT user_id, event_id,
-           CASE WHEN diff > 0 THEN round(diff, 6) WHEN diff IS NOT NULL THEN 0.0 END AS gain,
-           CASE WHEN diff < 0 THEN round(-diff, 6) WHEN diff IS NOT NULL THEN 0.0 END AS loss
+           CASE WHEN diff > 0 THEN diff WHEN diff IS NOT NULL THEN 0.0 END AS gain,
+           CASE WHEN diff < 0 THEN -diff WHEN diff IS NOT NULL THEN 0.0 END AS loss
     FROM (
       SELECT user_id, event_id,
              value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS diff
@@ -726,10 +734,10 @@ def q27_gain_loss_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.when(diff > 0, F.round(diff, 6))
+        F.when(diff > 0, diff)
         .otherwise(F.when(diff.isNotNull(), F.lit(0.0)))
         .alias("gain"),
-        F.when(diff < 0, F.round(-diff, 6))
+        F.when(diff < 0, -diff)
         .otherwise(F.when(diff.isNotNull(), F.lit(0.0)))
         .alias("loss"),
     )
@@ -780,12 +788,12 @@ def q28_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           CASE WHEN nt > 0 THEN round(
+           CASE WHEN nt > 0 THEN
                 0.4 * (CASE WHEN nc >= 50 AND nc <= 10000 THEN 1.0 ELSE 0.0 END)
               + 0.3 * least(1.0, 5.0 * ns / nt)
-              + 0.3 * (CASE WHEN nc / nt >= 3.0 AND nc / nt <= 12.0 THEN 1.0 ELSE 0.0 END), 6)
+              + 0.3 * (CASE WHEN nc / nt >= 3.0 AND nc / nt <= 12.0 THEN 1.0 ELSE 0.0 END)
            ELSE 0.0 END AS quality,
-           CASE WHEN nt > 0 THEN round(ns / nt, 6) ELSE 0.0 END AS en_score
+           CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS en_score
     FROM t
     """,
 )
@@ -797,8 +805,8 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.round(tx.quality_score("text"), 6).alias("quality"),
-        F.round(tx.lang_id_en_score("text"), 6).alias("en_score"),
+        tx.quality_score("text").alias("quality"),
+        tx.lang_id_en_score("text").alias("en_score"),
     )
 
 
@@ -836,7 +844,7 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+    SELECT id_a, id_b, common / (sa.sz + sb.sz - common) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -849,7 +857,7 @@ def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select("id_a", "id_b", "jaccard")
 
 
 @register("q32_minhash_pairs")  # xxhash64 family has no DuckDB twin → rows-only
@@ -1111,8 +1119,8 @@ def q39_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank() OVER w2 AS rnk,
            dense_rank() OVER w2 AS drnk,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w2, 6) AS prank,
-           round(cume_dist() OVER w2, 6) AS cdist
+           percent_rank() OVER w2 AS prank,
+           cume_dist() OVER w2 AS cdist
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts),
            w2 AS (PARTITION BY user_id ORDER BY event_id)
@@ -1134,8 +1142,8 @@ def q40_window_grabbag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w2).alias("rnk"),
         F.dense_rank().over(w2).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w2), 6).alias("prank"),
-        F.round(F.cume_dist().over(w2), 6).alias("cdist"),
+        F.percent_rank().over(w2).alias("prank"),
+        F.cume_dist().over(w2).alias("cdist"),
     )
 
 
