@@ -150,6 +150,34 @@ def make_bar_batch_writer(out_path: str):
     return _write
 
 
+def session_aggregate(
+    ticks: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows per symbol (engine-added per SURVEY §2.10):
+    a session closes after ``gap`` of inactivity — the streaming twin of the
+    batch lag/cumsum sessionization (queries.q38). State per open session,
+    evicted once the watermark passes session end + gap."""
+    w = ticks.withWatermark("time", watermark) if watermark else ticks
+    return (
+        w.groupBy(F.session_window("time", gap).alias("w"), F.col("symbol"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.min("close").alias("low"),
+            F.max("close").alias("high"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "symbol",
+            "n_ticks",
+            "low",
+            "high",
+        )
+    )
+
+
 def write_bars_idempotent(bars: DataFrame, out_path: str, checkpoint: str):
     """foreachBatch sink (K1/K2 replacement — the reference opened a DB
     session per ROW; this writes once per micro-batch)."""
