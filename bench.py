@@ -71,6 +71,42 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Reference-workload regression target (SURVEY §6 / BASELINE.md): the
+    # full 23,820-row indicator backfill (10 symbols x 2,382 daily bars,
+    # messy strings -> typed -> change/SMA/RSI/EMA -> symbol-partitioned
+    # parquet). The reference's collect+per-row-INSERT strawman is minutes;
+    # target is well under 60 s.
+    import random
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from soict20221_bigdata_financialplatform_spark.api import backfill
+
+    rng = random.Random(42)
+    rows = []
+    for s in range(10):
+        sym = f"SYM{s}"
+        px = 50.0 + s
+        d0 = 1357776000  # 2013-01-10 UTC, epoch seconds
+        for i in range(2382):
+            px = max(1.0, px + rng.uniform(-1, 1))
+            day = time.strftime("%d/%m/%Y", time.gmtime(d0 + i * 86400))
+            rows.append(Row(
+                symbol=sym, date=day,
+                open=f"{px:,.2f} ", high=f"{px + 0.5:,.2f} ",
+                low=f"{px - 0.5:,.2f} ", close=f"{px + 0.1:,.2f} ",
+                volume=f"{rng.randint(1, 999) * 1000:,} ",
+                value=f"{rng.randint(1, 999) * 1000000:,} ",
+            ))
+    raw = spark.createDataFrame(rows)
+    out_dir = tempfile.mkdtemp(prefix="backfill_bench_")
+    t0 = time.time()
+    backfill(raw, out_dir)
+    timings["backfill_ref_workload"] = round(time.time() - t0, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -88,9 +88,11 @@ def backfill(
     within partitions by date so time-slice reads prune row groups.
     """
     bars = normalize_bars(raw_bars)
+    dp = raw_bars.sparkSession.sparkContext.defaultParallelism
     enriched = with_indicators(
         bars, key_cols=("symbol",), order_col="date", value_col="close",
         ema_n=ema_n, rsi_n=rsi_n, sma_n=sma_n,
+        ema_partitions=max(2, dp // 4),
     ).na.fill(0.0, ["change_abs", "change_pct"])
     (
         enriched.repartition("symbol")

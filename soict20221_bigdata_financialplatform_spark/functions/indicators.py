@@ -231,13 +231,16 @@ def with_indicators(
     ema_n: int = 25,
     rsi_n: int = 14,
     sma_n: int = 20,
+    ema_partitions: int | None = None,
 ) -> DataFrame:
     """The full indicator backfill (reference to_db.py:40-49 pipeline:
     change → EMA → RSI, plus SMA), composed so all window ops share one
-    exchange on the key."""
+    exchange on the key. ``ema_partitions`` forwards to :func:`ema` (fewer,
+    fatter partitions for the pandas stage when the key universe is small)."""
     out = change_abs(df, key_cols, order_col, value_col)
     out = change_pct(out, key_cols, order_col, value_col)
     out = sma(out, sma_n, key_cols, order_col, value_col)
     out = rsi(out, rsi_n, key_cols, order_col, value_col)
-    out = ema(out, ema_n, key_cols, order_col, value_col)
+    out = ema(out, ema_n, key_cols, order_col, value_col,
+              num_partitions=ema_partitions)
     return out
