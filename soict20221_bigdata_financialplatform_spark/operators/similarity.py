@@ -139,6 +139,96 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer → corpus bucketed by
+    nearest centroid → each query scores only its ``nprobe`` nearest cells.
+
+    The scale path complementing sign-LSH: centroids adapt to the data
+    distribution (LSH planes are data-oblivious). Training samples the corpus
+    (``train_fraction``); assignment is a native expression — centroid dot
+    products unrolled into an array, argmin via ``array_position`` — so the
+    corpus never leaves the JVM. ``nprobe == nlist`` degenerates to exact
+    brute force (the recall knob is explicit).
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    train = corpus.select(F.col(vec_col))
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    km = KMeans(k=nlist, seed=seed, featuresCol="features")
+    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("features")))
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+
+    def _sqdist(vec: Column, center: list[float]) -> Column:
+        lits = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _cell_dists(vec: Column) -> Column:
+        return F.array(*[_sqdist(vec, c) for c in centroids])
+
+    def _nearest_cell(vec: Column) -> Column:
+        d = _cell_dists(vec)
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), _nearest_cell(F.col(vec_col)).alias("__cell")
+    )
+
+    # query side: nprobe nearest cells, exploded to (query, cell) probes
+    qd = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _cell_dists(F.col(vec_col)).alias("__d"),
+    )
+    seq = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    zipped = F.zip_with(
+        F.col("__d"), seq,
+        lambda x, i: F.struct(x.alias("dist"), i.alias("idx")),
+    )
+    # array_sort on structs orders by first field (dist) — take nprobe cells
+    probe_idx = F.transform(
+        F.slice(F.array_sort(zipped), 1, nprobe), lambda s: s["idx"].cast("int")
+    )
+    q = F.broadcast(
+        qd.select(
+            F.col(query_id_col), F.col("__qvec"), F.explode(probe_idx).alias("__cell")
+        )
+    )
+
+    scored = c.join(q, "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1299,6 +1299,23 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q51_ann_ivf")  # kmeans-trained quantizer → rows-only
+def q51_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (KMeans coarse quantizer, nprobe=4 of nlist=16): the
+    data-adaptive scale path; nprobe==nlist degenerates to exact brute force
+    (equality pytest-asserted)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 @register(
     "q36_embedding_near_dup",
     """

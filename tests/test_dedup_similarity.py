@@ -119,3 +119,22 @@ def test_embedding_near_dup_pairs_finds_duplicate_vector(spark):
         corpus.unionByName(dup), threshold=0.999, n_planes=4, dim=16
     ).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(0, 999)}
+
+
+def test_ivf_topk_recall_and_exact_degenerate(spark):
+    corpus, _ = _vecs(spark, n=100, dim=16)
+    queries = corpus.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    exact = sim.brute_force_topk(corpus, queries, k=5).collect()
+    # nprobe == nlist probes every cell -> identical to brute force
+    full = sim.ivf_topk(corpus, queries, k=5, nlist=8, nprobe=8, seed=7).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in full} == {
+        (r.query_id, r.vec_id, r.rank) for r in exact
+    }
+    # narrow probe: self always found, decent recall
+    approx = sim.ivf_topk(corpus, queries, k=5, nlist=8, nprobe=2, seed=7).collect()
+    for qid in range(5):
+        mine = [r.vec_id for r in approx if r.query_id == qid]
+        assert qid in mine
+    e = {(r.query_id, r.vec_id) for r in exact}
+    a = {(r.query_id, r.vec_id) for r in approx}
+    assert len(e & a) / len(e) >= 0.4
