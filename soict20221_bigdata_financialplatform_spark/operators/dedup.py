@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -132,13 +132,20 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     LSH: split the signature into ``bands`` bands of r=num_hashes/bands rows,
     hash each band, self-join on (band, key) → candidates; verify candidates
     with exact shingle-set Jaccard (array_intersect/array_union on only the
-    candidate pairs)."""
+    candidate pairs).
+
+    ``max_bucket_size`` caps a band bucket's posting list: a boilerplate
+    bucket with 10⁶ docs would otherwise yield 10¹² candidate pairs from ONE
+    reducer (the classic LSH blow-up). Oversized buckets are dropped — their
+    members are near-identical boilerplate that the remaining 15 bands still
+    pair up with overwhelming probability. None disables the cap."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     # CPU-bound per-row work: spread the corpus over all cores first (a
@@ -163,6 +170,13 @@ def minhash_near_dup_pairs(
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
     ).persist()
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
