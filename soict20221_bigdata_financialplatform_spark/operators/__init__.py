@@ -3,7 +3,8 @@ from soict20221_bigdata_financialplatform_spark.operators.serving import (
     range_query,
     summary_stats,
 )
-from soict20221_bigdata_financialplatform_spark.operators.asof import asof_join
+from soict20221_bigdata_financialplatform_spark.operators.asof import asof_join, range_join
+from soict20221_bigdata_financialplatform_spark.operators.corpus import clean_corpus
 from soict20221_bigdata_financialplatform_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -30,6 +31,8 @@ __all__ = [
     "range_query",
     "summary_stats",
     "asof_join",
+    "range_join",
+    "clean_corpus",
     "exact_dedup",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
