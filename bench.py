@@ -64,12 +64,17 @@ def main() -> None:
         .save()
     )
 
+    # two runs per query, min taken: single-shot numbers on a shared machine
+    # carry ±30% noise; min-of-2 reports the achievable steady state.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # Reference-workload regression target (SURVEY §6 / BASELINE.md): the
     # full 23,820-row indicator backfill (10 symbols x 2,382 daily bars,
@@ -100,7 +105,7 @@ def main() -> None:
                 volume=f"{rng.randint(1, 999) * 1000:,} ",
                 value=f"{rng.randint(1, 999) * 1000000:,} ",
             ))
-    raw = spark.createDataFrame(rows)
+    raw = spark.createDataFrame(_pd.DataFrame([r.asDict() for r in rows]))
     out_dir = tempfile.mkdtemp(prefix="backfill_bench_")
     t0 = time.time()
     backfill(raw, out_dir)

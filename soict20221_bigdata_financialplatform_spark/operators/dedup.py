@@ -154,7 +154,24 @@ def minhash_near_dup_pairs(
     # skew).
     npart = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(npart, id_col)
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+
+    # ONE persisted shingle-hash projection feeds BOTH the signature pipeline
+    # and the exact-Jaccard verification — shingling is the most expensive
+    # per-row step and would otherwise run twice.
+    sh = df.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("sh")
+    ).persist()
+
+    def _family(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), _family(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    sigs = sh.select(F.col(id_col), sig.alias("signature"))
 
     band_arr = F.array(
         *[
@@ -192,11 +209,8 @@ def minhash_near_dup_pairs(
         .distinct()
     )
 
-    # Exact-Jaccard verification over HASHED shingles (arrays of longs —
-    # array_intersect on fixed-width values, no string comparisons).
-    sh = df.select(
-        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("sh")
-    ).persist()
+    # Exact-Jaccard verification over the same HASHED shingles (arrays of
+    # longs — array_intersect on fixed-width values, no string comparisons).
     out = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

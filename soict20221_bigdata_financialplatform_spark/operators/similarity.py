@@ -45,15 +45,22 @@ def brute_force_topk(
     window — the one shuffle, keyed by query_id, carrying only
     (query_id, vec_id, score). Ties break on vec_id for determinism.
     """
+    # norms precomputed once per row (not once per pair): scoring a pair is
+    # then one dot product + two lookups — identical arithmetic, ~3x less work
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qnorm"),
         )
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).join(q).select(
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__cnorm")
+    ).join(q).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+        (_dot(F.col(vec_col), F.col("__qvec"))
+         / (F.col("__cnorm") * F.col("__qnorm"))).alias("score"),
     )
     from pyspark.sql import Window
 
@@ -113,19 +120,23 @@ def lsh_topk(
     """
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("__b")
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("__b"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             lsh_bucket(F.col(vec_col), planes).alias("__b"),
+            _norm(F.col(vec_col)).alias("__qnorm"),
         )
     )
     scored = c.join(q, "__b").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+        (_dot(F.col(vec_col), F.col("__qvec"))
+         / (F.col("__cnorm") * F.col("__qnorm"))).alias("score"),
     )
     from pyspark.sql import Window
 
@@ -217,7 +228,8 @@ def ivf_topk(
     scored = c.join(q, "__cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+        (_dot(F.col(vec_col), F.col("__qvec"))
+         / (_norm(F.col(vec_col)) * _norm(F.col("__qvec")))).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
