@@ -34,6 +34,9 @@ HEADLINE = [
     "q23_ema",
     "q24_daily_bars",
     "q25_asof_view_before_purchase",
+    "q38_sessionization",
+    "q46_range_join",
+    "q50_decimal_money",
     "q28_doc_text_stats",
     "q30_exact_dedup",
     "q32_minhash_pairs",

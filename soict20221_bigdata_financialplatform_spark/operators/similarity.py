@@ -109,10 +109,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's sign-LSH
-    bucket. 2^n_planes buckets → ~corpus/2^n candidates per query; recall
-    rises with fewer planes or multi-probe (engine-added later).
+    bucket. 2^n_planes buckets → ~corpus/2^n candidates per query.
+
+    ``multi_probe=1`` additionally probes every bucket one bit-flip away
+    (the n_planes nearest neighbors in Hamming space) — the standard recall
+    lever that costs n_planes extra probe rows per query instead of fewer
+    planes (which would halve selectivity).
 
     The bucket id is computed in the scan projection for both sides; the join
     is an equi-join on (bucket) with the query side broadcast — the corpus
@@ -124,12 +129,25 @@ def lsh_topk(
         lsh_bucket(F.col(vec_col), planes).alias("__b"),
         _norm(F.col(vec_col)).alias("__cnorm"),
     )
+    qbase = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("__b0"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("__b0"),
+            *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+    else:
+        probes = F.array(F.col("__b0"))
     q = F.broadcast(
-        queries.select(
+        qbase.select(
             F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            lsh_bucket(F.col(vec_col), planes).alias("__b"),
-            _norm(F.col(vec_col)).alias("__qnorm"),
+            F.col("__qvec"),
+            F.col("__qnorm"),
+            F.explode(probes).alias("__b"),
         )
     )
     scored = c.join(q, "__b").select(

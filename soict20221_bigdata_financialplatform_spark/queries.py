@@ -1293,7 +1293,7 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.lsh_topk(emb, queries, k=10, n_planes=6, dim=64)
+    out = sim.lsh_topk(emb, queries, k=10, n_planes=6, dim=64, multi_probe=1)
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )

@@ -138,3 +138,19 @@ def test_ivf_topk_recall_and_exact_degenerate(spark):
     e = {(r.query_id, r.vec_id) for r in exact}
     a = {(r.query_id, r.vec_id) for r in approx}
     assert len(e & a) / len(e) >= 0.4
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    corpus, _ = _vecs(spark, n=200, dim=16, seed=11)
+    queries = corpus.where("vec_id < 10").selectExpr("vec_id as query_id", "embedding")
+    exact = {(r.query_id, r.vec_id)
+             for r in sim.brute_force_topk(corpus, queries, k=5).collect()}
+    one = {(r.query_id, r.vec_id)
+           for r in sim.lsh_topk(corpus, queries, k=5, n_planes=6, dim=16).collect()}
+    multi = {(r.query_id, r.vec_id)
+             for r in sim.lsh_topk(corpus, queries, k=5, n_planes=6, dim=16,
+                                   multi_probe=1).collect()}
+    r1 = len(exact & one) / len(exact)
+    rm = len(exact & multi) / len(exact)
+    assert rm >= r1  # probing neighbor buckets never hurts recall
+    assert rm >= 0.5
