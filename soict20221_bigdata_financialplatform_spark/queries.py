@@ -996,6 +996,30 @@ def q50_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q52_hourly_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q52_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling window via ``F.window`` (the same construct the
+    streaming bar aggregation uses — SURVEY §2.10) ≡ DuckDB time_bucket."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@register(
     "q47_union_all",
     """
     SELECT user_id, event_id, value, 'click' AS src FROM events WHERE event_type = 'click'

@@ -62,9 +62,15 @@ def decode_ticks(raw: DataFrame) -> DataFrame:
     scalar UDFs eliminated)."""
     from soict20221_bigdata_financialplatform_spark.functions.normalize import parse_comma_number
 
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), TICK_MSG_SCHEMA).alias("t")
-    ).select("t.*")
+    parsed = (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), TICK_MSG_SCHEMA).alias("t")
+        )
+        # malformed messages decode to a null struct; dropping them here keeps
+        # null-keyed garbage out of the dedup index and the bar aggregation
+        .where(F.col("t").isNotNull() & F.col("t.symbol").isNotNull() & F.col("t.time").isNotNull())
+        .select("t.*")
+    )
     return parsed.select(
         "symbol",
         "time",
@@ -185,6 +191,22 @@ def write_bars_idempotent(bars: DataFrame, out_path: str, checkpoint: str):
         bars.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(make_bar_batch_writer(out_path))
+    )
+
+
+def compact_bars(spark: SparkSession, bars_path: str, out_path: str) -> None:
+    """Periodic compaction: fold the sink's (bar_date, __batch) micro-batch
+    partitions into a date-only, symbol-clustered layout for read efficiency
+    (many tiny per-batch files → one sorted file set per day). Runs as a
+    batch job against closed days; the streaming sink keeps appending new
+    __batch partitions untouched."""
+    bars = spark.read.parquet(bars_path).drop("__batch")
+    (
+        bars.repartition("bar_date")
+        .sortWithinPartitions("symbol", "bar_start")
+        .write.mode("overwrite")
+        .partitionBy("bar_date")
+        .parquet(out_path)
     )
 
 

@@ -124,3 +124,49 @@ def test_foreachbatch_sink_idempotent_on_replay(spark, dirs):
     writer(batch, 0)
     writer(batch, 0)  # replay of the same micro-batch
     assert spark.read.parquet(out).count() == 1
+
+
+def test_corrupt_messages_dropped(spark, dirs):
+    src, out, ckpt = dirs
+    lines = [
+        _msg("FPT", "2024-01-02 09:30:05", "80.0"),
+        "{ not json at all",
+        '{"symbol": null, "time": "2024-01-02 09:30:06"}',
+        "",
+        _msg("ZZZ", "2024-01-02 10:00:00", "1.0"),
+    ]
+    _write_file(src, "b1.json", [l for l in lines if l])
+    q = st.run_tick_pipeline(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _write_file(src, "b2.json", [_msg("ZZZ", "2024-01-02 10:30:00", "1.0")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    bars = spark.read.parquet(out)
+    # only the two valid symbols produced bars; no null-key bar rows
+    assert {r.symbol for r in bars.collect()} <= {"FPT", "ZZZ"}
+    assert bars.where("symbol IS NULL").count() == 0
+
+
+def test_compact_bars(spark, dirs, tmp_path):
+    src, out, ckpt = dirs
+    _write_file(src, "b1.json", [
+        _msg("FPT", "2024-01-02 09:30:05", "80.0"),
+        _msg("ZZZ", "2024-01-02 10:00:00", "1.0"),
+    ])
+    q = st.run_tick_pipeline(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _write_file(src, "b2.json", [_msg("ZZZ", "2024-01-02 10:30:00", "1.0")])
+        q.processAllAvailable()
+        _write_file(src, "b3.json", [_msg("ZZZ", "2024-01-02 11:00:00", "1.0")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    compacted = str(tmp_path / "compacted")
+    st.compact_bars(spark, out, compacted)
+    a = spark.read.parquet(out).drop("__batch")
+    b = spark.read.parquet(compacted)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+    assert "__batch" not in b.columns
