@@ -92,3 +92,37 @@ def test_to_kafka_payload_real_json(spark):
     out = api.to_kafka_payload(df, key_col="symbol").collect()[0]
     assert out.key == "FPT"
     assert json.loads(out.value) == {"symbol": "FPT", "close": 80.7}
+
+
+def test_realtime_endpoint(spark):
+    import datetime as dt
+    ticks = spark.createDataFrame([
+        Row(symbol="FPT", time=dt.datetime(2024, 1, 2, 9, 30), close=80.0),
+        Row(symbol="FPT", time=dt.datetime(2024, 1, 2, 9, 31), close=80.5),
+        Row(symbol="VIC", time=dt.datetime(2024, 1, 2, 9, 32), close=55.0),
+    ])
+    out = api.realtime(ticks, "FPT").collect()
+    assert len(out) == 1 and out[0].close == 80.5  # newest FPT tick only
+
+
+def test_to_local_ts_shift(spark):
+    import datetime as dt
+    from soict20221_bigdata_financialplatform_spark.functions.normalize import to_local_ts
+    df = spark.createDataFrame([Row(t=dt.datetime(2024, 1, 2, 9, 0))])
+    out = df.select(to_local_ts("t").alias("local")).collect()[0].local
+    assert out == dt.datetime(2024, 1, 2, 16, 0)  # UTC+7 (Asia/Ho_Chi_Minh)
+
+
+def test_write_partitioned_sorted_layout(spark, tmp_path):
+    import os
+    from soict20221_bigdata_financialplatform_spark.sources.layout import write_partitioned_sorted
+    df = spark.createDataFrame(
+        [Row(symbol=s, date=d, close=float(d))
+         for s in ("AAA", "BBB") for d in (3, 1, 2)]
+    )
+    out = str(tmp_path / "store")
+    write_partitioned_sorted(df, out, "symbol", ["date"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("symbol="))
+    assert dirs == ["symbol=AAA", "symbol=BBB"]
+    back = spark.read.parquet(out)
+    assert back.count() == 6
