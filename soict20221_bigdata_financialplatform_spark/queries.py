@@ -959,6 +959,19 @@ def q48_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+@register("q53_near_dup_clusters")  # iterative fixpoint → rows-only
+def q53_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: exact 3-gram Jaccard pairs →
+    connected components (min-label propagation, O(log n) join rounds) →
+    (doc_id, cluster_id). Deterministic; chain/island semantics pytest-pinned
+    in tests/test_components_merge.py."""
+    from soict20221_bigdata_financialplatform_spark.operators.components import cluster_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.5)
+    return cluster_near_dups(d.select("doc_id"), pairs).select("doc_id", "cluster_id")
+
+
 @register("q49_corpus_clean")  # minhash stage → rows-only
 def q49_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full training-data cleaning pipeline: quality gate → exact dedup →
