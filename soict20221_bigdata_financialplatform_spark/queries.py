@@ -959,6 +959,31 @@ def q48_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+@register(
+    "q54_data_profile",
+    """
+    SELECT 'text' AS col_name, count(*) FILTER (WHERE text IS NULL) AS n_null,
+           count(DISTINCT text) AS n_distinct,
+           min(length(text)) AS min_len, max(length(text)) AS max_len
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*) FILTER (WHERE lang IS NULL), count(DISTINCT lang),
+           min(length(lang)), max(length(lang))
+    FROM documents
+    UNION ALL
+    SELECT 'doc_id', count(*) FILTER (WHERE doc_id IS NULL), count(DISTINCT doc_id),
+           NULL, NULL
+    FROM documents
+    """,
+)
+def q54_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (null counts, exact distincts, length bounds)
+    in one pass per column — the pipeline pre-flight check."""
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import profile
+
+    return profile(_t(spark, sf_dir, "documents"), ["text", "lang", "doc_id"])
+
+
 @register("q53_near_dup_clusters")  # iterative fixpoint → rows-only
 def q53_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: exact 3-gram Jaccard pairs →

@@ -36,3 +36,27 @@ def test_clean_corpus_end_to_end(spark):
     kept = {r.doc_id for r in
             corpus.clean_corpus(_docs(spark), jaccard_threshold=0.5).collect()}
     assert kept == {0, 4}  # dup, near-dup and junk all removed; min-id wins
+
+
+def test_train_test_split_disjoint_covering_stable(spark, sf_dir):
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = corpus.train_test_split(docs, test_fraction=0.2, seed=7)
+    n, ntr, nte = docs.count(), train.count(), test.count()
+    assert ntr + nte == n                      # covering, disjoint by construction
+    assert 0.05 <= nte / n <= 0.4             # ratio in the right ballpark
+    # key-stable: same ids land in test across runs
+    _, test2 = corpus.train_test_split(docs, test_fraction=0.2, seed=7)
+    assert {r.doc_id for r in test.collect()} == {r.doc_id for r in test2.collect()}
+    # different seed -> different split
+    _, test3 = corpus.train_test_split(docs, test_fraction=0.2, seed=8)
+    assert {r.doc_id for r in test.collect()} != {r.doc_id for r in test3.collect()}
+
+
+def test_stratified_sample_reproducible(spark, sf_dir):
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    a = corpus.stratified_sample(docs, "lang", default_fraction=0.3, seed=5)
+    b = corpus.stratified_sample(docs, "lang", default_fraction=0.3, seed=5)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+    assert 0 < a.count() < docs.count()
