@@ -1058,6 +1058,59 @@ def q52_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q55_time_range_window",
+    """
+    SELECT user_id, event_id, ts,
+           count(*) OVER wr AS n_last_hour,
+           round(avg(value) OVER wr, 6) AS avg_last_hour
+    FROM events
+    WINDOW wr AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def q55_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based sliding frame (RANGE, not ROWS — engine-added per SURVEY
+    §2.6): trailing-1-hour count/avg per key. Spark expresses interval RANGE
+    frames by ordering on epoch micros with a numeric range."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.avg("value").over(w), 6).alias("avg_last_hour"),
+    )
+
+
+@register(
+    "q56_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q56_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE) through the SQL surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
     "q47_union_all",
     """
     SELECT user_id, event_id, value, 'click' AS src FROM events WHERE event_type = 'click'
