@@ -960,6 +960,85 @@ def q48_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q57_minhash_md5",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), shing AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id, sh, [list_min(list_transform(sh, s -> md5('0' || '|' || s))), list_min(list_transform(sh, s -> md5('1' || '|' || s))), list_min(list_transform(sh, s -> md5('2' || '|' || s))), list_min(list_transform(sh, s -> md5('3' || '|' || s))), list_min(list_transform(sh, s -> md5('4' || '|' || s))), list_min(list_transform(sh, s -> md5('5' || '|' || s))), list_min(list_transform(sh, s -> md5('6' || '|' || s))), list_min(list_transform(sh, s -> md5('7' || '|' || s))), list_min(list_transform(sh, s -> md5('8' || '|' || s))), list_min(list_transform(sh, s -> md5('9' || '|' || s))), list_min(list_transform(sh, s -> md5('10' || '|' || s))), list_min(list_transform(sh, s -> md5('11' || '|' || s))), list_min(list_transform(sh, s -> md5('12' || '|' || s))), list_min(list_transform(sh, s -> md5('13' || '|' || s))), list_min(list_transform(sh, s -> md5('14' || '|' || s))), list_min(list_transform(sh, s -> md5('15' || '|' || s))), list_min(list_transform(sh, s -> md5('16' || '|' || s))), list_min(list_transform(sh, s -> md5('17' || '|' || s))), list_min(list_transform(sh, s -> md5('18' || '|' || s))), list_min(list_transform(sh, s -> md5('19' || '|' || s))), list_min(list_transform(sh, s -> md5('20' || '|' || s))), list_min(list_transform(sh, s -> md5('21' || '|' || s))), list_min(list_transform(sh, s -> md5('22' || '|' || s))), list_min(list_transform(sh, s -> md5('23' || '|' || s))), list_min(list_transform(sh, s -> md5('24' || '|' || s))), list_min(list_transform(sh, s -> md5('25' || '|' || s))), list_min(list_transform(sh, s -> md5('26' || '|' || s))), list_min(list_transform(sh, s -> md5('27' || '|' || s))), list_min(list_transform(sh, s -> md5('28' || '|' || s))), list_min(list_transform(sh, s -> md5('29' || '|' || s))), list_min(list_transform(sh, s -> md5('30' || '|' || s))), list_min(list_transform(sh, s -> md5('31' || '|' || s)))] AS sig FROM shing
+    ), banded AS (
+      SELECT doc_id, sh,
+             md5(sig[1] || '|' || sig[2] || '|' || sig[3] || '|' || sig[4]) AS k0,
+             md5(sig[5] || '|' || sig[6] || '|' || sig[7] || '|' || sig[8]) AS k1,
+             md5(sig[9] || '|' || sig[10] || '|' || sig[11] || '|' || sig[12]) AS k2,
+             md5(sig[13] || '|' || sig[14] || '|' || sig[15] || '|' || sig[16]) AS k3,
+             md5(sig[17] || '|' || sig[18] || '|' || sig[19] || '|' || sig[20]) AS k4,
+             md5(sig[21] || '|' || sig[22] || '|' || sig[23] || '|' || sig[24]) AS k5,
+             md5(sig[25] || '|' || sig[26] || '|' || sig[27] || '|' || sig[28]) AS k6,
+             md5(sig[29] || '|' || sig[30] || '|' || sig[31] || '|' || sig[32]) AS k7
+      FROM sigs
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3 OR a.k4 = b.k4 OR a.k5 = b.k5 OR a.k6 = b.k6 OR a.k7 = b.k7)
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sh_a, sh_b)) / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(sh_a, sh_b)) / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+    """,
+)
+def q57_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with a FULL DuckDB oracle: hash family =
+    lexicographic min over md5 hex strings (identical in both engines),
+    8 bands x 4 rows over 32 hashes, candidates = pairs sharing any
+    band, verified by exact string-shingle Jaccard. The xxhash64 variant
+    (q32, ~3x faster) is the production path; this one proves the LSH
+    pipeline end-to-end against an independent engine."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = d.select(
+        "doc_id", dd.word_shingles("text", 3).alias("sh")
+    ).persist()
+
+    def fam(i):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(*[F.array_min(F.transform("sh", fam(i))) for i in range(32)])
+    sigs = sh.select("doc_id", "sh", sig.alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        *[
+            F.md5(F.concat_ws("|", *[F.col("sig")[b * 4 + j] for j in range(4)])).alias(f"k{b}")
+            for b in range(8)
+        ],
+    ).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
+        (F.col("a.k0") == F.col("b.k0")) | (F.col("a.k1") == F.col("b.k1")) | (F.col("a.k2") == F.col("b.k2")) | (F.col("a.k3") == F.col("b.k3")) | (F.col("a.k4") == F.col("b.k4")) | (F.col("a.k5") == F.col("b.k5")) | (F.col("a.k6") == F.col("b.k6")) | (F.col("a.k7") == F.col("b.k7"))
+    )
+    cand = a.join(b, cond).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.sh").alias("sh_a"),
+        F.col("b.sh").alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / (
+        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    return cand.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= 0.5
+    )
+
+
+@register(
     "q54_data_profile",
     """
     SELECT 'text' AS col_name, count(*) FILTER (WHERE text IS NULL) AS n_null,
