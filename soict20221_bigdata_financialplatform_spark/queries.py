@@ -1039,6 +1039,137 @@ def q57_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_simhash_md5",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h
+      FROM tok WHERE t <> ''
+    ), bitsums AS (
+      SELECT doc_id,
+             sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+             sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+             sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS s2,
+             sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS s3,
+             sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS s4,
+             sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS s5,
+             sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS s6,
+             sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS s7,
+             sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS s8,
+             sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS s9,
+             sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS s10,
+             sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS s11,
+             sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS s12,
+             sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS s13,
+             sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS s14,
+             sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS s15,
+             sum(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS s16,
+             sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS s17,
+             sum(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS s18,
+             sum(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS s19,
+             sum(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS s20,
+             sum(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS s21,
+             sum(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS s22,
+             sum(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS s23,
+             sum(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS s24,
+             sum(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS s25,
+             sum(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS s26,
+             sum(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS s27,
+             sum(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS s28,
+             sum(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS s29,
+             sum(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS s30,
+             sum(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS s31,
+             sum(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS s32,
+             sum(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS s33,
+             sum(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS s34,
+             sum(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS s35,
+             sum(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS s36,
+             sum(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS s37,
+             sum(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS s38,
+             sum(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS s39,
+             sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS s40,
+             sum(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS s41,
+             sum(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS s42,
+             sum(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS s43,
+             sum(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS s44,
+             sum(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS s45,
+             sum(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS s46,
+             sum(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS s47,
+             sum(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS s48,
+             sum(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS s49,
+             sum(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS s50,
+             sum(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS s51,
+             sum(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS s52,
+             sum(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS s53,
+             sum(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS s54,
+             sum(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS s55,
+             sum(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS s56,
+             sum(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS s57,
+             sum(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS s58,
+             sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS s59
+      FROM hashed GROUP BY doc_id
+    ), fps AS (
+      SELECT doc_id, (CASE WHEN s0 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 0) + (CASE WHEN s1 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 1) + (CASE WHEN s2 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 2) + (CASE WHEN s3 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 3) + (CASE WHEN s4 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 4) + (CASE WHEN s5 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 5) + (CASE WHEN s6 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 6) + (CASE WHEN s7 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 7) + (CASE WHEN s8 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 8) + (CASE WHEN s9 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 9) + (CASE WHEN s10 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 10) + (CASE WHEN s11 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 11) + (CASE WHEN s12 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 12) + (CASE WHEN s13 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 13) + (CASE WHEN s14 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 14) + (CASE WHEN s15 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 15) + (CASE WHEN s16 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 16) + (CASE WHEN s17 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 17) + (CASE WHEN s18 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 18) + (CASE WHEN s19 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 19) + (CASE WHEN s20 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 20) + (CASE WHEN s21 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 21) + (CASE WHEN s22 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 22) + (CASE WHEN s23 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 23) + (CASE WHEN s24 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 24) + (CASE WHEN s25 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 25) + (CASE WHEN s26 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 26) + (CASE WHEN s27 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 27) + (CASE WHEN s28 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 28) + (CASE WHEN s29 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 29) + (CASE WHEN s30 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 30) + (CASE WHEN s31 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 31) + (CASE WHEN s32 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 32) + (CASE WHEN s33 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 33) + (CASE WHEN s34 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 34) + (CASE WHEN s35 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 35) + (CASE WHEN s36 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 36) + (CASE WHEN s37 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 37) + (CASE WHEN s38 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 38) + (CASE WHEN s39 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 39) + (CASE WHEN s40 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 40) + (CASE WHEN s41 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 41) + (CASE WHEN s42 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 42) + (CASE WHEN s43 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 43) + (CASE WHEN s44 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 44) + (CASE WHEN s45 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 45) + (CASE WHEN s46 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 46) + (CASE WHEN s47 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 47) + (CASE WHEN s48 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 48) + (CASE WHEN s49 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 49) + (CASE WHEN s50 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 50) + (CASE WHEN s51 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 51) + (CASE WHEN s52 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 52) + (CASE WHEN s53 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 53) + (CASE WHEN s54 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 54) + (CASE WHEN s55 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 55) + (CASE WHEN s56 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 56) + (CASE WHEN s57 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 57) + (CASE WHEN s58 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 58) + (CASE WHEN s59 > 0 THEN 1::BIGINT ELSE 0::BIGINT END << 59) AS fp FROM bitsums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM fps a JOIN fps b
+      ON a.doc_id < b.doc_id AND (((a.fp >> 0) & 32767) = ((b.fp >> 0) & 32767) OR ((a.fp >> 15) & 32767) = ((b.fp >> 15) & 32767) OR ((a.fp >> 30) & 32767) = ((b.fp >> 30) & 32767) OR ((a.fp >> 45) & 32767) = ((b.fp >> 45) & 32767))
+    WHERE bit_count(xor(a.fp, b.fp)) <= 10
+    """,
+)
+def q58_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a FULL DuckDB oracle: 60-bit fingerprints from
+    md5 token hashes (identical int conversion in both engines), 4x15-bit
+    pigeonhole candidate bands, bit_count(xor) verification (hamming <= 10).
+    The xxhash64 variant (q33) stays the production path."""
+    from soict20221_bigdata_financialplatform_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t")).where(
+        F.col("t") != ""
+    )
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    hashed = tok.select("doc_id", h.alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(60)
+        ]
+    )
+    fp = None
+    for i in range(60):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp + term
+    fps = sums.select("doc_id", fp.alias("fp")).persist()
+    a, b = fps.alias("a"), fps.alias("b")
+    chunk_eq = None
+    for q in range(4):
+        eq = (
+            F.shiftright(F.col("a.fp"), 15 * q).bitwiseAND(F.lit(32767))
+            == F.shiftright(F.col("b.fp"), 15 * q).bitwiseAND(F.lit(32767))
+        )
+        chunk_eq = eq if chunk_eq is None else (chunk_eq | eq)
+    cand = a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & chunk_eq)
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return cand.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        ham.alias("hamming"),
+    ).where(ham <= 10)
+
+
+@register(
     "q54_data_profile",
     """
     SELECT 'text' AS col_name, count(*) FILTER (WHERE text IS NULL) AS n_null,
