@@ -1607,7 +1607,48 @@ def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q35_ann_lsh")  # approximate by construction → rows-only
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of q35: the sign-LSH planes are deterministic (seeded), so
+    their coefficients are embedded as literals and the WHOLE approximate
+    pipeline — bucket assignment, multi-probe expansion, scoring, top-k — is
+    cross-engine checked, not just the exact baseline."""
+    planes = sim.random_hyperplanes(64, 6, 42)
+    def arr(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+    def dot(vec, p):
+        return (f"list_sum(list_transform(range(1, 65), i -> {vec}[i]::DOUBLE * ({arr(p)})[i]))")
+    def bucket(vec):
+        bits = [f"(CASE WHEN {dot(vec, p)} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+                for i, p in enumerate(planes)]
+        return "(" + " + ".join(bits) + ")"
+    probes = ", ".join(f"xor(b0, {1 << i})" for i in range(6))
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {bucket('embedding')} AS bucket,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings
+    ), q0 AS (
+      SELECT vec_id AS query_id, embedding AS qe, bucket AS b0, nrm AS qnrm
+      FROM c WHERE vec_id < 8
+    ), q AS (
+      SELECT query_id, qe, qnrm, unnest([b0, {probes}]) AS probe FROM q0
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> c.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+             / (c.nrm * q.qnrm) AS score
+      FROM c JOIN q ON c.bucket = q.probe
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register("q35_ann_lsh", None)  # oracle attached below after generation
 def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-10 (the 100 TB scale path: corpus never
     shuffles; bucket equi-join). Approximate ⇒ no exact oracle; recall vs
@@ -1675,3 +1716,7 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos"),
         )
     )
+
+
+# sign-LSH ANN oracle generated from the seeded plane coefficients
+ORACLE["q35_ann_lsh"] = _lsh_oracle_sql()
