@@ -1194,7 +1194,42 @@ def q54_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(_t(spark, sf_dir, "documents"), ["text", "lang", "doc_id"])
 
 
-@register("q53_near_dup_clusters")  # iterative fixpoint → rows-only
+@register(
+    "q53_near_dup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.sz + sb.sz - common) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(n, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ), comp AS (
+      SELECT n AS node, least(n, min(r)) AS component FROM reach GROUP BY n
+    )
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
 def q53_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: exact 3-gram Jaccard pairs →
     connected components (min-label propagation, O(log n) join rounds) →
