@@ -646,12 +646,30 @@ def q22_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q23_ema")  # EWM recursion: not SQL-expressible → rows-only check
+@register(
+    "q23_ema",
+    """
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), ema(user_id, event_id, ts, value, rn, ema) AS (
+      SELECT user_id, event_id, ts, value, rn, value::DOUBLE FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_id, r.ts, r.value, r.rn,
+             (2.0 / 26.0) * r.value + (1.0 - 2.0 / 26.0) * e.ema
+      FROM ranked r JOIN ema e ON r.user_id = e.user_id AND r.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, round(ema, 6) AS ema_25 FROM ema
+    """,
+)
 def q23_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive EMA(25) per key via grouped applyInPandas (SURVEY §2.11
     canonical: span-25, adjust=False, seeded with first value). Golden-tested
-    against hand-computed values in tests/test_indicators.py; the driver
-    records the weaker rows-only check here."""
+    vs hand recursion AND oracle-checked: DuckDB walks the same recurrence
+    with a recursive CTE (depth = rows per key; IEEE adds commute, so the
+    pandas C loop and the SQL recursion agree bit-for-bit before the final
+    round)."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     npart = max(2, spark.sparkContext.defaultParallelism // 4)
     out = ind.ema(e, 25, ("user_id",), "ts", "value", num_partitions=npart)
