@@ -1188,6 +1188,30 @@ def q58_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q59_bpe_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_tokens,
+           (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q59_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-shaped pre-tokenizer regex, RE2-safe so
+    Java and RE2 count identical non-overlapping matches) next to whitespace
+    counts — the cheap token-budget estimator for corpus planning."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.select(
+        "doc_id",
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        tx.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "q54_data_profile",
     """
     SELECT 'text' AS col_name, count(*) FILTER (WHERE text IS NULL) AS n_null,

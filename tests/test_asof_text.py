@@ -88,3 +88,16 @@ def test_word_groups_triplets(spark):
     df = spark.createDataFrame([Row(text="a b c d e f g")])
     out = df.select(tx.word_groups("text", 3).alias("g")).collect()[0].g
     assert out == ["a b c", "d e f", "g"]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([
+        Row(text="hello world"),        # 2 letter-runs
+        Row(text="x2 tokens, right?"),  # x,2,' tokens',',',' right','?'
+        Row(text=""),
+    ])
+    out = [r.n for r in df.select(
+        tx.bpe_ish_token_count("text").alias("n")).collect()]
+    assert out[0] == 2
+    assert out[1] == 6
+    assert out[2] == 0
