@@ -56,6 +56,46 @@ def read_tick_stream_json(
     return reader.load(path).withColumnRenamed("value", "value")
 
 
+def synthetic_tick_stream(
+    spark: SparkSession,
+    symbols: tuple[str, ...] = ("FPT", "VIC", "HPG"),
+    rows_per_second: int = 100,
+) -> DataFrame:
+    """S3's self-contained substitute (SURVEY §2.1): a rate source shaped to
+    the producer's message schema — deterministic prices from the tick index,
+    symbols assigned round-robin. Useful for demos and throughput tests
+    without Kafka; swap for ``readStream.format("kafka")`` in production."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    sym = F.element_at(
+        F.array(*[F.lit(s) for s in symbols]),
+        (F.col("value") % len(symbols) + 1).cast("int"),
+    )
+    px = F.round(50.0 + F.pmod(F.col("value"), F.lit(1000)) / 100.0, 2).cast("string")
+    return rate.select(
+        sym.alias("symbol"),
+        F.col("timestamp").alias("time"),
+        px.alias("open"),
+        px.alias("high"),
+        px.alias("low"),
+        px.alias("close"),
+        (F.col("value") * 100).cast("string").alias("volume"),
+        px.alias("previous_close"),
+        px.alias("ref"),
+        px.alias("ceil"),
+        px.alias("floor"),
+    )
+
+
+def enrich_ticks(ticks: DataFrame, dim: DataFrame, on: str = "symbol") -> DataFrame:
+    """Stream-static enrichment: join the tick stream against a (small)
+    dimension — Spark broadcasts the static side per micro-batch, so the
+    stream never shuffles. The streaming analog of the serving layer's
+    symbol-metadata join."""
+    return ticks.join(F.broadcast(dim), on=on, how="left")
+
+
 def decode_ticks(raw: DataFrame) -> DataFrame:
     """F2 + P9 + normalization: ``from_json`` decode of the message value,
     flatten, comma-strip numeric casts (native expressions — the reference's

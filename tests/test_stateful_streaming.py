@@ -49,3 +49,45 @@ def test_running_stats_across_batches(spark, tmp_path):
     assert final.last_price == 79.0
     vic = [r for r in rows if r.symbol == "VIC"]
     assert max(v.n_ticks for v in vic) == 1
+
+
+def test_synthetic_tick_stream_and_enrichment(spark, tmp_path):
+    from pyspark.sql import Row
+    from soict20221_bigdata_financialplatform_spark.streaming.ticks import (
+        enrich_ticks,
+        synthetic_tick_stream,
+    )
+
+    raw = synthetic_tick_stream(spark, symbols=("FPT", "VIC"), rows_per_second=200)
+    assert raw.isStreaming
+    dim = spark.createDataFrame(
+        [Row(symbol="FPT", sector="tech"), Row(symbol="VIC", sector="realestate")]
+    )
+    typed = st.decode_ticks(raw.selectExpr(
+        "to_json(struct(*)) AS value"  # roundtrip through the wire format
+    ))
+    enriched = enrich_ticks(typed, dim)
+    q = (
+        enriched.writeStream.outputMode("append").format("memory")
+        .queryName("enriched_ticks")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time as _t
+
+        # NB: processAllAvailable() can block indefinitely on a rate source
+        # (new data keeps arriving) — poll the sink instead.
+        deadline = _t.time() + 30
+        rows = []
+        while _t.time() < deadline:
+            rows = spark.sql("SELECT * FROM enriched_ticks").collect()
+            if len(rows) >= 10:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 10
+    assert {r.sector for r in rows} <= {"tech", "realestate"}
+    assert all(r.close is not None for r in rows)  # wire roundtrip decoded
