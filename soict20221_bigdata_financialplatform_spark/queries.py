@@ -1284,6 +1284,62 @@ def q53_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_near_dups(d.select("doc_id"), pairs).select("doc_id", "cluster_id")
 
 
+@register(
+    "q60_corpus_clean_exact",
+    """
+    WITH scored AS (
+      SELECT doc_id, text,
+             length(text)::DOUBLE AS nc,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
+             len(regexp_extract_all(lower(text), '{STOP}'))::DOUBLE AS ns
+      FROM documents
+    ), q AS (
+      SELECT doc_id, text FROM scored
+      WHERE nt > 0 AND
+            0.4 * (CASE WHEN nc >= 50 AND nc <= 10000 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * least(1.0, 5.0 * ns / nt)
+          + 0.3 * (CASE WHEN nc / nt >= 3.0 AND nc / nt <= 12.0 THEN 1.0 ELSE 0.0 END)
+            >= 0.5
+    ), ex AS (
+      SELECT doc_id, text FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM ex
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), losers AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    )
+    SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """.replace("{STOP}", _EN_STOP_RE),
+)
+def q60_corpus_clean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning with EXACT near-dup pairs (quality gate → exact dedup
+    → drop higher-id member of every exact-Jaccard pair ≥ 0.8) — the fully
+    oracle-checked twin of q49 (whose MinHash-LSH candidate stage is the
+    production path at scale)."""
+    from soict20221_bigdata_financialplatform_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = corpus.drop_exact_dups(corpus.quality_filter(d, min_quality=0.5))
+    pairs = dd.ngram_jaccard_pairs(survivors, shingle_n=3, threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return survivors.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 @register("q49_corpus_clean")  # minhash stage → rows-only
 def q49_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full training-data cleaning pipeline: quality gate → exact dedup →
