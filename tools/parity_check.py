@@ -28,8 +28,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and representation noise
-        return round(v, 9)
+        # EXACT comparison — the engine's float policy (round accumulations
+        # identically on both sides, never round single-op arithmetic) makes
+        # every oracle query bit-exact vs DuckDB; any tolerance here would
+        # only hide regressions. +0.0 normalizes -0.0 without changing value.
+        return v + 0.0
     if hasattr(v, "isoformat"):
         return v.isoformat().replace("+00:00", "")
     return v
