@@ -441,6 +441,52 @@ def q25_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "q61_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q61_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join preserving zero-order customers,
+    per-key count, then a histogram of the counts (double aggregation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q62_large_orders",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice, sum(l_quantity) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 150
+    """,
+)
+def q62_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped agg with a HAVING filter on the aggregate.
+    sum(l_quantity) sums exact small doubles (quantities are integral-valued)
+    — order-independent, no rounding needed."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+
+
+@register(
     "q14_monthly_rollup",
     """
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

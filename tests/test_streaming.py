@@ -170,3 +170,32 @@ def test_compact_bars(spark, dirs, tmp_path):
     b = spark.read.parquet(compacted)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
     assert "__batch" not in b.columns
+
+
+def test_restart_from_checkpoint_exactly_once(spark, dirs):
+    """Stop the query, restart from the same checkpoint, feed more data:
+    no duplicated bars, no lost bars (checkpoint + idempotent sink)."""
+    src, out, ckpt = dirs
+    _write_file(src, "b1.json", [
+        _msg("FPT", "2024-01-02 09:30:05", "80.0"),
+        _msg("ZZZ", "2024-01-02 10:00:00", "1.0"),
+    ])
+    q1 = st.run_tick_pipeline(spark, src, out, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+
+    # restart with the SAME checkpoint; new data closes earlier windows
+    _write_file(src, "b2.json", [_msg("ZZZ", "2024-01-02 10:30:00", "1.0")])
+    q2 = st.run_tick_pipeline(spark, src, out, ckpt)
+    try:
+        q2.processAllAvailable()
+        _write_file(src, "b3.json", [_msg("ZZZ", "2024-01-02 11:00:00", "1.0")])
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    bars = spark.read.parquet(out).collect()
+    keys = [(r.symbol, str(r.bar_start)) for r in bars]
+    assert len(keys) == len(set(keys))  # exactly-once: no duplicate bars
+    assert ("FPT", "2024-01-02 09:30:00") in keys  # nothing lost across restart
+    assert ("ZZZ", "2024-01-02 10:00:00") in keys
