@@ -1844,6 +1844,65 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q63_semantic_neighbors",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT r.query_id, r.vec_id, round(r.score, 6) AS score, r.rank,
+           substr(d.text, 1, 40) AS preview, d.lang
+    FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+    WHERE r.rank <= 5
+    """,
+)
+def q63_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal integration: ANN over the embedding table joined back to
+    the document corpus (vec_id ≡ doc_id in the testdata) — the end-to-end
+    "semantic search" read path: score → top-k → hydrate. Self-matches
+    excluded so neighbors are informative."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = sim.brute_force_topk(emb, queries, k=6)
+    # exclude self then re-rank to top-5 (self always ranks 1 with score 1.0)
+    from pyspark.sql import Window
+
+    no_self = topk.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    hydrated = (
+        no_self.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .join(
+            _t(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("vec_id"),
+                F.substring("text", 1, 40).alias("preview"),
+                "lang",
+            ),
+            "vec_id",
+        )
+    )
+    return hydrated.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank",
+        "preview", "lang",
+    )
+
+
 @register("q51_ann_ivf")  # kmeans-trained quantizer → rows-only
 def q51_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 (KMeans coarse quantizer, nprobe=4 of nlist=16): the
