@@ -88,7 +88,14 @@ def incremental_daily_update(
         .where(F.col("__rn") <= context_rows)
         .drop("__rn")
     )
-    window_df = context.unionByName(new_bars).dropDuplicates([key_col, order_col])
+    # new rows must WIN (key_col, order_col) collisions against stored context
+    # — a re-emitted/corrected bar replaces the stale stored row. An anti-join
+    # is deterministic where dropDuplicates' survivor is arbitrary.
+    context = context.join(
+        new_bars.select(key_col, order_col), on=[key_col, order_col],
+        how="left_anti",
+    )
+    window_df = context.unionByName(new_bars)
     recomputed = recompute(window_df)
     merge_upsert(
         spark, store_path, recomputed, keys=[key_col, order_col],

@@ -29,7 +29,18 @@ def salted_join(
     identical rows — ``rand()`` here is a correctness bug under task retry);
     the small side is exploded ×salt so every (key, salt) pair finds its
     match. A hot key's rows now spread over ``salt`` reducers.
+
+    Only ``inner`` and ``left`` (big side preserved) are correct under
+    salting: for right/full joins an UNMATCHED small-side key would surface
+    once per salt replica — ``salt`` duplicate null-padded rows. Put the
+    preserved big side on the left, or handle outer semantics upstream.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): the "
+            "x-salt-exploded small side emits duplicate rows for unmatched "
+            "keys under right/full semantics"
+        )
     other_cols = [c for c in big.columns if c != on]
     salt_src: Column = F.xxhash64(*[F.col(c) for c in other_cols]) if other_cols else F.xxhash64(F.col(on))
     b = big.withColumn("__salt", F.pmod(salt_src, F.lit(salt)).cast("int"))

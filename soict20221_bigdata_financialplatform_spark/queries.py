@@ -1402,21 +1402,25 @@ def q49_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q50_decimal_money",
     """
     SELECT o_orderstatus,
-           sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))) AS revenue_exact,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_exact,
            count(*) AS n
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def q50_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact money arithmetic (SURVEY §1.2: the reference stores prices as
-    FLOAT — a known deficiency; DecimalType is the fix). Decimal sums are
-    order-independent and EXACT, so this query needs no rounding to
-    hash-match the oracle — the proof that the decimal path, unlike doubles,
-    is reproducible across engines."""
+    FLOAT — a known deficiency; DecimalType is the fix). The SUM runs in
+    DecimalType — order-independent and EXACT on both engines — and the single
+    final value is emitted as DOUBLE: Decimal→double conversion is correctly
+    rounded and deterministic, so identical exact sums produce bit-identical
+    doubles. (Emitting the Decimal itself failed the round-1 driver hash:
+    rows/schema matched but Decimal value canonicalization differs between
+    engines' output serialization — representation, not arithmetic. The
+    arithmetic stays decimal; only the OUTPUT representation is normalized.)"""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("revenue_exact"),
         F.count(F.lit(1)).alias("n"),
     )

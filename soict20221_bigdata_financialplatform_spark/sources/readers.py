@@ -85,8 +85,13 @@ def load_events_time_range(
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
     def _ns(s: str) -> int:
+        # integral epoch math: int(t.timestamp()) truncates toward zero, which
+        # rounds the WRONG way for pre-1970 instants (and round-trips through
+        # float); floor-divide a timedelta instead — exact for any year.
         t = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
-        return int(t.timestamp()) * 1_000_000_000 + t.microsecond * 1000
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        secs = (t - epoch) // dt.timedelta(seconds=1)
+        return secs * 1_000_000_000 + t.microsecond * 1000
 
     if dict(df.dtypes).get("ts") == "bigint":
         # ns-exact translations of the µs-truncated comparisons (a row with

@@ -94,3 +94,35 @@ def test_incremental_daily_update_matches_full_recompute(spark, tmp_path):
     assert g == f
     # only FPT partition rewritten; VIC rows identical and present
     assert got.where("symbol='VIC'").count() == 2
+
+
+def test_incremental_update_corrected_bar_wins_collision(spark, tmp_path):
+    """A re-emitted bar for an EXISTING (symbol, date) must replace the stored
+    row — update-wins, deterministically (regression: dropDuplicates kept an
+    arbitrary survivor, so a correction could silently lose)."""
+    from soict20221_bigdata_financialplatform_spark.functions.indicators import sma
+
+    def recompute(df):
+        return sma(df, 2, ("symbol",), "date", "close")
+
+    path = str(tmp_path / "store")
+    base_raw = spark.createDataFrame([
+        Row(symbol="FPT", date=dt.date(2023, 1, d), close=80.0 + d) for d in (1, 2, 3)
+    ])
+    (recompute(base_raw).repartition("symbol").write.mode("overwrite")
+       .partitionBy("symbol").parquet(path))
+
+    corrected = spark.createDataFrame(
+        [Row(symbol="FPT", date=dt.date(2023, 1, 3), close=70.0)]  # collides
+    )
+    incremental_daily_update(spark, path, corrected, recompute, context_rows=5)
+    got = spark.read.parquet(path)
+    corrected_raw = spark.createDataFrame([
+        Row(symbol="FPT", date=dt.date(2023, 1, 1), close=81.0),
+        Row(symbol="FPT", date=dt.date(2023, 1, 2), close=82.0),
+        Row(symbol="FPT", date=dt.date(2023, 1, 3), close=70.0),
+    ])
+    full = recompute(corrected_raw)
+    g = {(r.symbol, r.date): (r.close, r.sma_2) for r in got.collect()}
+    f = {(r.symbol, r.date): (r.close, r.sma_2) for r in full.collect()}
+    assert g == f
