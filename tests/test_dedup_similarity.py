@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from soict20221_bigdata_financialplatform_spark.operators import dedup as dd
 from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
@@ -119,6 +120,37 @@ def test_embedding_near_dup_pairs_finds_duplicate_vector(spark):
         corpus.unionByName(dup), threshold=0.999, n_planes=4, dim=16
     ).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(0, 999)}
+
+
+def test_embedding_near_dup_lsh_subset_of_exact_with_dup_recall(spark):
+    """q64-vs-q36 contract: LSH-bucketed pairs are a SUBSET of the exact
+    all-pairs set at the same threshold (bucketing only prunes, never adds),
+    and truly identical vectors are ALWAYS recalled (angle 0 ⇒ same sign on
+    every hyperplane ⇒ same bucket, deterministically)."""
+    corpus, m = _vecs(spark, n=40, dim=16)
+    dups = spark.createDataFrame(
+        [Row(vec_id=900 + i, embedding=[float(x) for x in m[i]]) for i in range(3)]
+    )
+    full = corpus.unionByName(dups)
+    thr = 0.35
+    a = full.alias("a")
+    b = full.alias("b")
+    cos = sim.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= thr)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in sim.embedding_near_dup_pairs(
+            full, threshold=thr, n_planes=4, dim=16
+        ).collect()
+    }
+    assert lsh <= exact
+    assert {(0, 900), (1, 901), (2, 902)} <= lsh  # identical pairs: full recall
 
 
 def test_ivf_topk_recall_and_exact_degenerate(spark):
