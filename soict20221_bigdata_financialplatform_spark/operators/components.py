@@ -1,20 +1,33 @@
 """Connected components over a pair list — turns the near-duplicate pair set
 into transitive clusters (A~B, B~C ⇒ {A,B,C} share one canonical id).
 
-Algorithm: alternating min-label propagation ("large-star/small-star"
-simplified): every node repeatedly adopts the minimum label in its
-neighborhood (including itself) until no label changes. Converges in
-O(log n) rounds for typical near-dup graphs (shallow, star-like); each round
-is two hash joins + an aggregation — all Catalyst ops, no RDDs, no GraphX
-dependency.
+Algorithm: min-label propagation WITH pointer doubling. Each round:
+  1. propagate — every node takes the minimum label over its neighborhood
+     (including itself): one hash join + one aggregation;
+  2. shortcut  — every node replaces its label by its label's label
+     (``label ← label(label)``): one self-join of the label frame.
+Propagation alone moves a label one edge per round (a chain of length L needs
+~L rounds); the shortcut doubles the distance already covered, so the
+combined operator converges in O(log L) rounds — the standard
+pointer-doubling bound. Both steps are monotone non-increasing on labels, so
+a round that changes nothing is a true fixpoint: every edge then joins two
+equal labels, i.e. the labels ARE the components.
 
 Scale notes: the label frame is (node, label) — two longs; the edge list is
-the input. Rounds double the reach of small labels, so even pathological
-chains of length L need ~log2(L) rounds. ``max_iterations`` bounds runaway
-graphs; the loop stops early on fixpoint (checked with a cheap count).
+the input. ``max_iterations`` bounds runaway graphs; the loop stops early on
+fixpoint (checked with a cheap ``limit(1).count()``). Exiting WITHOUT
+reaching fixpoint raises by default (``allow_partial=True`` downgrades to a
+warning) — silently returning split clusters is how near-dup cluster counts
+quietly go wrong. Pass ``stats={}`` to read back rounds/convergence.
+
+Reference parity: the reference has no graph operator at all; this exists for
+the near-dup clustering required by the large-scale-pipeline brief
+(cf. SURVEY.md §2 engine-added rows).
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -25,9 +38,17 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    allow_partial: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component =
-    min node id of its cluster."""
+    min node id of its cluster.
+
+    ``stats``, if a dict is passed, receives ``{"iterations": n,
+    "converged": bool}`` after the run — the convergence metric a pipeline
+    can log/alert on. Non-convergence within ``max_iterations`` raises
+    ``RuntimeError`` unless ``allow_partial=True`` (then it warns and returns
+    the partial labels)."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -41,17 +62,39 @@ def connected_components(
         .persist()
     )
 
-    for _ in range(max_iterations):
-        # candidate label for each node: min over neighbors' labels and own
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        # 1. propagate: min label over the neighborhood (incl. self)
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "label")
         )
-        new_labels = (
+        propagated = (
             neighbor_labels.union(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+        )
+        # 2. shortcut (pointer doubling): label <- label(label). Every label
+        # value is itself a node (labels start as node ids and only ever move
+        # to smaller EXISTING ids), so the lookup is a self-join.
+        lab_of_lab = propagated.select(
+            F.col("node").alias("label"), F.col("label").alias("__ll")
+        )
+        # localCheckpoint (eager), NOT persist: each round's plan references
+        # the previous round's TWICE (propagate join + shortcut self-join),
+        # so without lineage truncation the logical plan doubles per round —
+        # exponential tree growth that OOMs the driver around round ~10.
+        # Checkpointing materializes the ~16-byte-per-node label frame and
+        # restarts the lineage; at cluster scale prefer
+        # ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+        # executor-loss resilience (localCheckpoint trades that for speed).
+        new_labels = (
+            propagated.join(lab_of_lab, "label", "left")
+            .select(
+                "node", F.coalesce(F.col("__ll"), F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -63,9 +106,22 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
     edges.unpersist()
+    if stats is not None:
+        stats.update(iterations=rounds, converged=converged)
+    if not converged:
+        msg = (
+            f"connected_components did not reach fixpoint in "
+            f"{max_iterations} rounds — labels are PARTIAL (clusters may be "
+            f"split); raise max_iterations (pointer doubling needs only "
+            f"~log2(diameter) rounds)"
+        )
+        if not allow_partial:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

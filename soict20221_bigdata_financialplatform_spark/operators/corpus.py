@@ -78,6 +78,9 @@ def train_test_split(
     return train, test
 
 
+MAX_AUTO_STRATA = 1000
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str = "lang",
@@ -85,36 +88,68 @@ def stratified_sample(
     default_fraction: float = 0.1,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-stratum Bernoulli sampling (``sampleBy``): the corpus-balancing
-    primitive (e.g. downsample dominant languages). Seeded → reproducible."""
-    if fractions is None:
-        values = [r[0] for r in docs.select(strata_col).distinct().collect()]
-        fractions = {v: default_fraction for v in values}
-    return docs.sampleBy(strata_col, fractions, seed=seed)
+    """Per-stratum Bernoulli sampling: the corpus-balancing primitive (e.g.
+    downsample dominant languages). Seeded → reproducible.
+
+    With explicit ``fractions`` this is ``sampleBy`` (no driver work at any
+    cardinality). With ``fractions=None`` every stratum gets
+    ``default_fraction`` — implemented as a pure key-stable hash filter, NO
+    driver-side distinct/collect at all, so a caller passing a
+    high-cardinality stratum column (a doc id, a URL) cannot melt the driver.
+    The hash keys on (stratum, row-identity) so sampling stays per-row
+    Bernoulli, independent across strata, and stable across runs."""
+    if fractions is not None:
+        if len(fractions) > MAX_AUTO_STRATA:
+            # sampleBy ships the whole dict into the plan; beyond this, use
+            # the uniform-hash path or a join against a fractions table.
+            raise ValueError(
+                f"{len(fractions)} strata exceeds MAX_AUTO_STRATA="
+                f"{MAX_AUTO_STRATA}; join a fractions table instead"
+            )
+        return docs.sampleBy(strata_col, fractions, seed=seed)
+    # uniform fraction: key-stable Bernoulli via hash over all columns —
+    # equivalent in distribution to sampleBy with a constant fraction, but
+    # needs no distinct-value enumeration (distributed OR driver-side).
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in docs.columns], F.lit(seed)),
+        F.lit(1_000_000),
+    )
+    return docs.where(bucket < int(default_fraction * 1_000_000))
 
 
 def profile(docs: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Data-quality profile in ONE aggregation pass: per column — null count,
-    exact distinct count, and for string columns min/max length. Long-format
-    output (col_name, n_null, n_distinct, min_len, max_len)."""
+    """Data-quality profile in ONE aggregation pass over ONE scan: per column
+    — null count, exact distinct count, and for string columns min/max
+    length. All per-column metrics are computed in a single wide ``agg`` and
+    unpivoted with ``stack`` into long format
+    (col_name, n_null, n_distinct, min_len, max_len).
+
+    Plan shape (asserted in tests/test_plans.py): one scan → one aggregation.
+    The k exact ``countDistinct`` on different columns make Catalyst insert an
+    Expand (each input row fans out k times IN-FLIGHT, map-side, before the
+    partial aggregate) — still a single pass over storage, which is the cost
+    that matters at 100 TB; k separate ``agg``s were k full scans. For very
+    wide tables swap ``approx_count_distinct`` to drop the Expand entirely.
+    """
     cols = cols or docs.columns
     dtypes = dict(docs.dtypes)
-    pieces = []
-    for c in cols:
+    aggs = []
+    for i, c in enumerate(cols):
         is_str = dtypes[c] == "string"
-        pieces.append(
-            docs.agg(
-                F.lit(c).alias("col_name"),
-                F.count(F.when(F.col(c).isNull(), 1)).alias("n_null"),
-                F.countDistinct(c).alias("n_distinct"),
-                (F.min(F.length(c)) if is_str else F.lit(None).cast("int")).alias("min_len"),
-                (F.max(F.length(c)) if is_str else F.lit(None).cast("int")).alias("max_len"),
-            )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{i}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{i}"),
+            (F.min(F.length(c)) if is_str else F.min(F.lit(None).cast("int"))).alias(f"__minl_{i}"),
+            (F.max(F.length(c)) if is_str else F.max(F.lit(None).cast("int"))).alias(f"__maxl_{i}"),
+        ]
+    wide = docs.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', __null_{i}, __dist_{i}, __minl_{i}, __maxl_{i}"
+        for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {tuples}) AS (col_name, n_null, n_distinct, min_len, max_len)"
+    )
 
 
 def clean_corpus(

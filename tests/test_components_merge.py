@@ -30,6 +30,44 @@ def test_connected_components_chain_and_islands(spark):
     assert comp[20] == comp[21] == comp[22] == 20
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 200-node chain converges well inside 12 rounds (pointer doubling:
+    ~log2(L), not the ~L that one-hop propagation needs) and reports its
+    convergence metric through ``stats``."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(200)]
+    )
+    stats: dict = {}
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iterations=12, stats=stats)
+        .collect()
+    }
+    assert set(comp.values()) == {0}
+    assert stats["converged"] is True
+    assert stats["iterations"] <= 12
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(60)])
+    import pytest
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, max_iterations=2)
+    # allow_partial downgrades to a warning and returns partial labels
+    import warnings
+
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(
+            pairs, max_iterations=2, allow_partial=True, stats=stats
+        )
+        assert out.count() == 61
+        assert any("PARTIAL" in str(x.message) for x in w)
+    assert stats["converged"] is False
+
+
 def test_cluster_near_dups_singletons_keep_own_id(spark):
     docs = spark.createDataFrame([Row(doc_id=i, text=f"d{i}") for i in range(5)])
     pairs = spark.createDataFrame([Row(id_a=1, id_b=3)])

@@ -60,3 +60,34 @@ def test_stratified_sample_reproducible(spark, sf_dir):
     b = corpus.stratified_sample(docs, "lang", default_fraction=0.3, seed=5)
     assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
     assert 0 < a.count() < docs.count()
+
+
+def test_stratified_sample_explicit_fractions_per_stratum(spark, sf_dir):
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    keep, drop = langs[0], langs[1]
+    out = corpus.stratified_sample(
+        docs, "lang", fractions={keep: 1.0, drop: 0.0}, seed=5
+    )
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert keep in got and drop not in got
+
+
+def test_stratified_sample_high_cardinality_stratum_no_driver_melt(spark, sf_dir):
+    """fractions=None on a HIGH-CARDINALITY stratum column (the doc id —
+    every row its own stratum) must not enumerate strata on the driver;
+    the hash path samples it fine (regression for the distinct().collect())."""
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.stratified_sample(docs, "doc_id", default_fraction=0.5, seed=5)
+    assert 0 < out.count() < docs.count()
+
+
+def test_stratified_sample_oversized_fractions_dict_rejected(spark):
+    import pytest
+
+    docs = _docs(spark)
+    too_many = {i: 0.5 for i in range(corpus.MAX_AUTO_STRATA + 1)}
+    with pytest.raises(ValueError, match="MAX_AUTO_STRATA"):
+        corpus.stratified_sample(docs, "doc_id", fractions=too_many)

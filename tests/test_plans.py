@@ -62,3 +62,15 @@ def test_windows_share_one_exchange(spark, sf_dir):
 def test_hot_path_is_codegen(spark, sf_dir):
     q = QUERIES["q01_pricing_summary"](spark, sf_dir)
     assert checks.codegen_stage_count(q) >= 1
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """corpus.profile must read the input ONCE: one scan, one aggregation
+    chain (regression: the first version ran one agg PER COLUMN — k full
+    scans of a 100 TB table for a k-column profile)."""
+    from soict20221_bigdata_financialplatform_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = checks.executed_plan(corpus.profile(docs))
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan  # the old k-scan shape unioned k aggs
