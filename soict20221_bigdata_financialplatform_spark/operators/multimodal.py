@@ -51,14 +51,154 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(content: bytes) -> "object":
-    """STUB: real implementation would be ``PIL.Image.open(BytesIO(content))``.
-
-    Raises so accidental production use is loud; tests monkeypatch or use the
-    deterministic fake feature path below, which never decodes.
-    """
+    """STUB for COMPRESSED formats: real implementation would be
+    ``PIL.Image.open(BytesIO(content))``. Raises so accidental production use
+    is loud. Uncompressed BMP and PPM decode FOR REAL via ``decode_image``
+    below — no external library needed."""
     raise NotImplementedError(
-        "media decoding is stubbed in this environment — plug PIL/ffmpeg here"
+        "compressed-media decoding is stubbed in this environment — plug "
+        "PIL/ffmpeg here (BMP/PPM decode natively via decode_image)"
     )
+
+
+def _decode_bmp(b: bytes) -> dict | None:
+    """Pure-python decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER):
+    true dimensions + mean RGB. Returns None if not a BMP; dims-only (means
+    None) for BMP variants this parser doesn't walk (other bpp/compression)."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h_raw = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    h = abs(h_raw)
+    out = {"width": w, "height": h, "mean_r": None, "mean_g": None, "mean_b": None}
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return out
+    row_size = ((w * 3 + 3) // 4) * 4  # rows padded to 4 bytes
+    if len(b) < data_off + h * row_size:
+        return out
+    sr = sg = sb = 0
+    for r in range(h):
+        off = data_off + r * row_size
+        row = b[off : off + w * 3]
+        sb += sum(row[0::3])  # pixels are stored B,G,R
+        sg += sum(row[1::3])
+        sr += sum(row[2::3])
+    n = w * h
+    out.update(mean_r=sr / n, mean_g=sg / n, mean_b=sb / n)
+    return out
+
+
+def _decode_ppm(b: bytes) -> dict | None:
+    """Pure-python decode of a binary PPM (P6): dimensions + mean RGB."""
+    if b[:2] != b"P6":
+        return None
+    # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> raster
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    if len(fields) < 3:
+        return None
+    w, h, maxval = fields
+    out = {"width": w, "height": h, "mean_r": None, "mean_g": None, "mean_b": None}
+    raster = b[pos : pos + w * h * 3]
+    if maxval > 255 or len(raster) < w * h * 3:
+        return out  # 16-bit or truncated: dims only
+    n = w * h
+    out.update(
+        mean_r=sum(raster[0::3]) / n,
+        mean_g=sum(raster[1::3]) / n,
+        mean_b=sum(raster[2::3]) / n,
+    )
+    return out
+
+
+def decode_image(content: bytes) -> dict:
+    """Decode an image blob to {width, height, mean_r, mean_g, mean_b}.
+
+    Real decode for the uncompressed formats a header parse can handle
+    (BMP 24-bit, PPM P6); compressed formats (JPEG/PNG/...) raise
+    NotImplementedError via the stub — loudly, per the environment contract.
+    """
+    for parser in (_decode_bmp, _decode_ppm):
+        out = parser(content)
+        if out is not None:
+            return out
+    return _decode_image_stub(content)  # raises
+
+
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """media (MEDIA_SCHEMA) → IMAGE_DECODE_SCHEMA via ``mapInPandas``:
+    TRUE decoded dimensions + mean RGB for natively-decodable formats
+    (BMP/PPM), ``decoded=false`` rows (metadata dims passthrough) for
+    formats whose decoder is stubbed. Same Arrow-batched shape as
+    ``extract_image_features`` — one batch in memory at a time, bytes never
+    on the driver."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, meta_w, meta_h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    d = decode_image(bytes(content or b""))
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "mean_r": d["mean_r"],
+                            "mean_g": d["mean_g"],
+                            "mean_b": d["mean_b"],
+                            "decoded": True,
+                        }
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "width": meta_w,
+                            "height": meta_h,
+                            "mean_r": None,
+                            "mean_g": None,
+                            "mean_b": None,
+                            "decoded": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_DECODE_SCHEMA])
+
+    imgs = media.where(F.col("kind") == "image").select(
+        "media_id", "content", "width", "height"
+    )
+    return imgs.mapInPandas(_decode, schema=IMAGE_DECODE_SCHEMA)
 
 
 def _byte_entropy(b: bytes) -> float:

@@ -39,6 +39,26 @@ def test_backfill_roundtrip_and_endpoints(spark, tmp_path):
     assert inf[-1].change_abs == 0.0
 
 
+def test_serving_endpoints_prune_symbol_partitions(spark, tmp_path):
+    """The Cassandra-read-path claim (api.py module docstring): olhc/info's
+    symbol predicate must PRUNE PARTITIONS of the backfill-written
+    ``partitionBy("symbol")`` layout — the scan reads one symbol directory,
+    not the table. Machine-checks what the docstring promises."""
+    from soict20221_bigdata_financialplatform_spark.plans import checks
+
+    out = str(tmp_path / "historical")
+    api.backfill(spark.createDataFrame(RAW_ROWS), out, ema_n=3, rsi_n=3, sma_n=3)
+    bars = api.load_bars(spark, out)
+    for q in (api.olhc(bars, "FPT", 5), api.info(bars, "FPT")):
+        plan = checks.formatted_plan(q)
+        scan = "\n".join(
+            line for line in plan.splitlines() if "PartitionFilters" in line
+        )
+        # the equality predicate sits in PartitionFilters (directory pruning),
+        # not in the post-scan data filters
+        assert "symbol" in scan and "FPT" in scan, plan
+
+
 def test_news_latest_dedup_by_title(spark):
     t0 = datetime.datetime(2024, 1, 1, 9)
     news = spark.createDataFrame([

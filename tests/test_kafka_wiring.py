@@ -1,0 +1,110 @@
+"""Kafka wiring (S3/K3) — broker-less tests.
+
+What CAN be verified without a broker or the spark-sql-kafka jar:
+- the exact option dicts the wiring hands Spark (the reference contract:
+  ``kafka.bootstrap.servers`` + ``subscribe``, test.py:29-34);
+- that the source functions reach Spark's data-source resolution asking for
+  the REAL ``kafka`` format (the sandbox wheel lacks the connector, so
+  resolution either succeeds on a cluster or fails with the canonical
+  "Failed to find data source: kafka" — anything else is a wiring bug).
+The pipeline downstream of ``load()`` is the file-source twin's, covered by
+test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from soict20221_bigdata_financialplatform_spark.streaming import kafka as kf
+
+
+def test_source_options_match_reference_contract():
+    opts = kf.kafka_source_options(
+        "broker1:9092,broker2:9092",
+        "topic_name2",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=50_000,
+        extra={"kafka.security.protocol": "SASL_SSL"},
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "topic_name2"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+
+def test_sink_options_shape():
+    opts = kf.kafka_sink_options("b:9092", "bars_out")
+    assert opts == {"kafka.bootstrap.servers": "b:9092", "topic": "bars_out"}
+
+
+def _expect_kafka_resolution(fn):
+    """Run a wiring fn: on a connector-equipped cluster it returns a
+    DataFrame; on the sandbox wheel it must fail looking for the KAFKA
+    data source specifically (proving format+options reached Spark)."""
+    try:
+        df = fn()
+    except Exception as e:  # noqa: BLE001 — asserting on the message
+        msg = str(e).lower()
+        assert "kafka" in msg and ("failed to find" in msg or "data source" in msg)
+        return None
+    return df
+
+
+def test_stream_source_resolves_kafka_format(spark):
+    df = _expect_kafka_resolution(
+        lambda: kf.read_kafka_stream(spark, "localhost:9092", "topic_name2")
+    )
+    if df is not None:  # connector present: the standard Kafka columns exist
+        assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+
+
+def test_batch_source_resolves_kafka_format(spark):
+    df = _expect_kafka_resolution(
+        lambda: kf.read_kafka_batch(spark, "localhost:9092", "topic_name2")
+    )
+    if df is not None:
+        assert {"key", "value"} <= set(df.columns)
+
+
+def test_sink_writer_configured_unstarted(spark):
+    """The streaming sink builder: correct format and options, NOT started
+    (starting needs the connector + a broker)."""
+    from soict20221_bigdata_financialplatform_spark.api import to_kafka_payload
+    from soict20221_bigdata_financialplatform_spark.streaming.ticks import (
+        synthetic_tick_stream,
+    )
+
+    payload = to_kafka_payload(synthetic_tick_stream(spark), key_col="symbol")
+    assert payload.isStreaming
+    assert payload.columns == ["key", "value"]
+    writer = kf.write_kafka_stream(
+        payload, "localhost:9092", "bars_out", checkpoint="/tmp/ckpt-unused"
+    )
+    # un-started builder: no active query was created
+    assert not spark.streams.active
+    assert writer is not None
+
+
+def test_kafka_pipeline_shares_decode_path(spark):
+    """The Kafka pipeline's post-load stages are the SAME functions the
+    file-source pipeline uses — decode a producer-shaped message through
+    ticks.decode_ticks exactly as run_kafka_tick_pipeline would."""
+    from soict20221_bigdata_financialplatform_spark.streaming.ticks import decode_ticks
+
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"symbol":"FPT","time":"2024-01-05T09:15:00",'
+                '"open":"85.5","high":"86.0","low":"85.0","close":"85.7",'
+                '"volume":"1,200,300","previous_close":"85.1","ref":"85.1",'
+                '"ceil":"91.0","floor":"79.2"}',
+            )
+        ],
+        "value string",
+    )
+    out = decode_ticks(raw).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.symbol == "FPT" and r.volume == 1200300 and r.close == 85.7

@@ -43,6 +43,73 @@ def test_decode_stub_is_loud():
         mm._decode_image_stub(b"\x89PNG")
 
 
+def _make_bmp(width, height, px):
+    """Build a real uncompressed 24-bit BMP: ``px[y][x] = (r, g, b)``
+    (bottom-up row order, rows padded to 4 bytes — the format spec)."""
+    import struct
+
+    row_size = ((width * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = px[y][x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        raster += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(raster)
+
+
+def _make_ppm(width, height, px):
+    raster = bytes(
+        c for y in range(height) for x in range(width) for c in px[y][x]
+    )
+    return f"P6\n# test\n{width} {height}\n255\n".encode() + raster
+
+
+_PX = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]  # 3x2, mean = (62.5, 67.5, 72.5)
+
+
+def test_decode_image_bmp_and_ppm_true_dimensions():
+    for blob in (_make_bmp(3, 2, _PX), _make_ppm(3, 2, _PX)):
+        d = mm.decode_image(blob)
+        assert (d["width"], d["height"]) == (3, 2)
+        assert d["mean_r"] == pytest.approx(62.5)
+        assert d["mean_g"] == pytest.approx(67.5)
+        assert d["mean_b"] == pytest.approx(72.5)
+    with pytest.raises(NotImplementedError):  # compressed still stubbed
+        mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_image_features_end_to_end(spark):
+    """The full Spark-side decode path: BMP bytes through mapInPandas come
+    back with TRUE decoded dimensions (media metadata lies: 640x480) and
+    channel means; undecodable formats degrade to decoded=false metadata
+    passthrough instead of failing the job."""
+    bmp = _make_bmp(3, 2, _PX)
+    rows = [
+        (1, "image", "image/bmp", bmp, 640, 480, -1),       # metadata is WRONG
+        (2, "image", "image/png", b"\x89PNG\r\n\x1a\n", 2048, 1024, -1),
+        (3, "video", "video/mp4", b"\x00", 1920, 1080, 3500),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.decode_image_features(media).collect()}
+    assert set(out) == {1, 2}  # images only
+    assert out[1].decoded and (out[1].width, out[1].height) == (3, 2)
+    assert out[1].mean_r == pytest.approx(62.5)
+    assert not out[2].decoded  # stubbed format: metadata passthrough
+    assert (out[2].width, out[2].height) == (2048, 1024)
+    assert out[2].mean_r is None
+
+
 def test_frame_sample_plan(spark):
     out = mm.frame_sample_plan(_media(spark), every_ms=1000).collect()
     # 3500ms video at 1s cadence -> frames at 0,1000,2000
