@@ -133,6 +133,7 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 10_000,
+    hot_bucket_salt: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -145,7 +146,13 @@ def minhash_near_dup_pairs(
     bucket with 10⁶ docs would otherwise yield 10¹² candidate pairs from ONE
     reducer (the classic LSH blow-up). Oversized buckets are dropped — their
     members are near-identical boilerplate that the remaining 15 bands still
-    pair up with overwhelming probability. None disables the cap."""
+    pair up with overwhelming probability. None disables the cap.
+
+    ``hot_bucket_salt``: buckets UNDER the cap can still be hot — one
+    10⁴-doc bucket makes one reducer emit 10⁸ candidate pairs. Setting a
+    salt decomposes each bucket's pair space into ~salt²/2 independent join
+    cells (``skew.salted_self_pairs``) — EXACTLY the same candidate set
+    (equivalence tested), quadratic work spread across the cluster."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     # CPU-bound per-row work: spread the corpus over all cores first (a
@@ -194,20 +201,33 @@ def minhash_near_dup_pairs(
             .where(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if hot_bucket_salt is not None:
+        from soict20221_bigdata_financialplatform_spark.operators.skew import (
+            salted_self_pairs,
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+
+        cand = (
+            salted_self_pairs(
+                banded, ["band", "band_key"], id_col, salt=hot_bucket_salt
+            )
+            .select("id_a", "id_b")
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col(f"a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
 
     # Exact-Jaccard verification over the same HASHED shingles (arrays of
     # longs — array_intersect on fixed-width values, no string comparisons).

@@ -51,6 +51,67 @@ def salted_join(
     return out.drop("__salt")
 
 
+def salted_self_pairs(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str = "id",
+    salt: int = 8,
+) -> DataFrame:
+    """ALL within-group pairs (``id_a < id_b``) of a keyed self-join, with a
+    hot group's quadratic pair generation spread over ~salt²/2 reducers
+    instead of one.
+
+    The classic LSH band-join failure: one adversarially hot (band, key)
+    bucket under the size cap still makes ONE reducer emit all |bucket|²
+    pairs. Decomposition: assign each row a deterministic sub-group
+    ``g = hash(id) % salt``; the pair space is the union of sub-group pair
+    blocks (i ≤ j), and each block is its own join cell. The a-side
+    replicates a row to cells (g, j≥g), the b-side to cells (i≤g, g) —
+    (salt+1) copies of each row across both sides — and every cross-group
+    pair lands in exactly one cell; same-group pairs dedup on id order.
+    EXACT: returns precisely the naive self-join's pair set (tested).
+
+    Use when a key's group size is bounded but still big enough that
+    |group|² from one task dominates a stage; for unbounded hot keys cap or
+    drop the group first (see ``dedup.minhash_near_dup_pairs``).
+    """
+    keys = list(key_cols)
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+    base = df.select(*keys, F.col(id_col)).withColumn("__g", g)
+    a = base.select(
+        *keys,
+        F.col(id_col).alias("__ida"),
+        F.col("__g").alias("__ga"),
+        F.col("__g").alias("__pi"),
+        F.explode(F.sequence(F.col("__g"), F.lit(salt - 1))).alias("__pj"),
+    ).alias("a")
+    b = base.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        F.col(id_col).alias("__idb"),
+        F.col("__g").alias("__gb"),
+        F.explode(F.sequence(F.lit(0), F.col("__g"))).alias("__qi"),
+        F.col("__g").alias("__qj"),
+    ).alias("b")
+    cond = None
+    for left, right in (
+        *[(k, f"__bk_{k}") for k in keys],
+        ("__pi", "__qi"),
+        ("__pj", "__qj"),
+    ):
+        c = F.col(f"a.{left}") == F.col(f"b.{right}")
+        cond = c if cond is None else cond & c
+    # same-group block (g,g) would match both orientations: id-order it
+    cond = cond & (
+        (F.col("a.__ga") != F.col("b.__gb"))
+        | (F.col("a.__ida") < F.col("b.__idb"))
+    )
+    return a.join(b, cond).select(
+        *[F.col(f"a.{k}") for k in keys],
+        F.least("__ida", "__idb").alias("id_a"),
+        F.greatest("__ida", "__idb").alias("id_b"),
+    )
+
+
 def salted_agg_count(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -42,6 +42,53 @@ def test_salted_agg_count_equivalence(spark, sf_dir):
     assert plain == salted
 
 
+def test_salted_self_pairs_exact_equivalence_with_hot_group(spark):
+    """salted_self_pairs must return EXACTLY the naive keyed self-join's
+    pair set — on a skewed fixture where one group holds most rows (the hot
+    LSH bucket shape) plus small and singleton groups."""
+    rows = (
+        [Row(k="hot", id=i) for i in range(60)]
+        + [Row(k="small", id=100 + i) for i in range(5)]
+        + [Row(k="single", id=999)]
+    )
+    df = spark.createDataFrame(rows)
+    a, b = df.alias("a"), df.alias("b")
+    naive = {
+        (r.k, r.id_a, r.id_b)
+        for r in a.join(
+            b, (F.col("a.k") == F.col("b.k")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .select(F.col("a.k").alias("k"), F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .collect()
+    }
+    for salt in (1, 3, 8):
+        got_rows = skew.salted_self_pairs(df, ["k"], "id", salt=salt).collect()
+        got = {(r.k, r.id_a, r.id_b) for r in got_rows}
+        assert got == naive, f"salt={salt}"
+        assert len(got_rows) == len(naive), f"salt={salt}: duplicate pairs"
+
+
+def test_minhash_hot_bucket_salt_same_pairs(spark):
+    """minhash_near_dup_pairs(hot_bucket_salt=...) finds the identical
+    near-dup pair set as the plain band join."""
+    from soict20221_bigdata_financialplatform_spark.operators import dedup as dd
+    from tests.test_dedup_similarity import BASE
+
+    rows = [Row(doc_id=i, text=BASE + f" tail{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows)
+    plain = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_near_dup_pairs(docs, jaccard_threshold=0.6).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_near_dup_pairs(
+            docs, jaccard_threshold=0.6, hot_bucket_salt=4
+        ).collect()
+    }
+    assert salted == plain and plain  # identical and non-empty
+
+
 def test_ema_native_matches_pandas_ema(spark):
     df = _bars(spark)
     a = _col(ind.ema(df, 5), "ema_5")
