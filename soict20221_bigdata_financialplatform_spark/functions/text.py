@@ -90,6 +90,89 @@ def lang_id_en_score(col: Column | str) -> Column:
     )
 
 
+def words(col: Column | str) -> Column:
+    """Whitespace word array (trimmed). The base of the repetition stats."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def mean_word_len(col: Column | str) -> Column:
+    """Mean characters per word (Gopher rule input). Integer char-sum over
+    integer count — bit-identical across engines, no rounding needed."""
+    w = words(col)
+    n = F.size(w)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(n > 0, total.cast("double") / n)
+
+
+def stopword_frac(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    """Fraction of words that are stopwords (Gopher: quality text has a
+    floor on function-word density)."""
+    w = words(col)
+    n = F.size(w)
+    hits = F.size(F.filter(w, lambda x: F.lower(x).isin(*stopwords)))
+    return F.when(n > 0, hits.cast("double") / n)
+
+
+def top_word_frac(col: Column | str) -> Column:
+    """Fraction of the document taken by its single most frequent word —
+    the cheapest repetition signal (a page of 'buy buy buy ...' scores ~1).
+
+    Computed WITHOUT a shuffle: sort the word array, fold a (prev, run,
+    best) state over it with ``aggregate`` — max run length of the sorted
+    array == max word frequency. Pure codegen'd expression per row."""
+    w = F.array_sort(words(col))
+    n = F.size(w)
+    best = F.aggregate(
+        w,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(n > 0, best.cast("double") / n)
+
+
+def dup_bigram_frac(col: Column | str) -> Column:
+    """Fraction of word bigrams that are repeats of an earlier bigram
+    (1 - distinct/total) — the Gopher "duplicate n-gram" repetition rule.
+    Null for documents of fewer than two words."""
+    w = words(col)
+    n = F.size(w)
+    bi = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / (n - 1),
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """All word n-grams as strings (empty array below n words) — the unit of
+    cross-document span analysis (contamination checks, span dedup)."""
+    w = words(col)
+    cnt = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - n + 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(cnt >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized
     lowercased text — stable under reformatting, O(len) single pass."""

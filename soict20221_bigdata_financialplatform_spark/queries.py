@@ -1963,6 +1963,114 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q65_gopher_quality",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    tw AS (
+      SELECT doc_id, max(cnt) AS max_cnt FROM (
+        SELECT doc_id, word, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS word FROM w)
+        GROUP BY doc_id, word) GROUP BY doc_id
+    ),
+    m AS (
+      SELECT w.doc_id,
+             len(w.w)::BIGINT AS n_words,
+             list_sum(list_transform(w.w, x -> length(x)))::DOUBLE / len(w.w) AS mean_word_len,
+             len(list_filter(w.w, x -> list_contains(
+                 ['the','a','and','of','to','in','is','for','on','with'],
+                 lower(x))))::DOUBLE / len(w.w) AS stop_frac,
+             tw.max_cnt::DOUBLE / len(w.w) AS top_word_frac,
+             CASE WHEN len(w.w) >= 2 THEN
+               1.0 - len(list_distinct(list_transform(range(1, len(w.w)),
+                         i -> w.w[i] || ' ' || w.w[i+1])))::DOUBLE / (len(w.w) - 1)
+             END AS dup_bigram_frac
+      FROM w JOIN tw ON w.doc_id = tw.doc_id
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_frac, top_word_frac,
+           dup_bigram_frac,
+           (n_words >= 30 AND mean_word_len BETWEEN 3 AND 10
+            AND stop_frac >= 0.03 AND top_word_frac <= 0.12
+            AND dup_bigram_frac <= 0.05) AS passes
+    FROM m
+    """,
+)
+def q65_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules per document (the standard LLM
+    corpus pre-filter battery beyond q29's blend score): word count, mean
+    word length band, stopword-density floor, top-word repetition ceiling,
+    duplicate-bigram ceiling → one boolean gate.
+
+    Every metric is a NATIVE per-row expression — the repetition signals
+    fold over the word array with higher-order functions (top_word_frac =
+    max run of the sorted array), so the whole battery is one codegen'd
+    projection over one scan: no explode, no shuffle, 100 TB-safe. The
+    oracle computes top_word_frac via unnest+group-by — different shape,
+    identical values. No rounding anywhere: integer-over-integer divisions
+    are bit-equal across engines (float policy, module docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(tx.words("text")).cast("long")
+    mwl = tx.mean_word_len("text")
+    stopf = tx.stopword_frac("text")
+    topf = tx.top_word_frac("text")
+    dupbi = tx.dup_bigram_frac("text")
+    passes = (
+        (n_words >= 30)
+        & (mwl >= 3)
+        & (mwl <= 10)
+        & (stopf >= 0.03)
+        & (topf <= 0.12)
+        & (dupbi <= 0.05)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stopf.alias("stop_frac"),
+        topf.alias("top_word_frac"),
+        dupbi.alias("dup_bigram_frac"),
+        passes.alias("passes"),
+    )
+
+
+@register(
+    "q66_shared_ngrams",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+               i -> array_to_string(w[i:i+4], ' ')))) AS gram
+      FROM w WHERE len(w) >= 5
+    )
+    SELECT gram, count(*)::BIGINT AS n_docs
+    FROM g GROUP BY gram HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram LIMIT 100
+    """,
+)
+def q66_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-grams, top-100 by document frequency — the
+    span-level duplication/contamination primitive (which exact phrases
+    recur across the corpus; the doc-frequency table feeds span-dedup and
+    benchmark-leak checks).
+
+    Per-doc distinct BEFORE the explode (a doc repeating a phrase internally
+    counts once), so the shuffle carries each (doc, gram) once; the group-by
+    is map-side combined. At 100 TB hash the gram to a 64-bit key for the
+    shuffle and keep an example string per group via ``min_by`` — the
+    string form here keeps the oracle comparable. Top-k ties break on the
+    gram itself (unique), per the determinism rule."""
+    d = _t(spark, sf_dir, "documents")
+    grams = tx.word_ngrams("text", 5)
+    return (
+        d.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(100)
+    )
+
+
 def _neardup_lsh_oracle_sql(threshold: float = 0.35, n_planes: int = 4) -> str:
     """DuckDB twin of q64: the seeded sign-LSH planes are embedded as
     literals (same construction as q35's oracle), so the WHOLE bucketed
@@ -2051,6 +2159,8 @@ _FINAL_ORDER = [
     "q52_hourly_window", "q53_near_dup_clusters", "q54_data_profile",
     "q56_grouping_sets", "q57_minhash_md5", "q58_simhash_md5",
     "q59_bpe_token_count", "q60_corpus_clean_exact", "q63_semantic_neighbors",
+    # -- round-2 additions (oracle-backed)
+    "q65_gopher_quality", "q66_shared_ngrams",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",

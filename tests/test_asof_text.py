@@ -101,3 +101,44 @@ def test_bpe_ish_token_count(spark):
     assert out[0] == 2
     assert out[1] == 6
     assert out[2] == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "the cat the cat sat": 5 words, top word 'the'/'cat' x2 -> 0.4;
+    # bigrams: [the cat, cat the, the cat, cat sat] -> 3 distinct of 4 -> 0.25
+    df = spark.createDataFrame([Row(text="the cat the cat sat")])
+    r = df.select(
+        tx.mean_word_len("text").alias("mwl"),
+        tx.stopword_frac("text").alias("sf"),
+        tx.top_word_frac("text").alias("tf"),
+        tx.dup_bigram_frac("text").alias("db"),
+    ).collect()[0]
+    assert r.mwl == pytest.approx(3.0)   # (3+3+3+3+3)/5
+    assert r.sf == pytest.approx(0.4)    # 'the' twice of 5
+    assert r.tf == pytest.approx(0.4)
+    assert r.db == pytest.approx(0.25)
+
+
+def test_repetition_stats_edge_cases(spark):
+    df = spark.createDataFrame([Row(text="solo")])
+    r = df.select(
+        tx.top_word_frac("text").alias("tf"),
+        tx.dup_bigram_frac("text").alias("db"),
+    ).collect()[0]
+    assert r.tf == pytest.approx(1.0)  # one word: its own 100%
+    assert r.db is None                # no bigrams below 2 words
+    # pathological repetition saturates the signals
+    rep = spark.createDataFrame([Row(text="buy " * 49 + "buy")])
+    r2 = rep.select(
+        tx.top_word_frac("text").alias("tf"),
+        tx.dup_bigram_frac("text").alias("db"),
+    ).collect()[0]
+    assert r2.tf == pytest.approx(1.0)
+    assert r2.db == pytest.approx(1.0 - 1.0 / 49)
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([Row(text="a b c d e f"), Row(text="a b c")])
+    out = [r.g for r in df.select(tx.word_ngrams("text", 5).alias("g")).collect()]
+    assert out[0] == ["a b c d e", "b c d e f"]
+    assert out[1] == []  # below n words
