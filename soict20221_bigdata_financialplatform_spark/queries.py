@@ -717,7 +717,10 @@ def q23_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas C loop and the SQL recursion agree bit-for-bit before the final
     round)."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    npart = max(2, spark.sparkContext.defaultParallelism // 4)
+    # events has ~15 keys/core (1,500 users) — unlike the 10-symbol backfill
+    # (keys ≪ cores → cores/4), full parallelism wins here: one Arrow stream
+    # per core, each handling ~50 groups (measured 30% faster than cores/4).
+    npart = max(2, spark.sparkContext.defaultParallelism)
     out = ind.ema(e, 25, ("user_id",), "ts", "value", num_partitions=npart)
     return out.select(
         "user_id", "event_id", "ts", "value", F.round("ema_25", 6).alias("ema_25")
@@ -1075,29 +1078,50 @@ def q57_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
 
     sig = F.array(*[F.array_min(F.transform("sh", fam(i))) for i in range(32)])
-    sigs = sh.select("doc_id", "sh", sig.alias("sig"))
-    bands = sigs.select(
-        "doc_id",
-        "sh",
+    sigs = sh.select("doc_id", sig.alias("sig"))
+    # "shares ANY band" as a posexplode + EQUI-join on (band, key), like q32:
+    # an OR of 8 band equalities in the join condition would plan a
+    # BroadcastNestedLoopJoin — O(n²) pair evaluation, a scale-killer.
+    # The exploded form is 8 rows/doc and hash-partitions on the band key;
+    # distinct collapses pairs sharing several bands. Identical pair set.
+    band_arr = F.array(
         *[
-            F.md5(F.concat_ws("|", *[F.col("sig")[b * 4 + j] for j in range(4)])).alias(f"k{b}")
+            F.md5(F.concat_ws("|", *[F.col("sig")[b * 4 + j] for j in range(4)]))
             for b in range(8)
-        ],
-    ).persist()
-    a, b = bands.alias("a"), bands.alias("b")
-    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
-        (F.col("a.k0") == F.col("b.k0")) | (F.col("a.k1") == F.col("b.k1")) | (F.col("a.k2") == F.col("b.k2")) | (F.col("a.k3") == F.col("b.k3")) | (F.col("a.k4") == F.col("b.k4")) | (F.col("a.k5") == F.col("b.k5")) | (F.col("a.k6") == F.col("b.k6")) | (F.col("a.k7") == F.col("b.k7"))
+        ]
     )
-    cand = a.join(b, cond).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.col("a.sh").alias("sh_a"),
-        F.col("b.sh").alias("sh_b"),
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "key")
+    ).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # verification joins fetch shingles for candidates only (sh never rides
+    # through the band join)
+    out = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / (
         F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     )
-    return cand.select("id_a", "id_b", jac.alias("jaccard")).where(
+    return out.select("id_a", "id_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= 0.5
     )
 
@@ -1216,21 +1240,41 @@ def q58_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp + term
     fps = sums.select("doc_id", fp.alias("fp")).persist()
-    a, b = fps.alias("a"), fps.alias("b")
-    chunk_eq = None
-    for q in range(4):
-        eq = (
-            F.shiftright(F.col("a.fp"), 15 * q).bitwiseAND(F.lit(32767))
-            == F.shiftright(F.col("b.fp"), 15 * q).bitwiseAND(F.lit(32767))
+    # pigeonhole bands as a posexplode + EQUI-join (the OR-of-4-chunk-
+    # equalities condition would plan a BroadcastNestedLoopJoin — same
+    # scale-killer as q57's band OR; see simhash_near_dup_pairs for the
+    # operator-library form). distinct on the pair collapses multi-chunk
+    # collisions; identical result set.
+    chunks = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), 15 * q).bitwiseAND(F.lit(32767))
+                    for q in range(4)
+                ]
+            )
+        ).alias("q", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        chunk_eq = eq if chunk_eq is None else (chunk_eq | eq)
-    cand = a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & chunk_eq)
-    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return cand.select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        ham.alias("hamming"),
-    ).where(ham <= 10)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(ham <= 10)
 
 
 @register(
