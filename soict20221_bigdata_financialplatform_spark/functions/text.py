@@ -157,10 +157,13 @@ def dup_bigram_frac(col: Column | str) -> Column:
     )
 
 
-def word_ngrams(col: Column | str, n: int = 5) -> Column:
-    """All word n-grams as strings (empty array below n words) — the unit of
-    cross-document span analysis (contamination checks, span dedup)."""
-    w = words(col)
+def word_ngrams_from(words_col: Column | str, n: int = 5) -> Column:
+    """All word n-grams of a BOUND words-array column (empty array below n
+    words) — the unit of cross-document span analysis (contamination checks,
+    span dedup). Stage the words array as its own projection first (see
+    ``winnow_select``'s staging note: a captured ``split`` re-evaluates per
+    element inside interpreted HOF lambdas)."""
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
     cnt = F.size(w)
     grams = F.transform(
         F.sequence(F.lit(1), cnt - n + 1),
@@ -173,12 +176,76 @@ def word_ngrams(col: Column | str, n: int = 5) -> Column:
     )
 
 
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """One-column convenience form of ``word_ngrams_from`` — fine for short
+    text; for corpus-scale scans stage the words array first (O(len²) split
+    re-evaluation otherwise; see ``winnow_select``)."""
+    return word_ngrams_from(words(col), n)
+
+
 def fingerprint(col: Column | str) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized
     lowercased text — stable under reformatting, O(len) single pass."""
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
     return F.xxhash64(normalized)
+
+
+def ngram_hashes(grams_col: Column | str) -> Column:
+    """md5-prefix→uint64 hash of each n-gram (CLAUDE.md trick:
+    ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(x),1,15))::UBIGINT`` — the oracle runs the identical
+    function). Apply to a BOUND grams column (see ``winnow_fingerprints``'s
+    staging note)."""
+    c = F.col(grams_col) if isinstance(grams_col, str) else grams_col
+    return F.transform(
+        c, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+
+
+def winnow_select(hashes_col: Column | str, w: int = 5) -> Column:
+    """The winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    slide a window of ``w`` consecutive n-gram hashes, keep the minimum of
+    each window, return the distinct selected hashes sorted. Guarantees every
+    shared run of n + w - 1 words between two documents shares at least one
+    fingerprint, at ~2/(w+1) selection density. Selection is by hash VALUE
+    then distinct, so tie position within a window is irrelevant — the
+    fingerprint SET is well defined and cross-engine reproducible.
+
+    Returns array<bigint>; empty array when fewer than ``w`` hashes exist
+    (no full window). Apply to a BOUND hash-array column.
+
+    STAGING MATTERS: higher-order functions are CodegenFallback (interpreted,
+    no subexpression elimination) — a lambda that captures a non-trivial
+    outer expression re-evaluates it per element. Materialize words → grams
+    → hashes as real columns in separate projections (multi-referenced
+    non-cheap aliases block CollapseProject, so each computes once per row);
+    inlining the whole chain into one Column turns O(len·w) into O(len²)
+    md5 calls (measured 14x slower end-to-end)."""
+    h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    cnt = F.size(h)
+    mins = F.transform(
+        F.sequence(F.lit(1), cnt - w + 1), lambda i: F.array_min(F.slice(h, i, w))
+    )
+    return F.when(cnt >= w, F.array_sort(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", n: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints, properly staged (see
+    ``winnow_select``): adds an ``nfp`` array<bigint> column of the selected
+    fingerprints; drops the intermediates. Span-level dedup/plagiarism/
+    contamination primitive (vs ``fingerprint``'s whole-document hash)."""
+    return (
+        df.withColumn("__w", words(text_col))
+        .withColumn("__g", word_ngrams_from("__w", n))
+        .withColumn("__h", ngram_hashes("__g"))
+        .withColumn("nfp", winnow_select("__h", w))
+        .drop("__w", "__g", "__h")
+    )
 
 
 def word_groups(col: Column | str, n: int = 3) -> Column:

@@ -2102,16 +2102,94 @@ def q66_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side combined. At 100 TB hash the gram to a 64-bit key for the
     shuffle and keep an example string per group via ``min_by`` — the
     string form here keeps the oracle comparable. Top-k ties break on the
-    gram itself (unique), per the determinism rule."""
+    gram itself (unique), per the determinism rule.
+
+    The words array is staged as its own projection and the single-file scan
+    repartitioned before the CPU-heavy gram construction (see q67)."""
     d = _t(spark, sf_dir, "documents")
-    grams = tx.word_ngrams("text", 5)
+    npart = max(2, spark.sparkContext.defaultParallelism)
+    staged = (
+        d.select("text")
+        .repartition(npart)
+        .withColumn("__w", tx.words("text"))
+        .withColumn("__g", tx.word_ngrams_from("__w", 5))
+    )
     return (
-        d.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        staged.select(F.explode(F.array_distinct("__g")).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), "gram")
         .limit(100)
+    )
+
+
+@register(
+    "q67_winnow_overlap",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 2),
+               i -> (('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 15))::UBIGINT)::BIGINT) AS h
+      FROM w
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(h) - 3),
+               i -> list_min(h[i:i+4])))) AS fp
+      FROM g WHERE len(h) >= 5
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY n_shared DESC, id_a, id_b
+    """,
+)
+def q67_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level overlap detection via winnowing fingerprints (Schleimer/
+    Wilkerson/Aiken 2003): doc pairs sharing >= 2 selected k-gram hashes,
+    with the shared-fingerprint count — the plagiarism/contamination-check
+    shape (every shared run of n+w-1 = 8 words is guaranteed to surface).
+
+    Scale shape: fingerprints are ~2/(w+1) of the n-grams, per-doc distinct
+    BEFORE the explode, so the shuffle carries a few sparse (fp, doc) longs
+    per document; the candidate join is an EQUI-join on the fingerprint
+    (hash-partitioned — never all-pairs, per the q57 lesson), and the pair
+    group-by is map-side combined. Ubiquitous-boilerplate fingerprints make
+    hot buckets — at 100 TB cap fingerprint doc-frequency first (drop fps
+    appearing in > F docs, like minhash's max_bucket_size) or route through
+    skew.salted_self_pairs. Ordered by overlap desc, pair asc (unique —
+    determinism rule).
+
+    The winnow stages are materialized projections (CodegenFallback HOFs
+    re-evaluate captured exprs — see ``text.winnow_select``), the scan is
+    repartitioned before the CPU-heavy hashing (single-file testdata =
+    single-threaded scan, CLAUDE.md #8), and the fingerprint frame is
+    persisted so the self-join's two branches don't recompute it."""
+    d = _t(spark, sf_dir, "documents")
+    npart = max(2, spark.sparkContext.defaultParallelism)
+    fps = (
+        tx.winnow_fingerprints(
+            d.select("doc_id", "text").repartition(npart), "text", 4, 5
+        )
+        .select("doc_id", F.explode("nfp").alias("fp"))
+        .persist()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy(F.col("n_shared").desc(), "id_a", "id_b")
     )
 
 
@@ -2204,7 +2282,7 @@ _FINAL_ORDER = [
     "q56_grouping_sets", "q57_minhash_md5", "q58_simhash_md5",
     "q59_bpe_token_count", "q60_corpus_clean_exact", "q63_semantic_neighbors",
     # -- round-2 additions (oracle-backed)
-    "q65_gopher_quality", "q66_shared_ngrams",
+    "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",

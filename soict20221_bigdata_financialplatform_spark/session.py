@@ -52,6 +52,14 @@ def get_spark(
         # converted to µs timestamps in the loader — matches DuckDB's ns→µs
         # truncation (Spark 4 otherwise rejects NANOS outright).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # explode(computed_array) otherwise grows an inferred, fully-inlined
+        # `size(expr)>0` filter pushed to the scan — double-evaluates the
+        # expensive array chain and can never prune parquet (see
+        # sources/readers.py:load_table, which also sets this at runtime).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

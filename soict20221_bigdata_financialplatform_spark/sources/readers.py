@@ -49,6 +49,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # host-independent and aligned with the DuckDB oracle's naive timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # InferFiltersFromGenerate turns explode(expr) into a pushed-down
+    # `size(expr)>0 AND isnotnull(expr)` filter with expr INLINED — for the
+    # computed arrays every explode here uses (shingles, bands, n-gram
+    # fingerprints) that re-evaluates the whole expensive chain per row at
+    # the scan (below the repartition exchange → also single-threaded on
+    # single-file testdata; measured 164s vs 3s on q67), and it can never
+    # prune a parquet scan on a computed column. None of these tables store
+    # nullable/empty arrays the inference could actually help with.
+    _excl = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    prev = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not prev:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _excl)
+    elif _excl not in prev:
+        spark.conf.set("spark.sql.optimizer.excludedRules", f"{prev},{_excl}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

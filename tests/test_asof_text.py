@@ -142,3 +142,31 @@ def test_word_ngrams(spark):
     out = [r.g for r in df.select(tx.word_ngrams("text", 5).alias("g")).collect()]
     assert out[0] == ["a b c d e", "b c d e f"]
     assert out[1] == []  # below n words
+
+
+def test_winnow_fingerprints_properties(spark):
+    # 10 words -> 7 4-gram hashes -> 3 windows of 5 -> <=3 distinct mins
+    long_doc = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    # shares the 8-word run w2..w9 with long_doc: winnowing guarantees any
+    # common run of n + w - 1 = 8 words yields >=1 shared fingerprint
+    overlapping = "x0 x1 w2 w3 w4 w5 w6 w7 w8 w9"
+    short_doc = "only seven words here not enough window"  # 7 words < 8
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=long_doc),
+            Row(doc_id=2, text=overlapping),
+            Row(doc_id=3, text=short_doc),
+        ]
+    )
+    out = {
+        r.doc_id: r.nfp
+        for r in tx.winnow_fingerprints(df, "text", 4, 5).collect()
+    }
+    assert 1 <= len(out[1]) <= 3
+    assert out[1] == sorted(set(out[1]))  # distinct + sorted
+    assert set(out[1]) & set(out[2])  # the winnowing guarantee
+    assert out[3] == []  # no full window -> empty
+    # fingerprint of an identical doc is identical (deterministic hash family)
+    df2 = spark.createDataFrame([Row(doc_id=9, text=long_doc)])
+    again = tx.winnow_fingerprints(df2, "text", 4, 5).collect()[0].nfp
+    assert again == out[1]
