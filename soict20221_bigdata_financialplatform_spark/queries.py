@@ -2193,6 +2193,134 @@ def q67_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q68_small_qty_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q68_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand —
+    the correlated-scalar-subquery pattern (per-part average threshold),
+    written in its DECORRELATED form, which is the plan any optimizer must
+    reach for this to scale: brand parts broadcast-semi-filter lineitem
+    (never the reverse), ONE grouped aggregate computes every per-part
+    threshold, and the threshold joins back on the already-partitioned key.
+    The oracle keeps the textbook correlated form — DuckDB decorrelates it
+    to the same shape, cross-checking the rewrite.
+
+    Float policy: l_quantity is integral so the per-part avg is exact in
+    both engines (no per-row rounding of the threshold compare); the final
+    order-dependent revenue sum is round(2) both sides."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    flt = li.join(
+        F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    lim = flt.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        flt.join(lim, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q69_dormant_rich_customers",
+    """
+    SELECT right(c_name, 2) AS code,
+           count(*)::BIGINT AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q69_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by a name-derived code — scalar subquery + NOT EXISTS
+    anti-join + grouped aggregate in one query.
+
+    Scale shapes: the global-average threshold is a one-row aggregate
+    broadcast-cross-joined to customer (no collect, no correlated re-scan);
+    the NOT EXISTS is a left-anti hash join against only the o_orderdate-
+    filtered slice of orders (the filter prunes at the scan). Threshold
+    rounded to 6 both sides (order-dependent double sum); acctbal totals
+    round(2)."""
+    c = _t(spark, sf_dir, "customer")
+    thr = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("thr"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2001-01-01 00:00:00")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.expr("right(c_name, 2)").alias("code"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("code")
+    )
+
+
+@register(
+    "q70_bulk_suppliers_in",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 2400)
+    ORDER BY s_suppkey
+    """,
+)
+def q70_bulk_suppliers_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved bulk volume of 'red' parts —
+    an IN-subquery whose inner query is itself a filtered join + grouped
+    HAVING. Exercised through ``spark.sql`` so Catalyst's subquery planning
+    (RewritePredicateSubquery → left-semi hash join on the aggregated
+    inner) is what runs, complementing the explicit DataFrame semi-join of
+    q12. sum(l_quantity) is integral → exact both engines, no rounding."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier_v
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+          WHERE p_name LIKE 'red%'
+          GROUP BY l_suppkey HAVING sum(l_quantity) > 2400)
+        ORDER BY s_suppkey
+        """
+    )
+
+
 def _neardup_lsh_oracle_sql(threshold: float = 0.35, n_planes: int = 4) -> str:
     """DuckDB twin of q64: the seeded sign-LSH planes are embedded as
     literals (same construction as q35's oracle), so the WHOLE bucketed
@@ -2283,6 +2411,8 @@ _FINAL_ORDER = [
     "q59_bpe_token_count", "q60_corpus_clean_exact", "q63_semantic_neighbors",
     # -- round-2 additions (oracle-backed)
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
+    "q68_small_qty_revenue", "q69_dormant_rich_customers",
+    "q70_bulk_suppliers_in",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",

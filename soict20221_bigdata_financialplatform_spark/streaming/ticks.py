@@ -96,6 +96,45 @@ def enrich_ticks(ticks: DataFrame, dim: DataFrame, on: str = "symbol") -> DataFr
     return ticks.join(F.broadcast(dim), on=on, how="left")
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "symbol",
+    left_time: str = "time",
+    right_time: str = "quote_time",
+    lag: str = "5 minutes",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each left event matches right
+    events with the same key whose timestamp lies in
+    ``[left_time - lag, left_time]`` — the trade↔quote / order↔fill
+    correlation shape (the streaming twin of the batch as-of join, except a
+    stream can't pick ONE latest row, so it emits all in-interval matches).
+
+    State-bound by construction: BOTH sides carry a watermark and the join
+    condition bounds event time in BOTH directions, so Spark evicts buffered
+    rows once the watermark passes the interval — without the time-range
+    condition the state grows forever, and Spark rejects outer variants
+    outright. Keys hash-partition the exchange; per-key state is O(events
+    within the watermark horizon).
+
+    Both time columns must be distinct names (rename before calling);
+    ``how`` may be 'inner' or 'leftOuter' (left rows with no in-interval
+    match emit nulls once the watermark closes the interval)."""
+    if left_time == right_time:
+        raise ValueError("rename the time columns apart before joining")
+    lw = left.withWatermark(left_time, left_watermark)
+    rw = right.withWatermark(right_time, right_watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_time) >= F.col(left_time) - F.expr(f"INTERVAL {lag}"))
+        & (F.col(right_time) <= F.col(left_time))
+    )
+    return lw.join(rw, cond, how).drop(rw[key])
+
+
 def decode_ticks(raw: DataFrame) -> DataFrame:
     """F2 + P9 + normalization: ``from_json`` decode of the message value,
     flatten, comma-strip numeric casts (native expressions — the reference's

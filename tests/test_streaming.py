@@ -199,3 +199,50 @@ def test_restart_from_checkpoint_exactly_once(spark, dirs):
     assert len(keys) == len(set(keys))  # exactly-once: no duplicate bars
     assert ("FPT", "2024-01-02 09:30:00") in keys  # nothing lost across restart
     assert ("ZZZ", "2024-01-02 10:00:00") in keys
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    trades_dir = tmp_path / "trades"; trades_dir.mkdir()
+    quotes_dir = tmp_path / "quotes"; quotes_dir.mkdir()
+    _write_file(str(trades_dir), "t1.json", [
+        json.dumps({"symbol": "FPT", "time": "2024-01-02 09:30:00", "price": 80.0}),
+        json.dumps({"symbol": "FPT", "time": "2024-01-02 09:40:00", "price": 81.0}),
+        json.dumps({"symbol": "VIC", "time": "2024-01-02 09:30:00", "price": 55.0}),
+    ])
+    _write_file(str(quotes_dir), "q1.json", [
+        # in [09:25, 09:30] for the first FPT trade
+        json.dumps({"symbol": "FPT", "quote_time": "2024-01-02 09:28:00", "bid": 79.9}),
+        # in-interval ONLY for the 09:40 trade
+        json.dumps({"symbol": "FPT", "quote_time": "2024-01-02 09:39:00", "bid": 80.9}),
+        # right symbol, too early for any interval
+        json.dumps({"symbol": "VIC", "quote_time": "2024-01-02 09:10:00", "bid": 54.0}),
+        # wrong symbol for FPT trades
+        json.dumps({"symbol": "HPG", "quote_time": "2024-01-02 09:29:00", "bid": 30.0}),
+    ])
+    t_schema = "symbol string, time timestamp, price double"
+    q_schema = "symbol string, quote_time timestamp, bid double"
+    trades = spark.readStream.schema(t_schema).json(str(trades_dir))
+    quotes = spark.readStream.schema(q_schema).json(str(quotes_dir))
+    joined = st.interval_join_streams(
+        trades, quotes, key="symbol", left_time="time",
+        right_time="quote_time", lag="5 minutes",
+    )
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = {(r.symbol, str(r.time), str(r.quote_time))
+                for r in spark.sql("SELECT * FROM ssj").collect()}
+    finally:
+        q.stop()
+    assert rows == {
+        ("FPT", "2024-01-02 09:30:00", "2024-01-02 09:28:00"),
+        ("FPT", "2024-01-02 09:40:00", "2024-01-02 09:39:00"),
+    }
+
+
+def test_stream_stream_join_rejects_same_time_name(spark, tmp_path):
+    d = tmp_path / "s"; d.mkdir()
+    s = spark.readStream.schema("symbol string, time timestamp").json(str(d))
+    with pytest.raises(ValueError):
+        st.interval_join_streams(s, s, left_time="time", right_time="time")
