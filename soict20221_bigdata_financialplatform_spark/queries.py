@@ -2321,6 +2321,64 @@ def q70_bulk_suppliers_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q71_gap_fill",
+    """
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM bars GROUP BY 1),
+    cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM spans)
+    SELECT c.user_id, c.day,
+           last_value(b.close IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+           b.close IS NULL AS is_gap
+    FROM cal c LEFT JOIN bars b ON b.user_id = c.user_id AND b.day = c.day
+    """,
+)
+def q71_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill — the time-series resample/
+    gap-fill primitive (every financial store needs it: holidays and halts
+    leave holes; downstream indicators want a dense series). Per key:
+    generate the full date span (``sequence`` + explode — each key's
+    calendar is built where the key's data lives, no driver loop, no global
+    calendar broadcast), left-join the real bars, forward-fill with
+    ``last(ignorenulls)`` over an unbounded-preceding frame, flag the
+    synthesized rows.
+
+    One shuffle for the bar aggregate, one for the span agg (same key —
+    AQE reuses the partitioning), join + window co-partitioned on user_id.
+    State per key is O(span days). Close values are raw (arg_max picks one
+    value — never an accumulation), so no rounding per the float policy."""
+    e = _t(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    spans = bars.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cal.join(bars, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+        F.col("close").isNull().alias("is_gap"),
+    )
+
+
 def _neardup_lsh_oracle_sql(threshold: float = 0.35, n_planes: int = 4) -> str:
     """DuckDB twin of q64: the seeded sign-LSH planes are embedded as
     literals (same construction as q35's oracle), so the WHOLE bucketed
@@ -2412,7 +2470,7 @@ _FINAL_ORDER = [
     # -- round-2 additions (oracle-backed)
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue", "q69_dormant_rich_customers",
-    "q70_bulk_suppliers_in",
+    "q70_bulk_suppliers_in", "q71_gap_fill",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",
