@@ -201,6 +201,136 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(_decode, schema=IMAGE_DECODE_SCHEMA)
 
 
+def _decode_wav(b: bytes) -> dict | None:
+    """Pure-python decode of a RIFF/WAVE file: true sample rate, channels,
+    bit depth, duration, and RMS amplitude for PCM8/PCM16 data (the two
+    uncompressed layouts a header walk can handle; compressed codecs return
+    format metadata with ``rms=None``). Returns None if not RIFF/WAVE."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            fmt = (audio_fmt, n_ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    audio_fmt, n_ch, rate, bits = fmt
+    out = {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "bits": bits,
+        "duration_ms": None,
+        "rms": None,
+    }
+    if data is None or n_ch == 0 or rate == 0 or bits == 0:
+        return out
+    frame_size = n_ch * (bits // 8)
+    if frame_size == 0:
+        return out
+    n_frames = len(data) // frame_size
+    out["duration_ms"] = int(n_frames * 1000 / rate)
+    if audio_fmt != 1:  # not plain PCM: duration from byte math only
+        return out
+    if bits == 16:
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: n * 2])
+        scale = 32768.0
+    elif bits == 8:  # PCM8 is unsigned, midpoint 128
+        samples = [x - 128 for x in data]
+        scale = 128.0
+    else:
+        return out
+    if samples:
+        acc = 0.0
+        for s in samples:
+            acc += s * s
+        out["rms"] = (acc / len(samples)) ** 0.5 / scale
+    return out
+
+
+def decode_audio(content: bytes) -> dict:
+    """Decode an audio blob to {sample_rate, n_channels, bits, duration_ms,
+    rms}. Real decode for RIFF/WAVE PCM8/PCM16; other containers raise
+    NotImplementedError (plug ffmpeg/soundfile there), keeping the
+    environment contract loud."""
+    out = _decode_wav(content)
+    if out is not None:
+        return out
+    raise NotImplementedError(
+        "non-WAV audio decoding is stubbed in this environment — plug "
+        "ffmpeg/soundfile here (RIFF/WAVE PCM decodes natively)"
+    )
+
+
+AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """media (MEDIA_SCHEMA) → AUDIO_DECODE_SCHEMA via ``mapInPandas``: true
+    sample rate / channels / duration / RMS for WAV PCM, ``decoded=false``
+    (metadata duration passthrough) for stubbed codecs. Same Arrow-batched
+    shape as the image path: one batch in memory, bytes never on the
+    driver."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, meta_dur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                try:
+                    d = decode_audio(bytes(content or b""))
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "sample_rate": d["sample_rate"],
+                            "n_channels": d["n_channels"],
+                            "bits": d["bits"],
+                            "duration_ms": d["duration_ms"],
+                            "rms": d["rms"],
+                            "decoded": True,
+                        }
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "sample_rate": None,
+                            "n_channels": None,
+                            "bits": None,
+                            "duration_ms": meta_dur,
+                            "rms": None,
+                            "decoded": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_DECODE_SCHEMA])
+
+    auds = media.where(F.col("kind") == "audio").select(
+        "media_id", "content", "duration_ms"
+    )
+    return auds.mapInPandas(_decode, schema=AUDIO_DECODE_SCHEMA)
+
+
 def _byte_entropy(b: bytes) -> float:
     """Cheap no-decode feature: Shannon entropy of the byte histogram."""
     import math

@@ -125,3 +125,50 @@ def test_resize_metadata(spark):
     assert not out[3].needs_resize or out[3].target_width == 512  # video 1920x1080 -> 512x288
     assert out[5].needs_resize is False  # unknown dims: passthrough
     assert (out[5].target_width, out[5].target_height) == (0, 0)
+
+
+def _make_wav(rate=8000, n_ch=1, bits=16, samples=None):
+    """Build a real RIFF/WAVE PCM file from integer samples."""
+    import struct
+
+    samples = samples if samples is not None else [0, 16384, -16384, 0] * 100
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    byte_rate = rate * n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, byte_rate, n_ch * bits // 8, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_true_features():
+    import math
+
+    # constant half-scale amplitude -> rms = 0.5 exactly
+    wav = _make_wav(rate=8000, samples=[16384, -16384] * 400)
+    d = mm.decode_audio(wav)
+    assert d["sample_rate"] == 8000 and d["n_channels"] == 1 and d["bits"] == 16
+    assert d["duration_ms"] == 100  # 800 frames at 8 kHz
+    assert math.isclose(d["rms"], 0.5, rel_tol=1e-9)
+    # non-WAV bytes stay loudly stubbed
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"\x00\x01\x02ID3")
+
+
+def test_decode_audio_features_end_to_end(spark):
+    wav = _make_wav(rate=16000, samples=[8192, -8192] * 160)
+    rows = [
+        (10, "audio", "audio/wav", wav, -1, -1, -1),
+        (11, "audio", "audio/mpeg", b"ID3\x03" + b"\x00" * 64, -1, -1, 7500),
+        (12, "image", "image/png", b"\x89PNG", 64, 64, -1),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.decode_audio_features(media).collect()}
+    assert set(out) == {10, 11}  # only audio rows cross the Arrow boundary
+    assert out[10].decoded and out[10].sample_rate == 16000
+    assert out[10].duration_ms == 20  # 320 frames at 16 kHz
+    assert out[10].rms == pytest.approx(0.25)
+    # stubbed codec: metadata passthrough, flagged undecoded
+    assert not out[11].decoded and out[11].duration_ms == 7500
