@@ -259,6 +259,103 @@ def ivf_topk(
     )
 
 
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cent_id_col: str = "cent_id",
+) -> DataFrame:
+    """IVF ANN with a caller-supplied (fixed) coarse quantizer: same inverted-
+    file plan shape as ``ivf_topk`` — corpus bucketed by nearest centroid,
+    each query scores only its ``nprobe`` nearest cells — but the centroids
+    come in as a DataFrame instead of a KMeans fit, making the whole pipeline
+    deterministic and SQL-expressible (q72 cross-checks it against DuckDB
+    end-to-end; the KMeans-trained ``ivf_topk`` remains the data-adaptive
+    production path).
+
+    Scale shape: centroids collapse to ONE array-of-structs row that is
+    broadcast-cross-joined — cell assignment is a per-row HOF argmin (the
+    corpus is never row-inflated by nlist and never shuffles to pick a
+    cell); probe selection is the same fold on the query side. The only
+    exchanges are the candidate equi-join on the cell id and the final
+    per-query top-k window. Ties (equidistant centroids, equal scores)
+    break on centroid/vector id — struct lexicographic order — so results
+    are deterministic in both engines."""
+    from pyspark.sql import Window
+
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    carr = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(F.col(cent_id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            ).alias("__cents")
+        )
+    )
+
+    def _dists(vec: Column) -> Column:
+        return F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(_sq(vec, c["cv"]).alias("d"), c["cid"].alias("cid")),
+        )
+
+    cells = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(carr)
+        .select(
+            id_col,
+            vec_col,
+            F.array_min(_dists(F.col(vec_col)))["cid"].alias("__cell"),
+            _norm(F.col(vec_col)).alias("__cnorm"),
+        )
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qnorm"),
+        )
+        .crossJoin(carr)
+        .select(
+            query_id_col,
+            "__qvec",
+            "__qnorm",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(_dists(F.col("__qvec"))), 1, nprobe),
+                    lambda s: s["cid"],
+                )
+            ).alias("__cell"),
+        )
+    )
+    scored = probes.join(cells, "__cell").select(
+        query_id_col,
+        id_col,
+        (
+            _dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -2379,6 +2379,78 @@ def q71_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q72_ann_ivf_det",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    cd AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                  * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))) AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+    qd AS (
+      SELECT q.query_id, q.qe, c.cid,
+             list_sum(list_transform(range(1, len(q.qe) + 1),
+               i -> (q.qe[i]::DOUBLE - c.cv[i]::DOUBLE)
+                  * (q.qe[i]::DOUBLE - c.cv[i]::DOUBLE))) AS d
+      FROM q CROSS JOIN cents c
+    ),
+    probes AS (
+      SELECT query_id, qe, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+        FROM qd) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * p.qe[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(p.qe, x -> x::DOUBLE * x::DOUBLE)))) AS score
+      FROM probes p JOIN cells e ON e.cell = p.cell
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q72_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a deterministic coarse quantizer (centroids = the 8
+    lowest-id vectors), nprobe=3, top-5 — the inverted-file pipeline shape
+    of q51 with every stage cross-engine checked (cell assignment, probe
+    selection, in-cell scoring, top-k). q51's KMeans-trained variant stays
+    the data-adaptive production path; it must remain rows-only because
+    training needs a SparkSession, while this twin proves the plan against
+    DuckDB end-to-end. Ties break on centroid/vector id everywhere."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk_fixed(emb, queries, cents, k=5, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _neardup_lsh_oracle_sql(threshold: float = 0.35, n_planes: int = 4) -> str:
     """DuckDB twin of q64: the seeded sign-LSH planes are embedded as
     literals (same construction as q35's oracle), so the WHOLE bucketed
@@ -2470,7 +2542,7 @@ _FINAL_ORDER = [
     # -- round-2 additions (oracle-backed)
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue", "q69_dormant_rich_customers",
-    "q70_bulk_suppliers_in", "q71_gap_fill",
+    "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",

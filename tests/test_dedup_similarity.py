@@ -186,3 +186,21 @@ def test_lsh_multiprobe_improves_recall(spark):
     rm = len(exact & multi) / len(exact)
     assert rm >= r1  # probing neighbor buckets never hurts recall
     assert rm >= 0.5
+
+
+def test_ivf_topk_fixed_exact_degenerate_and_self_recall(spark):
+    corpus, _ = _vecs(spark, n=100, dim=16)
+    queries = corpus.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    cents = corpus.where("vec_id < 8").selectExpr("vec_id as cent_id", "embedding")
+    exact = sim.brute_force_topk(corpus, queries, k=5).collect()
+    # nprobe == nlist probes every cell -> identical to brute force
+    full = sim.ivf_topk_fixed(corpus, queries, cents, k=5, nprobe=8).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in full} == {
+        (r.query_id, r.vec_id, r.rank) for r in exact
+    }
+    # narrow probe: a query's own cell is always probed (distance 0 to its
+    # nearest centroid is minimal), so the query always finds itself
+    approx = sim.ivf_topk_fixed(corpus, queries, cents, k=5, nprobe=2).collect()
+    for qid in range(5):
+        mine = [r.vec_id for r in approx if r.query_id == qid]
+        assert qid in mine
