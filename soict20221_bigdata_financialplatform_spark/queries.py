@@ -2512,6 +2512,797 @@ ORACLE["q64_embedding_near_dup_lsh"] = _neardup_lsh_oracle_sql()
 
 
 # ===========================================================================
+# Relational sweep completion — the remaining classic TPC-H query shapes,
+# adapted to the driver's schema (no partsupp table; lineitem has no
+# commitdate/receiptdate/shipmode, so "lateness" derives from l_shipdate vs
+# o_orderdate).  These round out the decision-support surface the reference's
+# Query.ipynb aggregation cells gesture at (Query.ipynb:100,132,498-526):
+# EXISTS/NOT-EXISTS correlation, OR-residual joins, scalar-subquery
+# thresholds, and min-per-group selection.
+# ===========================================================================
+
+
+@register(
+    "q73_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q73_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking via EXISTS — orders in a
+    quarter with at least one line shipped >60 days after the order date.
+    The correlated EXISTS is expressed as a LEFT SEMI join whose condition
+    is equi on the order key plus a non-equi residual: the shuffle
+    partitions on l_orderkey alone (hash-joinable at any scale) and the
+    date comparison evaluates post-match, never as a BNLJ (CLAUDE.md
+    invariant 13). Lineitem is projected to two columns before the join so
+    the scan ships only what the semi-join needs."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1997-04-01 00:00:00")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == l["l_orderkey"]) & (
+        l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q74_nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND ((nc.n_name = 'NATION_1' AND ns.n_name = 'NATION_2')
+          OR (nc.n_name = 'NATION_2' AND ns.n_name = 'NATION_1'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q74_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    The scale-critical move: the nation-pair OR predicate is a residual
+    FILTER after pure equi-joins, never part of a join condition (an
+    OR-of-equalities join plans BroadcastNestedLoopJoin — invariant 13).
+    Customer and supplier are semi-reduced by their broadcast nation dims
+    BEFORE touching the fact join, so the big lineitem⋈orders shuffle
+    carries only the two nations' keys."""
+    two = ["NATION_1", "NATION_2"]
+    n = _t(spark, sf_dir, "nation")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.where(F.col("n_name").isin(two)).select(
+                    F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.where(F.col("n_name").isin(two)).select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q75_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region    ON nc.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q75_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of revenue sold into a
+    region, by year. A single grouped aggregate computes numerator (CASE-
+    guarded sum) and denominator together — one pass, no self-join of
+    aggregates. Dims broadcast; the only big shuffle is lineitem⋈orders.
+    Share = ratio of two same-group sums, rounded 6 both engines (the
+    accumulation-order policy for multi-value aggregates)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nc = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    vol = F.col("volume")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q76_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT ns.n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part      ON l_partkey = p_partkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN orders    ON l_orderkey = o_orderkey
+      WHERE p_type = 'PROMO'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q76_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for one product
+    line, with cost modelled as 0.6 × retail price × quantity (the schema
+    has no partsupp.ps_supplycost — cited adaptation). The type-filtered
+    part dim drives a broadcast semi-reduction of lineitem before the
+    orders join, so the big shuffle carries ~1/6 of lineitem. The profit
+    expression is per-row deterministic arithmetic (identical op sequence
+    both engines); only the order-dependent SUM is rounded."""
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("nation", "o_year", amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q77_important_parts",
+    """
+    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) > (
+      SELECT 0.001 * sum(l_extendedprice * l_quantity)
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q77_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value (for one nation's
+    suppliers) exceeds a fraction of the nation's total — the HAVING-vs-
+    global-scalar pattern. One grouped aggregate is computed once, then the
+    global threshold derives from it by re-aggregation (not a second scan
+    of lineitem), and joins back as a broadcast literal via cross-join.
+    The reused grouped frame means lineitem is scanned exactly once."""
+    supp5 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
+    )
+    vals = (
+        li.join(F.broadcast(supp5), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("val").alias("raw_value"))
+    )
+    thresh = vals.agg((F.lit(0.001) * F.sum("raw_value")).alias("thresh"))
+    return (
+        vals.crossJoin(F.broadcast(thresh))
+        .where(F.col("raw_value") > F.col("thresh"))
+        .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "q78_late_lines_by_status",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q78_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late shipments (shipped >30 days after order) split
+    into high/low priority counts per line status — the conditional-
+    aggregation twin-counter pattern (schema has no l_shipmode/receiptdate;
+    lateness derives from shipdate vs orderdate). The year filter pushes to
+    the lineitem scan; the lateness predicate is a post-join residual on an
+    equi-join. Integer counters — no float policy needed."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~hi, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q79_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q79_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month. Numerator and
+    denominator come out of ONE aggregate over the month's lineitem slice
+    (time filter pushed to the scan); part is the broadcast side of the
+    only join. Ratio-of-sums rounded 6 both engines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-09-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-10-01 00:00:00")
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q80_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q80_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    the view-plus-scalar-max pattern. The per-supplier aggregate is
+    computed once and reused for both the max and the final filter (no
+    second lineitem scan); the scalar max broadcasts. The equality compare
+    happens on the ROUNDED revenue so both engines select from identical
+    values (raw last-ulp sums could straddle max equality)."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-04-01 00:00:00")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q81_supplier_part_cnt",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 5, 9, 15, 23, 31, 39, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q81_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute bucket,
+    excluding a supplier denylist (NOT IN → LEFT ANTI join; null-safe by
+    construction since s_suppkey is non-null). The attribute-filtered part
+    dim broadcasts; count(DISTINCT) runs as Spark's two-phase distinct
+    aggregate — partial dedup map-side, so the shuffle carries (group,
+    suppkey) pairs, not raw lineitems."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 5, 9, 15, 23, 31, 39, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q82_discount_or_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q82_discount_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive brand/
+    size/quantity clauses. THE invariant-13 showcase: the join stays a pure
+    equi-join on partkey (hash-partitionable at any scale) and the OR is a
+    post-join residual filter — writing the OR into the join condition
+    would plan a BroadcastNestedLoopJoin and evaluate all |lineitem|×|part|
+    pairs. Catalyst additionally infers the disjunction's common bounds
+    (p_size <= 30, l_quantity <= 30) for scan-level pruning."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    clause = (
+        ((brand == "Brand#12") & size.between(1, 10) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 20) & qty.between(10, 20))
+        | ((brand == "Brand#34") & size.between(1, 30) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .where(clause)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q83_waiting_orders",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q83_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the LAST to ship in finished
+    multi-supplier orders (the schema has no receipt/commit dates, so "kept
+    the order waiting" = shipped strictly latest among the order's other
+    suppliers). EXISTS → LEFT SEMI, NOT EXISTS → LEFT ANTI, both equi on
+    l_orderkey with residual supplier/date conditions — the three lineitem
+    branches co-partition on the same key, so at scale this is one shuffle
+    family, no nested loops. Ranking tiebreaks on unique s_name."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    ford = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp7 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    base = (
+        l1.join(ford, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(supp7), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+    )
+    waited = base.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    last = waited.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        last.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q84_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT DISTINCT l_partkey, s_suppkey, s_name, s_acctbal,
+             l_extendedprice / l_quantity AS unit_price
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+        AND l_quantity > 0
+    )
+    , minp AS (
+      SELECT l_partkey AS mp_partkey, min(unit_price) AS min_unit
+      FROM offers GROUP BY l_partkey
+    )
+    SELECT l_partkey, s_suppkey, s_name, s_acctbal, unit_price
+    FROM offers JOIN minp
+      ON l_partkey = mp_partkey AND unit_price = min_unit
+    ORDER BY s_acctbal DESC, l_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q84_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each mid-size part, the EUROPE supplier(s)
+    offering the minimum unit price (no partsupp table — the observed
+    lineitem unit price stands in for ps_supplycost; cited adaptation).
+    The correlated-min subquery decorrelates to ONE grouped min over the
+    offers frame, joined back on the already-partitioned part key. The
+    unit price is a single per-row IEEE division — bit-identical across
+    engines, so the min-equality join needs no rounding (and rounding
+    would break it: policy forbids rounding single-op arithmetic).
+    ANSI-safe: the l_quantity > 0 guard precedes the division."""
+    esupp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation")
+                .join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size").between(10, 20))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    offers = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(esupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal", "unit_price")
+        .distinct()
+    )
+    minp = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("min_unit"))
+    return (
+        offers.join(
+            minp.withColumnRenamed("l_partkey", "mp_partkey"),
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("unit_price") == F.col("min_unit")),
+        )
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal", "unit_price")
+        .orderBy(F.desc("s_acctbal"), "l_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q85_pii_redaction",
+    r"""
+    WITH contacts AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at ' || lower(c_name)
+               || '@example.com or +1-555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(contact,
+               '[a-z0-9#._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-555-[0-9]+', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(contact,
+               '([a-z0-9#._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|\+1-555-[0-9]+)'))
+             AS INT) AS n_pii
+    FROM contacts
+    ORDER BY c_custkey
+    """,
+)
+def q85_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — a training-data-pipeline scrubber: emails and phone
+    numbers are replaced with typed placeholder tokens and counted per row.
+    The testdata corpus contains no PII, so the fixture synthesizes
+    deterministic contact strings from the customer table and the oracle
+    rebuilds + redacts the SAME strings — the regex engines (Java regex vs
+    RE2) are genuinely cross-checked on firing patterns, not vacuously on
+    unmatched text. Patterns restrict to the RE2-compatible subset (no
+    lookaround, no backrefs). Embarrassingly parallel: narrow projection,
+    no shuffle; at 100 TB this runs scan-speed with zero exchanges.
+    (DuckDB needs the 'g' flag for replace-all; Spark's regexp_replace is
+    replace-all by default.)"""
+    email_re = r"[a-z0-9#._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+1-555-[0-9]+"
+    contact = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at "),
+        F.lower(F.col("c_name")), F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", contact.alias("contact"))
+        .select(
+            "c_custkey",
+            F.regexp_replace(
+                F.regexp_replace(F.col("contact"), email_re, "<EMAIL>"),
+                phone_re,
+                "<PHONE>",
+            ).alias("redacted"),
+            F.size(
+                F.regexp_extract_all(
+                    F.col("contact"),
+                    F.lit(f"({email_re}|{phone_re})"),
+                )
+            ).alias("n_pii"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
 # Policy: every oracle-backed query first (the ones a cap would silently
@@ -2543,6 +3334,11 @@ _FINAL_ORDER = [
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue", "q69_dormant_rich_customers",
     "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
+    "q73_order_priority_exists", "q74_nation_trade_volume",
+    "q75_market_share", "q76_product_profit", "q77_important_parts",
+    "q78_late_lines_by_status", "q79_promo_revenue", "q80_top_supplier",
+    "q81_supplier_part_cnt", "q82_discount_or_predicates",
+    "q83_waiting_orders", "q84_min_cost_supplier", "q85_pii_redaction",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",
