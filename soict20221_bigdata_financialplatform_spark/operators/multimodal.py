@@ -127,14 +127,107 @@ def _decode_ppm(b: bytes) -> dict | None:
     return out
 
 
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (types 0-4: None/Sub/Up/Average/Paeth).
+    ``raw`` is the inflated IDAT stream: h rows of 1 filter byte + w*bpp
+    sample bytes."""
+    stride = w * bpp
+    out = bytearray(h * stride)
+    prev_off = -1
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row_off = r * stride
+        line = raw[pos : pos + stride]
+        pos += stride
+        if ftype == 0:  # None
+            out[row_off : row_off + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[row_off + i - bpp] if i >= bpp else 0
+                out[row_off + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[prev_off + i] if prev_off >= 0 else 0
+                out[row_off + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[row_off + i - bpp] if i >= bpp else 0
+                up = out[prev_off + i] if prev_off >= 0 else 0
+                out[row_off + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = out[row_off + i - bpp] if i >= bpp else 0
+                b = out[prev_off + i] if prev_off >= 0 else 0
+                c = out[prev_off + i - bpp] if (prev_off >= 0 and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[row_off + i] = (line[i] + pred) & 0xFF
+        else:  # unknown filter type: give up on pixel data
+            raise ValueError(f"bad PNG filter {ftype}")
+        prev_off = row_off
+    return out
+
+
+def _decode_png(b: bytes) -> dict | None:
+    """Pure-python PNG decode — a real COMPRESSED-format path, stdlib only:
+    chunk walk → zlib-inflate IDAT → reverse scanline filters → mean RGB.
+    Supports the dominant shapes (8-bit truecolor RGB/RGBA, non-interlaced);
+    other color types / interlacing return dims-only (means None), never a
+    wrong answer. Returns None if the blob is not a PNG."""
+    import zlib
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    out = {"width": w, "height": h, "mean_r": None, "mean_g": None, "mean_b": None}
+    if depth != 8 or ctype not in (2, 6) or interlace != 0 or w <= 0 or h <= 0:
+        return out
+    bpp = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) < h * (1 + w * bpp):
+            return out
+        px = _png_unfilter(raw, w, h, bpp)
+    except Exception:
+        return out
+    n = w * h
+    out.update(
+        mean_r=sum(px[0::bpp]) / n,
+        mean_g=sum(px[1::bpp]) / n,
+        mean_b=sum(px[2::bpp]) / n,
+    )
+    return out
+
+
 def decode_image(content: bytes) -> dict:
     """Decode an image blob to {width, height, mean_r, mean_g, mean_b}.
 
-    Real decode for the uncompressed formats a header parse can handle
-    (BMP 24-bit, PPM P6); compressed formats (JPEG/PNG/...) raise
-    NotImplementedError via the stub — loudly, per the environment contract.
+    Real decode for the formats stdlib can handle: uncompressed BMP 24-bit
+    and PPM P6 (header parse) plus PNG 8-bit RGB/RGBA (zlib inflate +
+    filter reversal — a true compressed-format decode). Formats needing
+    codec libraries (JPEG/WebP/...) raise NotImplementedError via the
+    stub — loudly, per the environment contract.
     """
-    for parser in (_decode_bmp, _decode_ppm):
+    for parser in (_decode_bmp, _decode_ppm, _decode_png):
         out = parser(content)
         if out is not None:
             return out

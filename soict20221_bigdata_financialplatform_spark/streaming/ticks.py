@@ -171,6 +171,20 @@ def dedup_ticks(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return ticks.withWatermark("time", watermark).dropDuplicates(["symbol", "time"])
 
 
+def dedup_ticks_by_id(
+    ticks: DataFrame, id_cols: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup on a NON-event-time key (e.g. a producer message id):
+    ``dropDuplicatesWithinWatermark`` keeps state only for the watermark
+    horizon even though the dedup key carries no timestamp — the right form
+    when replays arrive with a fresh event time (plain ``dropDuplicates`` on
+    such a key would grow state forever; keying on (id, time) would miss the
+    replay). State is bounded by horizon × key arrival rate at any scale."""
+    return ticks.withWatermark("time", watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 def bar_aggregate(
     ticks: DataFrame,
     window: str = "1 minute",

@@ -172,3 +172,105 @@ def test_decode_audio_features_end_to_end(spark):
     assert out[10].rms == pytest.approx(0.25)
     # stubbed codec: metadata passthrough, flagged undecoded
     assert not out[11].decoded and out[11].duration_ms == 7500
+
+
+def _png_chunk(typ, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(width, height, px, filters=None, alpha=False, depth=8):
+    """Real PNG encoder (stdlib only): applies the requested per-row filter
+    types FORWARD (spec section 9) so the decoder's unfilter paths are all
+    round-trip-exercised, then zlib-compresses the stream."""
+    import struct
+    import zlib
+
+    bpp = 4 if alpha else 3
+    ctype = 6 if alpha else 2
+    filters = filters or [0] * height
+    prev = bytearray(width * bpp)
+    raw = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(px[y][x][:3]) + (b"\xff" if alpha else b"")
+        f = filters[y]
+        raw.append(f)
+        for i in range(width * bpp):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = row[i] - left
+            elif f == 2:
+                v = row[i] - up
+            elif f == 3:
+                v = row[i] - ((left + up) >> 1)
+            else:  # paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                v = row[i] - pred
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+_PX5 = [
+    [((x * 37 + y * 91 + c * 13) % 256 for c in range(3)) for x in range(4)]
+    for y in range(5)
+]
+_PX5 = [[tuple(g) for g in row] for row in _PX5]
+
+
+def _mean(px, ch):
+    vals = [p[ch] for row in px for p in row]
+    return sum(vals) / len(vals)
+
+
+def test_decode_png_all_filter_types():
+    """One row per PNG filter type (None/Sub/Up/Average/Paeth) — the
+    decoder must invert every forward filter exactly."""
+    blob = _make_png(4, 5, _PX5, filters=[0, 1, 2, 3, 4])
+    d = mm.decode_image(blob)
+    assert (d["width"], d["height"]) == (4, 5)
+    for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        assert d[key] == pytest.approx(_mean(_PX5, ch)), key
+
+
+def test_decode_png_rgba_and_unsupported_depth():
+    rgba = mm.decode_image(_make_png(3, 2, _PX, filters=[2, 4], alpha=True))
+    assert (rgba["width"], rgba["height"]) == (3, 2)
+    assert rgba["mean_r"] == pytest.approx(62.5)  # alpha ignored in means
+    assert rgba["mean_b"] == pytest.approx(72.5)
+    # 16-bit depth: dims parse from IHDR, means decline (never wrong)
+    deep = mm.decode_image(_make_png(3, 2, _PX, depth=16))
+    assert (deep["width"], deep["height"]) == (3, 2)
+    assert deep["mean_r"] is None
+
+
+def test_decode_image_features_png_end_to_end(spark):
+    """A compressed format crossing the Arrow boundary decoded=True — the
+    multimodal path is no longer metadata-only for PNG."""
+    png = _make_png(4, 5, _PX5, filters=[4, 3, 2, 1, 0])
+    rows = [(9, "image", "image/png", png, 999, 999, -1)]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.decode_image_features(media).collect()[0]
+    assert out.decoded and (out.width, out.height) == (4, 5)
+    assert out.mean_g == pytest.approx(_mean(_PX5, 1))

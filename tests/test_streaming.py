@@ -246,3 +246,39 @@ def test_stream_stream_join_rejects_same_time_name(spark, tmp_path):
     s = spark.readStream.schema("symbol string, time timestamp").json(str(d))
     with pytest.raises(ValueError):
         st.interval_join_streams(s, s, left_time="time", right_time="time")
+
+
+def test_dedup_by_message_id_within_watermark(spark, dirs):
+    """dropDuplicatesWithinWatermark on a producer message id: a replay
+    arriving later WITH A DIFFERENT EVENT TIME is still dropped (keying on
+    (id, time) would miss it; plain dropDuplicates would never free state)."""
+    src, out, ckpt = dirs
+
+    def _m(mid, time, close):
+        return json.dumps({"msg_id": mid, "symbol": "FPT", "time": time,
+                           "close": close})
+
+    schema = ("msg_id LONG, symbol STRING, time TIMESTAMP, close DOUBLE")
+    _write_file(src, "b1.json", [
+        _m(1, "2024-01-02 09:30:00", 80.0),
+        _m(1, "2024-01-02 09:30:07", 80.0),   # replay, fresh event time
+        _m(2, "2024-01-02 09:30:10", 80.5),
+    ])
+    stream = spark.readStream.schema(schema).json(src)
+    deduped = st.dedup_ticks_by_id(stream, ["msg_id"], watermark="10 minutes")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # second batch: another replay of id 1, plus a fresh id
+        _write_file(src, "b2.json", [
+            _m(1, "2024-01-02 09:31:00", 80.0),
+            _m(3, "2024-01-02 09:31:05", 81.0),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted((r.msg_id, float(r.close)) for r in spark.read.parquet(out).collect())
+    assert got == [(1, 80.0), (2, 80.5), (3, 81.0)]
