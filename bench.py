@@ -41,6 +41,12 @@ HEADLINE = [
     "q30_exact_dedup",
     "q32_minhash_pairs",
     "q34_ann_bruteforce",
+    # round-2 TPC-H sweep: nation-pair residual filter, OR-residual join,
+    # double-correlated semi/anti, scan-speed regex redaction
+    "q74_nation_trade_volume",
+    "q82_discount_or_predicates",
+    "q83_waiting_orders",
+    "q85_pii_redaction",
 ]
 
 

@@ -2849,6 +2849,9 @@ def q77_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp5), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum("val").alias("raw_value"))
+        .persist()  # one row per partkey; feeds BOTH the threshold and the
+        # filter branch — without it Spark re-derives the whole lineitem
+        # subtree per branch (verified: 2x parquet scans in the static plan)
     )
     thresh = vals.agg((F.lit(0.001) * F.sum("raw_value")).alias("thresh"))
     return (
@@ -2987,6 +2990,7 @@ def q80_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
+        .persist()  # one row per supplier, reused by max + final filter
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -3186,12 +3190,14 @@ def q84_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each mid-size part, the EUROPE supplier(s)
     offering the minimum unit price (no partsupp table — the observed
     lineitem unit price stands in for ps_supplycost; cited adaptation).
-    The correlated-min subquery decorrelates to ONE grouped min over the
-    offers frame, joined back on the already-partitioned part key. The
-    unit price is a single per-row IEEE division — bit-identical across
-    engines, so the min-equality join needs no rounding (and rounding
-    would break it: policy forbids rounding single-op arithmetic).
-    ANSI-safe: the l_quantity > 0 guard precedes the division."""
+    The correlated-min subquery is computed as a PARTITION WINDOW min over
+    the offers frame — one shuffle on the part key, no self-join, no
+    double derivation of the offers subtree (the join-back form re-scans
+    lineitem per branch). The unit price is a single per-row IEEE
+    division — bit-identical across engines, so the min-equality filter
+    needs no rounding (and rounding would break it: policy forbids
+    rounding single-op arithmetic). ANSI-safe: the l_quantity > 0 guard
+    precedes the division."""
     esupp = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -3228,13 +3234,12 @@ def q84_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "s_suppkey", "s_name", "s_acctbal", "unit_price")
         .distinct()
     )
-    minp = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("min_unit"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
     return (
-        offers.join(
-            minp.withColumnRenamed("l_partkey", "mp_partkey"),
-            (F.col("l_partkey") == F.col("mp_partkey"))
-            & (F.col("unit_price") == F.col("min_unit")),
-        )
+        offers.withColumn("min_unit", F.min("unit_price").over(w))
+        .where(F.col("unit_price") == F.col("min_unit"))
         .select("l_partkey", "s_suppkey", "s_name", "s_acctbal", "unit_price")
         .orderBy(F.desc("s_acctbal"), "l_partkey", "s_suppkey")
         .limit(100)
