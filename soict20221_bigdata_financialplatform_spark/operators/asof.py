@@ -120,3 +120,57 @@ def asof_join(
     return out.select(
         *keep, *[F.col(f"__carry_{c}").alias(c) for c in rc]
     )
+
+
+def cogroup_align(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols_left: Sequence[str],
+    value_cols_right: Sequence[str],
+) -> DataFrame:
+    """Per-key timeline alignment of two frames via ``cogroup`` +
+    ``applyInPandas`` — the union of both sides' timestamps per key, with
+    each side's values forward-filled onto the merged clock (how a feature
+    store aligns bar data with event data before training).
+
+    This is the reference's client-side "merge two query results in pandas"
+    step (Query.ipynb post-processing) turned distributed: Spark cogroups
+    both sides on the key — ONE shuffle per input, Arrow-batched transfer —
+    and pandas does only the per-key merge, never seeing more than one
+    key's data at a time. State per task is bounded by the largest single
+    key, not the table.
+    """
+    import pandas as pd
+
+    lcols, rcols = list(value_cols_left), list(value_cols_right)
+    fields = ", ".join(
+        [f"{key} long", f"{ts} timestamp"]
+        + [f"{c} double" for c in lcols + rcols]
+    )
+
+    def _merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty and r.empty:
+            return pd.DataFrame(columns=[key, ts] + lcols + rcols)
+        keyval = (l if not l.empty else r)[key].iloc[0]
+        l = l.sort_values(ts)[[ts] + lcols] if not l.empty else pd.DataFrame(
+            columns=[ts] + lcols
+        )
+        r = r.sort_values(ts)[[ts] + rcols] if not r.empty else pd.DataFrame(
+            columns=[ts] + rcols
+        )
+        clock = pd.DataFrame(
+            {ts: pd.concat([l[ts], r[ts]]).drop_duplicates().sort_values()}
+        )
+        out = clock.merge(l, on=ts, how="left").merge(r, on=ts, how="left")
+        out[lcols + rcols] = out[lcols + rcols].ffill()
+        out.insert(0, key, keyval)
+        return out
+
+    return (
+        left.select(key, ts, *lcols)
+        .groupBy(key)
+        .cogroup(right.select(key, ts, *rcols).groupBy(key))
+        .applyInPandas(_merge, schema=fields)
+    )

@@ -170,3 +170,45 @@ def test_winnow_fingerprints_properties(spark):
     df2 = spark.createDataFrame([Row(doc_id=9, text=long_doc)])
     again = tx.winnow_fingerprints(df2, "text", 4, 5).collect()[0].nfp
     assert again == out[1]
+
+
+def test_cogroup_align_forward_fill(spark):
+    from soict20221_bigdata_financialplatform_spark.operators.asof import cogroup_align
+
+    t = lambda s: dt.datetime(2024, 1, 2, 9, 30, s)
+    bars = spark.createDataFrame(
+        [Row(sym=1, ts=t(0), px=100.0), Row(sym=1, ts=t(20), px=101.0),
+         Row(sym=2, ts=t(5), px=50.0)]
+    )
+    evts = spark.createDataFrame(
+        [Row(sym=1, ts=t(10), sig=7.0), Row(sym=1, ts=t(30), sig=8.0),
+         Row(sym=3, ts=t(0), sig=1.0)]  # right-only key
+    )
+    out = cogroup_align(bars, evts, "sym", "ts", ["px"], ["sig"])
+    rows = {(r.sym, r.ts.second): (r.px, r.sig) for r in out.collect()}
+    # merged clock for sym 1: 0, 10, 20, 30 with both sides forward-filled
+    assert rows[(1, 0)] == (100.0, None)   # no event yet
+    assert rows[(1, 10)] == (100.0, 7.0)   # px carried forward
+    assert rows[(1, 20)] == (101.0, 7.0)   # sig carried forward
+    assert rows[(1, 30)] == (101.0, 8.0)
+    assert rows[(2, 5)] == (50.0, None)    # left-only key intact
+    assert rows[(3, 0)] == (None, 1.0)     # right-only key intact
+    assert len(rows) == 6
+
+
+def test_approx_distinct_error_bound(spark):
+    """q87's HLL estimate stays within 5% of the exact distinct count."""
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.event_type: r.approx_users
+              for r in QUERIES["q87_approx_distinct"](spark, sf).collect()}
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    exact = {r.event_type: r.exact
+             for r in load_table(spark, sf, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact")).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
