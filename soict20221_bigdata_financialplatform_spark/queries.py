@@ -3394,6 +3394,178 @@ def q87_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q88_scd2_intervals",
+    """
+    WITH changes AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE user_id < 20)
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+)
+def q88_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build — the warehouse pattern of turning a change
+    event stream into validity intervals: collapse consecutive identical
+    states (lag change-detection), then close each interval with the next
+    change's timestamp (lead; NULL ⇒ current row). Two stacked windows over
+    the SAME (user) partitioning — Spark plans ONE exchange for both.
+    Ordering ties break on event_id (unique) so interval edges are
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_lag))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w_lead))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@register(
+    "q89_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    )
+    SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS k,
+           count(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    WHERE date_diff('day', cohort_day, day) <= 7
+    GROUP BY cohort_day, k
+    ORDER BY cohort_day, k
+    """,
+)
+def q89_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-activity day, counted on
+    each of their next 7 active days (k=0 is the cohort size). The classic
+    product-analytics triangle. One aggregation derives cohorts, one
+    distinct pass derives activity, and the join key is user_id — all three
+    shuffles share the same key, so at scale this is one exchange family;
+    per-user state never materializes beyond (user, first_day).
+    count(*) over DISTINCT (user, day) pairs — no double-counting."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    k = F.datediff("day", "cohort_day")
+    return (
+        activity.join(firsts, "user_id")
+        .where(k <= 7)
+        .groupBy("cohort_day", k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "k")
+    )
+
+
+@register(
+    "q90_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 20.0) AS INT) AS bucket,
+           CAST(floor(value / 20.0) AS INT) * 20.0 AS lo,
+           (CAST(floor(value / 20.0) AS INT) + 1) * 20.0 AS hi,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bucket
+    """,
+)
+def q90_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type — the profiling/binning stage
+    of a data-quality pipeline. Bucket = floor(value/width): one per-row
+    IEEE division (bit-identical cross-engine, no rounding needed — policy)
+    followed by a partial+final hash aggregate; the full histogram costs
+    one narrow shuffle of (type, bucket) pairs at any scale. Bounds are
+    emitted as bucket arithmetic, not per-row min/max."""
+    bucket = F.floor(F.col("value") / 20.0).cast("int")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 20.0).alias("lo"),
+            ((F.col("bucket") + 1) * 20.0).alias("hi"),
+            "n",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "q91_stat_moments",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+           round(stddev_samp(l_discount), 6)                 AS disc_stddev,
+           round(var_samp(l_discount), 6)                    AS disc_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q91_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group — correlation, sample covariance,
+    sample stddev/variance — the numeric-profiling companions to q54's
+    structural profile. All four are single-pass streaming aggregates
+    (Welford-style merge states) — one scan, one narrow shuffle, mergeable
+    at any parallelism. Order-dependent accumulations ⇒ round(6) both
+    engines (policy)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -3431,7 +3603,8 @@ _FINAL_ORDER = [
     "q78_late_lines_by_status", "q79_promo_revenue", "q80_top_supplier",
     "q81_supplier_part_cnt", "q82_discount_or_predicates",
     "q83_waiting_orders", "q84_min_cost_supplier", "q85_pii_redaction",
-    "q86_tfidf_top_terms",
+    "q86_tfidf_top_terms", "q88_scd2_intervals", "q89_cohort_retention",
+    "q90_value_histogram", "q91_stat_moments",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",
