@@ -511,3 +511,120 @@ def resize_metadata(
         F.round(h * scale).cast("int").alias("target_height"),
         (scale < 1.0).alias("needs_resize"),
     )
+
+
+def _decode_avi(b: bytes) -> dict | None:
+    """Pure-python decode of a RIFF/AVI container: true width, height, frame
+    count, and fps from the MainAVIHeader ('avih' inside LIST hdrl) — the
+    same header-walk approach as the WAV path, one level of LIST recursion
+    deeper. Frame DATA stays codec-compressed (that decode is stubbed);
+    dimensions/cadence are what the frame-sample planner needs. Returns
+    None if the blob is not RIFF/AVI."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            size = struct.unpack_from("<I", b, pos + 4)[0]
+            if cid == b"LIST":
+                yield from walk(pos + 12, min(pos + 8 + size, hi))
+            else:
+                yield cid, b[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)  # word-aligned
+
+    for cid, body in walk(12, len(b)):
+        if cid == b"avih" and len(body) >= 40:
+            us_per_frame, _, _, _, n_frames = struct.unpack_from("<5I", body, 0)
+            w, h = struct.unpack_from("<II", body, 32)
+            fps = 1_000_000.0 / us_per_frame if us_per_frame else None
+            dur = (
+                int(n_frames * us_per_frame / 1000)
+                if us_per_frame and n_frames
+                else None
+            )
+            return {
+                "width": w,
+                "height": h,
+                "n_frames": n_frames,
+                "fps": fps,
+                "duration_ms": dur,
+            }
+    return None
+
+
+def decode_video(content: bytes) -> dict:
+    """Decode a video blob to {width, height, n_frames, fps, duration_ms}.
+    Real container parse for RIFF/AVI; other containers (MP4/MKV/...) raise
+    NotImplementedError (plug ffmpeg there), keeping the environment
+    contract loud."""
+    out = _decode_avi(content)
+    if out is not None:
+        return out
+    raise NotImplementedError(
+        "non-AVI video decoding is stubbed in this environment — plug "
+        "ffmpeg/PyAV here (RIFF/AVI headers parse natively)"
+    )
+
+
+VIDEO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_video_features(media: DataFrame) -> DataFrame:
+    """media (MEDIA_SCHEMA) → VIDEO_DECODE_SCHEMA via ``mapInPandas``: true
+    container dimensions/cadence for AVI, ``decoded=false`` metadata
+    passthrough for stubbed containers — the same Arrow-batched shape as
+    the image/audio paths, so all three modalities share one plumbing
+    pattern (reference has none of this; engine-added surface)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, mw, mh, mdur in zip(
+                pdf["media_id"], pdf["content"], pdf["width"],
+                pdf["height"], pdf["duration_ms"],
+            ):
+                try:
+                    d = decode_video(bytes(content or b""))
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "n_frames": d["n_frames"],
+                            "fps": d["fps"],
+                            "duration_ms": d["duration_ms"],
+                            "decoded": True,
+                        }
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "width": mw,
+                            "height": mh,
+                            "n_frames": None,
+                            "fps": None,
+                            "duration_ms": mdur,
+                            "decoded": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_DECODE_SCHEMA])
+
+    vids = media.where(F.col("kind") == "video").select(
+        "media_id", "content", "width", "height", "duration_ms"
+    )
+    return vids.mapInPandas(_decode, schema=VIDEO_DECODE_SCHEMA)

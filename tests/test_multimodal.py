@@ -274,3 +274,47 @@ def test_decode_image_features_png_end_to_end(spark):
     out = mm.decode_image_features(media).collect()[0]
     assert out.decoded and (out.width, out.height) == (4, 5)
     assert out.mean_g == pytest.approx(_mean(_PX5, 1))
+
+
+def _make_avi(width, height, n_frames, us_per_frame):
+    """Minimal RIFF/AVI: LIST hdrl containing a MainAVIHeader 'avih' chunk."""
+    import struct
+
+    avih = struct.pack(
+        "<14I",
+        us_per_frame,  # dwMicroSecPerFrame
+        1_000_000, 0, 0,
+        n_frames,      # dwTotalFrames
+        0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih_chunk)) + b"hdrl" + avih_chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def test_decode_avi_header():
+    d = mm.decode_video(_make_avi(640, 360, 250, 40_000))  # 25 fps, 10 s
+    assert (d["width"], d["height"]) == (640, 360)
+    assert d["n_frames"] == 250
+    assert d["fps"] == pytest.approx(25.0)
+    assert d["duration_ms"] == 10_000
+    with pytest.raises(NotImplementedError):  # non-AVI containers still loud
+        mm.decode_video(b"\x00\x00\x00 ftypisom")
+
+
+def test_decode_video_features_end_to_end(spark):
+    avi = _make_avi(320, 240, 100, 33_333)
+    rows = [
+        (7, "video", "video/avi", avi, -1, -1, -1),        # metadata unknown
+        (8, "video", "video/mp4", b"\x00\x01", 1920, 1080, 3500),
+        (9, "image", "image/bmp", b"BM", 3, 2, -1),        # filtered out
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.decode_video_features(media).collect()}
+    assert set(out) == {7, 8}
+    assert out[7].decoded and (out[7].width, out[7].height) == (320, 240)
+    assert out[7].fps == pytest.approx(1_000_000 / 33_333)
+    assert out[7].duration_ms == 3_333_300 // 1000
+    assert not out[8].decoded  # stub: metadata passthrough
+    assert (out[8].width, out[8].height, out[8].duration_ms) == (1920, 1080, 3500)
