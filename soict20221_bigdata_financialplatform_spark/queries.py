@@ -2741,7 +2741,9 @@ def q75_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q76_product_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(amount AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_profit
     FROM (
       SELECT ns.n_name AS nation,
              CAST(year(o_orderdate) AS INT) AS o_year,
@@ -2765,7 +2767,12 @@ def q76_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part dim drives a broadcast semi-reduction of lineitem before the
     orders join, so the big shuffle carries ~1/6 of lineitem. The profit
     expression is per-row deterministic arithmetic (identical op sequence
-    both engines); only the order-dependent SUM is rounded."""
+    both engines); the SUM runs in DecimalType (q50's exact-money pattern —
+    the revenue-minus-cost subtraction cancels catastrophically, so a
+    double sum's order dependence exceeds the half-cent boundary at sf0.1;
+    the per-row double→DECIMAL(28,6) cast is safe because true amounts
+    have ≤4 decimals, ≫1 ulp from the 6-decimal rounding boundary) and is
+    rounded IN decimal before the final double emit."""
     pt = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_type") == "PROMO")
@@ -2800,7 +2807,11 @@ def q76_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("nation", "o_year", amount.alias("amount"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(F.col("amount").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
