@@ -3577,6 +3577,27 @@ def q91_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q92_approx_quantiles")  # sketch-based → no exact DuckDB twin
+def q92_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per event type (Greenwald-Khanna sketch,
+    accuracy=10000 ⇒ ±0.01% rank error): like q87's HLL, the sketch is
+    fixed-size and map-side mergeable — the 100 TB percentile tool, where
+    the exact form (q37) must materialize sorted groups. pytest bounds the
+    estimate against the exact percentile on the same data. Rows-only:
+    DuckDB's approx_quantile is a different sketch (t-digest)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "approx_pcts"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -3623,7 +3644,7 @@ _FINAL_ORDER = [
     "q61_customer_distribution", "q62_large_orders",
     # -- rows-only variants (no DuckDB twin by construction): dead last
     "q32_minhash_pairs", "q33_simhash_pairs", "q49_corpus_clean",
-    "q51_ann_ivf", "q87_approx_distinct",
+    "q51_ann_ivf", "q87_approx_distinct", "q92_approx_quantiles",
 ]
 
 assert set(_FINAL_ORDER) == set(QUERIES), sorted(

@@ -212,3 +212,23 @@ def test_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_approx_quantiles_error_bound(spark):
+    """q92's GK-sketch percentiles land within 1% RELATIVE rank error of the
+    exact percentile values on real data."""
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.event_type: r.approx_pcts
+              for r in QUERIES["q92_approx_quantiles"](spark, sf).collect()}
+    exact = {r.event_type: r.pcts
+             for r in load_table(spark, sf, "events")
+             .groupBy("event_type")
+             .agg(F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+                  .alias("pcts")).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.01, (k, a, e)

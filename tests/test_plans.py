@@ -74,3 +74,39 @@ def test_profile_is_single_scan(spark, sf_dir):
     plan = checks.executed_plan(corpus.profile(docs))
     assert plan.count("Scan parquet") == 1
     assert "Union" not in plan  # the old k-scan shape unioned k aggs
+
+
+def test_correlated_shapes_never_nested_loop(spark, sf_dir):
+    """The round-2 correlated/OR shapes must plan hash joins only: residual
+    conditions ride equi keys; OR predicates are post-join filters (a
+    nested-loop join here is the 100 TB scale-killer — invariant 13)."""
+    for name in (
+        "q73_order_priority_exists", "q74_nation_trade_volume",
+        "q82_discount_or_predicates", "q83_waiting_orders",
+        "q84_min_cost_supplier",
+    ):
+        plan = checks.executed_plan(QUERIES[name](spark, sf_dir))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
+
+
+def test_threshold_shapes_share_one_derivation(spark, sf_dir):
+    """q77/q80's two consumers (global threshold + final filter) must read
+    the SAME persisted aggregate, not re-derive the lineitem subtree; q86's
+    doc-length/doc-frequency likewise share the tokenized tf frame."""
+    for name, cache_scans in (
+        ("q77_important_parts", 2),
+        ("q80_top_supplier", 2),
+        ("q86_tfidf_top_terms", 2),
+    ):
+        plan = checks.executed_plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("InMemoryTableScan") >= cache_scans, name
+
+
+def test_pii_redaction_is_shuffle_free(spark, sf_dir):
+    """q85 is a pure projection: zero exchanges before the final sort."""
+    df = QUERIES["q85_pii_redaction"](spark, sf_dir)
+    plan = checks.executed_plan(df)
+    # the only exchange allowed is the rangepartitioning for ORDER BY
+    import re
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in ex), ex
