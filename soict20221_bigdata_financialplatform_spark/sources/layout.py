@@ -53,3 +53,50 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def morton_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns into
+    one clustering key — ``bits`` low bits of each input, alternated
+    a15 b15 a14 b14 … — as a pure JVM expression tree (shiftleft/or, no
+    UDF). Sorting by this key keeps rows that are close in EITHER dimension
+    physically close, so parquet min/max stats prune files/row-groups for
+    predicates on a, on b, or on both — the multi-dimensional data-skipping
+    layout a single-column sort cannot give."""
+    from pyspark.sql import functions as F
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        abit = F.shiftright(col_a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(col_b.cast("long"), i).bitwiseAND(F.lit(1))
+        acc = F.shiftleft(acc, 2).bitwiseOR(F.shiftleft(abit, 1)).bitwiseOR(bbit)
+    return acc
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: range-partition on the Morton key (each
+    output file owns a contiguous Z-curve segment — a small rectangle-ish
+    region of (a, b) space), sort within files so row groups subdivide it.
+    At 100 TB this is the layout for "filter by user AND by time" workloads
+    where partitioning can only serve one of the two dimensions. The key is
+    computed once per row at write; reads need no knowledge of it (pruning
+    works off the per-file a/b min-max stats parquet already keeps)."""
+    from pyspark.sql import functions as F
+
+    zkey = morton_key(F.col(col_a), F.col(col_b), bits).alias("__zkey")
+    (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

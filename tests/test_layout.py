@@ -54,3 +54,86 @@ def test_minhash_bucket_cap_drops_only_boilerplate(spark):
         docs, num_hashes=64, bands=16, jaccard_threshold=0.5, max_bucket_size=None
     ).count()
     assert flood >= 30 * 29 / 2
+
+
+def test_morton_key_bit_interleave(spark):
+    """morton(a, b) alternates a's and b's bits: a=0b101, b=0b011 with
+    bits=3 -> a2 b2 a1 b1 a0 b0 = 0b100111 = 39."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(a=0b101, b=0b011)])
+    got = df.select(layout.morton_key(F.col("a"), F.col("b"), 3).alias("z"))
+    assert got.collect()[0].z == 39
+    # monotone sanity: (0,0) is the curve origin
+    z0 = spark.createDataFrame([Row(a=0, b=0)]).select(
+        layout.morton_key(F.col("a"), F.col("b"), 16).alias("z")
+    ).collect()[0].z
+    assert z0 == 0
+
+
+def _file_spans(path, col_a, col_b):
+    """Per-parquet-file normalized (span_a, span_b) from footer stats."""
+    import glob
+    import pyarrow.parquet as pq
+
+    spans = []
+    mins_a, maxs_a, mins_b, maxs_b = [], [], [], []
+    per_file = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo_a = hi_a = lo_b = hi_b = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None:
+                    continue
+                if name == col_a:
+                    lo_a = st.min if lo_a is None else min(lo_a, st.min)
+                    hi_a = st.max if hi_a is None else max(hi_a, st.max)
+                elif name == col_b:
+                    lo_b = st.min if lo_b is None else min(lo_b, st.min)
+                    hi_b = st.max if hi_b is None else max(hi_b, st.max)
+        if lo_a is None or lo_b is None:
+            continue
+        per_file.append((lo_a, hi_a, lo_b, hi_b))
+        mins_a.append(lo_a); maxs_a.append(hi_a)
+        mins_b.append(lo_b); maxs_b.append(hi_b)
+    ga = max(maxs_a) - min(mins_a) or 1
+    gb = max(maxs_b) - min(mins_b) or 1
+    for lo_a, hi_a, lo_b, hi_b in per_file:
+        spans.append(((hi_a - lo_a) / ga, (hi_b - lo_b) / gb))
+    return spans
+
+
+def test_zorder_layout_skips_in_both_dimensions(spark, tmp_path):
+    """Z-ordered files cover small boxes in (a, b) space, so footer min/max
+    stats can prune on EITHER column; a single-column sort leaves the other
+    column's per-file span at ~full range. Balanced 8-bit × 8-bit grid —
+    the workload shape z-ordering exists for (testdata's 15 users can't
+    show skipping: every file must span all of them)."""
+    from pyspark.sql import functions as F
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("a"),
+        (F.floor(F.col("id") / 256)).cast("int").alias("b"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    layout.write_zordered(grid, zpath, "a", "b", num_files=16)
+    # strawman: same file count, sorted by b only
+    grid.repartitionByRange(16, "b").sortWithinPartitions("b").write.parquet(spath)
+
+    z_spans = _file_spans(zpath, "a", "b")
+    s_spans = _file_spans(spath, "a", "b")
+    assert len(z_spans) >= 8 and len(s_spans) >= 8
+    # worst dimension per file: z-order bounds BOTH dims; single-sort leaves
+    # `a` unbounded (≈1.0) in every file
+    z_worst = sorted(max(a, b) for a, b in z_spans)
+    s_worst = sorted(max(a, b) for a, b in s_spans)
+    z_med = z_worst[len(z_worst) // 2]
+    s_med = s_worst[len(s_worst) // 2]
+    assert z_med < s_med, (z_med, s_med)
+    assert z_med <= 0.6
+    # round-trip: clustering must not lose rows
+    assert spark.read.parquet(zpath).count() == grid.count()
