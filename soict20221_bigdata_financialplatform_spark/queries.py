@@ -3598,6 +3598,101 @@ def q92_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q93_array_funcs",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> x::DOUBLE * x::DOUBLE))), 6)
+             AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           list_max(embedding)::DOUBLE AS vmax,
+           embedding[1]::DOUBLE + embedding[2]::DOUBLE + embedding[3]::DOUBLE
+             AS head3_sum
+    FROM embeddings
+    WHERE vec_id < 200
+    ORDER BY vec_id
+    """,
+)
+def q93_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column — the
+    fold/filter/max/index surface (SURVEY §2.8 extension; reference has no
+    array columns at all). All four run INSIDE the JVM as HOF expressions —
+    no UDF, no explode, zero shuffles; per-row work vectorizes behind
+    whole-stage codegen. The fold (aggregate) walks the array left-to-right
+    in BOTH engines; the norm is still rounded 6 as an accumulation, while
+    element indexing + the 3-term sum are fixed-sequence per-row IEEE ops
+    (bit-exact unrounded — policy). 1-indexed element_at matches DuckDB's
+    1-indexed lists."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    dvec, F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        (
+            F.element_at(dvec, 1) + F.element_at(dvec, 2) + F.element_at(dvec, 3)
+        ).alias("head3_sum"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q94_multiset_ops",
+    """
+    WITH a AS (SELECT o_orderpriority AS prio FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+         b AS (SELECT o_orderpriority AS prio FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+         i AS (SELECT prio FROM a INTERSECT ALL SELECT prio FROM b),
+         e AS (SELECT prio FROM a EXCEPT ALL SELECT prio FROM b)
+    SELECT prio, 'intersect_all' AS op, count(*) AS n FROM i GROUP BY prio
+    UNION ALL
+    SELECT prio, 'except_all' AS op, count(*) AS n FROM e GROUP BY prio
+    ORDER BY op, prio
+    """,
+)
+def q94_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL keeps min(countA,
+    countB) copies per value, EXCEPT ALL keeps the surplus — completing the
+    set-op family next to the DISTINCT forms (q16-q18). Spark plans both as
+    a single hash aggregate computing per-side counts (no row explosion);
+    the grouped counts make the output small and deterministic."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), "o_orderdate"
+    )
+    a = o.where(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    ).select("prio")
+    b = o.where(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    ).select("prio")
+    i = (
+        a.intersectAll(b)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("prio", F.lit("intersect_all").alias("op"), "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("prio", F.lit("except_all").alias("op"), "n")
+    )
+    return i.unionByName(e).orderBy("op", "prio")
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -3636,7 +3731,8 @@ _FINAL_ORDER = [
     "q81_supplier_part_cnt", "q82_discount_or_predicates",
     "q83_waiting_orders", "q84_min_cost_supplier", "q85_pii_redaction",
     "q86_tfidf_top_terms", "q88_scd2_intervals", "q89_cohort_retention",
-    "q90_value_histogram", "q91_stat_moments",
+    "q90_value_histogram", "q91_stat_moments", "q93_array_funcs",
+    "q94_multiset_ops",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",
