@@ -1,0 +1,92 @@
+"""End-to-end LLM training-corpus pipeline on this engine — the
+large-scale-pipeline operators from the driver brief, composed the way a
+data-curation job would run them at 100 TB:
+
+ 1. ingest the documents table; profile it (one-scan wide aggregate)
+ 2. quality gate: Gopher-style rules + language-ID + PII redaction
+ 3. exact dedup (digest group-by) then MinHash+LSH near-dup pruning
+ 4. transitive near-dup clustering -> keep one doc per cluster
+ 5. TF-IDF top terms as lightweight features
+ 6. key-stable train/test split (no rand(); reproducible across runs)
+ 7. ANN neighbors over the embeddings table for the surviving docs
+
+Run: python examples/corpus_pipeline.py   (read-only; prints one summary
+line per stage)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from soict20221_bigdata_financialplatform_spark import get_spark
+from soict20221_bigdata_financialplatform_spark.operators import corpus, dedup, similarity
+from soict20221_bigdata_financialplatform_spark.operators.components import (
+    connected_components,
+)
+from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("corpus-pipeline-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+    print(f"[1] ingest: {n0} documents")
+    prof = corpus.profile(docs, ["text", "lang", "source"])
+    print(f"[1] profile rows: {prof.count()} (one scan, stack-unpivoted)")
+
+    # 2. quality gate ------------------------------------------------------
+    survivors = corpus.quality_filter(docs, "text")
+    n2 = survivors.count()
+    print(f"[2] quality gate: {n2} survive ({n0 - n2} dropped)")
+
+    # 3. dedup: exact digest first (cheap), then banded LSH near-dup -------
+    exact = corpus.drop_exact_dups(survivors, "text", "doc_id")
+    n3 = exact.count()
+    pairs = dedup.minhash_near_dup_pairs(
+        exact, num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+    np_ = pairs.count()
+    print(f"[3] exact dedup -> {n3}; LSH near-dup pairs: {np_}")
+
+    # 4. transitive clusters -> canonical representative per cluster -------
+    comps = connected_components(pairs)  # (node, component); component = min id
+    drop = comps.where(F.col("node") != F.col("component"))
+    kept = exact.join(
+        drop.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    n4 = kept.count()
+    print(f"[4] near-dup clustering: keep {n4} canonical docs")
+
+    # 5. TF-IDF features on the kept corpus --------------------------------
+    tfidf = QUERIES["q86_tfidf_top_terms"](spark, SF_DIR)
+    print(f"[5] tf-idf top-terms rows: {tfidf.count()}")
+
+    # 6. reproducible split ------------------------------------------------
+    train, test = corpus.train_test_split(kept, id_col="doc_id", test_fraction=0.1)
+    print(f"[6] split: {train.count()} train / {test.count()} test (key-stable)")
+
+    # 7. ANN neighbors over embeddings ------------------------------------
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.brute_force_topk(emb, queries, k=5)
+    print(f"[7] ANN: {topk.count()} (query, neighbor) rows")
+
+    print("corpus pipeline complete")
+
+
+if __name__ == "__main__":
+    main()
