@@ -223,6 +223,132 @@ def ema_native(
     return df.withColumn(out_col, folded)
 
 
+def bollinger(
+    df: DataFrame,
+    n: int = 20,
+    k: float = 2.0,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+) -> DataFrame:
+    """Bollinger bands: trailing-n SMA midline ± k sample standard
+    deviations, plus %B position within the band. Null during warm-up
+    (< n rows), matching :func:`sma`'s frame semantics.
+
+    Extends the reference's indicator family (to_db.py:40-49 computes
+    change/EMA/RSI; SMA/stddev are the same one-exchange window shape).
+    ONE hash exchange on the key; mid/sd/bands are all over the identical
+    frame so Catalyst computes them in a single Window node. %B division is
+    ANSI-guarded (flat band → null)."""
+    w = _wspec(key_cols, order_col).rowsBetween(-(n - 1), 0)
+    cnt = F.count(value_col).over(w)
+    mid = F.when(cnt >= n, F.avg(value_col).over(w))
+    sd = F.when(cnt >= n, F.stddev_samp(value_col).over(w))
+    upper = mid + F.lit(k) * sd
+    lower = mid - F.lit(k) * sd
+    pct_b = F.when(
+        upper != lower, (F.col(value_col) - lower) / (upper - lower)
+    )
+    return (
+        df.withColumn(f"bb_mid_{n}", mid)
+        .withColumn(f"bb_upper_{n}", upper)
+        .withColumn(f"bb_lower_{n}", lower)
+        .withColumn(f"bb_pct_{n}", pct_b)
+    )
+
+
+def macd(
+    df: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """MACD: EMA(fast) − EMA(slow), a signal EMA over that line, and the
+    histogram (line − signal). All three recursions run in ONE grouped
+    ``applyInPandas`` pass — one shuffle on the key, three linear ewm scans
+    inside the same Arrow batch (composing :func:`ema` three times would
+    shuffle three times and cross Arrow six times).
+
+    Semantics pinned to pandas ``ewm(span=·, adjust=False)`` seeded with the
+    first value — the same canonical recursion as :func:`ema` (reference
+    to_db.py:40-49 stops at one EMA; MACD is its standard extension)."""
+    line_col, sig_col, hist_col = "macd_line", "macd_signal", "macd_hist"
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(line_col, T.DoubleType()),
+            T.StructField(sig_col, T.DoubleType()),
+            T.StructField(hist_col, T.DoubleType()),
+        ]
+    )
+    if num_partitions is not None:
+        df = df.repartition(num_partitions, *key_cols)
+    order_cols = [order_col]
+
+    def _macd_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        v = pdf[value_col].astype("float64")
+        line = (
+            v.ewm(span=fast, adjust=False).mean()
+            - v.ewm(span=slow, adjust=False).mean()
+        )
+        sig = line.ewm(span=signal, adjust=False).mean()
+        pdf[line_col] = line
+        pdf[sig_col] = sig
+        pdf[hist_col] = line - sig
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_macd_group, schema=out_schema)
+
+
+def running_vwap(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    price_col: str,
+    qty_col: str,
+    amount_col: str | None = None,
+) -> DataFrame:
+    """Running volume-weighted average price per key: cumulative
+    Σ(price·qty) / Σ(qty) in ``order_cols`` order (pass a unique tiebreak —
+    a running sum's value depends on frame order).
+
+    ``amount_col`` short-circuits the multiply when the notional amount is
+    already materialized (e.g. lineitem's extendedprice). The running sums
+    are emitted rounded (2) and the ratio is taken over the ROUNDED sums,
+    UNROUNDED (float policy: accumulations round, single-op per-row ratios
+    never do — IEEE division of identical operands is engine-reproducible;
+    re-rounding the quotient splits on decimal half-way cases). One window
+    exchange; zero-qty prefix is ANSI-guarded."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    amount = (
+        F.col(amount_col)
+        if amount_col is not None
+        else F.col(price_col) * F.col(qty_col)
+    )
+    run_amt = F.round(F.sum(amount).over(w), 2)
+    run_qty = F.round(F.sum(qty_col).over(w), 2)
+    return (
+        df.withColumn("run_amount", run_amt)
+        .withColumn("run_qty", run_qty)
+        .withColumn(
+            "vwap",
+            F.when(
+                F.col("run_qty") != 0,
+                F.col("run_amount") / F.col("run_qty"),
+            ),
+        )
+    )
+
+
 def with_indicators(
     df: DataFrame,
     key_cols: Sequence[str] = ("symbol",),

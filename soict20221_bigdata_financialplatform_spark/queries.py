@@ -3693,6 +3693,136 @@ def q94_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return i.unionByName(e).orderBy("op", "prio")
 
 
+@register(
+    "q95_bollinger",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN count(value) OVER w >= 20 THEN avg(value) OVER w END AS mid,
+             CASE WHEN count(value) OVER w >= 20
+                  THEN stddev_samp(value) OVER w END AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, value,
+           round(mid, 6)            AS bb_mid,
+           round(mid + 2.0 * sd, 6) AS bb_upper,
+           round(mid - 2.0 * sd, 6) AS bb_lower,
+           CASE WHEN (mid + 2.0 * sd) != (mid - 2.0 * sd)
+                THEN round((value - (mid - 2.0 * sd))
+                           / ((mid + 2.0 * sd) - (mid - 2.0 * sd)), 6) END
+             AS bb_pct
+    FROM b
+    """,
+)
+def q95_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (SMA20 ± 2σ + %B) — the reference's indicator family
+    (to_db.py:40-49) extended with the stddev envelope. One Window node:
+    mid/sd/bands all share the trailing-20 frame and the single per-key
+    exchange."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ind.bollinger(e, 20, 2.0, ("user_id",), "ts", "value")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round("bb_mid_20", 6).alias("bb_mid"),
+        F.round("bb_upper_20", 6).alias("bb_upper"),
+        F.round("bb_lower_20", 6).alias("bb_lower"),
+        F.round("bb_pct_20", 6).alias("bb_pct"),
+    )
+
+
+@register(
+    "q96_macd",
+    """
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), rec(user_id, event_id, ts, value, rn, e12, e26, sig) AS (
+      SELECT user_id, event_id, ts, value, rn,
+             value::DOUBLE, value::DOUBLE, 0.0::DOUBLE
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_id, r.ts, r.value, r.rn,
+             (2.0/13.0) * r.value + (1.0 - 2.0/13.0) * p.e12,
+             (2.0/27.0) * r.value + (1.0 - 2.0/27.0) * p.e26,
+             (2.0/10.0) * (((2.0/13.0) * r.value + (1.0 - 2.0/13.0) * p.e12)
+                         - ((2.0/27.0) * r.value + (1.0 - 2.0/27.0) * p.e26))
+               + (1.0 - 2.0/10.0) * p.sig
+      FROM ranked r JOIN rec p ON r.user_id = p.user_id AND r.rn = p.rn + 1
+    )
+    SELECT user_id, event_id, ts, value,
+           round(e12 - e26, 6)         AS macd_line,
+           round(sig, 6)               AS macd_signal,
+           round((e12 - e26) - sig, 6) AS macd_hist
+    FROM rec
+    """,
+)
+def q96_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) — three EMA recursions in ONE applyInPandas pass (one
+    shuffle, one Arrow crossing). Oracle: a single recursive CTE carrying
+    all three accumulators (e12, e26, signal) — the same cross-engine
+    recursion check as q23, three-wide. Seeds: e12=e26=first value (so the
+    line starts at exactly 0.0) and signal=first line value."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    npart = max(2, spark.sparkContext.defaultParallelism)
+    out = ind.macd(
+        e, 12, 26, 9, ("user_id",), "ts", "value", num_partitions=npart
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round("macd_line", 6).alias("macd_line"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_hist", 6).alias("macd_hist"),
+    )
+
+
+@register(
+    "q97_running_vwap",
+    """
+    WITH w AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             round(sum(l_extendedprice) OVER win, 2) AS run_amount,
+             round(sum(l_quantity) OVER win, 2)      AS run_qty
+      FROM lineitem
+      WINDOW win AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_partkey, l_orderkey, l_linenumber, run_amount, run_qty,
+           CASE WHEN run_qty != 0 THEN run_amount / run_qty END AS vwap
+    FROM w
+    """,
+)
+def q97_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running VWAP per part over the lineitem flow (cumulative notional /
+    cumulative quantity in shipdate order, tiebroken on the unique line
+    key). Float policy: accumulate → round(2) → single-op divide, emitted
+    UNROUNDED (IEEE division of identical rounded operands is already
+    engine-reproducible; re-rounding splits half-way cases). One window
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = ind.running_vwap(
+        li,
+        key_cols=("l_partkey",),
+        order_cols=("l_shipdate", "l_orderkey", "l_linenumber"),
+        price_col="l_extendedprice",
+        qty_col="l_quantity",
+        amount_col="l_extendedprice",
+    )
+    return out.select(
+        "l_partkey", "l_orderkey", "l_linenumber",
+        "run_amount", "run_qty", "vwap",
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -3732,7 +3862,7 @@ _FINAL_ORDER = [
     "q83_waiting_orders", "q84_min_cost_supplier", "q85_pii_redaction",
     "q86_tfidf_top_terms", "q88_scd2_intervals", "q89_cohort_retention",
     "q90_value_histogram", "q91_stat_moments", "q93_array_funcs",
-    "q94_multiset_ops",
+    "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",

@@ -137,3 +137,57 @@ def test_with_indicators_composes(spark):
     cols = set(out.columns)
     assert {"change_abs", "change_pct", "sma_3", "rsi_3", "ema_3"} <= cols
     assert out.count() == len(CLOSES)
+
+
+def test_bollinger_golden(spark):
+    """BB(3, k=2): mid = SMA3, sd = sample stddev over the same frame."""
+    df = ind.bollinger(_bars(spark), 3, 2.0)
+    mid = _col(df, "bb_mid_3")
+    up = _col(df, "bb_upper_3")
+    lo = _col(df, "bb_lower_3")
+    pct = _col(df, "bb_pct_3")
+    assert mid[0] is None and mid[1] is None  # warm-up
+    m2 = (10 + 11 + 12) / 3
+    sd2 = pd.Series([10.0, 11.0, 12.0]).std()  # ddof=1
+    assert mid[2] == pytest.approx(m2)
+    assert up[2] == pytest.approx(m2 + 2 * sd2)
+    assert lo[2] == pytest.approx(m2 - 2 * sd2)
+    assert pct[2] == pytest.approx((12.0 - (m2 - 2 * sd2)) / (4 * sd2))
+
+
+def test_bollinger_flat_band_pct_is_null(spark):
+    df = ind.bollinger(_bars(spark, [5.0] * 5), 3, 2.0)
+    pct = _col(df, "bb_pct_3")
+    assert pct[3] is None  # zero-width band -> guarded null, no ANSI error
+
+
+def test_macd_matches_pandas(spark):
+    """MACD(12,26,9) == the three pandas ewm recursions composed."""
+    df = ind.macd(_bars(spark), 12, 26, 9)
+    got_line = _col(df, "macd_line")
+    got_sig = _col(df, "macd_signal")
+    got_hist = _col(df, "macd_hist")
+    v = pd.Series(CLOSES)
+    line = (
+        v.ewm(span=12, adjust=False).mean() - v.ewm(span=26, adjust=False).mean()
+    )
+    sig = line.ewm(span=9, adjust=False).mean()
+    assert got_line == pytest.approx(list(line))
+    assert got_sig == pytest.approx(list(sig))
+    assert got_hist == pytest.approx(list(line - sig))
+    assert got_line[0] == 0.0 and got_sig[0] == 0.0  # seed: first line value
+
+
+def test_running_vwap_golden(spark):
+    rows = [
+        Row(sym="A", seq=1, px=10.0, qty=2.0),
+        Row(sym="A", seq=2, px=20.0, qty=2.0),
+        Row(sym="A", seq=3, px=40.0, qty=4.0),
+    ]
+    df = ind.running_vwap(
+        spark.createDataFrame(rows), ("sym",), ("seq",), "px", "qty"
+    )
+    vw = _col(df, "vwap", key="sym", order="seq")
+    assert vw[0] == pytest.approx(10.0)
+    assert vw[1] == pytest.approx(60.0 / 4.0)
+    assert vw[2] == pytest.approx(220.0 / 8.0)
