@@ -1,0 +1,105 @@
+"""Frequent-items (heavy hitters) — exact and mergeable-sketch forms.
+
+The exact form is the oracle-checkable baseline: one grouped count plus a
+broadcast grand-total scalar (the q77 scalar-threshold pattern — never a
+single-partition window over the grouped frame, whose distinct-item count is
+unbounded at corpus scale).
+
+The sketch form is distributed Misra-Gries (the mergeable-summaries
+construction of Agarwal et al., PODS 2012): each partition maintains a
+capacity-k weighted MG summary over Arrow batches, the ≤ partitions·k
+partial rows merge by key-sum, and one final MG decrement restores the
+global bound — any item with true frequency > n/(k+1) survives, and every
+reported count is within n/(k+1) below its true count. State per partition
+is O(k); nothing ever shuffles per input row. This is the 100 TB shape for
+"which tokens/domains/templates dominate the corpus" (boilerplate and
+stopword discovery) where the exact form's per-token shuffle is the cost.
+
+Reference parity: the reference has no frequency analysis; this extends the
+driver-brief pipeline operators alongside HLL (q87) and GK quantiles (q92).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def heavy_hitters_exact(
+    df: DataFrame, col: str, min_frac: float = 0.005
+) -> DataFrame:
+    """(item, cnt, frac) for every item whose frequency ≥ ``min_frac`` of
+    all rows. One grouped count (map-side combined); the grand total is an
+    aggregate OF the grouped frame (no second scan) broadcast back as a
+    scalar. ``frac`` is a single-op ratio of exact longs — emitted unrounded
+    per the float policy."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(min_frac) * F.col("total"))
+        .select(col, "cnt", (F.col("cnt") / F.col("total")).alias("frac"))
+    )
+
+
+def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Capacity-``k`` distributed Misra-Gries summary: ≤ k (item,
+    mg_count) rows, each mg_count an UNDER-estimate by at most n/(k+1).
+
+    Per-partition pass is Arrow-batched: each batch collapses to its
+    ``value_counts`` (vectorized) and merges into the partition's weighted
+    MG dict (≤ k entries; a weighted decrement evicts the minimum mass when
+    capacity overflows). Partials merge by key-sum — at most partitions·k
+    rows cross the wire regardless of input size — and one final decrement
+    at rank k+1 restores the mergeable-summary error bound."""
+    out_field = df.schema[col]
+    partial_schema = T.StructType(
+        [out_field, T.StructField("mg_count", T.LongType())]
+    )
+
+    def _partition_mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts(dropna=True)
+            for item, cnt in vc.items():
+                summary[item] = summary.get(item, 0) + int(cnt)
+            if len(summary) > k:
+                # weighted decrement: remove the smallest masses until ≤ k
+                # items remain, subtracting the pivot mass from survivors.
+                sorted_counts = sorted(summary.values())
+                pivot = sorted_counts[len(summary) - k - 1]
+                summary = {
+                    i: c - pivot for i, c in summary.items() if c > pivot
+                }
+        yield pd.DataFrame(
+            {col: list(summary.keys()), "mg_count": list(summary.values())}
+        )
+
+    partials = df.select(col).mapInPandas(_partition_mg, schema=partial_schema)
+    # persist: the pivot branch and the output branch both read this tiny
+    # (≤ partitions·k rows) frame — without it each re-runs the full scan.
+    merged = (
+        partials.groupBy(col).agg(F.sum("mg_count").alias("mg_count")).persist()
+    )
+    # Final trim on the tiny merged frame (≤ partitions·k rows): subtract the
+    # (k+1)-th largest mass so at most k items survive with the global bound.
+    ranked = merged.withColumn(
+        "__rk", F.row_number().over(Window.orderBy(F.desc("mg_count"), col))
+    )
+    pivot = ranked.where(F.col("__rk") == k + 1).agg(
+        F.max("mg_count").alias("__pivot")
+    )  # exactly one row; NULL when ≤ k items survived the merge
+    return (
+        ranked.crossJoin(F.broadcast(pivot))
+        .withColumn(
+            "mg_count",
+            F.col("mg_count") - F.coalesce(F.col("__pivot"), F.lit(0)),
+        )
+        .where(F.col("mg_count") > 0)
+        .select(col, "mg_count")
+    )

@@ -31,6 +31,7 @@ from soict20221_bigdata_financialplatform_spark.functions import text as tx
 from soict20221_bigdata_financialplatform_spark.operators import dedup as dd
 from soict20221_bigdata_financialplatform_spark.operators import serving as srv
 from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
+from soict20221_bigdata_financialplatform_spark.operators import sketch as sk
 from soict20221_bigdata_financialplatform_spark.operators.asof import asof_join
 from soict20221_bigdata_financialplatform_spark.sources import load_table
 
@@ -3823,6 +3824,55 @@ def q97_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q98_token_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(lower(text)), ' ')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, count(*)::BIGINT AS cnt
+      FROM tok WHERE token != '' GROUP BY token
+    ), t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+    SELECT token, cnt, cnt::DOUBLE / total::DOUBLE AS frac
+    FROM c, t
+    WHERE cnt::DOUBLE >= 0.005 * total::DOUBLE
+    ORDER BY cnt DESC, token
+    """,
+)
+def q98_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: tokens carrying ≥ 0.5% of all token mass
+    (boilerplate/stopword discovery). One grouped count + a broadcast
+    grand-total scalar computed FROM the grouped frame — no second corpus
+    scan, no single-partition window. ``frac`` is an unrounded single-op
+    ratio of exact longs (bit-equal across engines). The Misra-Gries sketch
+    (``operators/sketch.py``) is the 100 TB path; this exact form is its
+    oracle-checked baseline."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return sk.heavy_hitters_exact(tokens, "token", 0.005).orderBy(
+        F.desc("cnt"), "token"
+    )
+
+
+@register("q99_heavy_hitters_mg")
+def q99_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters (capacity 64) over the same
+    token stream as q98 — ≤ 64 candidate rows shuffle per partition instead
+    of every distinct token. rows-only: MG counts are partition-layout
+    dependent by construction (deterministic for a fixed layout; the
+    superset-of-exact guarantee is pytest-pinned on a skewed fixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return sk.heavy_hitters_mg(tokens, "token", 64).orderBy(
+        F.desc("mg_count"), "token"
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -3863,6 +3913,7 @@ _FINAL_ORDER = [
     "q86_tfidf_top_terms", "q88_scd2_intervals", "q89_cohort_retention",
     "q90_value_histogram", "q91_stat_moments", "q93_array_funcs",
     "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
+    "q98_token_heavy_hitters",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",
@@ -3871,6 +3922,7 @@ _FINAL_ORDER = [
     # -- rows-only variants (no DuckDB twin by construction): dead last
     "q32_minhash_pairs", "q33_simhash_pairs", "q49_corpus_clean",
     "q51_ann_ivf", "q87_approx_distinct", "q92_approx_quantiles",
+    "q99_heavy_hitters_mg",
 ]
 
 assert set(_FINAL_ORDER) == set(QUERIES), sorted(

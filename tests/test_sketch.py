@@ -1,0 +1,76 @@
+"""Heavy hitters: exact baseline golden + Misra-Gries mergeable-summary
+guarantees (capacity-k undercount bound, superset-of-frequent property)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from soict20221_bigdata_financialplatform_spark.operators import sketch as sk
+
+
+def _items(spark, counts: dict[str, int], partitions: int = 8):
+    rows = [Row(item=it) for it, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows).repartition(partitions)
+
+
+SKEWED = {
+    "the": 400, "of": 250, "and": 180,          # heavy
+    **{f"w{i}": 7 for i in range(40)},          # long tail
+    **{f"x{i}": 2 for i in range(60)},
+}
+
+
+def test_exact_heavy_hitters_golden(spark):
+    df = _items(spark, SKEWED)
+    n = sum(SKEWED.values())
+    got = {
+        r["item"]: (r["cnt"], r["frac"])
+        for r in sk.heavy_hitters_exact(df, "item", 0.1).collect()
+    }
+    expect = {it: c for it, c in SKEWED.items() if c >= 0.1 * n}
+    assert set(got) == set(expect)
+    for it, c in expect.items():
+        assert got[it][0] == c
+        assert got[it][1] == c / n
+
+
+def test_mg_superset_and_undercount_bound(spark):
+    k = 16
+    df = _items(spark, SKEWED)
+    n = sum(SKEWED.values())
+    got = {
+        r["item"]: r["mg_count"]
+        for r in sk.heavy_hitters_mg(df, "item", k).collect()
+    }
+    assert len(got) <= k
+    bound = n / (k + 1)
+    # every item with true frequency > n/(k+1) must survive …
+    for it, c in SKEWED.items():
+        if c > bound:
+            assert it in got, f"{it} (true {c} > bound {bound:.1f}) missing"
+    # … and every reported count is an undercount by at most n/(k+1)
+    for it, mg in got.items():
+        true = SKEWED[it]
+        assert mg <= true
+        assert true - mg <= bound
+
+
+def test_mg_exact_when_under_capacity(spark):
+    counts = {"a": 50, "b": 30, "c": 20}
+    df = _items(spark, counts, partitions=4)
+    got = {
+        r["item"]: r["mg_count"]
+        for r in sk.heavy_hitters_mg(df, "item", 64).collect()
+    }
+    assert got == counts  # no eviction ever fires -> counts are exact
+
+
+def test_mg_agrees_with_exact_on_heavy_set(spark):
+    """The sketch's survivors at generous capacity cover the exact ≥5% set."""
+    df = _items(spark, SKEWED)
+    exact = {
+        r["item"] for r in sk.heavy_hitters_exact(df, "item", 0.05).collect()
+    }
+    mg = {r["item"] for r in sk.heavy_hitters_mg(df, "item", 32).collect()}
+    assert exact <= mg
