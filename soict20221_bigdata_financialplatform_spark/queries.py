@@ -3873,6 +3873,90 @@ def q99_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q100_map_funcs",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           count(*)::INTEGER                                   AS n_types,
+           coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0)::BIGINT
+                                                               AS clicks,
+           array_to_string(list_sort(list(event_type)), ',')   AS types,
+           sum(n)::BIGINT                                      AS total_events,
+           count(*) FILTER (WHERE n >= 5)::INTEGER             AS frequent_types
+    FROM c GROUP BY user_id
+    """,
+)
+def q100_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type histogram built AS A MAP
+    (map_from_entries over the sorted entry list), then interrogated with
+    map_keys / map_values / map_filter / element_at / an aggregate HOF over
+    the values — all JVM-side map expressions, zero UDFs. Output is scalar
+    columns so the DuckDB twin (which models the same histogram relationally
+    with FILTER aggregates) hashes identically. One shuffle family on
+    user_id: the (user, type) pre-aggregate and the map build share the key
+    prefix."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    tc = F.col("type_counts")
+    return m.select(
+        "user_id",
+        F.size(tc).alias("n_types"),
+        F.coalesce(F.element_at(tc, "click"), F.lit(0)).alias("clicks"),
+        F.array_join(F.sort_array(F.map_keys(tc)), ",").alias("types"),
+        F.aggregate(
+            F.map_values(tc), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_events"),
+        F.size(F.map_filter(tc, lambda k, v: v >= 5)).alias("frequent_types"),
+    )
+
+
+@register(
+    "q101_unpivot",
+    """
+    UNPIVOT (
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2)      AS qty,
+             round(sum(l_extendedprice), 2) AS gross,
+             round(sum(l_discount), 2)      AS discount_mass,
+             round(sum(l_tax), 2)           AS tax_mass
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ) ON qty, gross, discount_mass, tax_mass
+      INTO NAME measure VALUE amount
+    """,
+)
+def q101_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): the grouped pricing summary unpivoted to
+    (group, measure, amount) rows via ``unpivot`` — the inverse of q39's
+    pivot, completing the reshape pair. The unpivot is a zero-shuffle
+    projection over the 4-row-per-group aggregate (Expand node, no
+    exchange); DuckDB's native UNPIVOT is the twin. Measure VALUES are the
+    already-rounded sums, so the long form hashes identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        F.round(F.sum("l_discount"), 2).alias("discount_mass"),
+        F.round(F.sum("l_tax"), 2).alias("tax_mass"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag", "l_linestatus"],
+        values=["qty", "gross", "discount_mass", "tax_mass"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -3913,7 +3997,7 @@ _FINAL_ORDER = [
     "q86_tfidf_top_terms", "q88_scd2_intervals", "q89_cohort_retention",
     "q90_value_histogram", "q91_stat_moments", "q93_array_funcs",
     "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
-    "q98_token_heavy_hitters",
+    "q98_token_heavy_hitters", "q100_map_funcs", "q101_unpivot",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",
