@@ -100,3 +100,58 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    partition_cols: list[str],
+    rows_per_file: int = 1_000_000,
+) -> None:
+    """Small-file compaction for a partitioned parquet dataset: rewrite each
+    partition directory into at most ``ceil(rows / rows_per_file)`` files
+    (slots that hash to the same task merge — strictly fewer, never more).
+
+    Incremental pipelines (micro-batch appends, per-day merges) fragment
+    partitions into thousands of tiny files; at 100 TB the scan's task-setup
+    and footer-read overhead then dominates. This rewrites with exactly one
+    shuffle: per-partition row counts (an aggregate of partition keys only —
+    tiny) broadcast back, every row gets a deterministic file slot
+    ``xxhash64(row) mod n_files``, and one hash repartition on
+    (partition, slot) lands each output file in exactly one task. No
+    collect, no per-partition driver loop; skew is impossible by
+    construction (slots are uniform within a partition).
+
+    Writes to ``out_path`` (copy-compact); compact-in-place should stage
+    and swap — self-overwrite of a dataset being read is not defined in
+    Spark's commit protocol.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(in_path)
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    counts = (
+        df.groupBy(*partition_cols)
+        .count()
+        .withColumn(
+            "__nf",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("count") / rows_per_file)
+            ).cast("int"),
+        )
+        .drop("count")
+    )
+    slotted = (
+        df.join(F.broadcast(counts), partition_cols)
+        .withColumn(
+            "__slot", F.pmod(F.xxhash64(*data_cols), F.col("__nf"))
+        )
+    )
+    (
+        slotted.repartition(*partition_cols, "__slot")
+        .drop("__nf", "__slot")
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(out_path)
+    )

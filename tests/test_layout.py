@@ -137,3 +137,36 @@ def test_zorder_layout_skips_in_both_dimensions(spark, tmp_path):
     assert z_med <= 0.6
     # round-trip: clustering must not lose rows
     assert spark.read.parquet(zpath).count() == grid.count()
+
+
+def test_compact_partitioned(spark, tmp_path):
+    """Fragmented partitions collapse to one file each; rows are identical."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from soict20221_bigdata_financialplatform_spark.sources.layout import (
+        compact_partitioned,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    # 16 writer tasks x 4 partition values -> up to 64 tiny files
+    df.repartition(16).write.partitionBy("part").parquet(src)
+    n_before = len(glob.glob(f"{src}/part=*/*.parquet"))
+    assert n_before > 8
+
+    compact_partitioned(spark, src, dst, ["part"], rows_per_file=10_000)
+    files_per_dir = {
+        p: len(glob.glob(f"{dst}/part={p}/*.parquet")) for p in "0123"
+    }
+    assert all(n == 1 for n in files_per_dir.values()), files_per_dir
+
+    before = {(r["part"], r["k"], r["v"]) for r in spark.read.parquet(src).collect()}
+    after = {(r["part"], r["k"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert before == after
