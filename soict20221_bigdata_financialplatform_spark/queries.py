@@ -3957,6 +3957,40 @@ def q101_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q102_variant_json",
+    """
+    SELECT event_id, user_id, event_type,
+           (props->>'k')::INTEGER AS k,
+           props->>'missing'      AS missing_field,
+           count(*) OVER (PARTITION BY user_id, (props->>'k')::INTEGER % 10)
+             ::BIGINT             AS bucket_peers
+    FROM events
+    """,
+)
+def q102_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json`` once,
+    then typed ``variant_get`` extraction and a ``try_variant_get`` miss
+    (null, no ANSI error) — the open-schema alternative to q26's
+    fixed-schema ``from_json``. The extracted value then drives a window
+    (JSON-shredded columns compose with relational ops). VARIANT's binary
+    encoding parses the JSON once however many fields are pulled — at
+    100 TB the from_json-per-field pattern re-parses per extraction."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    shredded = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
+    )
+    w = Window.partitionBy("user_id", F.pmod("k", F.lit(10)))
+    return shredded.withColumn("bucket_peers", F.count(F.lit(1)).over(w))
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -3998,6 +4032,7 @@ _FINAL_ORDER = [
     "q90_value_histogram", "q91_stat_moments", "q93_array_funcs",
     "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
     "q98_token_heavy_hitters", "q100_map_funcs", "q101_unpivot",
+    "q102_variant_json",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",
