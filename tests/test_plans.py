@@ -110,3 +110,44 @@ def test_pii_redaction_is_shuffle_free(spark, sf_dir):
     import re
     ex = [l for l in plan.splitlines() if "Exchange" in l]
     assert all("rangepartitioning" in l for l in ex), ex
+
+
+def test_bollinger_single_window_single_exchange(spark, sf_dir):
+    """q95: mid/sd/bands/%B all share one trailing frame -> ONE Window node
+    behind ONE hash exchange (Catalyst must not split the envelope)."""
+    q = QUERIES["q95_bollinger"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Window") == 1
+
+
+def test_running_vwap_single_exchange(spark, sf_dir):
+    q = QUERIES["q97_running_vwap"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1
+
+
+def test_heavy_hitters_total_is_broadcast(spark, sf_dir):
+    """q98: the grand-total scalar joins as a broadcast of ONE row — the
+    grouped token frame never funnels through a single partition."""
+    q = QUERIES["q98_token_heavy_hitters"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert "BroadcastExchange" in plan
+    assert "SinglePartition" not in plan.split("BroadcastExchange")[0]
+
+
+def test_unpivot_is_expand_no_extra_exchange(spark, sf_dir):
+    """q101: the melt is an Expand projection — exactly the aggregate's own
+    exchange, nothing added by the reshape."""
+    q = QUERIES["q101_unpivot"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_variant_path_has_no_python_udf(spark, sf_dir):
+    """q102: VARIANT shredding stays JVM-side (no BatchEvalPython /
+    ArrowEvalPython in the plan)."""
+    q = QUERIES["q102_variant_json"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert "EvalPython" not in plan
