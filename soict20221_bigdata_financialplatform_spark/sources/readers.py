@@ -172,3 +172,45 @@ def read_bars_json(spark: SparkSession, path: str) -> DataFrame:
 def read_bars_csv(spark: SparkSession, path: str) -> DataFrame:
     """S2: header CSV with the notebook's 7-column schema."""
     return spark.read.csv(path, header=True, schema=BARS_CSV_SCHEMA)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text ingest for raw corpus files: one row per line with
+    its source file (``input_file_name`` — provenance survives shuffles as a
+    plain column). The front door for LLM-pipeline text that isn't parquet
+    yet; ``wholetext=False`` keeps splits line-aligned so a 100 GB file
+    still parallelizes across tasks."""
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path).select(
+        F.input_file_name().alias("source_file"),
+        F.col("value").alias("line"),
+    )
+
+
+def read_jsonl_documents(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines document ingest (one object per line — the common corpus
+    interchange format). NOT multiline: line-delimited JSON splits by line,
+    so unlike the S1 array-of-objects form it parallelizes within a file.
+    Pass an explicit schema at scale; inference costs one extra full pass.
+    Corrupt lines land in ``_corrupt_record`` (PERMISSIVE) instead of
+    failing the job — count them before trusting a crawl."""
+    r = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib, Spark-native) — the interchange format for
+    Hive/Presto-side consumers; same columnar pruning properties as
+    parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning work as with
+    parquet (both are stripe/stats-indexed columnar formats)."""
+    return spark.read.orc(path)

@@ -108,3 +108,36 @@ def test_kafka_pipeline_shares_decode_path(spark):
     assert len(out) == 1
     r = out[0]
     assert r.symbol == "FPT" and r.volume == 1200300 and r.close == 85.7
+
+
+def test_text_and_jsonl_and_orc_roundtrip(spark, tmp_path):
+    """New batch formats: line-text with provenance, JSON-lines with corrupt
+    capture, ORC round-trip."""
+    from pyspark.sql import types as T
+
+    from soict20221_bigdata_financialplatform_spark.sources import readers as rd
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    lines = rd.read_text_corpus(spark, str(p))
+    got = lines.collect()
+    assert sorted(r["line"] for r in got) == ["alpha", "beta", "gamma"]
+    assert all(r["source_file"].endswith("corpus.txt") for r in got)
+
+    j = tmp_path / "docs.jsonl"
+    j.write_text('{"doc_id": 1, "text": "ok"}\nnot-json\n{"doc_id": 2, "text": "fine"}\n')
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    docs = rd.read_jsonl_documents(spark, str(j), schema).cache()
+    assert docs.where("_corrupt_record IS NULL").count() == 2
+    assert docs.where("_corrupt_record IS NOT NULL").count() == 1
+
+    o = str(tmp_path / "orc_out")
+    src = spark.range(100).selectExpr("id", "id * 2 AS v")
+    rd.write_orc(src, o)
+    back = rd.read_orc(spark, o)
+    assert back.count() == 100
+    assert {r["v"] for r in back.collect()} == {2 * i for i in range(100)}
