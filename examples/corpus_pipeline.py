@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from soict20221_bigdata_financialplatform_spark import get_spark
+from soict20221_bigdata_financialplatform_spark.metrics import quality_metrics
 from soict20221_bigdata_financialplatform_spark.operators import corpus, dedup, similarity
 from soict20221_bigdata_financialplatform_spark.operators.components import (
     connected_components,
@@ -44,10 +45,16 @@ def main() -> None:
     prof = corpus.profile(docs, ["text", "lang", "source"])
     print(f"[1] profile rows: {prof.count()} (one scan, stack-unpivoted)")
 
-    # 2. quality gate ------------------------------------------------------
-    survivors = corpus.quality_filter(docs, "text")
+    # 2. quality gate (metrics ride the same action — no extra scan) -------
+    survivors, obs = quality_metrics(
+        corpus.quality_filter(docs, "text"), "quality_gate", ["text", "lang"]
+    )
     n2 = survivors.count()
-    print(f"[2] quality gate: {n2} survive ({n0 - n2} dropped)")
+    m = obs.get
+    print(
+        f"[2] quality gate: {n2} survive ({n0 - n2} dropped); "
+        f"observed rows={m['rows']} null_text={m['nulls_text']}"
+    )
 
     # 3. dedup: exact digest first (cheap), then banded LSH near-dup -------
     exact = corpus.drop_exact_dups(survivors, "text", "doc_id")
