@@ -40,3 +40,14 @@ def quality_metrics(
     for c in cols:
         m[f"nulls_{c}"] = F.count(F.lit(1)) - F.count(c)
     return observed(df, name, m)
+
+
+def observed_stream(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> DataFrame:
+    """Streaming form: ``Observation`` handles are batch-only, so streams
+    register metrics by NAME; each micro-batch's exact values surface on the
+    query's progress events (``lastProgress["observedMetrics"][name]``) and
+    on any ``StreamingQueryListener`` — per-batch row counts and null rates
+    with zero added state or scans."""
+    return df.observe(name, *[m.alias(k) for k, m in metrics.items()])

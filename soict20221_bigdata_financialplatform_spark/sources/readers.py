@@ -214,3 +214,12 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — predicate pushdown and column pruning work as with
     parquet (both are stripe/stats-indexed columnar formats)."""
     return spark.read.orc(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every testdata table as a SQL temp view so ``spark.sql`` works
+    directly — the same table names the DuckDB oracle uses, so any ORACLE
+    string in the registry also runs verbatim-ish on Spark's SQL surface.
+    Views are lazy metadata; nothing is scanned until queried."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -141,3 +141,21 @@ def test_text_and_jsonl_and_orc_roundtrip(spark, tmp_path):
     back = rd.read_orc(spark, o)
     assert back.count() == 100
     assert {r["v"] for r in back.collect()} == {2 * i for i in range(100)}
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """spark.sql over the registered views: a join + agg round-trips."""
+    from soict20221_bigdata_financialplatform_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT r.r_name, count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    ).collect()
+    assert len(out) == 5
+    assert sum(r["n_nations"] for r in out) == 25
