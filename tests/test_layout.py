@@ -170,3 +170,24 @@ def test_compact_partitioned(spark, tmp_path):
     before = {(r["part"], r["k"], r["v"]) for r in spark.read.parquet(src).collect()}
     after = {(r["part"], r["k"], r["v"]) for r in spark.read.parquet(dst).collect()}
     assert before == after
+
+
+def test_dynamic_partition_pruning_through_join(spark, tmp_path):
+    """The partitioned layout lets a selective dim filter prune FACT
+    partitions THROUGH the join (dynamicpruningexpression in the scan's
+    PartitionFilters) — the star-join scan-reduction that matters at 100 TB:
+    only the dimension-selected partition directories are read."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fact")
+    fact = spark.range(10_000).select(
+        (F.col("id") % 10).alias("region_id"), F.col("id").alias("k")
+    )
+    fact.write.mode("overwrite").partitionBy("region_id").parquet(path)
+    dim = spark.range(10).select(
+        F.col("id").alias("region_id"), (F.col("id") * 100).alias("attr")
+    )
+    j = spark.read.parquet(path).join(dim.where(F.col("attr") == 300), "region_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 1000  # one of ten partitions survives
