@@ -3991,6 +3991,70 @@ def q102_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shredded.withColumn("bucket_peers", F.count(F.lit(1)).over(w))
 
 
+@register(
+    "q103_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+             AS revenue,
+           c_acctbal
+    FROM customer
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q103_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item report): customers who returned the
+    most revenue in one quarter — completes the classic relational sweep
+    (reference anchor: the `Query.ipynb` filter+agg+join cells generalize
+    to this; `Query.ipynb:498-526`). Plan: both fact filters (order-date
+    quarter ≈ 1/26 of orders, returnflag ≈ 1/3 of lineitem) push to the
+    scans, the filtered facts join first so the customer join carries only
+    the surviving quarter, nation broadcasts. Top-20 sorts on the ROUNDED
+    revenue with c_custkey tiebreak (float policy: order-dependent sum →
+    round both sides; ranking → unique-key tiebreak)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-04-01 00:00:00")
+            & (F.col("o_orderdate") < "1996-07-01 00:00:00")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4032,7 +4096,7 @@ _FINAL_ORDER = [
     "q90_value_histogram", "q91_stat_moments", "q93_array_funcs",
     "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
     "q98_token_heavy_hitters", "q100_map_funcs", "q101_unpivot",
-    "q102_variant_json",
+    "q102_variant_json", "q103_returned_items",
     # -- oracle-backed, family redundantly covered above (safe past any cap)
     "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
     "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",

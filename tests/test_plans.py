@@ -151,3 +151,37 @@ def test_variant_path_has_no_python_udf(spark, sf_dir):
     q = QUERIES["q102_variant_json"](spark, sf_dir)
     plan = checks.executed_plan(q)
     assert "EvalPython" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_star_join(spark, sf_dir):
+    """Spark's runtime row-level filter (InjectRuntimeFilter) builds a bloom
+    filter from the selectively-filtered dim side and applies it to the fact
+    scan BEFORE the shuffle — at 100 TB this drops most fact rows at the
+    scan instead of carrying them to the join. Size thresholds are lowered
+    here because sf0.001 is below the production defaults; the assertion is
+    that the rewrite fires (might_contain on the fact side)."""
+    lowered = {
+        # creation side must be UNDER this, application side OVER that —
+        # widen both so the tiny fixture qualifies
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join so the runtime filter is not subsumed by DPP
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
