@@ -1603,8 +1603,8 @@ def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
       SELECT user_id, ts, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -1630,7 +1630,7 @@ def q38_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     sess = e.withColumn("new_session", new_s).withColumn(
-        "session_id", F.sum("new_session").over(wsum)
+        "session_id", F.sum("new_session").over(wsum).cast("long")
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
@@ -3510,8 +3510,8 @@ def q89_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(floor(value / 20.0) AS INT) AS bucket,
-           CAST(floor(value / 20.0) AS INT) * 20.0 AS lo,
-           (CAST(floor(value / 20.0) AS INT) + 1) * 20.0 AS hi,
+           CAST(CAST(floor(value / 20.0) AS INT) * 20.0 AS DOUBLE) AS lo,
+           CAST((CAST(floor(value / 20.0) AS INT) + 1) * 20.0 AS DOUBLE) AS hi,
            count(*) AS n
     FROM events
     GROUP BY 1, 2
@@ -4065,25 +4065,20 @@ def q103_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- core relational / window / text / dedup / ANN surface (oracle-backed)
+    # -- Round-3 rotation. The driver caps CORRECTNESS rows at the first 50
+    # registry entries, so placement here decides which oracle queries get a
+    # driver-green row. Slots 1-10: sentinels, twice driver-green (r1+r2) —
+    # keep a canary in every family. Slots 11-50: queries that have NEVER had
+    # a driver row (round-2 additions + the 4 displaced in r2). The rest of
+    # the oracle-backed set (all driver-green in r2) sits past the cap this
+    # round; rows-only variants stay dead last.
+    # -- sentinels (driver-green r1 AND r2)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
-    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
-    "q09_shipping_priority", "q11_outer_join_activity", "q12_semi_join",
-    "q13_anti_join", "q14_monthly_rollup", "q17_set_intersect",
-    "q18_set_except", "q19_keyed_dedup", "q20_window_change",
-    "q21_window_sma", "q22_rsi", "q23_ema", "q24_daily_bars",
-    "q25_asof_view_before_purchase", "q26_json_extract",
-    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
-    "q30_exact_dedup", "q34_ann_bruteforce", "q35_ann_lsh",
-    "q36_embedding_near_dup", "q64_embedding_near_dup_lsh",
-    "q37_percentiles", "q38_sessionization", "q39_pivot",
-    "q40_window_grabbag", "q41_cube", "q42_scalar_subquery",
-    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
-    "q46_range_join", "q47_union_all", "q50_decimal_money",
-    "q52_hourly_window", "q53_near_dup_clusters", "q54_data_profile",
-    "q56_grouping_sets", "q57_minhash_md5", "q58_simhash_md5",
-    "q59_bpe_token_count", "q60_corpus_clean_exact", "q63_semantic_neighbors",
-    # -- round-2 additions (oracle-backed)
+    "q11_outer_join_activity", "q22_rsi", "q23_ema", "q30_exact_dedup",
+    "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
+    # -- never driver-checked: promoted into the window (slots 11-50)
+    "q38_sessionization",  # red in r2 (HUGEINT hash) — fixed; needs a green row
+    "q05_summary_stats", "q31_ngram_jaccard_pairs", "q48_corpus_survivors",
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue", "q69_dormant_rich_customers",
     "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
@@ -4097,11 +4092,25 @@ _FINAL_ORDER = [
     "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
     "q98_token_heavy_hitters", "q100_map_funcs", "q101_unpivot",
     "q102_variant_json", "q103_returned_items",
-    # -- oracle-backed, family redundantly covered above (safe past any cap)
-    "q05_summary_stats", "q08_asia_nations", "q10_local_supplier_volume",
-    "q15_rollup_status", "q16_set_union", "q31_ngram_jaccard_pairs",
-    "q48_corpus_survivors", "q55_time_range_window",
-    "q61_customer_distribution", "q62_large_orders",
+    # -- past the cap this round: driver-green in r2 (or family-covered);
+    #    q08/q10/q15/q16/q61/q62 have never been checked — rotate them in r4
+    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
+    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
+    "q62_large_orders",
+    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
+    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
+    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
+    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
+    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
+    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
+    "q34_ann_bruteforce", "q35_ann_lsh", "q36_embedding_near_dup",
+    "q37_percentiles", "q39_pivot",
+    "q40_window_grabbag", "q41_cube", "q42_scalar_subquery",
+    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
+    "q46_range_join", "q47_union_all", "q52_hourly_window",
+    "q54_data_profile", "q56_grouping_sets", "q57_minhash_md5",
+    "q58_simhash_md5", "q59_bpe_token_count", "q60_corpus_clean_exact",
+    "q63_semantic_neighbors",
     # -- rows-only variants (no DuckDB twin by construction): dead last
     "q32_minhash_pairs", "q33_simhash_pairs", "q49_corpus_clean",
     "q51_ann_ivf", "q87_approx_distinct", "q92_approx_quantiles",

@@ -4,6 +4,15 @@ same parquet dir, compare row count, schema (column names), and
 order-insensitive values.
 
 Usage: python tools/parity_check.py [sf_dir] [query ...]
+       python tools/parity_check.py --audit [sf_dir] [query ...]
+
+``--audit`` is the output-TYPE audit: for every oracle query it compares the
+Spark result schema (lazy — no job) against the DuckDB result types and FAILS
+on (a) driver-hasher-risky DuckDB types — HUGEINT, UHUGEINT, DECIMAL,
+TIMESTAMP_NS — and (b) any Spark↔DuckDB column type mismatch. Value parity
+can be green while the driver's value-canonicalizing hasher still splits on
+these (round-1 q50 DECIMAL, round-2 q38 window-sum HUGEINT), so run the audit
+before promoting a query into the driver window.
 """
 
 from __future__ import annotations
@@ -45,9 +54,113 @@ def _norm_rows(cols, rows):
     return [cols[i] for i in idx], out
 
 
+# DuckDB types the driver's hasher canonicalizes differently from their Spark
+# twins even when values match. Suggested fix per type.
+_RISKY_DUCK = {
+    "HUGEINT": "CAST(... AS BIGINT) in the oracle (window/int sums emit INT128)",
+    "UHUGEINT": "CAST(... AS BIGINT)",
+    "TIMESTAMP_NS": "epoch_us(...)/CAST to TIMESTAMP (µs) in the oracle",
+}
+
+
+def _spark_to_duck(t: str):
+    """Acceptable DuckDB type strings for a Spark simpleString type."""
+    t = t.lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return {d + "[]" for d in _spark_to_duck(t[6:-1])}
+    if t.startswith("decimal"):
+        return set()  # decimals must not be emitted (round-1 q50) — always flag
+    return {
+        "bigint": {"BIGINT"},
+        "int": {"INTEGER"},
+        "smallint": {"SMALLINT"},
+        "tinyint": {"TINYINT"},
+        "double": {"DOUBLE"},
+        "float": {"FLOAT"},
+        "string": {"VARCHAR"},
+        "date": {"DATE"},
+        "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+        "timestamp_ntz": {"TIMESTAMP"},
+        "boolean": {"BOOLEAN"},
+        "binary": {"BLOB"},
+    }.get(t, set())
+
+
+def audit(sf_dir: str, only) -> int:
+    spark = get_spark("type-audit")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    n_ok = n_flag = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        if name not in ORACLE:
+            continue
+        problems = []
+        try:
+            schema = fn(spark, sf_dir).schema
+            stypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        except Exception as e:
+            problems.append(f"spark schema error: {type(e).__name__}: {e}")
+            stypes = {}
+        try:
+            rel = con.sql(ORACLE[name])
+            dtypes = dict(zip(rel.columns, (str(t) for t in rel.types)))
+        except Exception as e:
+            problems.append(f"duckdb error: {type(e).__name__}: {e}")
+            dtypes = {}
+        for col, dt in dtypes.items():
+            base = dt.split("(")[0]
+            if base in _RISKY_DUCK:
+                problems.append(f"{col}: DuckDB {dt} — {_RISKY_DUCK[base]}")
+            elif base == "DECIMAL":
+                problems.append(
+                    f"{col}: DuckDB {dt} — cast(... as double) BOTH sides (q50 lesson)"
+                )
+        int_family = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+        for col in set(stypes) & set(dtypes):
+            st, dt = stypes[col], dtypes[col]
+            if st.startswith("decimal"):
+                problems.append(
+                    f"{col}: Spark {st} — emit double, keep decimal internal only"
+                )
+                continue
+            ok = _spark_to_duck(st)
+            if dt.split("(")[0] == "DECIMAL" or dt.split("(")[0] in _RISKY_DUCK:
+                continue  # already flagged above
+            if ok and dt not in ok:
+                # Integer WIDTH mismatches are empirically hasher-safe
+                # (q34/q35/q40/q45/q54/q58 all driver-green with Spark int vs
+                # DuckDB BIGINT/TINYINT) — warn, don't fail.
+                if st in {"int", "bigint", "smallint", "tinyint"} and dt in int_family:
+                    print(f"  note {name}.{col}: Spark {st} vs DuckDB {dt} (int-width; hasher-safe)")
+                else:
+                    problems.append(f"{col}: Spark {st} vs DuckDB {dt} — align with CAST")
+            elif not ok:
+                problems.append(f"{col}: unmapped Spark type {st} (DuckDB {dt}) — verify")
+        if problems:
+            n_flag += 1
+            print(f"TYPE-FLAG {name}:")
+            for p in problems:
+                print(f"    {p}")
+        else:
+            n_ok += 1
+    print(f"\naudit: {n_ok} clean, {n_flag} flagged")
+    return 1 if n_flag else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    do_audit = "--audit" in argv
+    if do_audit:
+        argv = [a for a in argv if a != "--audit"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    if do_audit:
+        return audit(sf_dir, only)
     spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLES:
