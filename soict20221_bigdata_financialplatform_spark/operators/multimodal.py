@@ -218,16 +218,102 @@ def _decode_png(b: bytes) -> dict | None:
     return out
 
 
+def _exif_orientation(t: bytes) -> int | None:
+    """Orientation (tag 0x0112) from a TIFF blob (the bytes after APP1's
+    ``Exif\\0\\0`` preamble). Walks IFD0 only — orientation lives there."""
+    if len(t) < 8:
+        return None
+    if t[:2] == b"II":
+        endian = "little"
+    elif t[:2] == b"MM":
+        endian = "big"
+    else:
+        return None
+    if int.from_bytes(t[2:4], endian) != 42:
+        return None
+    off = int.from_bytes(t[4:8], endian)
+    if off + 2 > len(t):
+        return None
+    cnt = int.from_bytes(t[off : off + 2], endian)
+    for i in range(cnt):
+        e = off + 2 + 12 * i
+        if e + 12 > len(t):
+            return None
+        if int.from_bytes(t[e : e + 2], endian) == 0x0112:
+            # value type is SHORT: first 2 bytes of the 4-byte value field
+            v = int.from_bytes(t[e + 8 : e + 10], endian)
+            return v if 1 <= v <= 8 else None
+    return None
+
+
+def _decode_jpeg(b: bytes) -> dict | None:
+    """JPEG header decode — dimensions-true WITHOUT inverse DCT: marker-walk
+    to the SOF0/SOF2 frame header (precision, height, width, components) and
+    read EXIF orientation from APP1 so rotated-capture photos report their
+    DISPLAY dimensions (orientations 5-8 transpose). Pixel means stay None —
+    entropy decode needs a codec library; this makes the dominant real-corpus
+    image format metadata-true instead of a stub. Returns None if not JPEG."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    orientation, width, height, ncomp, progressive = 1, None, None, None, False
+    pos, n = 2, len(b)
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            pos += 1  # resync on stray byte
+            continue
+        while pos < n and b[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= n:
+            break
+        marker = b[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if marker in (0xD9, 0xDA):  # EOI / SOS: entropy data follows
+            break
+        if pos + 2 > n:
+            break
+        seglen = int.from_bytes(b[pos : pos + 2], "big")
+        if seglen < 2:
+            break
+        payload = b[pos + 2 : pos + seglen]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if len(payload) >= 6:
+                height = int.from_bytes(payload[1:3], "big")
+                width = int.from_bytes(payload[3:5], "big")
+                ncomp = payload[5]
+                progressive = marker == 0xC2
+            break  # APP segments precede SOF; nothing more to learn
+        if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+            orientation = _exif_orientation(payload[6:]) or orientation
+        pos += seglen
+    if width is None or height is None:
+        return None  # SOI magic but no frame header: treat as undecodable
+    if orientation >= 5:  # 5-8 are the transposed orientations
+        width, height = height, width
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": None,
+        "mean_g": None,
+        "mean_b": None,
+        "components": ncomp,
+        "orientation": orientation,
+        "progressive": progressive,
+    }
+
+
 def decode_image(content: bytes) -> dict:
     """Decode an image blob to {width, height, mean_r, mean_g, mean_b}.
 
     Real decode for the formats stdlib can handle: uncompressed BMP 24-bit
     and PPM P6 (header parse) plus PNG 8-bit RGB/RGBA (zlib inflate +
-    filter reversal — a true compressed-format decode). Formats needing
-    codec libraries (JPEG/WebP/...) raise NotImplementedError via the
-    stub — loudly, per the environment contract.
+    filter reversal — a true compressed-format decode). JPEG decodes
+    header-true (SOF dimensions + EXIF orientation; pixel means None).
+    Formats needing codec libraries (WebP/HEIC/...) raise
+    NotImplementedError via the stub — loudly, per the environment contract.
     """
-    for parser in (_decode_bmp, _decode_ppm, _decode_png):
+    for parser in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg):
         out = parser(content)
         if out is not None:
             return out

@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -88,14 +88,18 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     )
     # Final trim on the tiny merged frame (≤ partitions·k rows): subtract the
     # (k+1)-th largest mass so at most k items survive with the global bound.
-    ranked = merged.withColumn(
-        "__rk", F.row_number().over(Window.orderBy(F.desc("mg_count"), col))
-    )
-    pivot = ranked.where(F.col("__rk") == k + 1).agg(
-        F.max("mg_count").alias("__pivot")
-    )  # exactly one row; NULL when ≤ k items survived the merge
+    # orderBy().limit() plans TakeOrderedAndProject (per-partition partial
+    # top-k, no single-partition WindowExec); the pivot is the minimum of the
+    # top k+1 — NULL when ≤ k items survived the merge, so nothing is
+    # subtracted in that case.
+    top = merged.orderBy(F.desc("mg_count"), col).limit(k + 1)
+    pivot = top.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("mg_count"))
+        .otherwise(F.lit(None))
+        .alias("__pivot")
+    )  # exactly one row
     return (
-        ranked.crossJoin(F.broadcast(pivot))
+        merged.crossJoin(F.broadcast(pivot))
         .withColumn(
             "mg_count",
             F.col("mg_count") - F.coalesce(F.col("__pivot"), F.lit(0)),

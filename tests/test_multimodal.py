@@ -318,3 +318,62 @@ def test_decode_video_features_end_to_end(spark):
     assert out[7].duration_ms == 3_333_300 // 1000
     assert not out[8].decoded  # stub: metadata passthrough
     assert (out[8].width, out[8].height, out[8].duration_ms) == (1920, 1080, 3500)
+
+
+def _make_jpeg(width, height, orientation=None, sof_marker=0xC0, ncomp=3):
+    """Minimal structurally-valid JPEG: SOI, optional APP1/EXIF with an
+    orientation tag, SOF frame header, SOS, EOI. No entropy data — the
+    header decoder never reads past SOS."""
+    out = bytearray(b"\xff\xd8")
+    if orientation is not None:
+        # TIFF body (big-endian MM): one IFD0 entry, tag 0x0112 SHORT=orientation
+        tiff = (
+            b"MM\x00\x2a" + (8).to_bytes(4, "big")
+            + (1).to_bytes(2, "big")
+            + (0x0112).to_bytes(2, "big") + (3).to_bytes(2, "big")
+            + (1).to_bytes(4, "big") + orientation.to_bytes(2, "big") + b"\x00\x00"
+            + (0).to_bytes(4, "big")
+        )
+        payload = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    out += bytes([0xFF, sof_marker]) + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += b"\xff\xda\x00\x02" + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_header_dimensions():
+    d = mm.decode_image(_make_jpeg(640, 480))
+    assert (d["width"], d["height"]) == (640, 480)
+    assert d["components"] == 3 and d["orientation"] == 1
+    assert not d["progressive"] and d["mean_r"] is None
+
+
+def test_decode_jpeg_exif_orientation_transposes_display_dims():
+    # orientation 6 (rotate 90 CW): display dims are the SOF dims swapped
+    d = mm.decode_image(_make_jpeg(4032, 3024, orientation=6))
+    assert (d["width"], d["height"]) == (3024, 4032)
+    assert d["orientation"] == 6
+    # orientation 3 (180°): no transpose
+    d = mm.decode_image(_make_jpeg(4032, 3024, orientation=3))
+    assert (d["width"], d["height"]) == (4032, 3024)
+
+
+def test_decode_jpeg_progressive_sof2():
+    d = mm.decode_image(_make_jpeg(100, 50, sof_marker=0xC2, ncomp=1))
+    assert (d["width"], d["height"]) == (100, 50)
+    assert d["progressive"] and d["components"] == 1
+
+
+def test_decode_jpeg_features_end_to_end(spark):
+    jpg = _make_jpeg(320, 240, orientation=8)
+    rows = [(11, "image", "image/jpeg", jpg, -1, -1, -1)]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.decode_image_features(media).collect()}
+    assert out[11].decoded and (out[11].width, out[11].height) == (240, 320)
+    assert out[11].mean_r is None  # header-true, pixels undecoded
+
+
+def test_decode_jpeg_rejects_headerless_blob():
+    with pytest.raises(NotImplementedError):  # WebP still loud
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
