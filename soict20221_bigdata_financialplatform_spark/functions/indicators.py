@@ -187,6 +187,121 @@ def ema(
     return df.groupBy(*key_cols).applyInPandas(_ema_group, schema=out_schema)
 
 
+def ema_segmented(
+    df: DataFrame,
+    n: int = 25,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    out_col: str | None = None,
+    segment_col=None,
+) -> DataFrame:
+    """Segment-chained EMA — the 100 TB form of :func:`ema` for keys whose
+    full history does NOT fit one executor's pandas frame.
+
+    The recursion y_t = α·x_t + (1−α)·y_{t−1} is linear, so a segment's
+    output decomposes as ``y_t = D_t·seed + C_t`` where ``C_t`` is the
+    zero-seeded fold over the segment's own values and ``D_t = (1−α)^(t+1)``
+    is the surviving weight of whatever entered the segment. Three stages,
+    none of which ever holds more than ONE SEGMENT of one key in memory:
+
+    1. per (key, segment) ``applyInPandas``: emit C_t, D_t per row (pandas
+       ewm over a zero-prepended series — vectorized, linear);
+    2. per key, chain seeds over the per-segment SUMMARY rows (one row per
+       segment: last C, last D, first value): segment 1's seed is its own
+       first value — algebraically exact vs pandas ``adjust=False`` — and
+       seed_{k+1} = D_e·seed_k + C_e. O(segments) rows, trivially fits;
+    3. co-partitioned join of seeds back on (key, segment), then the final
+       projection ``y = D·seed + C``.
+
+    Equivalent to :func:`ema` (equivalence-tested; floating-point summation
+    order differs so agreement is ~1e-12 relative, not bit-exact — use
+    :func:`ema` when a key fits one frame and bit-parity with pandas
+    matters). Nulls in ``value_col`` raise: pandas renormalizes decay across
+    NaN gaps, which breaks the seed-chaining algebra (densify first).
+
+    ``segment_col`` defaults to ``year(order_col)``; any expression with
+    segment-order == order-order works (month buckets for second-level data).
+    """
+    import numpy as np
+
+    out_col = out_col or f"ema_{n}"
+    alpha = 2.0 / (n + 1)
+    seg = F.year(F.col(order_col)) if segment_col is None else segment_col
+    base = df.withColumn("__seg", seg.cast("long"))
+
+    cold_schema = T.StructType(
+        list(base.schema.fields)
+        + [
+            T.StructField("__c", T.DoubleType()),
+            T.StructField("__d", T.DoubleType()),
+            T.StructField("__first", T.DoubleType()),
+        ]
+    )
+
+    def _cold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col], kind="mergesort")
+        x = pdf[value_col].astype("float64")
+        if x.isna().any():
+            raise ValueError(
+                "ema_segmented requires non-null values (pandas NaN decay "
+                "renormalization breaks seed chaining) — densify first"
+            )
+        # zero-seeded fold: prepend 0.0 so pandas' own ewm kernel computes
+        # c_t = α·x_t + (1−α)·c_{t−1} with c_{-1} = 0 (same fused
+        # multiply-accumulate as ema()'s kernel).
+        c = (
+            pd.concat([pd.Series([0.0]), x], ignore_index=True)
+            .ewm(span=n, adjust=False)
+            .mean()
+            .iloc[1:]
+            .to_numpy()
+        )
+        pdf["__c"] = c
+        pdf["__d"] = (1.0 - alpha) ** np.arange(1, len(x) + 1, dtype="float64")
+        pdf["__first"] = x.iloc[0]
+        return pdf
+
+    cold = base.groupBy(*key_cols, "__seg").applyInPandas(
+        _cold, schema=cold_schema
+    )
+    # Stage 2 input: ONE ROW PER SEGMENT (max_by/min_by on the ordered col) —
+    # the only state that crosses segment boundaries.
+    summaries = cold.groupBy(*key_cols, "__seg").agg(
+        F.max_by("__c", F.col(order_col)).alias("__c_end"),
+        F.max_by("__d", F.col(order_col)).alias("__d_end"),
+        F.min_by("__first", F.col(order_col)).alias("__x_first"),
+    )
+
+    seed_schema = T.StructType(
+        [f for f in summaries.schema.fields if f.name in (*key_cols, "__seg")]
+        + [T.StructField("__seed", T.DoubleType())]
+    )
+
+    def _chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__seg"], kind="mergesort")
+        seeds = []
+        seed = None
+        for c_end, d_end, x_first in zip(
+            pdf["__c_end"], pdf["__d_end"], pdf["__x_first"]
+        ):
+            if seed is None:
+                seed = float(x_first)  # first-value seeding == pandas
+            seeds.append(seed)
+            seed = d_end * seed + c_end  # this segment's last y
+        pdf["__seed"] = seeds
+        return pdf[[*key_cols, "__seg", "__seed"]]
+
+    seeds = summaries.groupBy(*key_cols).applyInPandas(
+        _chain, schema=seed_schema
+    )
+    return (
+        cold.join(seeds, on=[*key_cols, "__seg"])  # co-partitioned on key
+        .withColumn(out_col, F.col("__d") * F.col("__seed") + F.col("__c"))
+        .drop("__seg", "__c", "__d", "__first", "__seed")
+    )
+
+
 def ema_native(
     df: DataFrame,
     n: int = 25,

@@ -191,3 +191,66 @@ def test_running_vwap_golden(spark):
     assert vw[0] == pytest.approx(10.0)
     assert vw[1] == pytest.approx(60.0 / 4.0)
     assert vw[2] == pytest.approx(220.0 / 8.0)
+
+
+def _long_bars(spark, n_rows=2000, n_keys=2, start_year=1995):
+    """Multi-year per-key series: forces ema_segmented across many
+    year-segment boundaries."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for k in range(n_keys):
+        close = 100.0 + 10 * k
+        d = datetime.date(start_year, 1, 2)
+        for _ in range(n_rows):
+            close = max(0.1, close + rng.uniform(-2, 2))
+            rows.append(Row(symbol=f"S{k}", date=d, close=close))
+            d += datetime.timedelta(days=2)  # ~2000 rows span ~11 years
+    return spark.createDataFrame(rows)
+
+
+def test_ema_segmented_equivalent_to_ema_long_key(spark):
+    """Seed-chained year-segmented EMA == single-frame EMA on a key whose
+    history spans 11 year-segments (SCALE.md: the unbounded-key form)."""
+    base = _long_bars(spark)
+    whole = {
+        (r.symbol, r.date): r.ema_25
+        for r in ind.ema(base, 25).collect()
+    }
+    seg = ind.ema_segmented(base, 25).collect()
+    assert len(seg) == len(whole)
+    for r in seg:
+        assert r.ema_25 == pytest.approx(
+            whole[(r.symbol, r.date)], rel=1e-11, abs=1e-11
+        )
+
+
+def test_ema_segmented_custom_segments_and_golden(spark):
+    """Tiny fixed-size segments (3-row buckets via a synthetic column)
+    still reproduce the hand recursion — every boundary is exercised."""
+    from pyspark.sql import functions as F
+
+    df = _bars(spark)  # 10 rows, one symbol
+    # segment expression must be monotone in the order column (here: 3-4 day
+    # buckets of the month)
+    seg = ind.ema_segmented(
+        df, 3, segment_col=(F.dayofmonth("date") / 4).cast("int")
+    )
+    e = {r.date: r.ema_3 for r in seg.collect()}
+    alpha = 0.5
+    expected = [CLOSES[0]]
+    for c in CLOSES[1:]:
+        expected.append(alpha * c + (1 - alpha) * expected[-1])
+    got = [e[d] for d in sorted(e)]
+    assert got == pytest.approx(expected, abs=1e-9)
+
+
+def test_ema_segmented_rejects_nulls(spark):
+    rows = [
+        Row(symbol="A", date=datetime.date(2024, 1, i + 1), close=c)
+        for i, c in enumerate([1.0, None, 3.0])
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    with pytest.raises(Exception, match="non-null"):
+        ind.ema_segmented(df, 3).collect()
