@@ -73,17 +73,34 @@ def main() -> None:
         .save()
     )
 
-    # two runs per query, min taken: single-shot numbers on a shared machine
-    # carry ±30% noise; min-of-2 reports the achievable steady state.
+    # Three runs per query: "queries" reports the min (achievable steady
+    # state); median + stdev land in "variance" so a contention-polluted run
+    # self-identifies instead of being archived as a regression (the round-2
+    # record showed a 7x swing on an unchanged plan).
+    import statistics
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+    variance: dict[str, dict[str, float]] = {}
+
+    def _timed(name: str, run, reps: int = 3) -> None:
+        samples = []
+        for _ in range(reps):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            run()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        variance[name] = {
+            "median": round(statistics.median(samples), 3),
+            "stdev": round(statistics.pstdev(samples), 3),
+        }
+
+    def _query_runner(fn):
+        return lambda: fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    for name in HEADLINE:
+        _timed(name, _query_runner(QUERIES[name]))
 
     # Reference-workload regression target (SURVEY §6 / BASELINE.md): the
     # full 23,820-row indicator backfill (10 symbols x 2,382 daily bars,
@@ -115,11 +132,23 @@ def main() -> None:
                 value=f"{rng.randint(1, 999) * 1000000:,} ",
             ))
     raw = spark.createDataFrame(_pd.DataFrame([r.asDict() for r in rows]))
-    out_dir = tempfile.mkdtemp(prefix="backfill_bench_")
+
+    def _run_backfill():
+        out_dir = tempfile.mkdtemp(prefix="backfill_bench_")
+        try:
+            backfill(raw, out_dir)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    _timed("backfill_ref_workload", _run_backfill)
+
+    # Machine-load sentinel: re-time the first query after everything else.
+    # On an idle machine it reproduces its own min; >1.5x means the whole
+    # run was contention-polluted and the record should not be trusted.
     t0 = time.time()
-    backfill(raw, out_dir)
-    timings["backfill_ref_workload"] = round(time.time() - t0, 3)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    _query_runner(QUERIES[HEADLINE[0]])()
+    sentinel = round(time.time() - t0, 3)
+    polluted = sentinel > 1.5 * max(timings[HEADLINE[0]], 0.05)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -129,6 +158,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "variance": variance,
+                "load_sentinel": {
+                    "query": HEADLINE[0],
+                    "min_sec": timings[HEADLINE[0]],
+                    "final_sec": sentinel,
+                    "polluted": polluted,
+                },
                 "sf": sf,
             }
         )
