@@ -3,11 +3,15 @@
 ``mapInPandas``.
 
 The Spark-side contract — schemas, partitioning, batch shape, UDF signatures
-— is real and tested; the actual media decoding is STUBBED behind
-``_decode_image_stub`` (the image/audio libraries are not in this container).
-Swapping in PIL/ffmpeg is a one-function change per modality; everything
-around it (how bytes flow through Arrow, how features land in columns, how
-work is partitioned) is the production design.
+— is real and tested. Decoding is pure-python/stdlib where the format allows:
+full pixel/sample decode for BMP, PPM, PNG (zlib inflate + filter reversal)
+and WAV PCM; header-true metadata (true dimensions / duration / cadence, no
+entropy decode) for JPEG (SOF + EXIF orientation), MP4 (ISO-BMFF box walk),
+AVI, FLAC (STREAMINFO) and MP3 (frame header + Xing). Only formats whose
+METADATA needs a codec library (WebP/HEIC/MKV/AAC/...) are stubbed behind a
+loud ``NotImplementedError``; swapping in PIL/ffmpeg is a one-function change
+per modality — everything around it (how bytes flow through Arrow, how
+features land in columns, how work is partitioned) is the production design.
 
 Scale notes: media bytes never hit the driver; ``mapInPandas`` streams Arrow
 record batches through the Python worker, so peak memory is one batch, not
@@ -437,17 +441,111 @@ def _decode_wav(b: bytes) -> dict | None:
     return out
 
 
+def _decode_flac(b: bytes) -> dict | None:
+    """FLAC STREAMINFO header decode — sample rate, channels, bit depth and
+    exact duration without any DSP: the mandatory first metadata block packs
+    them as bitfields (rate:20, channels-1:3, bits-1:5, total_samples:36
+    starting at bit 80 of the 34-byte block). Audio DATA stays compressed;
+    ``rms`` is None. Returns None if the blob is not FLAC."""
+    if len(b) < 42 or b[:4] != b"fLaC":
+        return None
+    # first metadata block header: 1 byte (last<<7 | type), 3 bytes length
+    if b[4] & 0x7F != 0:  # STREAMINFO is type 0 and MUST come first
+        return None
+    info = b[8:42]  # 34-byte STREAMINFO body
+    bits_ = int.from_bytes(info[10:18], "big")  # bytes 10..17 hold the packed tail
+    rate = (bits_ >> 44) & 0xFFFFF
+    n_ch = ((bits_ >> 41) & 0x7) + 1
+    depth = ((bits_ >> 36) & 0x1F) + 1
+    total = bits_ & 0xFFFFFFFFF
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "bits": depth,
+        "duration_ms": int(total * 1000 / rate) if rate and total else None,
+        "rms": None,
+    }
+
+
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}  # MPEG-1; halved for MPEG-2(.5)
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320, 0]
+
+
+def _decode_mp3(b: bytes) -> dict | None:
+    """MP3 frame-header decode: sample rate / channel mode from the first
+    sync frame; duration from the Xing/Info frame count when present, else
+    the CBR byte-math estimate (documented approximation — a VBR file
+    without Xing reports the first frame's rate). Returns None if no sync
+    word is found in the first 64 KiB (after any ID3v2 tag)."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) > 10:  # skip ID3v2: syncsafe 28-bit size
+        sz = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        pos = 10 + sz
+    end = min(len(b) - 4, pos + 65536)
+    while pos <= end:
+        if b[pos] == 0xFF and (b[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        return None
+    if pos > end:
+        return None
+    h = int.from_bytes(b[pos : pos + 4], "big")
+    version = (h >> 19) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h >> 17) & 0x3    # 1=III
+    bitrate_idx = (h >> 12) & 0xF
+    rate_idx = (h >> 10) & 0x3
+    mode = (h >> 6) & 0x3
+    if rate_idx == 3 or layer == 0:
+        return None
+    rate = _MP3_RATES[rate_idx]
+    if version == 2:
+        rate //= 2
+    elif version == 0:
+        rate //= 4
+    n_ch = 1 if mode == 3 else 2
+    out = {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "bits": None,  # lossy codec: no fixed sample depth
+        "duration_ms": None,
+        "rms": None,
+    }
+    spf = 1152 if version == 3 else 576  # samples per Layer-III frame
+    # Xing/Info header (VBR): sits after the side-info block, whose size
+    # depends on MPEG version and channel mode
+    if version == 3:
+        xing_off = pos + 4 + (17 if n_ch == 1 else 32)
+    else:
+        xing_off = pos + 4 + (9 if n_ch == 1 else 17)
+    tag = b[xing_off : xing_off + 4]
+    if tag in (b"Xing", b"Info") and len(b) >= xing_off + 12:
+        flags = int.from_bytes(b[xing_off + 4 : xing_off + 8], "big")
+        if flags & 1:
+            n_frames = int.from_bytes(b[xing_off + 8 : xing_off + 12], "big")
+            out["duration_ms"] = int(n_frames * spf * 1000 / rate)
+            return out
+    kbps = _MP3_BITRATES_V1L3[bitrate_idx] if version == 3 and layer == 1 else 0
+    if kbps:
+        out["duration_ms"] = int((len(b) - pos) * 8 / (kbps * 1000) * 1000)
+    return out
+
+
 def decode_audio(content: bytes) -> dict:
     """Decode an audio blob to {sample_rate, n_channels, bits, duration_ms,
-    rms}. Real decode for RIFF/WAVE PCM8/PCM16; other containers raise
-    NotImplementedError (plug ffmpeg/soundfile there), keeping the
-    environment contract loud."""
-    out = _decode_wav(content)
-    if out is not None:
-        return out
+    rms}. Real decode for RIFF/WAVE PCM8/PCM16 (including RMS); header-true
+    metadata for FLAC (STREAMINFO) and MP3 (frame header + Xing). Other
+    codecs (AAC/Opus/...) raise NotImplementedError (plug ffmpeg/soundfile
+    there), keeping the environment contract loud."""
+    for parser in (_decode_wav, _decode_flac, _decode_mp3):
+        out = parser(content)
+        if out is not None:
+            return out
     raise NotImplementedError(
-        "non-WAV audio decoding is stubbed in this environment — plug "
-        "ffmpeg/soundfile here (RIFF/WAVE PCM decodes natively)"
+        "non-WAV/FLAC/MP3 audio decoding is stubbed in this environment — "
+        "plug ffmpeg/soundfile here (WAV PCM decodes natively; FLAC/MP3 "
+        "headers parse natively)"
     )
 
 
@@ -642,17 +740,105 @@ def _decode_avi(b: bytes) -> dict | None:
     return None
 
 
+def _decode_mp4(b: bytes) -> dict | None:
+    """MP4 / ISO-BMFF header decode — metadata-true WITHOUT any codec: box
+    walk to ``moov/mvhd`` (movie timescale + duration), each ``trak``'s
+    ``tkhd`` (16.16 fixed-point display dimensions), ``hdlr`` (handler type,
+    to pick the video track) and ``stbl/stsz`` (sample count = frame count).
+    Frame DATA stays codec-compressed; dimensions/duration/cadence — what a
+    frame-sample planner or corpus filter needs — are exact. Returns None if
+    the blob has no leading ``ftyp`` box."""
+    import struct
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    containers = {b"moov", b"mdia", b"minf", b"stbl"}
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack_from(">I", b, pos)[0]
+            body = pos + 8
+            typ = b[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                size = struct.unpack_from(">Q", b, pos + 8)[0]
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return
+            yield typ, body, pos + size
+            pos += size
+
+    timescale = duration = None
+    traks: list[dict] = []
+
+    def parse_trak(lo: int, hi: int, info: dict) -> dict:
+        for typ, body, end in boxes(lo, hi):
+            if typ in containers:
+                parse_trak(body, end, info)
+            elif typ == b"tkhd" and body < len(b):
+                ver = b[body]
+                off = body + 4 + (32 if ver == 1 else 20) + 52
+                if off + 8 <= end:
+                    info["w"] = int(struct.unpack_from(">I", b, off)[0] / 65536)
+                    info["h"] = int(
+                        struct.unpack_from(">I", b, off + 4)[0] / 65536
+                    )
+            elif typ == b"hdlr" and body + 12 <= end:
+                info["handler"] = b[body + 8 : body + 12]
+            elif typ == b"stsz" and body + 12 <= end:
+                info["n_samples"] = struct.unpack_from(">I", b, body + 8)[0]
+        return info
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal timescale, duration
+        for typ, body, end in boxes(lo, hi):
+            if typ == b"moov":
+                walk(body, end)
+            elif typ == b"mvhd" and body < len(b):
+                ver = b[body]
+                if ver == 1:
+                    timescale = struct.unpack_from(">I", b, body + 20)[0]
+                    duration = struct.unpack_from(">Q", b, body + 24)[0]
+                elif body + 20 <= end:
+                    timescale = struct.unpack_from(">I", b, body + 12)[0]
+                    duration = struct.unpack_from(">I", b, body + 16)[0]
+            elif typ == b"trak":
+                traks.append(parse_trak(body, end, {}))
+
+    walk(0, len(b))
+    if timescale is None and not traks:
+        return None  # ftyp magic but no moov metadata: treat as undecodable
+    vt = next((t for t in traks if t.get("handler") == b"vide"), None)
+    if vt is None:
+        vt = next((t for t in traks if t.get("w")), {})
+    secs = duration / timescale if timescale and duration is not None else None
+    n_frames = vt.get("n_samples")
+    return {
+        "width": vt.get("w"),
+        "height": vt.get("h"),
+        "n_frames": n_frames,
+        "fps": (n_frames / secs) if n_frames and secs else None,
+        "duration_ms": int(secs * 1000) if secs is not None else None,
+    }
+
+
 def decode_video(content: bytes) -> dict:
     """Decode a video blob to {width, height, n_frames, fps, duration_ms}.
-    Real container parse for RIFF/AVI; other containers (MP4/MKV/...) raise
-    NotImplementedError (plug ffmpeg there), keeping the environment
-    contract loud."""
-    out = _decode_avi(content)
-    if out is not None:
-        return out
+    Real container parse for RIFF/AVI and MP4/ISO-BMFF (box walk — the
+    dominant real-corpus container, header-true with no codec); other
+    containers (MKV/WebM/...) raise NotImplementedError (plug ffmpeg
+    there), keeping the environment contract loud."""
+    for parser in (_decode_avi, _decode_mp4):
+        out = parser(content)
+        if out is not None:
+            return out
     raise NotImplementedError(
-        "non-AVI video decoding is stubbed in this environment — plug "
-        "ffmpeg/PyAV here (RIFF/AVI headers parse natively)"
+        "non-AVI/MP4 video decoding is stubbed in this environment — plug "
+        "ffmpeg/PyAV here (AVI and MP4 headers parse natively)"
     )
 
 

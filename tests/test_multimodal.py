@@ -377,3 +377,107 @@ def test_decode_jpeg_features_end_to_end(spark):
 def test_decode_jpeg_rejects_headerless_blob():
     with pytest.raises(NotImplementedError):  # WebP still loud
         mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
+
+def _box(typ, payload):
+    return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+
+def _make_mp4(width, height, timescale=1000, duration=10_000, n_frames=250,
+              v1_mvhd=False):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd, trak(tkhd, mdia(hdlr,
+    minf(stbl(stsz))))). 16.16 fixed-point tkhd dims, v0 or v1 mvhd."""
+    if v1_mvhd:
+        mvhd = (
+            b"\x01\x00\x00\x00" + (0).to_bytes(8, "big") * 2
+            + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+        )
+    else:
+        mvhd = (
+            b"\x00\x00\x00\x00" + (0).to_bytes(4, "big") * 2
+            + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        )
+    tkhd = (
+        b"\x00\x00\x00\x00" + (0).to_bytes(4, "big") * 5  # ctime..duration
+        + b"\x00" * 52                                     # reserved..matrix
+        + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big")
+    )
+    hdlr = b"\x00\x00\x00\x00" + (0).to_bytes(4, "big") + b"vide" + b"\x00" * 12
+    stsz = b"\x00\x00\x00\x00" + (0).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+    stbl = _box(b"stbl", _box(b"stsz", stsz))
+    mdia = _box(b"mdia", _box(b"hdlr", hdlr) + _box(b"minf", stbl))
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_decode_mp4_header():
+    d = mm.decode_video(_make_mp4(1920, 1080))
+    assert (d["width"], d["height"]) == (1920, 1080)
+    assert d["duration_ms"] == 10_000 and d["n_frames"] == 250
+    assert d["fps"] == pytest.approx(25.0)
+
+
+def test_decode_mp4_v1_mvhd_and_headerless_still_loud():
+    d = mm.decode_video(_make_mp4(640, 360, timescale=600, duration=3000,
+                                  n_frames=150, v1_mvhd=True))
+    assert (d["width"], d["height"]) == (640, 360)
+    assert d["duration_ms"] == 5_000 and d["fps"] == pytest.approx(30.0)
+    with pytest.raises(NotImplementedError):  # ftyp magic, no moov
+        mm.decode_video(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+
+
+def test_decode_mp4_features_end_to_end(spark):
+    mp4 = _make_mp4(1280, 720, duration=4_000, n_frames=120)
+    rows = [(12, "video", "video/mp4", mp4, -1, -1, -1)]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.decode_video_features(media).collect()}
+    assert out[12].decoded and (out[12].width, out[12].height) == (1280, 720)
+    assert out[12].duration_ms == 4_000 and out[12].fps == pytest.approx(30.0)
+
+
+def _make_flac(rate=44100, n_ch=2, depth=16, total=441_000):
+    bits = (rate << 44) | ((n_ch - 1) << 41) | ((depth - 1) << 36) | total
+    streaminfo = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + streaminfo
+
+
+def _make_mp3(n_payload=15_996, xing_frames=None, id3_pad=0):
+    head = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3, 128 kbps, 44100, stereo
+    if xing_frames is not None:
+        body = b"\x00" * 32 + b"Xing" + (1).to_bytes(4, "big") \
+            + xing_frames.to_bytes(4, "big")
+        body += b"\x00" * max(0, n_payload - len(body))
+    else:
+        body = b"\x00" * n_payload
+    blob = head + body
+    if id3_pad:
+        blob = b"ID3\x04\x00\x00" + bytes(
+            [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+             (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]
+        ) + b"\x00" * id3_pad + blob
+    return blob
+
+
+def test_decode_flac_streaminfo():
+    d = mm.decode_audio(_make_flac())
+    assert (d["sample_rate"], d["n_channels"], d["bits"]) == (44100, 2, 16)
+    assert d["duration_ms"] == 10_000 and d["rms"] is None
+    d = mm.decode_audio(_make_flac(rate=48000, n_ch=1, depth=24, total=48000))
+    assert (d["sample_rate"], d["n_channels"], d["bits"]) == (48000, 1, 24)
+    assert d["duration_ms"] == 1_000
+
+
+def test_decode_mp3_cbr_and_xing():
+    d = mm.decode_audio(_make_mp3())  # 16000 bytes at 128 kbps = 1000 ms
+    assert (d["sample_rate"], d["n_channels"]) == (44100, 2)
+    assert d["duration_ms"] == 1_000
+    d = mm.decode_audio(_make_mp3(xing_frames=38))  # VBR: frame count wins
+    assert d["duration_ms"] == int(38 * 1152 * 1000 / 44100)
+
+
+def test_decode_mp3_skips_id3v2():
+    d = mm.decode_audio(_make_mp3(id3_pad=100))
+    assert d["sample_rate"] == 44100 and d["duration_ms"] == 1_000
+    with pytest.raises(NotImplementedError):  # Ogg still loud
+        mm.decode_audio(b"OggS" + b"\x00" * 64)
