@@ -4055,6 +4055,133 @@ def q103_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q104_sequence_packing",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           (cum - n_tokens) // 2048 AS seq_id,
+           (cum - n_tokens) % 2048  AS seq_offset
+    FROM c
+    """,
+)
+def q104_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concatenate-and-chunk): assign every doc
+    its starting position in a stream of fixed 2048-token training blocks,
+    packed per source shard in doc_id order — the pretraining-dataloader
+    layout step. One window cumsum per shard (the shard key is what a real
+    pipeline would carry as its file/shard id, so parallelism scales with
+    the corpus, never a global order); seq_id/offset are pure integer
+    arithmetic on the running total — cross-engine exact, no float policy
+    needed. Engine-added (driver brief: LLM-pipeline ops); cumsum types
+    pinned BIGINT both sides (DuckDB window sums of BIGINT emit HUGEINT —
+    the q38 hasher lesson)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = d.select(
+        "source",
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return t.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(start / F.lit(2048)).cast("long").alias("seq_id"),
+        (start % F.lit(2048)).cast("long").alias("seq_offset"),
+    )
+
+
+@register(
+    "q105_vocab_coverage",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents WHERE trim(text) <> ''
+    ), counts AS (
+      SELECT word, count(*) AS cnt FROM words WHERE word <> '' GROUP BY word
+    ), total AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+             count(*) AS distinct_words
+      FROM counts
+    ), tops AS (
+      SELECT 10 AS k, CAST(sum(cnt) AS BIGINT) AS top_tokens
+      FROM (SELECT cnt FROM counts ORDER BY cnt DESC, word LIMIT 10)
+      UNION ALL
+      SELECT 100, CAST(sum(cnt) AS BIGINT)
+      FROM (SELECT cnt FROM counts ORDER BY cnt DESC, word LIMIT 100)
+      UNION ALL
+      SELECT 1000, CAST(sum(cnt) AS BIGINT)
+      FROM (SELECT cnt FROM counts ORDER BY cnt DESC, word LIMIT 1000)
+    )
+    SELECT k, top_tokens, total_tokens, distinct_words,
+           top_tokens / total_tokens AS coverage
+    FROM tops CROSS JOIN total
+    """,
+)
+def q105_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: what share of all corpus tokens the
+    top-K most frequent words cover, for K in {10, 100, 1000} — the
+    vocab-sizing question a tokenizer build asks first. One word-count
+    aggregate (map-side combined) persisted and read four ways; each top-K
+    is ``orderBy().limit(K)`` = TakeOrderedAndProject (per-partition
+    partial top-K, NO single-partition window — deliberately windowless so
+    the running-total shape can't reappear at 100 TB). Boundary ties break
+    on the word itself, so the K-th slot is deterministic cross-engine.
+    Coverage is a single-op double division of exact longs (float policy:
+    never rounded). Engine-added (driver brief: text-analysis family)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    counts = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_words"),
+    )
+    tops = None
+    for k in (10, 100, 1000):
+        part = (
+            counts.orderBy(F.desc("cnt"), "word")
+            .limit(k)
+            .agg(F.sum("cnt").cast("long").alias("top_tokens"))
+            .select(F.lit(k).alias("k"), "top_tokens")
+        )
+        tops = part if tops is None else tops.unionByName(part)
+    return tops.crossJoin(F.broadcast(total)).select(
+        "k",
+        "top_tokens",
+        "total_tokens",
+        "distinct_words",
+        (F.col("top_tokens") / F.col("total_tokens")).alias("coverage"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4096,7 +4223,7 @@ _FINAL_ORDER = [
     #    q08/q10/q15/q16/q61/q62 have never been checked — rotate them in r4
     "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
     "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
-    "q62_large_orders",
+    "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
