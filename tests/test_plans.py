@@ -185,3 +185,63 @@ def test_runtime_bloom_filter_injects_on_star_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _unpartitioned_ordered_windows(df) -> int:
+    """Count WindowExec nodes with an ORDER spec but NO partition spec —
+    the single-partition running-window shape that cannot scale (every row
+    flows through one task). Parses the physical plan's ``Window [exprs],
+    [partition]?, [order]?`` bracket groups: a window is flagged when it
+    has no third group AND its second group is an ORDER spec (ASC/DESC)."""
+    import re
+
+    bad = 0
+    for line in df._jdf.queryExecution().executedPlan().toString().splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+            if depth > 0:
+                cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    cur = ""
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)[ ,\]]", groups[1]):
+            continue  # partition-only window (min-over-partition etc.)
+        bad += 1
+    return bad
+
+
+def test_detector_catches_global_ordered_window(spark):
+    from pyspark.sql import Window
+
+    glob = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    assert _unpartitioned_ordered_windows(glob) == 1
+    part = spark.range(100).withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy(F.col("id") % 5).orderBy("id")),
+    )
+    assert _unpartitioned_ordered_windows(part) == 0
+
+
+def test_no_registry_query_plans_a_global_ordered_window(spark, sf_dir):
+    """No checked query may plan a single-partition ordered WindowExec
+    (the q99 Misra-Gries trim regression class): rankings go through
+    per-key windows or orderBy().limit() = TakeOrderedAndProject."""
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        n = _unpartitioned_ordered_windows(fn(spark, sf_dir))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"global ordered windows in: {offenders}"
