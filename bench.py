@@ -47,6 +47,12 @@ HEADLINE = [
     "q82_discount_or_predicates",
     "q83_waiting_orders",
     "q85_pii_redaction",
+    # round-3 additions: Gopher text-quality folds, winnowing fingerprints,
+    # dataloader sequence packing, vocab coverage
+    "q65_gopher_quality",
+    "q67_winnow_overlap",
+    "q104_sequence_packing",
+    "q105_vocab_coverage",
 ]
 
 

@@ -96,32 +96,48 @@ def words(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def mean_word_len(col: Column | str) -> Column:
+def _warr(col: Column | str, pre_split: bool) -> Column:
+    """The word array for a metric: the column itself when the caller staged
+    the split already, else split here."""
+    if pre_split:
+        return F.col(col) if isinstance(col, str) else col
+    return words(col)
+
+
+def mean_word_len(col: Column | str, pre_split: bool = False) -> Column:
     """Mean characters per word (Gopher rule input). Integer char-sum over
-    integer count — bit-identical across engines, no rounding needed."""
-    w = words(col)
+    integer count — bit-identical across engines, no rounding needed.
+
+    ``pre_split=True`` means ``col`` is ALREADY the word array — stage the
+    split once per row when stacking several repetition metrics (HOFs are
+    CodegenFallback with no subexpression elimination, so each metric would
+    otherwise re-run the split regex; CLAUDE.md invariant 14)."""
+    w = _warr(col, pre_split)
     n = F.size(w)
     total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(n > 0, total.cast("double") / n)
 
 
-def stopword_frac(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
+def stopword_frac(
+    col: Column | str, stopwords=EN_STOPWORDS, pre_split: bool = False
+) -> Column:
     """Fraction of words that are stopwords (Gopher: quality text has a
-    floor on function-word density)."""
-    w = words(col)
+    floor on function-word density). ``pre_split``: see mean_word_len."""
+    w = _warr(col, pre_split)
     n = F.size(w)
     hits = F.size(F.filter(w, lambda x: F.lower(x).isin(*stopwords)))
     return F.when(n > 0, hits.cast("double") / n)
 
 
-def top_word_frac(col: Column | str) -> Column:
+def top_word_frac(col: Column | str, pre_split: bool = False) -> Column:
     """Fraction of the document taken by its single most frequent word —
     the cheapest repetition signal (a page of 'buy buy buy ...' scores ~1).
 
     Computed WITHOUT a shuffle: sort the word array, fold a (prev, run,
     best) state over it with ``aggregate`` — max run length of the sorted
-    array == max word frequency. Pure codegen'd expression per row."""
-    w = F.array_sort(words(col))
+    array == max word frequency. Pure codegen'd expression per row.
+    ``pre_split``: see mean_word_len."""
+    w = F.array_sort(_warr(col, pre_split))
     n = F.size(w)
     best = F.aggregate(
         w,
@@ -141,11 +157,12 @@ def top_word_frac(col: Column | str) -> Column:
     return F.when(n > 0, best.cast("double") / n)
 
 
-def dup_bigram_frac(col: Column | str) -> Column:
+def dup_bigram_frac(col: Column | str, pre_split: bool = False) -> Column:
     """Fraction of word bigrams that are repeats of an earlier bigram
     (1 - distinct/total) — the Gopher "duplicate n-gram" repetition rule.
-    Null for documents of fewer than two words."""
-    w = words(col)
+    Null for documents of fewer than two words. ``pre_split``: see
+    mean_word_len."""
+    w = _warr(col, pre_split)
     n = F.size(w)
     bi = F.transform(
         F.sequence(F.lit(1), n - 1),

@@ -2048,17 +2048,25 @@ def q65_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every metric is a NATIVE per-row expression — the repetition signals
     fold over the word array with higher-order functions (top_word_frac =
-    max run of the sorted array), so the whole battery is one codegen'd
-    projection over one scan: no explode, no shuffle, 100 TB-safe. The
-    oracle computes top_word_frac via unnest+group-by — different shape,
-    identical values. No rounding anywhere: integer-over-integer divisions
-    are bit-equal across engines (float policy, module docstring)."""
-    d = _t(spark, sf_dir, "documents")
-    n_words = F.size(tx.words("text")).cast("long")
-    mwl = tx.mean_word_len("text")
-    stopf = tx.stopword_frac("text")
-    topf = tx.top_word_frac("text")
-    dupbi = tx.dup_bigram_frac("text")
+    max run of the sorted array): no explode, no shuffle, 100 TB-safe. The
+    split is STAGED as its own projection so the five metrics share one
+    word array instead of five re-splits (HOFs are CodegenFallback with no
+    subexpression elimination — invariant 14), and the scan repartitions
+    first (CPU-heavy folds on a single-file input otherwise run on one
+    core). The oracle computes top_word_frac via unnest+group-by —
+    different shape, identical values. No rounding anywhere:
+    integer-over-integer divisions are bit-equal across engines (float
+    policy, module docstring)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    staged = d.select("doc_id", tx.words("text").alias("__w"))
+    w = F.col("__w")
+    n_words = F.size(w).cast("long")
+    mwl = tx.mean_word_len(w, pre_split=True)
+    stopf = tx.stopword_frac(w, pre_split=True)
+    topf = tx.top_word_frac(w, pre_split=True)
+    dupbi = tx.dup_bigram_frac(w, pre_split=True)
     passes = (
         (n_words >= 30)
         & (mwl >= 3)
@@ -2067,7 +2075,7 @@ def q65_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (topf <= 0.12)
         & (dupbi <= 0.05)
     )
-    return d.select(
+    return staged.select(
         "doc_id",
         n_words.alias("n_words"),
         mwl.alias("mean_word_len"),
