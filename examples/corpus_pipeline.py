@@ -92,6 +92,22 @@ def main() -> None:
     topk = similarity.brute_force_topk(emb, queries, k=5)
     print(f"[7] ANN: {topk.count()} (query, neighbor) rows")
 
+    # 8. dataloader layout: pack the kept docs into 2048-token training
+    #    sequences (per-source cumsum — q104's operator) and report how much
+    #    of the corpus a small vocabulary covers (q105) ---------------------
+    packed = QUERIES["q104_sequence_packing"](spark, SF_DIR)
+    n_seqs = packed.agg(
+        (F.max("seq_id") + 1).alias("n"), F.sum("n_tokens").alias("toks")
+    ).first()
+    cov = {
+        r["k"]: r["coverage"]
+        for r in QUERIES["q105_vocab_coverage"](spark, SF_DIR).collect()
+    }
+    print(
+        f"[8] packing: {n_seqs['toks']} tokens -> ~{n_seqs['n']} blocks/shard; "
+        f"top-10-word coverage {cov[10]:.3f}"
+    )
+
     print("corpus pipeline complete")
 
 
