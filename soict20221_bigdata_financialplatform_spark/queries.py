@@ -4190,6 +4190,76 @@ def q105_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q106_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_buy, min(c.t_click) AS t_click,
+             min(c.t_view) AS t_view
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT user_id, t_view, t_click, t_buy,
+           (epoch_us(t_buy) - epoch_us(t_view)) / 1000000.0 AS secs_to_convert
+    FROM p
+    """,
+)
+def q106_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strict event-time order):
+    one row per converting user with each stage's first qualifying time and
+    the end-to-end conversion latency. The sequential dependency (a click
+    only counts AFTER the first view) is three grouped aggregates chained
+    on the SAME key — after the first shuffle on user_id every later join
+    and agg is co-partitioned, so the funnel costs one exchange no matter
+    how many stages. secs_to_convert is a single-op division of an exact
+    integer µs difference — bit-equal cross-engine, never rounded (float
+    policy). Engine-added (product-analytics family alongside q38
+    sessionization and q89 cohort retention)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t_buy"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_view").alias("t_view"),
+        )
+    )
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))
+    return p.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_buy",
+        ((us("t_buy") - us("t_view")) / F.lit(1_000_000.0)).alias(
+            "secs_to_convert"
+        ),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4232,6 +4302,7 @@ _FINAL_ORDER = [
     "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
     "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
     "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
+    "q106_funnel_conversion",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
