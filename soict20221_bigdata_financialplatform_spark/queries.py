@@ -4260,6 +4260,62 @@ def q106_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q107_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type, m.med, d.mad,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad)
+             AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def q107_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per group: median + MAD (median absolute
+    deviation), then the classic |x − med| > 3·1.4826·MAD flag — the
+    data-quality filter that survives heavy tails where mean/stddev z-scores
+    don't. Two grouped exact percentiles (rounded 6 both sides — the
+    interpolated quantile is order-dependent) with the tiny per-group stats
+    BROADCAST back; the deviation and threshold comparison are single-op
+    IEEE arithmetic on identical inputs, bit-equal cross-engine. At 100 TB
+    swap `percentile` for `approx_percentile` (mergeable t-digest) —
+    same shape, documented error bound. Engine-added (profiling family
+    alongside q54 and q90)."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(
+            F.expr("percentile(abs(value - med), 0.5)"), 6
+        ).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(
+            F.when(
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                1,
+            )
+        ).alias("n_outliers"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4302,7 +4358,7 @@ _FINAL_ORDER = [
     "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
     "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
     "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
-    "q106_funnel_conversion",
+    "q106_funnel_conversion", "q107_robust_outliers",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
