@@ -4217,13 +4217,17 @@ def q106_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click → purchase, strict event-time order):
     one row per converting user with each stage's first qualifying time and
     the end-to-end conversion latency. The sequential dependency (a click
-    only counts AFTER the first view) is three grouped aggregates chained
-    on the SAME key — after the first shuffle on user_id every later join
-    and agg is co-partitioned, so the funnel costs one exchange no matter
-    how many stages. secs_to_convert is a single-op division of an exact
-    integer µs difference — bit-equal cross-engine, never rounded (float
-    policy). Engine-added (product-analytics family alongside q38
-    sessionization and q89 cohort retention)."""
+    only counts AFTER the first view) is a chain of grouped aggregates all
+    keyed on user_id: each stage shuffles only its OWN filtered event slice
+    (one (user, ts) row per qualifying event after map-side combine), and
+    the per-user stage times join back as broadcasts while small — observed
+    plan: the unfiltered events table never exchanges, 2 hash exchanges + 2
+    broadcasts for 3 stages — degrading gracefully to co-partitioned hash
+    joins on user_id when a stage's survivors outgrow broadcast.
+    secs_to_convert is a single-op division of an exact integer µs
+    difference — bit-equal cross-engine, never rounded (float policy).
+    Engine-added (product-analytics family alongside q38 sessionization and
+    q89 cohort retention)."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     v = (
         e.where(F.col("event_type") == "view")
