@@ -164,3 +164,66 @@ def clean_corpus(
     out = drop_exact_dups(out, text_col, id_col)
     out = drop_near_dups(out, text_col, id_col, jaccard_threshold)
     return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    tokens_col: str = "n_tokens",
+    shard_cols: tuple = ("source",),
+    order_col: str = "doc_id",
+    block: int = 2048,
+    sub_shard_size: int = 100_000,
+) -> DataFrame:
+    """Distributed prefix-sum sequence packing — the 100 TB form of q104's
+    concatenate-and-chunk when ONE shard's document count outgrows a single
+    task's window (the per-shard cumsum is inherently sequential; a hot
+    shard would serialize it).
+
+    Same decomposition as ``ema_segmented`` (a cumsum is the α=1 special
+    case of the linear recursion): bucket each shard into sub-shards that
+    are MONOTONE in the order column (``floor(order/sub_shard_size)``),
+    cumsum locally per (shard, sub-shard) — a partitioned window, thousands
+    of concurrent tasks — then chain the per-sub-shard totals (ONE ROW per
+    sub-shard) with a second partitioned window over the tiny summary frame
+    and broadcast-join the offsets back. No stage holds more than one
+    sub-shard of one shard; nothing is single-partition.
+
+    Emits ``seq_id``/``seq_offset`` identical to the direct single-window
+    cumsum (equivalence-tested across sub-shard boundaries): position =
+    sub-shard offset + local cumsum − own tokens; seq_id = position //
+    block; seq_offset = position % block.
+    """
+    from pyspark.sql import Window
+
+    sub = F.floor(F.col(order_col) / F.lit(sub_shard_size)).alias("__sub")
+    d = docs.withColumn("__sub", sub)
+    w_local = (
+        Window.partitionBy(*shard_cols, "__sub")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("__cum_local", F.sum(tokens_col).over(w_local))
+    # one row per (shard, sub-shard): its total token mass
+    totals = local.groupBy(*shard_cols, "__sub").agg(
+        F.sum(tokens_col).alias("__sub_total")
+    )
+    # exclusive running offset of each sub-shard within its shard — the
+    # summary frame has one row per sub-shard, so this window is tiny AND
+    # partitioned by shard
+    w_chain = (
+        Window.partitionBy(*shard_cols)
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__sub_total").over(w_chain), F.lit(0))
+    ).select(*shard_cols, "__sub", "__offset")
+    start = (
+        F.col("__offset") + F.col("__cum_local") - F.col(tokens_col)
+    ).cast("long")
+    return (
+        local.join(F.broadcast(offsets), [*shard_cols, "__sub"])
+        .withColumn("seq_id", F.floor(start / F.lit(block)).cast("long"))
+        .withColumn("seq_offset", (start % F.lit(block)).cast("long"))
+        .drop("__sub", "__cum_local", "__offset")
+    )

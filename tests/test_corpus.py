@@ -91,3 +91,45 @@ def test_stratified_sample_oversized_fractions_dict_rejected(spark):
     too_many = {i: 0.5 for i in range(corpus.MAX_AUTO_STRATA + 1)}
     with pytest.raises(ValueError, match="MAX_AUTO_STRATA"):
         corpus.stratified_sample(docs, "doc_id", fractions=too_many)
+
+
+def test_pack_sequences_equals_direct_cumsum(spark):
+    """Distributed prefix-sum packing == the direct per-shard window cumsum,
+    across many sub-shard boundaries and multiple shards."""
+    import random
+
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(source=f"s{i % 3}", doc_id=i, n_tokens=rng.randint(1, 500))
+        for i in range(1000)
+    ]
+    docs = spark.createDataFrame(rows)
+
+    got = {
+        (r.source, r.doc_id): (r.seq_id, r.seq_offset)
+        for r in pack_sequences(
+            docs, block=1024, sub_shard_size=50  # 20 sub-shards per shard
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    want = {
+        (r.source, r.doc_id): (r.seq_id, r.seq_offset)
+        for r in docs.select(
+            "source",
+            "doc_id",
+            F.floor(start / F.lit(1024)).cast("long").alias("seq_id"),
+            (start % F.lit(1024)).cast("long").alias("seq_offset"),
+        ).collect()
+    }
+    assert got == want
