@@ -307,17 +307,45 @@ def _decode_jpeg(b: bytes) -> dict | None:
     }
 
 
+def _decode_webp(b: bytes) -> dict | None:
+    """WebP header decode — dimensions without any codec, covering all three
+    container layouts: VP8X (extended: 24-bit canvas dims), VP8L (lossless:
+    14-bit packed dims), VP8 (lossy: 14-bit dims in the keyframe header).
+    Pixel means stay None. Returns None if not RIFF/WEBP."""
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    out = {"width": None, "height": None,
+           "mean_r": None, "mean_g": None, "mean_b": None}
+    four, body = b[12:16], 20
+    if four == b"VP8X" and len(b) >= 30:
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        out.update(width=w, height=h)
+    elif four == b"VP8L" and len(b) >= 25 and b[body] == 0x2F:
+        bits = int.from_bytes(b[body + 1 : body + 5], "little")
+        out.update(width=(bits & 0x3FFF) + 1, height=((bits >> 14) & 0x3FFF) + 1)
+    elif four == b"VP8 " and len(b) >= 30 and b[body + 3 : body + 6] == b"\x9d\x01\x2a":
+        w = int.from_bytes(b[body + 6 : body + 8], "little") & 0x3FFF
+        h = int.from_bytes(b[body + 8 : body + 10], "little") & 0x3FFF
+        out.update(width=w, height=h)
+    if out["width"] is None:
+        return None  # WEBP magic but unreadable header: stay loud
+    return out
+
+
 def decode_image(content: bytes) -> dict:
     """Decode an image blob to {width, height, mean_r, mean_g, mean_b}.
 
     Real decode for the formats stdlib can handle: uncompressed BMP 24-bit
     and PPM P6 (header parse) plus PNG 8-bit RGB/RGBA (zlib inflate +
-    filter reversal — a true compressed-format decode). JPEG decodes
-    header-true (SOF dimensions + EXIF orientation; pixel means None).
-    Formats needing codec libraries (WebP/HEIC/...) raise
-    NotImplementedError via the stub — loudly, per the environment contract.
+    filter reversal — a true compressed-format decode). JPEG (SOF
+    dimensions + EXIF orientation) and WebP (VP8/VP8L/VP8X headers) decode
+    header-true with pixel means None. Formats needing codec libraries
+    (HEIC/AVIF/...) raise NotImplementedError via the stub — loudly, per
+    the environment contract.
     """
-    for parser in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg):
+    for parser in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg,
+                   _decode_webp):
         out = parser(content)
         if out is not None:
             return out

@@ -375,8 +375,37 @@ def test_decode_jpeg_features_end_to_end(spark):
 
 
 def test_decode_jpeg_rejects_headerless_blob():
-    with pytest.raises(NotImplementedError):  # WebP still loud
+    with pytest.raises(NotImplementedError):  # truncated WebP still loud
         mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(NotImplementedError):  # HEIC still loud
+        mm.decode_image(b"\x00\x00\x00\x18ftypheic")
+
+
+def test_decode_webp_all_three_layouts():
+    # VP8X extended: 24-bit (dim - 1) canvas fields
+    vp8x = (
+        b"RIFF" + (22).to_bytes(4, "little") + b"WEBP" + b"VP8X"
+        + (10).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (799).to_bytes(3, "little") + (599).to_bytes(3, "little")
+    )
+    d = mm.decode_image(vp8x)
+    assert (d["width"], d["height"]) == (800, 600) and d["mean_r"] is None
+    # VP8L lossless: 0x2F signature + 14-bit packed dims
+    bits = (1023 | (767 << 14)).to_bytes(4, "little")
+    vp8l = (
+        b"RIFF" + (9).to_bytes(4, "little") + b"WEBP" + b"VP8L"
+        + (5).to_bytes(4, "little") + b"\x2f" + bits
+    )
+    d = mm.decode_image(vp8l)
+    assert (d["width"], d["height"]) == (1024, 768)
+    # VP8 lossy: start code then 14-bit LE dims
+    vp8 = (
+        b"RIFF" + (14).to_bytes(4, "little") + b"WEBP" + b"VP8 "
+        + (10).to_bytes(4, "little") + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+    )
+    d = mm.decode_image(vp8)
+    assert (d["width"], d["height"]) == (320, 240)
 
 
 def _box(typ, payload):
