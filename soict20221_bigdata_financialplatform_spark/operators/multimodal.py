@@ -854,19 +854,93 @@ def _decode_mp4(b: bytes) -> dict | None:
     }
 
 
+def _decode_mkv(b: bytes) -> dict | None:
+    """MKV/WebM header decode — a minimal EBML walk: Segment → Info
+    (TimestampScale, Duration) and Tracks → TrackEntry → Video
+    (PixelWidth/PixelHeight). Variable-length ids keep their marker bit,
+    sizes strip it — the two varint flavors of EBML. Frame DATA stays
+    codec-compressed; ``n_frames``/``fps`` are not in the header (they live
+    in Cues/Clusters) and stay None. Returns None if the blob has no EBML
+    magic."""
+    if len(b) < 8 or b[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+
+    def vint(pos: int, keep_marker: bool):
+        if pos >= len(b):
+            return None
+        first = b[pos]
+        if first == 0:
+            return None
+        length = 1
+        while not first & (0x80 >> (length - 1)):
+            length += 1
+        if pos + length > len(b):
+            return None
+        val = first if keep_marker else first & ((0x80 >> (length - 1)) - 1)
+        for i in range(1, length):
+            val = (val << 8) | b[pos + i]
+        return val, pos + length
+
+    MASTERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+    found: dict = {}
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos < hi:
+            r = vint(pos, True)
+            if r is None:
+                return
+            eid, pos = r
+            r = vint(pos, False)
+            if r is None:
+                return
+            size, pos = r
+            end = min(pos + size, hi)
+            if eid in MASTERS:
+                walk(pos, end)
+            elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                found["scale"] = int.from_bytes(b[pos:end], "big")
+            elif eid == 0x4489:  # Duration (float, in ticks)
+                import struct
+
+                if size == 4:
+                    found["dur"] = struct.unpack(">f", b[pos:end])[0]
+                elif size == 8:
+                    found["dur"] = struct.unpack(">d", b[pos:end])[0]
+            elif eid == 0xB0:  # PixelWidth
+                found.setdefault("w", int.from_bytes(b[pos:end], "big"))
+            elif eid == 0xBA:  # PixelHeight
+                found.setdefault("h", int.from_bytes(b[pos:end], "big"))
+            pos = end
+
+    walk(0, len(b))
+    if not found:
+        return None  # EBML magic but nothing readable: stay loud
+    scale = found.get("scale", 1_000_000)  # spec default: 1 ms ticks
+    dur = found.get("dur")
+    return {
+        "width": found.get("w"),
+        "height": found.get("h"),
+        "n_frames": None,
+        "fps": None,
+        "duration_ms": int(dur * scale / 1_000_000) if dur is not None else None,
+    }
+
+
 def decode_video(content: bytes) -> dict:
     """Decode a video blob to {width, height, n_frames, fps, duration_ms}.
-    Real container parse for RIFF/AVI and MP4/ISO-BMFF (box walk — the
-    dominant real-corpus container, header-true with no codec); other
-    containers (MKV/WebM/...) raise NotImplementedError (plug ffmpeg
-    there), keeping the environment contract loud."""
-    for parser in (_decode_avi, _decode_mp4):
+    Real container parse for RIFF/AVI, MP4/ISO-BMFF (box walk — the
+    dominant real-corpus container) and MKV/WebM (EBML walk), all
+    header-true with no codec; anything else raises NotImplementedError
+    (plug ffmpeg there), keeping the environment contract loud."""
+    for parser in (_decode_avi, _decode_mp4, _decode_mkv):
         out = parser(content)
         if out is not None:
             return out
     raise NotImplementedError(
-        "non-AVI/MP4 video decoding is stubbed in this environment — plug "
-        "ffmpeg/PyAV here (AVI and MP4 headers parse natively)"
+        "unrecognized-container video decoding is stubbed in this "
+        "environment — plug ffmpeg/PyAV here (AVI, MP4 and MKV/WebM "
+        "headers parse natively)"
     )
 
 

@@ -510,3 +510,35 @@ def test_decode_mp3_skips_id3v2():
     assert d["sample_rate"] == 44100 and d["duration_ms"] == 1_000
     with pytest.raises(NotImplementedError):  # Ogg still loud
         mm.decode_audio(b"OggS" + b"\x00" * 64)
+
+
+def _ebml(eid_bytes, payload):
+    assert len(payload) < 127
+    return eid_bytes + bytes([0x80 | len(payload)]) + payload
+
+
+def _make_mkv(width, height, duration_ticks=9000.0, scale=1_000_000):
+    import struct
+
+    video = _ebml(b"\xb0", width.to_bytes(2, "big")) + _ebml(
+        b"\xba", height.to_bytes(2, "big")
+    )
+    trackentry = _ebml(b"\xe0", video)
+    tracks = _ebml(b"\x16\x54\xae\x6b", _ebml(b"\xae", trackentry))
+    info = _ebml(b"\x2a\xd7\xb1", scale.to_bytes(4, "big")) + _ebml(
+        b"\x44\x89", struct.pack(">d", duration_ticks)
+    )
+    segment = _ebml(b"\x18\x53\x80\x67", _ebml(b"\x15\x49\xa9\x66", info) + tracks)
+    return _ebml(b"\x1a\x45\xdf\xa3", b"") + segment
+
+
+def test_decode_mkv_header():
+    d = mm.decode_video(_make_mkv(1920, 1080, duration_ticks=9000.0))
+    assert (d["width"], d["height"]) == (1920, 1080)
+    assert d["duration_ms"] == 9000  # 9000 ticks * 1ms default scale
+    assert d["n_frames"] is None and d["fps"] is None
+    # custom timestamp scale: 100 us ticks
+    d = mm.decode_video(_make_mkv(640, 480, duration_ticks=50_000.0, scale=100_000))
+    assert d["duration_ms"] == 5000
+    with pytest.raises(NotImplementedError):  # bare EBML header, no segment
+        mm.decode_video(b"\x1a\x45\xdf\xa3\x80")
