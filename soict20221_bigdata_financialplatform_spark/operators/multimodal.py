@@ -6,9 +6,10 @@ The Spark-side contract — schemas, partitioning, batch shape, UDF signatures
 — is real and tested. Decoding is pure-python/stdlib where the format allows:
 full pixel/sample decode for BMP, PPM, PNG (zlib inflate + filter reversal)
 and WAV PCM; header-true metadata (true dimensions / duration / cadence, no
-entropy decode) for JPEG (SOF + EXIF orientation), MP4 (ISO-BMFF box walk),
-AVI, FLAC (STREAMINFO) and MP3 (frame header + Xing). Only formats whose
-METADATA needs a codec library (WebP/HEIC/MKV/AAC/...) are stubbed behind a
+entropy decode) for JPEG (SOF + EXIF orientation), WebP (VP8/VP8L/VP8X),
+MP4 (ISO-BMFF box walk), AVI, MKV/WebM (EBML walk), FLAC (STREAMINFO) and
+MP3 (frame header + Xing). Only formats whose
+METADATA needs a codec library (HEIC/AVIF/AAC/Opus/...) are stubbed behind a
 loud ``NotImplementedError``; swapping in PIL/ffmpeg is a one-function change
 per modality — everything around it (how bytes flow through Arrow, how
 features land in columns, how work is partitioned) is the production design.
