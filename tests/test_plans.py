@@ -245,3 +245,42 @@ def test_no_registry_query_plans_a_global_ordered_window(spark, sf_dir):
         if n:
             offenders[name] = n
     assert not offenders, f"global ordered windows in: {offenders}"
+
+
+def test_sequence_packing_one_partitioned_window(spark, sf_dir):
+    """q104: one PARTITIONED window (per source shard) over one exchange —
+    the cumsum never funnels through a single partition."""
+    q = QUERIES["q104_sequence_packing"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert plan.count("Window") == 1
+    assert _unpartitioned_ordered_windows(q) == 0
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark, sf_dir):
+    """q105: every top-K is TakeOrderedAndProject (distributed partial
+    top-K) — no Window node anywhere in the plan."""
+    q = QUERIES["q105_vocab_coverage"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_funnel_fact_never_exchanges(spark, sf_dir):
+    """q106: only the per-stage AGGREGATES exchange (filtered, map-side
+    combined slices keyed on user_id); the stage stats come back as
+    broadcasts at this SF."""
+    q = QUERIES["q106_funnel_conversion"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert plan.count("Exchange hashpartitioning(user_id") == 2
+    assert plan.count("BroadcastExchange") == 2
+
+
+def test_robust_outliers_stats_broadcast(spark, sf_dir):
+    """q107: med/MAD are tiny per-group aggregates broadcast back over the
+    fact — every join is a BroadcastHashJoin (the fact never shuffles for a
+    join; its only exchanges are the grouped percentile aggregates)."""
+    q = QUERIES["q107_robust_outliers"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
