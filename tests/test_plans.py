@@ -284,3 +284,39 @@ def test_robust_outliers_stats_broadcast(spark, sf_dir):
     plan = checks.executed_plan(q)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session's AQE skew-join config actually fires: a hot key whose
+    shuffle partition dwarfs the median is split at runtime (``skew=true``
+    in the final adaptive plan) with correct join results — the first line
+    of defense before `operators/skew.py`'s deterministic salting."""
+    lowered = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(500).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(51).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        j = hot.union(cold).join(right, "k")
+        assert len(j.collect()) == 200_500  # every row matched exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
