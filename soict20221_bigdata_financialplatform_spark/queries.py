@@ -4320,6 +4320,64 @@ def q107_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q108_drawdown_sharpe",
+    """
+    WITH px AS (
+      SELECT user_id, ts, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS run_max,
+             value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1
+               AS ret
+      FROM events WHERE value > 0
+    )
+    SELECT user_id,
+           round(min(value / run_max - 1), 6) AS max_drawdown,
+           round(avg(ret), 6) AS mean_ret,
+           round(stddev_samp(ret), 6) AS vol,
+           CASE WHEN round(stddev_samp(ret), 6) <> 0
+                THEN round(avg(ret), 6) / round(stddev_samp(ret), 6) END
+             AS sharpe,
+           count(*) AS n_obs
+    FROM px GROUP BY user_id
+    """,
+)
+def q108_drawdown_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk analytics per key: maximum drawdown (trough below the running
+    peak) and a Sharpe-style mean/vol ratio over simple returns — the
+    standard post-backfill risk screen on any price store (extends the
+    reference's indicator family, to_db.py:40-49, to portfolio risk).
+
+    One hash exchange per key serves BOTH window passes (running max and
+    lag share the frame spec) and the final grouped agg — the same
+    single-exchange discipline as the indicator family. Float policy:
+    value/run_max − 1 and the lag return are single-op per-row arithmetic
+    (bit-equal cross-engine, never rounded); the order-dependent
+    aggregates (avg, stddev) round to 6 BOTH sides, and the Sharpe ratio
+    divides the two ROUNDED values (single-op again). ANSI-safe: zero-vol
+    keys emit null sharpe, the value>0 scan filter guards the division."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").where(F.col("value") > 0).select(
+        "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run_max = F.max("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ret = F.col("value") / F.lag("value").over(w) - 1
+    px = e.withColumn("run_max", run_max).withColumn("ret", ret)
+    vol = F.round(F.stddev_samp("ret"), 6)
+    mean_ret = F.round(F.avg("ret"), 6)
+    return px.groupBy("user_id").agg(
+        F.round(F.min(F.col("value") / F.col("run_max") - 1), 6).alias(
+            "max_drawdown"
+        ),
+        mean_ret.alias("mean_ret"),
+        vol.alias("vol"),
+        F.when(vol != 0, mean_ret / vol).alias("sharpe"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4363,6 +4421,7 @@ _FINAL_ORDER = [
     "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
     "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
     "q106_funnel_conversion", "q107_robust_outliers",
+    "q108_drawdown_sharpe",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",

@@ -320,3 +320,12 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_drawdown_sharpe_single_exchange_single_window(spark, sf_dir):
+    """q108: running max + lag share one frame spec, and the grouped agg
+    rides the same partitioning — ONE exchange, ONE Window node."""
+    q = QUERIES["q108_drawdown_sharpe"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Window") == 1
