@@ -227,3 +227,41 @@ def pack_sequences(
         .withColumn("seq_offset", (start % F.lit(block)).cast("long"))
         .drop("__sub", "__cum_local", "__offset")
     )
+
+
+def incremental_ingest_dedup(
+    batch: DataFrame,
+    digest_store: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact-dedup ingest — the streaming/batch-append twin of
+    :func:`drop_exact_dups` for a corpus built over many ingests: dedup the
+    incoming batch against itself, anti-join its 128-bit digests against the
+    persisted digest store (16 bytes/doc scanned, never historical text),
+    append the survivors' digests to the store, and return the surviving
+    rows for the caller's corpus append.
+
+    Designed as a ``foreachBatch`` body: idempotent under batch replay
+    (replayed digests anti-join away) and shuffle-light — the store scan
+    reads one narrow binary column, and the anti-join keys are digests, so
+    a 10¹⁰-doc history costs ~160 GB of digest scan per ingest, not a text
+    rescan. First ingest bootstraps an empty store automatically.
+    """
+    spark = batch.sparkSession
+    digests = batch.withColumn("__digest", F.unhex(F.md5(F.col(text_col))))
+    # dedup within the batch: keep min-id per digest
+    keep = digests.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    fresh = digests.join(keep, [id_col, "__digest"], "left_semi")
+    try:
+        seen = spark.read.parquet(digest_store).select("__digest")
+        fresh = fresh.join(seen, "__digest", "left_anti")
+    except Exception:  # first ingest: no store yet (AnalysisException)
+        pass
+    # localCheckpoint, not persist: the store append below invalidates any
+    # cached plan that READS the same path (refreshByPath), so a persisted
+    # frame would lazily re-evaluate against its own appended digests and
+    # anti-join itself to empty. Checkpointing truncates the lineage first.
+    out = fresh.localCheckpoint(eager=True)
+    out.select("__digest").write.mode("append").parquet(digest_store)
+    return out.drop("__digest")

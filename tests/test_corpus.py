@@ -133,3 +133,31 @@ def test_pack_sequences_equals_direct_cumsum(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_ingest_dedup_across_batches(spark, tmp_path):
+    """Exact-dedup ingest against a persisted digest store: in-batch dups
+    collapse, cross-batch dups (and replayed batches) are dropped, fresh
+    docs survive."""
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        incremental_ingest_dedup,
+    )
+
+    store = str(tmp_path / "digests")
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="alpha"),
+         Row(doc_id=3, text="beta")]
+    )
+    out1 = incremental_ingest_dedup(b1, store)
+    assert {(r.doc_id, r.text) for r in out1.collect()} == {(1, "alpha"), (3, "beta")}
+
+    b2 = spark.createDataFrame(
+        [Row(doc_id=4, text="alpha"),   # cross-batch duplicate
+         Row(doc_id=5, text="gamma")]
+    )
+    out2 = incremental_ingest_dedup(b2, store)
+    assert {(r.doc_id, r.text) for r in out2.collect()} == {(5, "gamma")}
+
+    # replay of batch 2 (foreachBatch redelivery): fully idempotent
+    out2_replay = incremental_ingest_dedup(b2, store)
+    assert out2_replay.count() == 0
