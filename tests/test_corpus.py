@@ -161,3 +161,55 @@ def test_incremental_ingest_dedup_across_batches(spark, tmp_path):
     # replay of batch 2 (foreachBatch redelivery): fully idempotent
     out2_replay = incremental_ingest_dedup(b2, store)
     assert out2_replay.count() == 0
+
+
+def test_incremental_ingest_dedup_as_foreachbatch(spark, tmp_path):
+    """The documented usage: a JSONL document stream deduped incrementally
+    inside foreachBatch, corpus + digest store growing together."""
+    import json
+
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        incremental_ingest_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "digests")
+    corpus_dir = str(tmp_path / "corpus")
+
+    def write_batch(name, rows):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch("b1.jsonl", [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "alpha"},
+        {"doc_id": 3, "text": "beta"},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def ingest(batch_df, batch_id):
+        fresh = incremental_ingest_dedup(batch_df, store)
+        fresh.write.mode("append").parquet(corpus_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.jsonl", [
+            {"doc_id": 4, "text": "alpha"},  # cross-batch dup
+            {"doc_id": 5, "text": "gamma"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(corpus_dir).collect()}
+    assert got == {(1, "alpha"), (3, "beta"), (5, "gamma")}
