@@ -114,7 +114,10 @@ def _decode_ppm(b: bytes) -> dict | None:
         start = pos
         while pos < len(b) and not b[pos : pos + 1].isspace():
             pos += 1
-        fields.append(int(b[start:pos]))
+        token = b[start:pos]
+        if not token.isdigit():
+            return None  # "P6" magic but corrupt header — not a PPM
+        fields.append(int(token))
     pos += 1  # the single whitespace after maxval
     if len(fields) < 3:
         return None

@@ -542,3 +542,32 @@ def test_decode_mkv_header():
     assert d["duration_ms"] == 5000
     with pytest.raises(NotImplementedError):  # bare EBML header, no segment
         mm.decode_video(b"\x1a\x45\xdf\xa3\x80")
+
+
+def test_decoders_never_crash_on_corrupt_blobs():
+    """A 100 TB corpus contains corrupt blobs: every decoder must either
+    return metadata or raise the loud NotImplementedError — never an
+    IndexError/ValueError/struct.error from a half-parsed header.
+    (Regression: the PPM parser crashed int()-ing garbage header fields.)"""
+    import random
+
+    rng = random.Random(0)
+    magics = [
+        b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"fLaC", b"ID3",
+        b"\x1a\x45\xdf\xa3", b"\x00\x00\x00\x18ftyp", b"RIFFxxxxWEBP",
+        b"RIFFxxxxWAVE", b"RIFFxxxxAVI ", b"RIFF",
+    ]
+    blobs = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        for _ in range(200)
+    ] + [
+        m + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 150)))
+        for m in magics
+        for _ in range(50)
+    ]
+    for blob in blobs:
+        for fn in (mm.decode_image, mm.decode_audio, mm.decode_video):
+            try:
+                fn(blob)
+            except NotImplementedError:
+                pass  # the documented loud path
