@@ -48,11 +48,15 @@ HEADLINE = [
     "q83_waiting_orders",
     "q85_pii_redaction",
     # round-3 additions: Gopher text-quality folds, winnowing fingerprints,
-    # dataloader sequence packing, vocab coverage
+    # dataloader sequence packing, vocab coverage, funnel, robust outliers,
+    # drawdown/Sharpe
     "q65_gopher_quality",
     "q67_winnow_overlap",
     "q104_sequence_packing",
     "q105_vocab_coverage",
+    "q106_funnel_conversion",
+    "q107_robust_outliers",
+    "q108_drawdown_sharpe",
 ]
 
 
