@@ -4378,6 +4378,76 @@ def q108_drawdown_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q109_embedding_quantization",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+    ), d AS (
+      SELECT t.i AS pos, min(e.emb[t.i]) AS mn, max(e.emb[t.i]) AS mx
+      FROM e, UNNEST(range(1, len(e.emb) + 1)) AS t(i)
+      GROUP BY t.i
+    ), s AS (
+      SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+      FROM d
+    )
+    SELECT vec_id,
+           list_transform(range(1, len(emb) + 1),
+             i -> CASE WHEN maxs[i] <> mins[i] THEN
+                    CAST(floor((emb[i] - mins[i]) / (maxs[i] - mins[i])
+                               * 255.0 + 0.5) AS INT)
+                  ELSE 0 END) AS qvec
+    FROM e CROSS JOIN s
+    """,
+)
+def q109_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-range) quantization of the embedding column — the
+    standard 4× compression step before ANN at corpus scale (a 10¹⁰-vector
+    index at 64 dims drops from 2.5 TB of float32 to 640 GB; recall loss is
+    the documented trade). Per-dimension min/max come from ONE posexplode +
+    64-group aggregate (shuffle carries 64 rows per map partition), collapse
+    to a single row of (mins, maxs) arrays, and BROADCAST back — the corpus
+    is touched once and never shuffles. The quantizer is
+    ``floor(t * 255 + 0.5)`` — an explicit, engine-neutral half-up rule on
+    bit-identical doubles (never ``round()``, whose half-way tie-break
+    differs across engines); flat dimensions quantize to 0 (ANSI-guarded
+    division). Engine-added: completes the embedding family (q34-q36, q51,
+    q64, q72) with its compression stage."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    dims = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
+    )
+    quant = F.transform(
+        F.sequence(F.lit(1), F.size("emb")),
+        lambda i: F.when(
+            F.element_at("maxs", i) != F.element_at("mins", i),
+            F.floor(
+                (F.element_at("emb", i) - F.element_at("mins", i))
+                / (F.element_at("maxs", i) - F.element_at("mins", i))
+                * 255.0
+                + 0.5
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return e.crossJoin(F.broadcast(stats)).select(
+        "vec_id", quant.alias("qvec")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4421,7 +4491,7 @@ _FINAL_ORDER = [
     "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
     "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
     "q106_funnel_conversion", "q107_robust_outliers",
-    "q108_drawdown_sharpe",
+    "q108_drawdown_sharpe", "q109_embedding_quantization",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
