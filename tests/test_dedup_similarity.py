@@ -204,3 +204,51 @@ def test_ivf_topk_fixed_exact_degenerate_and_self_recall(spark):
     for qid in range(5):
         mine = [r.vec_id for r in approx if r.query_id == qid]
         assert qid in mine
+
+
+def test_quantized_embeddings_preserve_topk_recall(spark, sf_dir):
+    """q109's int8-range quantization must keep ANN useful: top-5 neighbors
+    computed on DEQUANTIZED vectors overlap the exact top-5 heavily (the
+    documented recall trade of 4x compression)."""
+    from pyspark.sql import functions as F
+
+    from soict20221_bigdata_financialplatform_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # proper affine dequantization: x_hat_i = mn_i + q_i/255 * (mx_i - mn_i)
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mins = F.array(*[F.lit(r.mn) for r in stats])
+    spans = F.array(*[F.lit(r.mx - r.mn) for r in stats])
+    deq = QUERIES["q109_embedding_quantization"](spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "qvec",
+            lambda q, i: F.element_at(mins, i + 1)
+            + q.cast("double") / 255.0 * F.element_at(spans, i + 1),
+        ).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dq_queries = deq.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = brute_force_topk(deq, dq_queries, k=5)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"quantized recall {recall}"
