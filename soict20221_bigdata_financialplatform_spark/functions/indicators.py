@@ -302,6 +302,62 @@ def ema_segmented(
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    key_cols: Sequence[str] = ("symbol",),
+    order_col: str = "date",
+    value_col: str = "close",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key — the
+    forecasting extension of the EMA family (level + trend recursions,
+    one-step-ahead forecast = level + trend):
+
+        level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+        seeds: level_1 = x_1, trend_1 = 0
+
+    Same execution shape as :func:`ema`/:func:`macd`: ONE grouped
+    ``applyInPandas`` pass, both recursions in the same linear loop over
+    the Arrow batch. Complement coefficients are computed as ``1.0 − α``
+    (never a pre-folded literal): 1−0.2 is NOT the double nearest 0.8, and
+    cross-engine bit-parity requires the identical expression tree."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("holt_level", T.DoubleType()),
+            T.StructField("holt_trend", T.DoubleType()),
+        ]
+    )
+    if num_partitions is not None:
+        df = df.repartition(num_partitions, *key_cols)
+    order_cols = [order_col]
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        x = pdf[value_col].astype("float64").to_numpy()
+        n = len(x)
+        lvl = np.empty(n)
+        trd = np.empty(n)
+        if n:
+            level, trend = x[0], 0.0
+            lvl[0], trd[0] = level, trend
+            for i in range(1, n):
+                new_level = alpha * x[i] + (1.0 - alpha) * (level + trend)
+                trend = beta * (new_level - level) + (1.0 - beta) * trend
+                level = new_level
+                lvl[i], trd[i] = level, trend
+        pdf["holt_level"] = lvl
+        pdf["holt_trend"] = trd
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_grp, schema=out_schema)
+
+
 def ema_native(
     df: DataFrame,
     n: int = 25,

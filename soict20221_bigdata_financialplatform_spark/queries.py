@@ -4448,6 +4448,56 @@ def q109_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q110_holt_linear",
+    """
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), h(user_id, event_id, ts, value, rn, lvl, trd) AS (
+      SELECT user_id, event_id, ts, value, rn, value::DOUBLE, 0.0::DOUBLE
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_id, r.ts, r.value, r.rn,
+             0.2 * r.value + (1.0 - 0.2) * (h.lvl + h.trd),
+             0.1 * ((0.2 * r.value + (1.0 - 0.2) * (h.lvl + h.trd)) - h.lvl)
+               + (1.0 - 0.1) * h.trd
+      FROM ranked r JOIN h ON r.user_id = h.user_id AND r.rn = h.rn + 1
+    )
+    SELECT user_id, event_id, ts,
+           round(lvl, 6) AS holt_level,
+           round(trd, 6) AS holt_trend,
+           round(lvl + trd, 6) AS forecast_1
+    FROM h
+    """,
+)
+def q110_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (α=0.2, β=0.1) per key with one-step
+    forecast — the EMA family's forecasting member, same applyInPandas
+    shape as q23/q96. Oracle: DuckDB walks the identical double recursion
+    with a recursive CTE (the q23 pattern, two accumulators wide). The
+    complement coefficients are written ``(1.0 − α)`` in BOTH engines —
+    pre-folding to 0.8 breaks bit-parity because 1−0.2 is not the double
+    nearest 0.8 (float policy: identical expression trees, round(6) only
+    at the end of the order-dependent recursion)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    npart = max(2, spark.sparkContext.defaultParallelism)
+    out = ind.holt_linear(
+        e, 0.2, 0.1, ("user_id",), "ts", "value", num_partitions=npart
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("holt_level", 6).alias("holt_level"),
+        F.round("holt_trend", 6).alias("holt_trend"),
+        F.round(F.col("holt_level") + F.col("holt_trend"), 6).alias(
+            "forecast_1"
+        ),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4492,6 +4542,7 @@ _FINAL_ORDER = [
     "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
     "q106_funnel_conversion", "q107_robust_outliers",
     "q108_drawdown_sharpe", "q109_embedding_quantization",
+    "q110_holt_linear",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",

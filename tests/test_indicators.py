@@ -254,3 +254,19 @@ def test_ema_segmented_rejects_nulls(spark):
     df = spark.createDataFrame(rows, "symbol string, date date, close double")
     with pytest.raises(Exception, match="non-null"):
         ind.ema_segmented(df, 3).collect()
+
+
+def test_holt_linear_golden_recursion(spark):
+    """Holt level/trend against the hand recursion (alpha=0.5, beta=0.5)."""
+    df = ind.holt_linear(_bars(spark), 0.5, 0.5)
+    rows = sorted(df.collect(), key=lambda r: r.date)
+    l, t = CLOSES[0], 0.0
+    exp = [(l, t)]
+    for c in CLOSES[1:]:
+        nl = 0.5 * c + 0.5 * (l + t)
+        t = 0.5 * (nl - l) + 0.5 * t
+        l = nl
+        exp.append((l, t))
+    got = [(r.holt_level, r.holt_trend) for r in rows]
+    for (gl, gt), (el, et) in zip(got, exp):
+        assert gl == pytest.approx(el, abs=1e-9) and gt == pytest.approx(et, abs=1e-9)
