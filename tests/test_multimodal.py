@@ -571,3 +571,38 @@ def test_decoders_never_crash_on_corrupt_blobs():
                 fn(blob)
             except NotImplementedError:
                 pass  # the documented loud path
+
+
+def test_resize_to_raw_end_to_end(spark):
+    """Real nearest-neighbor resize: a 3x2 BMP becomes a fixed 4x4 RGB888
+    raster through mapInPandas; header-only formats pass through flagged."""
+    bmp = _make_bmp(3, 2, _PX)
+    jpg = _make_jpeg(640, 480)  # header-only decode: no pixels
+    rows = [
+        (1, "image", "image/bmp", bmp, -1, -1, -1),
+        (2, "image", "image/jpeg", jpg, -1, -1, -1),
+        (3, "video", "video/avi", b"RIFF", -1, -1, -1),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.resize_to_raw(media, side=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].decoded and len(out[1].raw_rgb) == 4 * 4 * 3
+    # top-left sample of the resize grid is pixel (0,0) = pure red
+    assert tuple(out[1].raw_rgb[:3]) == (255, 0, 0)
+    assert not out[2].decoded and out[2].raw_rgb is None
+
+
+def test_resize_to_raw_identity_grid_matches_decode():
+    """side == source dims -> the raster is the decoded image itself, for
+    all three pixel formats (BMP row-order flip and PNG alpha strip are
+    exercised)."""
+    for blob in (_make_bmp(3, 2, _PX), _make_ppm(3, 2, _PX)):
+        w, h, px = mm._decode_rgb(blob)
+        assert (w, h) == (3, 2)
+        assert tuple(px[:3]) == (255, 0, 0)       # top-left red
+        assert tuple(px[3:6]) == (0, 255, 0)      # then green
+        assert tuple(px[-3:]) == (70, 80, 90)     # bottom-right
+    png = _make_png(3, 2, _PX, filters=[0, 2], alpha=True)
+    w, h, px = mm._decode_rgb(png)
+    assert (w, h) == (3, 2) and len(px) == 3 * 2 * 3
+    assert tuple(px[:3]) == (255, 0, 0) and tuple(px[-3:]) == (70, 80, 90)
