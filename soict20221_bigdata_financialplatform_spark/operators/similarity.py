@@ -385,3 +385,86 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "emb", out_col: str = "qvec"
+) -> DataFrame:
+    """Scalar (int8-range) quantization of an ``array<double>`` embedding
+    column — the standard 4× compression before ANN at corpus scale
+    (recall trade pytest-pinned in ``test_dedup_similarity``). Per-dim
+    min/max from ONE posexplode aggregate (the shuffle carries one row per
+    dimension per map partition); the (mins, maxs) arrays collapse to a
+    single broadcast row, so the corpus is scanned once and never
+    shuffles. Quantizer is the engine-neutral half-up rule
+    ``floor(t·255 + 0.5)`` (never ``round`` — cross-engine tie-breaks
+    differ); flat dimensions quantize to 0. The registered oracle-checked
+    form is q109."""
+    dims = (
+        emb.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("__mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("__maxs"),
+    )
+    quant = F.transform(
+        F.sequence(F.lit(1), F.size(vec_col)),
+        lambda i: F.when(
+            F.element_at("__maxs", i) != F.element_at("__mins", i),
+            F.floor(
+                (F.element_at(vec_col, i) - F.element_at("__mins", i))
+                / (F.element_at("__maxs", i) - F.element_at("__mins", i))
+                * 255.0
+                + 0.5
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, quant)
+        .drop("__mins", "__maxs")
+    )
+
+
+def dequantize_embeddings(
+    qdf: DataFrame,
+    stats_src: DataFrame,
+    vec_col: str = "emb",
+    q_col: str = "qvec",
+    out_col: str = "emb_hat",
+) -> DataFrame:
+    """Affine reconstruction x̂_i = mn_i + q_i/255·(mx_i − mn_i) using
+    per-dim stats recomputed from ``stats_src`` (the original embedding
+    frame or any same-distribution sample). Broadcast-joined like the
+    quantizer — no corpus shuffle."""
+    dims = (
+        stats_src.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("__mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("__maxs"),
+    )
+    deq = F.transform(
+        F.sequence(F.lit(1), F.size(q_col)),
+        lambda i: F.element_at("__mins", i)
+        + F.element_at(q_col, i).cast("double")
+        / 255.0
+        * (F.element_at("__maxs", i) - F.element_at("__mins", i)),
+    )
+    return (
+        qdf.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, deq)
+        .drop("__mins", "__maxs")
+    )

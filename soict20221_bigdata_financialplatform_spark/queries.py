@@ -4418,34 +4418,7 @@ def q109_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    dims = (
-        e.select(F.posexplode("emb").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    )
-    stats = dims.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
-        ).alias("mins"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
-        ).alias("maxs"),
-    )
-    quant = F.transform(
-        F.sequence(F.lit(1), F.size("emb")),
-        lambda i: F.when(
-            F.element_at("maxs", i) != F.element_at("mins", i),
-            F.floor(
-                (F.element_at("emb", i) - F.element_at("mins", i))
-                / (F.element_at("maxs", i) - F.element_at("mins", i))
-                * 255.0
-                + 0.5
-            ).cast("int"),
-        ).otherwise(F.lit(0)),
-    )
-    return e.crossJoin(F.broadcast(stats)).select(
-        "vec_id", quant.alias("qvec")
-    )
+    return sim.quantize_embeddings(e, "emb", "qvec").select("vec_id", "qvec")
 
 
 @register(
