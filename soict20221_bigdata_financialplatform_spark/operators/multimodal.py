@@ -708,6 +708,114 @@ def frame_sample_plan(
     )
 
 
+def _avi_raw_frames(b: bytes) -> tuple[int, int, float, list[bytes]] | None:
+    """(width, height, fps, frames) for an AVI whose video stream is
+    UNCOMPRESSED 24-bit DIB ('00db' chunks in the movi list; bottom-up BGR
+    rows like BMP, converted here to top-down RGB). Codec-compressed AVIs
+    ('00dc') return an empty frame list — header metadata still flows.
+    Returns None when the blob is not RIFF/AVI."""
+    import struct
+
+    d = _decode_avi(b)
+    if d is None:
+        return None
+    w, h = d["width"], d["height"]
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            size = struct.unpack_from("<I", b, pos + 4)[0]
+            if cid == b"LIST":
+                yield from walk(pos + 12, min(pos + 8 + size, hi))
+            else:
+                yield cid, b[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+
+    row_size = ((w * 3 + 3) // 4) * 4
+    for cid, body in walk(12, len(b)):
+        if cid == b"00db" and len(body) >= h * row_size:
+            out = bytearray(w * h * 3)
+            for y in range(h):
+                src = (h - 1 - y) * row_size  # DIB rows are bottom-up BGR
+                row = body[src : src + w * 3]
+                for x in range(w):
+                    o = (y * w + x) * 3
+                    out[o] = row[x * 3 + 2]
+                    out[o + 1] = row[x * 3 + 1]
+                    out[o + 2] = row[x * 3]
+            frames.append(bytes(out))
+    return w, h, d["fps"], frames
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("raw_rgb", T.BinaryType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """EXECUTE the frame-sample plan for decodable containers: uncompressed
+    AVI streams yield real top-down RGB888 rasters at the requested cadence
+    (nearest frame by timestamp); codec-compressed videos yield
+    ``decoded=false`` cadence rows (the plan rows of
+    :func:`frame_sample_plan`, plumbing intact). Same mapInPandas shape as
+    every other modality path — one Arrow batch resident, bytes never on
+    the driver."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, mdur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                parsed = _avi_raw_frames(bytes(content or b""))
+                if parsed is None or not parsed[3]:
+                    dur = mdur if mdur and mdur > 0 else 0
+                    for i, ts in enumerate(range(0, max(int(dur), 1), every_ms)):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": i,
+                                "frame_ts_ms": ts,
+                                "width": None,
+                                "height": None,
+                                "raw_rgb": None,
+                                "decoded": False,
+                            }
+                        )
+                    continue
+                w, h, fps, frames = parsed
+                dur_ms = len(frames) / fps * 1000 if fps else 0
+                for i, ts in enumerate(range(0, max(int(dur_ms), 1), every_ms)):
+                    src = min(int(ts / 1000 * fps), len(frames) - 1) if fps else 0
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "frame_ts_ms": ts,
+                            "width": w,
+                            "height": h,
+                            "raw_rgb": frames[src],
+                            "decoded": True,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    vids = media.where(F.col("kind") == "video").select(
+        "media_id", "content", "duration_ms"
+    )
+    return vids.mapInPandas(_extract, schema=FRAME_SCHEMA)
+
+
 def _decode_rgb(b: bytes) -> tuple[int, int, bytes] | None:
     """Interleaved top-down RGB888 raster for the pixel-decodable formats
     (BMP 24-bit, PPM P6, PNG 8-bit RGB/RGBA). Returns None when only

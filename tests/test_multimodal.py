@@ -606,3 +606,47 @@ def test_resize_to_raw_identity_grid_matches_decode():
     w, h, px = mm._decode_rgb(png)
     assert (w, h) == (3, 2) and len(px) == 3 * 2 * 3
     assert tuple(px[:3]) == (255, 0, 0) and tuple(px[-3:]) == (70, 80, 90)
+
+
+def _make_avi_with_frames(width, height, frames_px, us_per_frame=40_000):
+    """RIFF/AVI with UNCOMPRESSED 24-bit DIB frames in a movi list.
+    frames_px: list of solid (r, g, b) colors, one per frame."""
+    import struct
+
+    avih = struct.pack(
+        "<14I", us_per_frame, 1_000_000, 0, 0, len(frames_px),
+        0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih_chunk)) + b"hdrl" + avih_chunk
+    row_size = ((width * 3 + 3) // 4) * 4
+    movi_body = b"movi"
+    for (r, g, b) in frames_px:
+        row = (bytes((b, g, r)) * width) + b"\x00" * (row_size - width * 3)
+        dib = row * height
+        movi_body += b"00db" + struct.pack("<I", len(dib)) + dib
+        if len(dib) & 1:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def test_extract_frames_real_avi(spark):
+    """Uncompressed AVI frames come back as real RGB888 rasters at the
+    sampling cadence; nearest-frame selection follows fps."""
+    # 4 frames at 25 fps (160 ms of video), distinct solid colors
+    avi = _make_avi_with_frames(2, 2, [(255, 0, 0), (0, 255, 0),
+                                       (0, 0, 255), (9, 9, 9)])
+    rows = [(21, "video", "video/avi", avi, -1, -1, -1),
+            (22, "video", "video/mp4", _make_mp4(640, 360), -1, -1, -1)]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.extract_frames(media, every_ms=40).collect()
+    real = sorted([r for r in out if r.media_id == 21],
+                  key=lambda r: r.frame_idx)
+    assert len(real) == 4 and all(r.decoded for r in real)
+    assert tuple(real[0].raw_rgb[:3]) == (255, 0, 0)   # frame 0 red
+    assert tuple(real[1].raw_rgb[:3]) == (0, 255, 0)   # 40ms -> frame 1
+    assert tuple(real[3].raw_rgb[:3]) == (9, 9, 9)
+    assert len(real[0].raw_rgb) == 2 * 2 * 3
+    stub = [r for r in out if r.media_id == 22]
+    assert stub and all(not r.decoded and r.raw_rgb is None for r in stub)
