@@ -1994,7 +1994,10 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    a = emb.alias("a")
+    # the STREAMED side of the nested-loop must be pre-split: a single-file
+    # scan would evaluate all O(n²) cosine folds on one core (invariant 8 —
+    # per-pair work is CPU-heavy CodegenFallback)
+    a = emb.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = emb.alias("b")
     cos = sim.cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
