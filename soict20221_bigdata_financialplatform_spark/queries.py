@@ -4474,6 +4474,51 @@ def q110_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q111_fixed_k_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5('s42|' || CAST(doc_id AS VARCHAR)) AS sk
+      FROM documents
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id)
+               AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM ranked WHERE rk <= 40
+    """,
+)
+def q111_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: exactly k docs per language, chosen
+    by ranking on a seeded hash of the key — the corpus-balancing
+    primitive ("100k docs per language") that fraction-based sampling
+    (`corpus.stratified_sample`) can't pin. Key-stable: a doc keeps its
+    sample membership across runs and corpus versions UNLESS higher-priority
+    docs arrive — the deterministic equivalent of uniform-without-
+    replacement. One partitioned window per stratum (never global); the
+    md5 sample key is computed in the scan projection. Engine-added
+    (corpus family alongside q48/q54/q60)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.concat(F.lit("s42|"), F.col("doc_id").cast("string"))).alias(
+            "sk"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("sk", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 40)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4518,7 +4563,7 @@ _FINAL_ORDER = [
     "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
     "q106_funnel_conversion", "q107_robust_outliers",
     "q108_drawdown_sharpe", "q109_embedding_quantization",
-    "q110_holt_linear",
+    "q110_holt_linear", "q111_fixed_k_sample",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
