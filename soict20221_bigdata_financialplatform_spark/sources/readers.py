@@ -223,3 +223,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Views are lazy metadata; nothing is scanned until queried."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_evolving_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = True
+) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (a corpus that grew columns across ingest versions): with
+    ``mergeSchema`` the unified schema is the union of every file's
+    footer, older files null-filling the new columns.
+
+    Scale note: schema merging reads every file FOOTER at planning time —
+    cheap next to the data scan, but on a 10⁶-file corpus pin the unified
+    schema explicitly (``spark.read.schema(s).parquet(path)``) once it has
+    stabilized; this helper is for the evolving-ingest phase. Column
+    PRUNING and predicate pushdown work as usual on the merged schema."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
+        path
+    )

@@ -146,3 +146,28 @@ def test_write_partitioned_sorted_layout(spark, tmp_path):
     assert dirs == ["symbol=AAA", "symbol=BBB"]
     back = spark.read.parquet(out)
     assert back.count() == 6
+
+
+def test_read_evolving_parquet_merges_schema_versions(spark, tmp_path):
+    """Corpus versions that grew columns read back as one unified schema:
+    old files null-fill the new column, pushdown still prunes."""
+    from pyspark.sql import Row
+
+    from soict20221_bigdata_financialplatform_spark.sources.readers import (
+        read_evolving_parquet,
+    )
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="v1 doc")]
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [Row(doc_id=2, text="v2 doc", lang="en")]
+    ).write.mode("append").parquet(path)
+
+    df = read_evolving_parquet(spark, path)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].lang is None and rows[2].lang == "en"
+    # filter on the evolved column only matches files that have it
+    assert df.where(df.lang == "en").count() == 1
