@@ -4519,6 +4519,43 @@ def q111_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q112_equidepth_histogram",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+               AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           min(value) AS lo, max(value) AS hi, count(*) AS n
+    FROM t GROUP BY event_type, bucket
+    """,
+)
+def q112_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram per group — q90's fixed-width
+    twin, the shape optimizers and drift monitors actually want (each
+    bucket holds ~n/10 rows; boundaries adapt to the distribution).
+    ntile is rank-based, so bucket edges are exact VALUE PICKS (no
+    interpolation, no float policy concerns); the (value, event_id) order
+    pins ties deterministically cross-engine. One partitioned window and
+    a grouped agg share the event_type exchange. At 100 TB swap ntile for
+    `approx_percentile` boundaries (mergeable) — same output shape,
+    documented error bound."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = _t(spark, sf_dir, "events").select(
+        "event_type", "value", F.ntile(10).over(w).alias("bucket")
+    )
+    return t.groupBy("event_type", "bucket").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -4563,7 +4600,7 @@ _FINAL_ORDER = [
     "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
     "q106_funnel_conversion", "q107_robust_outliers",
     "q108_drawdown_sharpe", "q109_embedding_quantization",
-    "q110_holt_linear", "q111_fixed_k_sample",
+    "q110_holt_linear", "q111_fixed_k_sample", "q112_equidepth_histogram",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
