@@ -265,3 +265,29 @@ def incremental_ingest_dedup(
     out = fresh.localCheckpoint(eager=True)
     out.select("__digest").write.mode("append").parquet(digest_store)
     return out.drop("__digest")
+
+
+def fixed_k_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    k: int = 1000,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum, chosen by ranking on a seeded hash
+    of the id — the key-stable equivalent of uniform-without-replacement
+    (the corpus-balancing primitive "100k docs per language" that
+    fraction-based :func:`stratified_sample` can't pin). One partitioned
+    window per stratum; strata with fewer than k rows keep everything.
+    The registered oracle-checked form is q111."""
+    from pyspark.sql import Window
+
+    sk = F.md5(
+        F.concat(F.lit(f"s{seed}|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(sk.alias("sk"), id_col)
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

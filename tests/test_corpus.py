@@ -213,3 +213,25 @@ def test_incremental_ingest_dedup_as_foreachbatch(spark, tmp_path):
 
     got = {(r.doc_id, r.text) for r in spark.read.parquet(corpus_dir).collect()}
     assert got == {(1, "alpha"), (3, "beta"), (5, "gamma")}
+
+
+def test_fixed_k_sample_exact_size_and_stability(spark, sf_dir):
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        fixed_k_sample,
+    )
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fixed_k_sample(docs, "lang", k=20)
+    sizes = {r.lang: r.n for r in
+             out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in sizes.items():
+        assert n == min(20, totals[lang])
+    # key-stable: identical membership across runs
+    again = fixed_k_sample(docs, "lang", k=20)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # different seed -> different sample
+    other = fixed_k_sample(docs, "lang", k=20, seed=7)
+    assert {r.doc_id for r in out.collect()} != {r.doc_id for r in other.collect()}
