@@ -57,6 +57,10 @@ HEADLINE = [
     "q106_funnel_conversion",
     "q107_robust_outliers",
     "q108_drawdown_sharpe",
+    "q109_embedding_quantization",
+    "q110_holt_linear",
+    "q111_fixed_k_sample",
+    "q112_equidepth_histogram",
 ]
 
 
