@@ -41,8 +41,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _wspec(key_cols: Sequence[str], order_col: str):
-    return Window.partitionBy(*key_cols).orderBy(order_col)
+def _wspec(key_cols: Sequence[str], order_col: str | Sequence[str]):
+    # order_col may be a composite (col, tiebreak) sequence — every window
+    # here feeds order-sensitive math, so non-unique sort keys need one.
+    oc = [order_col] if isinstance(order_col, str) else list(order_col)
+    return Window.partitionBy(*key_cols).orderBy(*oc)
 
 
 def change_abs(
@@ -175,7 +178,7 @@ def ema(
         # partition; when keys ≪ shuffle.partitions, fewer fatter partitions
         # are faster. Callers with cluster-scale key counts leave this None.
         df = df.repartition(num_partitions, *key_cols)
-    order_cols = [order_col]
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def _ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")
@@ -307,7 +310,7 @@ def holt_linear(
     alpha: float = 0.2,
     beta: float = 0.1,
     key_cols: Sequence[str] = ("symbol",),
-    order_col: str = "date",
+    order_col: str | Sequence[str] = "date",
     value_col: str = "close",
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -335,7 +338,9 @@ def holt_linear(
     )
     if num_partitions is not None:
         df = df.repartition(num_partitions, *key_cols)
-    order_cols = [order_col]
+    # Accept a composite sort key: the recursion is order-sensitive, so
+    # callers whose order_col is not unique per key MUST pass a tiebreak.
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")
@@ -458,7 +463,7 @@ def macd(
     )
     if num_partitions is not None:
         df = df.repartition(num_partitions, *key_cols)
-    order_cols = [order_col]
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def _macd_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")

@@ -253,11 +253,18 @@ def incremental_ingest_dedup(
     # dedup within the batch: keep min-id per digest
     keep = digests.groupBy("__digest").agg(F.min(id_col).alias(id_col))
     fresh = digests.join(keep, [id_col, "__digest"], "left_semi")
+    from pyspark.errors import AnalysisException
+
     try:
         seen = spark.read.parquet(digest_store).select("__digest")
         fresh = fresh.join(seen, "__digest", "left_anti")
-    except Exception:  # first ingest: no store yet (AnalysisException)
-        pass
+    except AnalysisException as exc:
+        # Only PATH_NOT_FOUND means "first ingest: bootstrap an empty
+        # store". Any other failure (corrupt footer, permissions, partial
+        # write) must fail loudly — silently skipping the historical
+        # anti-join would append duplicate docs AND duplicate digests.
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
     # localCheckpoint, not persist: the store append below invalidates any
     # cached plan that READS the same path (refreshByPath), so a persisted
     # frame would lazily re-evaluate against its own appended digests and

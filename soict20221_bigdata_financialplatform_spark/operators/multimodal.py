@@ -521,15 +521,16 @@ def _decode_mp3(b: bytes) -> dict | None:
         pos += 1
     else:
         return None
-    if pos > end:
-        return None
     h = int.from_bytes(b[pos : pos + 4], "big")
     version = (h >> 19) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
     layer = (h >> 17) & 0x3    # 1=III
     bitrate_idx = (h >> 12) & 0xF
     rate_idx = (h >> 10) & 0x3
     mode = (h >> 6) & 0x3
-    if rate_idx == 3 or layer == 0:
+    # Layer III only: the spf constants (1152/576) and the bitrate table
+    # below are Layer-III-specific; Layer I (384 spf) / Layer II would get
+    # wrong durations, so they fall through to the loud decode_audio stub.
+    if rate_idx == 3 or layer != 1:
         return None
     rate = _MP3_RATES[rate_idx]
     if version == 2:

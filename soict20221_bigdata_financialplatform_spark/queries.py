@@ -698,7 +698,8 @@ def q22_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE ranked AS (
       SELECT user_id, event_id, ts, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
       FROM events
     ), ema(user_id, event_id, ts, value, rn, ema) AS (
       SELECT user_id, event_id, ts, value, rn, value::DOUBLE FROM ranked WHERE rn = 1
@@ -722,7 +723,9 @@ def q23_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (keys ≪ cores → cores/4), full parallelism wins here: one Arrow stream
     # per core, each handling ~50 groups (measured 30% faster than cores/4).
     npart = max(2, spark.sparkContext.defaultParallelism)
-    out = ind.ema(e, 25, ("user_id",), "ts", "value", num_partitions=npart)
+    out = ind.ema(
+        e, 25, ("user_id",), ("ts", "event_id"), "value", num_partitions=npart
+    )
     return out.select(
         "user_id", "event_id", "ts", "value", F.round("ema_25", 6).alias("ema_25")
     )
@@ -3752,7 +3755,8 @@ def q95_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE ranked AS (
       SELECT user_id, event_id, ts, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
       FROM events
     ), rec(user_id, event_id, ts, value, rn, e12, e26, sig) AS (
       SELECT user_id, event_id, ts, value, rn,
@@ -3783,7 +3787,8 @@ def q96_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     npart = max(2, spark.sparkContext.defaultParallelism)
     out = ind.macd(
-        e, 12, 26, 9, ("user_id",), "ts", "value", num_partitions=npart
+        e, 12, 26, 9, ("user_id",), ("ts", "event_id"), "value",
+        num_partitions=npart,
     )
     return out.select(
         "user_id",
@@ -4328,10 +4333,10 @@ def q107_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH px AS (
       SELECT user_id, ts, value,
-             max(value) OVER (PARTITION BY user_id ORDER BY ts
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS run_max,
-             value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1
-               AS ret
+             value / lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS ret
       FROM events WHERE value > 0
     )
     SELECT user_id,
@@ -4362,9 +4367,11 @@ def q108_drawdown_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events").where(F.col("value") > 0).select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", "event_id"
     )
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak: lag/running-max are order-sensitive, and ts alone
+    # is not unique per user (repo float-policy invariant).
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_max = F.max("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ret = F.col("value") / F.lag("value").over(w) - 1
     px = e.withColumn("run_max", run_max).withColumn("ret", ret)
@@ -4429,7 +4436,8 @@ def q109_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE ranked AS (
       SELECT user_id, event_id, ts, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
       FROM events
     ), h(user_id, event_id, ts, value, rn, lvl, trd) AS (
       SELECT user_id, event_id, ts, value, rn, value::DOUBLE, 0.0::DOUBLE
@@ -4460,7 +4468,8 @@ def q110_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     npart = max(2, spark.sparkContext.defaultParallelism)
     out = ind.holt_linear(
-        e, 0.2, 0.1, ("user_id",), "ts", "value", num_partitions=npart
+        e, 0.2, 0.1, ("user_id",), ("ts", "event_id"), "value",
+        num_partitions=npart,
     )
     return out.select(
         "user_id",
