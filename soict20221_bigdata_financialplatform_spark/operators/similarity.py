@@ -356,6 +356,84 @@ def ivf_topk_fixed(
     )
 
 
+def kmeans_lloyd_det(
+    corpus: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer: start from
+    caller-supplied seed centroids (q51 uses the nlist lowest-id vectors —
+    data-independent given the table), run ``iters`` assign→mean rounds, and
+    ROUND each centroid coordinate to ``round_dp`` after every mean.
+
+    The rounding is what makes the whole training loop cross-engine
+    checkable: per-cell per-dimension means are order-dependent
+    accumulations (float policy: round BOTH sides), and once the centroids
+    are bit-identical, every downstream distance/argmin reuses the
+    bit-exact expression trees q72 already proved against DuckDB. Empty
+    cells simply drop out (both engines: the mean GROUP BY only sees
+    non-empty cells), so nlist can shrink — same behavior both sides.
+
+    Scale shape per round: centroids collapse to ONE broadcast row; cell
+    assignment is a per-row HOF argmin (corpus never shuffles for it); the
+    mean recompute shuffles nlist×dim tiny (cell, pos, sum) rows — for
+    nlist=1024, dim=1024 that is ~1M rows regardless of corpus size. The
+    corpus is rescanned once per round; persist upstream if it is not a
+    parquet scan. The data-adaptive MLlib path (:func:`ivf_topk`) remains
+    for production training; this twin exists so the TRAINED pipeline —
+    not just a fixed quantizer — has a DuckDB oracle (q51)."""
+
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cents = init_centroids.select(
+        F.col(cent_id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    for _ in range(iters):
+        carr = F.broadcast(
+            cents.agg(
+                F.collect_list(F.struct("cid", "cv")).alias("__cents")
+            )
+        )
+        assigned = corpus.select(id_col, vec_col).crossJoin(carr).select(
+            id_col,
+            vec_col,
+            F.array_min(
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.struct(
+                        _sq(F.col(vec_col), c["cv"]).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("__cell"),
+        )
+        cents = (
+            assigned.select("__cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("__cell", "pos")
+            .agg(F.round(F.avg("v"), round_dp).alias("v"))
+            .groupBy("__cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cv")
+            )
+            .select(F.col("__cell").alias("cid"), "cv")
+        )
+    return cents.select(
+        F.col("cid").alias(cent_id_col), F.col("cv").alias(vec_col)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

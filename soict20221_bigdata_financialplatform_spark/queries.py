@@ -1955,18 +1955,96 @@ def q63_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q51_ann_ivf")  # kmeans-trained quantizer → rows-only
+def _q51_oracle_sql(
+    nlist: int = 8, iters: int = 2, nprobe: int = 3, k: int = 10, nq: int = 4
+) -> str:
+    """DuckDB twin of q51: walks the SAME deterministic Lloyd training loop
+    (seed centroids = nlist lowest-id vectors; per-round assignment via
+    (sqdist, cid) argmin; per-cell per-dim mean ROUNDED to 6 both engines)
+    and then the q72-proven IVF read path. Generated per-iteration CTEs keep
+    the recursion explicit — identical expression trees, identical
+    tiebreaks."""
+    sq = (
+        "list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {nlist})",
+    ]
+    for it in range(1, iters + 1):
+        d = sq.format(v="e.emb", c="c.cv")
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, emb, cid AS cell FROM ("
+            "SELECT e.vec_id, e.emb, c.cid, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {d}, c.cid) AS rn "
+            f"FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cell AS cid, list(v ORDER BY pos) AS cv FROM ("
+            "SELECT a.cell, t.i AS pos, round(avg(a.emb[t.i]), 6) AS v "
+            f"FROM a{it} a, UNNEST(range(1, len(a.emb) + 1)) AS t(i) "
+            "GROUP BY a.cell, t.i) GROUP BY cell)"
+        )
+    dcell = sq.format(v="e.emb", c="c.cv")
+    dq = sq.format(v="q.qe", c="c.cv")
+    ctes.append(
+        "cells AS (SELECT vec_id, emb, cid AS cell FROM ("
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {dcell}, c.cid) AS rn "
+        f"FROM e CROSS JOIN c{iters} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {nq})"
+    )
+    ctes.append(
+        "probes AS (SELECT query_id, qe, cid AS cell FROM ("
+        "SELECT q.query_id, q.qe, c.cid, row_number() OVER ("
+        f"PARTITION BY q.query_id ORDER BY {dq}, c.cid) AS rn "
+        f"FROM q CROSS JOIN c{iters} c) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "scored AS (SELECT p.query_id, e.vec_id, "
+        "list_sum(list_transform(range(1, len(e.emb) + 1), "
+        "i -> e.emb[i] * p.qe[i])) "
+        "/ (sqrt(list_sum(list_transform(e.emb, x -> x * x))) "
+        "* sqrt(list_sum(list_transform(p.qe, x -> x * x)))) AS score "
+        "FROM probes p JOIN cells e ON e.cell = p.cell)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, vec_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank "
+        "FROM scored)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, round(score, 6) AS score, rank"
+        f" FROM ranked WHERE rank <= {k}"
+    )
+
+
+@register("q51_ann_ivf", _q51_oracle_sql())
 def q51_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (KMeans coarse quantizer, nprobe=4 of nlist=16): the
-    data-adaptive scale path; nprobe==nlist degenerates to exact brute force
-    (equality pytest-asserted)."""
+    """IVF ANN top-10 with a TRAINED coarse quantizer — deterministic Lloyd
+    k-means (seeds = the 8 lowest-id vectors, 2 assign→mean rounds, centroid
+    coords rounded to 6 both engines), nprobe=3. Unlike q72 (fixed
+    quantizer), the oracle here cross-checks the TRAINING loop itself:
+    DuckDB re-runs both Lloyd rounds CTE-by-CTE, then the q72-proven
+    inverted-file read path. The MLlib KMeans variant
+    (:func:`similarity.ivf_topk`, reference-free data-adaptive path) stays
+    library-level with its nprobe==nlist ≡ brute-force pytest."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    queries = emb.where(F.col("vec_id") < 8).select(
+    init = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    cents = sim.kmeans_lloyd_det(emb, init, iters=2)
+    queries = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    out = sim.ivf_topk_fixed(emb, queries, cents, k=10, nprobe=3)
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )

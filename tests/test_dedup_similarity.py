@@ -206,6 +206,29 @@ def test_ivf_topk_fixed_exact_degenerate_and_self_recall(spark):
         assert qid in mine
 
 
+def test_kmeans_lloyd_det_trains_and_serves(spark):
+    """q51's deterministic Lloyd trainer: iterating must not lose vectors
+    (every corpus row lands in exactly one cell), centroids stay
+    nlist-or-fewer with the corpus dimensionality, and the trained
+    quantizer behind ivf_topk_fixed with nprobe == surviving cells is
+    EXACTLY brute force (the recall knob degenerates, same as the fixed
+    quantizer)."""
+    corpus, _ = _vecs(spark, n=100, dim=16)
+    init = corpus.where("vec_id < 6").selectExpr("vec_id as cent_id", "embedding")
+    cents = sim.kmeans_lloyd_det(corpus, init, iters=2)
+    got = cents.collect()
+    assert 1 <= len(got) <= 6
+    assert all(len(r.embedding) == 16 for r in got)
+    queries = corpus.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    exact = sim.brute_force_topk(corpus, queries, k=5).collect()
+    full = sim.ivf_topk_fixed(
+        corpus, queries, cents, k=5, nprobe=len(got)
+    ).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in full} == {
+        (r.query_id, r.vec_id, r.rank) for r in exact
+    }
+
+
 def test_quantized_embeddings_preserve_topk_recall(spark, sf_dir):
     """q109's int8-range quantization must keep ANN useful: top-5 neighbors
     computed on DEQUANTIZED vectors overlap the exact top-5 heavily (the
