@@ -2050,6 +2050,12 @@ def q51_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q36's opt-in ceiling: ~250k vectors → ≤3.1e10 candidate pairs, the upper
+# bound of "baseline you can actually wait for" on a big cluster. Beyond it
+# the LSH-bucketed q64 is the only sane path.
+_Q36_ALL_PAIRS_CAP = 250_000
+
+
 @register(
     "q36_embedding_near_dup",
     """
@@ -2071,10 +2077,23 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata embeddings are random vectors with max pairwise cosine ≈ 0.5, so
     the threshold sits at the distribution's right tail (≈ 99.8th pct) to
     exercise the operator NON-vacuously — a production near-dup threshold
-    (0.9+) would match zero pairs and the oracle check would pass empty."""
+    (0.9+) would match zero pairs and the oracle check would pass empty.
+
+    SIZE-GUARDED: the plan is a conditional BroadcastNestedLoopJoin —
+    O(n²) pair evaluation by construction — so this refuses to run above
+    ``_Q36_ALL_PAIRS_CAP`` vectors rather than silently melting a cluster.
+    It is the registry's ONLY conditional-BNLJ plan (plan-test enforced);
+    everything else, including q64, is equi-join bucketed."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
+    n = emb.count()
+    if n > _Q36_ALL_PAIRS_CAP:
+        raise ValueError(
+            f"q36 exact all-pairs baseline is O(n^2) and capped at "
+            f"{_Q36_ALL_PAIRS_CAP} vectors (corpus has {n}); run q64 "
+            "(LSH-bucketed) — the scale path with the same semantics"
+        )
     # the STREAMED side of the nested-loop must be pre-split: a single-file
     # scan would evaluate all O(n²) cosine folds on one core (invariant 8 —
     # per-pair work is CPU-heavy CodegenFallback)

@@ -4,6 +4,7 @@ Runs against sf0.001 — plan shape, not data volume, is under test."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from soict20221_bigdata_financialplatform_spark.plans import checks
 from soict20221_bigdata_financialplatform_spark.queries import QUERIES
@@ -245,6 +246,38 @@ def test_no_registry_query_plans_a_global_ordered_window(spark, sf_dir):
         if n:
             offenders[name] = n
     assert not offenders, f"global ordered windows in: {offenders}"
+
+
+def test_no_registry_query_plans_conditional_nested_loop(spark, sf_dir):
+    """A BroadcastNestedLoopJoin WITH a join condition is O(|L|·|R|) pair
+    evaluation (working-notes invariant 13) — banned registry-wide. The
+    single opt-in is q36's exact all-pairs baseline, which size-asserts at
+    _Q36_ALL_PAIRS_CAP before running. One-row broadcast Cross nodes (the
+    scalar crossJoin idiom) are not counted by the detector."""
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+
+    allowed = {"q36_embedding_near_dup"}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in allowed:
+            continue
+        n = checks.conditional_bnlj_count(fn(spark, sf_dir))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"conditional BNLJ plans in: {offenders}"
+
+
+def test_q36_all_pairs_baseline_is_size_guarded(spark, sf_dir, tmp_path):
+    """The registry's one O(n²) opt-in must refuse oversized corpora."""
+    import soict20221_bigdata_financialplatform_spark.queries as q
+
+    orig = q._Q36_ALL_PAIRS_CAP
+    q._Q36_ALL_PAIRS_CAP = 1
+    try:
+        with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+            q.QUERIES["q36_embedding_near_dup"](spark, sf_dir)
+    finally:
+        q._Q36_ALL_PAIRS_CAP = orig
 
 
 def test_sequence_packing_one_partitioned_window(spark, sf_dir):
