@@ -235,3 +235,24 @@ def test_fixed_k_sample_exact_size_and_stability(spark, sf_dir):
     # different seed -> different sample
     other = fixed_k_sample(docs, "lang", k=20, seed=7)
     assert {r.doc_id for r in out.collect()} != {r.doc_id for r in other.collect()}
+
+
+def test_corpus_clean_lsh_sandwiched_by_exact_twins(spark, sf_dir):
+    """q49's survivor set is provably sandwiched: the MinHash-LSH stage
+    verifies every candidate with EXACT Jaccard, so its pair set is a
+    subset of the exact all-pairs set — it can only MISS near-dups, never
+    invent them. Hence q60 (exact pairs) ⊆ q49 (LSH pairs) ⊆ q48 (no
+    near-dup stage), and the LSH miss count is bounded (16-band recall at
+    j≥0.8 is ≈1 − (1−0.8⁴)¹⁶ ≈ 0.9996 per pair)."""
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+
+    q48 = {r.doc_id for r in QUERIES["q48_corpus_survivors"](spark, sf_dir).collect()}
+    q49 = {r.doc_id for r in QUERIES["q49_corpus_clean"](spark, sf_dir).collect()}
+    q60 = {r.doc_id for r in QUERIES["q60_corpus_clean_exact"](spark, sf_dir).collect()}
+    assert q60 <= q49 <= q48
+    # missed near-dups = docs q49 kept but the exact twin removed
+    missed = len(q49 - q60)
+    removed_exact = len(q48 - q60)
+    assert missed <= max(1, removed_exact // 10), (
+        f"LSH missed {missed} of {removed_exact} exact near-dup removals"
+    )

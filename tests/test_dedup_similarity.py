@@ -275,3 +275,50 @@ def test_quantized_embeddings_preserve_topk_recall(spark, sf_dir):
     ap = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.8, f"quantized recall {recall}"
+
+
+def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
+    """Recall floors for every approximate ANN query vs q34 brute force —
+    pinned so an optimization round can't silently trade recall away.
+
+    The testdata embeddings are RANDOM vectors (worst case for LSH: no
+    cluster structure), so the floors are the theory-level values, not
+    90%+: sign-LSH bucket-collision probability at cosine c is
+    (1 − arccos(c)/π)^planes — for q64 (4 planes, c≈0.35) that is ≈0.14,
+    and the measured 0.15–0.17 matches. q72/q51 (IVF) probe 3 of ≤8 cells
+    and sit near 1.0. Floors hold at sf0.001 AND sf0.1 (both measured)."""
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+
+    def topk(name):
+        d: dict = {}
+        for r in QUERIES[name](spark, sf_dir).collect():
+            d.setdefault(r.query_id, set()).add(r.vec_id)
+        return d
+
+    exact = topk("q34_ann_bruteforce")
+
+    # q35 sign-LSH, same 8-query set, recall@10
+    lsh = topk("q35_ann_lsh")
+    rec35 = [len(lsh.get(q, set()) & ex) / len(ex) for q, ex in exact.items()]
+    assert sum(rec35) / len(rec35) >= 0.2, f"q35 mean recall {rec35}"
+    assert min(rec35) >= 0.1, f"q35 per-query recall {rec35}"
+
+    # q72 (fixed IVF, top-5) and q51 (Lloyd-trained IVF, top-10): their
+    # result sets must sit almost entirely inside the exact top-10
+    for name, floor in (("q72_ann_ivf_det", 0.9), ("q51_ann_ivf", 0.85)):
+        approx = topk(name)
+        recs = [
+            len(mine & exact[q]) / len(mine) for q, mine in approx.items()
+        ]
+        assert sum(recs) / len(recs) >= floor, f"{name} recall {recs}"
+
+    # q64 near-dup pairs vs q36 exact all-pairs: always a SUBSET (LSH
+    # verifies candidates with exact cosine), recall >= the 4-plane
+    # collision bound at the 0.35 threshold
+    e36 = {(r.id_a, r.id_b)
+           for r in QUERIES["q36_embedding_near_dup"](spark, sf_dir).collect()}
+    e64 = {(r.id_a, r.id_b)
+           for r in QUERIES["q64_embedding_near_dup_lsh"](spark, sf_dir).collect()}
+    assert e64 <= e36
+    pair_recall = len(e64 & e36) / max(1, len(e36))
+    assert pair_recall >= 0.1, f"q64 pair recall {pair_recall}"
