@@ -156,6 +156,83 @@ def main() -> None:
 
     _timed("backfill_ref_workload", _run_backfill)
 
+    # Streaming throughput: the full tick pipeline (JSON decode → comma-parse
+    # normalization → watermark dedup → tumbling OHLC bars, two state stores)
+    # fed by a DETERMINISTIC rate-micro-batch source (fixed rows per
+    # trigger), sunk to noop. Throughput = steady-state rows/sec over the
+    # post-warmup batches (batch 1 pays plan compile + state init). Same
+    # contract as the batch numbers: 3 reps, headline = best rep,
+    # median/stdev recorded so a contention-polluted run self-identifies.
+    def _stream_rows_per_sec(rows_per_batch: int = 1_000_000, batches: int = 4) -> float:
+        from soict20221_bigdata_financialplatform_spark.streaming import ticks as tk
+
+        raw = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("numPartitions", spark.sparkContext.defaultParallelism)
+            .load()
+        )
+        syms = [f"SYM{i}" for i in range(50)]
+        sym = F.element_at(
+            F.array(*[F.lit(s) for s in syms]),
+            (F.col("value") % len(syms) + 1).cast("int"),
+        )
+        px = F.format_number(
+            50.0 + F.pmod(F.col("value"), F.lit(1000)) / 100.0, 2
+        )
+        ts = F.col("timestamp") + F.make_interval(
+            secs=(F.col("value") % 60).cast("int")
+        )
+        msg = raw.select(
+            F.to_json(
+                F.struct(
+                    sym.alias("symbol"),
+                    ts.alias("time"),
+                    px.alias("open"), px.alias("high"),
+                    px.alias("low"), px.alias("close"),
+                    (F.col("value") * 100).cast("string").alias("volume"),
+                    px.alias("previous_close"), px.alias("ref"),
+                    px.alias("ceil"), px.alias("floor"),
+                )
+            ).alias("value")
+        )
+        bars = tk.bar_aggregate(
+            tk.dedup_ticks(tk.decode_ticks(msg)), watermark=None
+        )
+        ckpt = tempfile.mkdtemp(prefix="stream_bench_ckpt_")
+        q = (
+            bars.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 180:
+                prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+                if len(prog) >= batches:
+                    break
+                time.sleep(0.2)
+            prog = [p for p in q.recentProgress if p["numInputRows"] > 0][:batches]
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        steady = prog[1:]
+        rows = sum(p["numInputRows"] for p in steady)
+        secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
+        return rows / secs if secs else 0.0
+
+    stream_samples = [_stream_rows_per_sec() for _ in range(3)]
+    streaming = {
+        "metric": "tick_pipeline_rows_per_sec",
+        "value": round(max(stream_samples)),
+        "unit": "rows/sec",
+        "variance": {
+            "median": round(statistics.median(stream_samples)),
+            "stdev": round(statistics.pstdev(stream_samples)),
+        },
+    }
+
     # Machine-load sentinel: re-time the first query after everything else.
     # On an idle machine it reproduces its own min; >1.5x means the whole
     # run was contention-polluted and the record should not be trusted.
@@ -173,6 +250,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "variance": variance,
+                "streaming": streaming,
                 "load_sentinel": {
                     "query": HEADLINE[0],
                     "min_sec": timings[HEADLINE[0]],
