@@ -159,3 +159,92 @@ def test_register_views_sql_surface(spark, sf_dir):
     ).collect()
     assert len(out) == 5
     assert sum(r["n_nations"] for r in out) == 25
+
+
+@pytest.mark.skipif(
+    "KAFKA_BOOTSTRAP" not in __import__("os").environ,
+    reason="set KAFKA_BOOTSTRAP=host:port (and provide the spark-sql-kafka "
+    "connector, e.g. PYSPARK_SUBMIT_ARGS='--packages org.apache.spark:"
+    "spark-sql-kafka-0-10_2.13:<spark-version>' as reference test.py:10 "
+    "does) to run the real-broker integration test",
+)
+def test_real_broker_roundtrip_end_to_end(spark, tmp_path):
+    """Env-gated integration test mirroring reference test.py end to end on
+    a REAL broker: batch-produce producer-shaped JSON ticks -> batch read
+    them back and decode -> run the streaming pipeline (Kafka source ->
+    decode -> watermark dedup -> OHLC bars -> idempotent parquet sink) and
+    assert the closed window's bars landed. Intentionally FAILS (not skips)
+    if KAFKA_BOOTSTRAP is set but the connector/broker is unusable: opting
+    in asserts the environment is complete."""
+    import json
+    import os
+    import time as _time
+    import uuid
+
+    from soict20221_bigdata_financialplatform_spark.streaming.ticks import (
+        decode_ticks,
+    )
+
+    bootstrap = os.environ["KAFKA_BOOTSTRAP"]
+    topic = f"spark_finplat_it_{uuid.uuid4().hex[:8]}"
+
+    def tick(sym, hhmm, px, vol):
+        return json.dumps({
+            "symbol": sym, "time": f"2024-01-05T{hhmm}:00",
+            "open": f"{px}", "high": f"{px + 0.5}", "low": f"{px - 0.5}",
+            "close": f"{px + 0.1}", "volume": f"{vol:,}",
+            "previous_close": f"{px}", "ref": f"{px}",
+            "ceil": f"{px + 5}", "floor": f"{px - 5}",
+        })
+
+    wave1 = [tick("FPT", "09:15", 85.0, 1200300), tick("FPT", "09:15", 85.0, 1200300),
+             tick("VIC", "09:15", 44.0, 900100), tick("FPT", "09:16", 86.0, 1300000)]
+    kf.write_kafka_batch(
+        spark.createDataFrame([(m,) for m in wave1], "value string"),
+        bootstrap, topic,
+    )
+
+    # batch read-back + shared decode path
+    back = kf.read_kafka_batch(spark, bootstrap, topic)
+    decoded = decode_ticks(back.select("value"))
+    rows = decoded.collect()
+    assert len(rows) == len(wave1)
+    assert {r.symbol for r in rows} == {"FPT", "VIC"}
+    assert next(r for r in rows if r.symbol == "VIC").volume == 900100
+
+    # streaming pipeline on the same topic; wave 2 (20 min later) advances
+    # the watermark past wave 1's windows so their bars emit (append mode)
+    out = str(tmp_path / "bars")
+    ckpt = str(tmp_path / "ckpt")
+    q = kf.run_kafka_tick_pipeline(
+        spark, bootstrap, topic, out, ckpt,
+        window="1 minute", watermark="10 minutes",
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            _time.sleep(0.5)
+        wave2 = [tick("FPT", "09:40", 87.0, 1400000)]
+        kf.write_kafka_batch(
+            spark.createDataFrame([(m,) for m in wave2], "value string"),
+            bootstrap, topic,
+        )
+        bars = None
+        while _time.time() < deadline:
+            try:
+                got = spark.read.parquet(out).collect()
+            except Exception:
+                got = []
+            if got:
+                bars = got
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert bars, "no bars emitted within the deadline"
+    by_key = {(r.symbol, str(r.bar_start)): r for r in bars}
+    fpt915 = by_key[("FPT", "2024-01-05 09:15:00")]
+    assert fpt915.n_ticks == 1  # watermark dedup collapsed the duplicate
+    assert fpt915.close == 85.1
