@@ -4,9 +4,11 @@
 
 The Spark-side contract — schemas, partitioning, batch shape, UDF signatures
 — is real and tested. Decoding is pure-python/stdlib where the format allows:
-full pixel/sample decode for BMP, PPM, PNG (zlib inflate + filter reversal)
-and WAV PCM; header-true metadata (true dimensions / duration / cadence, no
-entropy decode) for JPEG (SOF + EXIF orientation), WebP (VP8/VP8L/VP8X),
+full pixel/sample decode for BMP, PPM, PNG (zlib inflate + filter reversal),
+BASELINE JPEG (Huffman entropy decode + dequant + matrix IDCT + chroma
+upsample + YCbCr→RGB, ITU T.81) and WAV PCM; header-true metadata (true
+dimensions / duration / cadence, no entropy decode) for progressive JPEG
+(SOF + EXIF orientation), WebP (VP8/VP8L/VP8X),
 MP4 (ISO-BMFF box walk), AVI, MKV/WebM (EBML walk), FLAC (STREAMINFO) and
 MP3 (frame header + Xing). Only formats whose
 METADATA needs a codec library (HEIC/AVIF/AAC/Opus/...) are stubbed behind a
@@ -254,13 +256,299 @@ def _exif_orientation(t: bytes) -> int | None:
     return None
 
 
+# Zigzag scan order (ITU T.81 Figure A.6): index i in scan order → natural
+# row-major position _ZIGZAG[i] in the 8×8 block.
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; stops at any non-stuffing marker (RST/EOI/next segment)."""
+
+    __slots__ = ("data", "pos", "bits", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            return False
+        byte = d[p]
+        if byte == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.pos = p + 2  # stuffed data byte
+            else:
+                return False  # real marker: no more entropy data
+        else:
+            self.pos = p + 1
+        self.bits = (self.bits << 8) | byte
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():
+                raise EOFError("truncated entropy data")
+        self.nbits -= n
+        out = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return out
+
+    def align_to_marker(self) -> int | None:
+        """Drop partial-byte padding and return the marker byte at the
+        cursor (0xD0-0xD7 for restarts), advancing past it."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p + 1 < len(d) and d[p] == 0xFF:
+            self.pos = p + 2
+            return d[p + 1]
+        return None
+
+
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman decode table from a DHT segment's BITS/HUFFVAL
+    (T.81 Annex C): maps (code_length, code) → symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(r: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DC/AC magnitude-category sign extension (T.81 F.2.2.1)."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_decode_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """Baseline-sequential (SOF0, 8-bit, Huffman) JPEG → interleaved RGB888
+    raster, pure python + numpy (public spec, ITU T.81): marker walk → DQT/
+    DHT/DRI/SOF0/SOS → per-MCU Huffman entropy decode (DC diff + AC
+    run-length, restart markers honored) → dequantize → batched matrix IDCT
+    (one einsum per component, not per block) → integer-ratio chroma
+    upsample → YCbCr→RGB. Returns None for anything outside that scope
+    (progressive SOF2, arithmetic coding, 12-bit, fractional sampling) so
+    callers fall back to the header-only path; raises nothing on valid
+    input shapes. Grayscale replicates Y into all three channels."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    frame = None  # (h, w, comps) comps: [(cid, hs, vs, tq)]
+    restart_interval = 0
+    scan = None  # ([(cid, td, ta)], data_pos)
+    pos, n = 2, len(b)
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos < n and b[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            break
+        marker = b[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > n:
+            break
+        seglen = int.from_bytes(b[pos : pos + 2], "big")
+        if seglen < 2:
+            break
+        payload = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            q = 0
+            while q + 1 <= len(payload):
+                pq, tq = payload[q] >> 4, payload[q] & 0xF
+                q += 1
+                if pq == 0:
+                    vals = list(payload[q : q + 64])
+                    q += 64
+                else:
+                    vals = [
+                        int.from_bytes(payload[q + 2 * i : q + 2 * i + 2], "big")
+                        for i in range(64)
+                    ]
+                    q += 128
+                if len(vals) < 64:
+                    return None
+                tab = np.zeros(64, dtype=np.int32)
+                tab[_ZIGZAG] = vals  # store in natural order
+                qt[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            q = 0
+            while q + 17 <= len(payload):
+                tc, th = payload[q] >> 4, payload[q] & 0xF
+                bits = list(payload[q + 1 : q + 17])
+                cnt = sum(bits)
+                vals = payload[q + 17 : q + 17 + cnt]
+                if len(vals) < cnt:
+                    return None
+                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                q += 17 + cnt
+        elif marker == 0xDD and len(payload) >= 2:  # DRI
+            restart_interval = int.from_bytes(payload[:2], "big")
+        elif marker == 0xC0:  # SOF0 baseline ONLY
+            if len(payload) < 6 or payload[0] != 8:
+                return None
+            fh = int.from_bytes(payload[1:3], "big")
+            fw = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            if nc not in (1, 3) or len(payload) < 6 + 3 * nc:
+                return None
+            comps = []
+            for i in range(nc):
+                cid, samp, tqi = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, tqi))
+            frame = (fh, fw, comps)
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive/arithmetic/lossless: out of scope
+        elif marker == 0xDA:  # SOS
+            if frame is None or len(payload) < 1:
+                return None
+            ns = payload[0]
+            scomps = []
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i : 3 + 2 * i]
+                scomps.append((cs, tt >> 4, tt & 0xF))
+            scan = (scomps, pos + seglen)
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        return None
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        return None
+    scomps, data_pos = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    for _, hs, vs, _ in comps:
+        if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
+            return None  # fractional sampling ratios: out of scope
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    order = []  # interleave order: (comp_index, tdc, tac) per block-in-MCU
+    for cs, td, ta in scomps:
+        ci = next((i for i, c in enumerate(comps) if c[0] == cs), None)
+        if ci is None or (0, td) not in huff or (1, ta) not in huff:
+            return None
+        if comps[ci][3] not in qt:
+            return None
+        order.append((ci, huff[(0, td)], huff[(1, ta)]))
+    if len(order) != len(comps):
+        return None  # non-interleaved multi-scan: out of scope
+
+    # entropy decode: per component, a flat list of 8×8 coefficient blocks
+    nblk = [comps[ci][1] * comps[ci][2] for ci, _, _ in order]
+    coefs = [
+        np.zeros((mcus_x * mcus_y * nb, 64), dtype=np.int32) for nb in nblk
+    ]
+    reader = _JpegBitReader(b, data_pos)
+    pred = [0] * len(comps)
+    try:
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                m = reader.align_to_marker()
+                if m is None or not 0xD0 <= m <= 0xD7:
+                    return None
+                pred = [0] * len(comps)
+            for k, (ci, tdc, tac) in enumerate(order):
+                for blk in range(nblk[k]):
+                    row = coefs[k][mcu * nblk[k] + blk]
+                    s = _jpeg_huff_decode(reader, tdc)
+                    diff = _jpeg_extend(reader.read(s), s) if s else 0
+                    pred[ci] += diff
+                    row[0] = pred[ci]
+                    z = 1
+                    while z < 64:
+                        rs = _jpeg_huff_decode(reader, tac)
+                        rr, ss = rs >> 4, rs & 0xF
+                        if ss == 0:
+                            if rr != 15:
+                                break  # EOB
+                            z += 16
+                            continue
+                        z += rr
+                        if z > 63:
+                            return None
+                        row[_ZIGZAG[z]] = _jpeg_extend(reader.read(ss), ss)
+                        z += 1
+    except (EOFError, ValueError):
+        return None
+
+    # dequantize + batched IDCT per component (A.T @ C @ A, orthonormal
+    # DCT-II basis), then stitch blocks into the component plane
+    k8 = np.arange(8)
+    A = np.cos((2 * k8[None, :] + 1) * k8[:, None] * np.pi / 16) * 0.5
+    A[0, :] *= 1 / np.sqrt(2.0)
+    planes = []
+    for k, (ci, _, _) in enumerate(order):
+        _, hs, vs, tqi = comps[ci]
+        blocks = (coefs[k].reshape(-1, 8, 8) * qt[tqi][None, :, :]).astype(
+            np.float64
+        )
+        px = np.einsum("ij,njk,kl->nil", A.T, blocks, A) + 128.0
+        # block (mcu, v, h) → plane rows (mcu_y*vs + v)*8, cols (mcu_x*hs + h)*8
+        px = px.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+        plane = px.transpose(0, 2, 4, 1, 3, 5).reshape(
+            mcus_y * vs * 8, mcus_x * hs * 8
+        )
+        plane = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
+        planes.append(plane[:fh, :fw])
+    out = np.empty((fh, fw, 3), dtype=np.float64)
+    if len(planes) == 1:
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = planes[0]
+    else:
+        y, cb, cr = planes
+        out[:, :, 0] = y + 1.402 * (cr - 128.0)
+        out[:, :, 1] = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        out[:, :, 2] = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return fw, fh, rgb.tobytes()
+
+
 def _decode_jpeg(b: bytes) -> dict | None:
-    """JPEG header decode — dimensions-true WITHOUT inverse DCT: marker-walk
-    to the SOF0/SOF2 frame header (precision, height, width, components) and
-    read EXIF orientation from APP1 so rotated-capture photos report their
-    DISPLAY dimensions (orientations 5-8 transpose). Pixel means stay None —
-    entropy decode needs a codec library; this makes the dominant real-corpus
-    image format metadata-true instead of a stub. Returns None if not JPEG."""
+    """JPEG decode — marker-walk to the SOF0/SOF2 frame header (precision,
+    height, width, components) and EXIF orientation from APP1 so
+    rotated-capture photos report their DISPLAY dimensions (orientations
+    5-8 transpose). For BASELINE files the pixel means are REAL — the
+    full pure-python entropy decode (:func:`_jpeg_decode_pixels`) runs and
+    averages the RGB raster; progressive/arithmetic files stay
+    header-true with means None. Returns None if not JPEG."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     orientation, width, height, ncomp, progressive = 1, None, None, None, False
@@ -299,12 +587,21 @@ def _decode_jpeg(b: bytes) -> dict | None:
         return None  # SOI magic but no frame header: treat as undecodable
     if orientation >= 5:  # 5-8 are the transposed orientations
         width, height = height, width
+    mean_r = mean_g = mean_b = None
+    if not progressive:
+        px = _jpeg_decode_pixels(b)
+        if px is not None:
+            import numpy as np
+
+            _, _, raw = px
+            means = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).mean(0)
+            mean_r, mean_g, mean_b = (round(float(m), 3) for m in means)
     return {
         "width": width,
         "height": height,
-        "mean_r": None,
-        "mean_g": None,
-        "mean_b": None,
+        "mean_r": mean_r,
+        "mean_g": mean_g,
+        "mean_b": mean_b,
         "components": ncomp,
         "orientation": orientation,
         "progressive": progressive,
@@ -340,13 +637,15 @@ def _decode_webp(b: bytes) -> dict | None:
 def decode_image(content: bytes) -> dict:
     """Decode an image blob to {width, height, mean_r, mean_g, mean_b}.
 
-    Real decode for the formats stdlib can handle: uncompressed BMP 24-bit
-    and PPM P6 (header parse) plus PNG 8-bit RGB/RGBA (zlib inflate +
-    filter reversal — a true compressed-format decode). JPEG (SOF
-    dimensions + EXIF orientation) and WebP (VP8/VP8L/VP8X headers) decode
-    header-true with pixel means None. Formats needing codec libraries
-    (HEIC/AVIF/...) raise NotImplementedError via the stub — loudly, per
-    the environment contract.
+    Real decode: uncompressed BMP 24-bit and PPM P6, PNG 8-bit RGB/RGBA
+    (zlib inflate + filter reversal), and BASELINE JPEG (pure-python
+    Huffman entropy decode + matrix IDCT + chroma upsample + YCbCr→RGB —
+    the dominant web format, fully decoded without a codec library).
+    Progressive JPEG (SOF dimensions + EXIF orientation) and WebP
+    (VP8/VP8L/VP8X headers) decode header-true with pixel means None.
+    Formats needing codec libraries (HEIC/AVIF/...) raise
+    NotImplementedError via the stub — loudly, per the environment
+    contract.
     """
     for parser in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg,
                    _decode_webp):
@@ -819,10 +1118,13 @@ def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def _decode_rgb(b: bytes) -> tuple[int, int, bytes] | None:
     """Interleaved top-down RGB888 raster for the pixel-decodable formats
-    (BMP 24-bit, PPM P6, PNG 8-bit RGB/RGBA). Returns None when only
-    header metadata is available (JPEG/WebP/...) — callers fall back to
-    the metadata path."""
+    (BMP 24-bit, PPM P6, PNG 8-bit RGB/RGBA, baseline JPEG). Returns None
+    when only header metadata is available (progressive JPEG/WebP/...) —
+    callers fall back to the metadata path."""
     import struct
+
+    if b[:2] == b"\xff\xd8":
+        return _jpeg_decode_pixels(b)
 
     if len(b) >= 54 and b[:2] == b"BM":
         data_off = struct.unpack_from("<I", b, 10)[0]
@@ -909,7 +1211,8 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_to_raw(media: DataFrame, side: int = 32) -> DataFrame:
-    """REAL resize: decode pixel-decodable images (BMP/PPM/PNG) and
+    """REAL resize: decode pixel-decodable images (BMP/PPM/PNG/baseline
+    JPEG) and
     nearest-neighbor resample to a fixed ``side``×``side`` RGB888 raster —
     the normalized raw-tensor input a training pipeline feeds its image
     encoder. Formats with header-only decode emit ``decoded=false`` rows

@@ -650,3 +650,307 @@ def test_extract_frames_real_avi(spark):
     assert len(real[0].raw_rgb) == 2 * 2 * 3
     stub = [r for r in out if r.media_id == 22]
     assert stub and all(not r.decoded and r.raw_rgb is None for r in stub)
+
+
+# ---------------------------------------------------------------------------
+# Baseline-JPEG pixel decode: the test-side ENCODER below is an independent
+# implementation of the forward path (RGB→YCbCr → forward DCT → quantize →
+# run-length → canonical Huffman with CUSTOM tables emitted via DHT), so the
+# decoder is checked against the public T.81 spec, not against itself.
+# ---------------------------------------------------------------------------
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, val, nbits):
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            byte = (self.acc >> self.nacc) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.acc &= (1 << self.nacc) - 1
+
+    def pad_to_byte(self):
+        if self.nacc:
+            self.write((1 << (8 - self.nacc)) - 1, 8 - self.nacc)
+
+
+def _huff_spec(symbols, short_len, long_len, short_cap):
+    """Canonical BITS/HUFFVAL with two code lengths + the encode map."""
+    syms = sorted(symbols)
+    k1 = min(len(syms), short_cap)
+    bits = [0] * 16
+    bits[short_len - 1] = k1
+    bits[long_len - 1] = len(syms) - k1
+    codes = {}
+    code = 0
+    for length in range(1, 17):
+        for s in syms[: k1] if length == short_len else (
+            syms[k1:] if length == long_len else []
+        ):
+            codes[s] = (length, code)
+            code += 1
+        code <<= 1
+    return bits, syms, codes
+
+
+def _encode_baseline_jpeg(rgb, subsampling="444", q=1, restart=0):
+    """rgb: (h, w, 3) uint8 array, or (h, w) for grayscale."""
+    import numpy as np
+
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    A = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None]
+               * np.pi / 16) * 0.5
+    A[0, :] *= 1 / np.sqrt(2.0)
+    if gray:
+        planes = [rgb.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, bl = (rgb[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [
+            (1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    comp_blocks = []  # per component: array (mcus_y, mcus_x, vs, hs, 8, 8)
+    for plane, (hs, vs) in zip(planes, samp):
+        if (hs, vs) != (hmax, vmax):  # downsample chroma by box mean
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            pl = np.pad(plane, ((0, ph - plane.shape[0]),
+                                (0, pw - plane.shape[1])), mode="edge")
+            plane = pl.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+        th, tw = mcus_y * 8 * vs, mcus_x * 8 * hs
+        plane = np.pad(plane, ((0, th - plane.shape[0]),
+                               (0, tw - plane.shape[1])), mode="edge")
+        blocks = plane.reshape(mcus_y, vs, 8, mcus_x, hs, 8).transpose(
+            0, 3, 1, 4, 2, 5)
+        coef = np.einsum("ij,...jk,kl->...il", A, blocks - 128.0, A.T)
+        comp_blocks.append(np.rint(coef / q).astype(np.int64))
+
+    def cat(v):
+        return v.bit_length() if v > 0 else (-v).bit_length()
+
+    def catbits(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    # one symbol pass to build the tables, one to write the stream
+    ops = []  # ("h", tkey, sym) | ("b", val, nbits) | ("rst", idx)
+    nsym = {}
+    pred = [0] * len(planes)
+    zz = mm._ZIGZAG
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_i and mcu_i % restart == 0:
+                ops.append(("rst", (mcu_i // restart - 1) % 8))
+                pred = [0] * len(planes)
+            for ci, (hs, vs) in enumerate(samp):
+                tid = 0 if ci == 0 else 1
+                for v in range(vs):
+                    for hh in range(hs):
+                        blk = comp_blocks[ci][my, mx, v, hh].ravel()
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        s = cat(diff)
+                        ops.append(("h", ("dc", tid), s))
+                        nsym.setdefault(("dc", tid), set()).add(s)
+                        if s:
+                            ops.append(("b", catbits(diff, s), s))
+                        run = 0
+                        for zi in range(1, 64):
+                            val = int(blk[zz[zi]])
+                            if val == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ops.append(("h", ("ac", tid), 0xF0))
+                                nsym.setdefault(("ac", tid), set()).add(0xF0)
+                                run -= 16
+                            s = cat(val)
+                            ops.append(("h", ("ac", tid), (run << 4) | s))
+                            nsym.setdefault(("ac", tid), set()).add((run << 4) | s)
+                            ops.append(("b", catbits(val, s), s))
+                            run = 0
+                        if run:
+                            ops.append(("h", ("ac", tid), 0x00))
+                            nsym.setdefault(("ac", tid), set()).add(0x00)
+            mcu_i += 1
+
+    tables = {}
+    for tkey, syms in nsym.items():
+        short, long_, cap = ((2, 5, 3) if tkey[0] == "dc" else (8, 12, 200))
+        tables[tkey] = _huff_spec(syms, short, long_, cap)
+
+    out = bytearray(b"\xff\xd8")
+    qtab = bytes([0]) + bytes([q] * 64)  # Pq=0, Tq=0, zigzag (uniform: same)
+    out += b"\xff\xdb" + (len(qtab) + 2).to_bytes(2, "big") + qtab
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(planes)])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for (kind, tid), (bits, syms, _) in sorted(tables.items()):
+        tc = 0 if kind == "dc" else 1
+        payload = bytes([(tc << 4) | tid]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + (len(payload) + 2).to_bytes(2, "big") + payload
+    if restart:
+        out += b"\xff\xdd\x00\x04" + restart.to_bytes(2, "big")
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    wtr = _JpegBitWriter()
+    for op in ops:
+        if op[0] == "h":
+            _, tkey, sym = op
+            length, code = tables[tkey][2][sym]
+            wtr.write(code, length)
+        elif op[0] == "b":
+            wtr.write(op[1], op[2])
+        else:
+            wtr.pad_to_byte()
+            out += wtr.out
+            wtr = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + op[1]])
+    wtr.pad_to_byte()
+    out += wtr.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def _rgb_array(px_bytes, w, h):
+    import numpy as np
+
+    return np.frombuffer(px_bytes, dtype=np.uint8).reshape(h, w, 3)
+
+
+def test_jpeg_flat_gray_decodes_exactly():
+    import numpy as np
+
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    jpg = _encode_baseline_jpeg(img, q=16)
+    w, h, raw = mm._jpeg_decode_pixels(jpg)
+    assert (w, h) == (16, 16)
+    got = _rgb_array(raw, w, h)
+    assert (got == 200).all()  # DC-only blocks: bit-exact
+    d = mm.decode_image(jpg)
+    assert d["mean_r"] == d["mean_g"] == d["mean_b"] == 200.0
+
+
+def test_jpeg_roundtrip_444_smooth_gradient():
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:33]
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    jpg = _encode_baseline_jpeg(img, subsampling="444", q=1)
+    w, h, raw = mm._jpeg_decode_pixels(jpg)
+    assert (w, h) == (33, 24)  # non-multiple-of-8 dims crop correctly
+    got = _rgb_array(raw, w, h).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 8
+    assert np.abs(got.mean((0, 1)) - img.mean((0, 1))).max() < 1.5
+
+
+def test_jpeg_roundtrip_noise_bounded_error():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (17, 19, 3), dtype=np.uint8)
+    jpg = _encode_baseline_jpeg(img, q=1)
+    w, h, raw = mm._jpeg_decode_pixels(jpg)
+    got = _rgb_array(raw, w, h).astype(int)
+    # q=1: error budget = coefficient rounding (±0.5/coef) + two color
+    # transforms; worst-case noise stays within a tight band
+    assert np.abs(got - img.astype(int)).max() <= 10
+
+
+def test_jpeg_420_subsampling_upsamples():
+    import numpy as np
+
+    # chroma constant per 2x2 cell -> 4:2:0 box-downsample is lossless
+    rng = np.random.RandomState(3)
+    small = rng.randint(60, 200, (8, 8, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(small, 2, 0), 2, 1)  # 16x16
+    jpg = _encode_baseline_jpeg(img, subsampling="420", q=1)
+    w, h, raw = mm._jpeg_decode_pixels(jpg)
+    assert (w, h) == (16, 16)
+    got = _rgb_array(raw, w, h).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 10
+
+
+def test_jpeg_restart_intervals_reset_predictors():
+    import numpy as np
+
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    jpg = _encode_baseline_jpeg(img, q=1, restart=2)
+    assert b"\xff\xdd" in jpg and b"\xff\xd0" in jpg  # DRI + RST0 present
+    w, h, raw = mm._jpeg_decode_pixels(jpg)
+    got = _rgb_array(raw, w, h)[:, :, 0].astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 8
+
+
+def test_jpeg_grayscale_replicates_channels():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (9, 14), dtype=np.uint8)
+    jpg = _encode_baseline_jpeg(img, q=1)
+    w, h, raw = mm._jpeg_decode_pixels(jpg)
+    got = _rgb_array(raw, w, h)
+    assert (got[:, :, 0] == got[:, :, 1]).all()
+    assert (got[:, :, 1] == got[:, :, 2]).all()
+    assert np.abs(got[:, :, 0].astype(int) - img.astype(int)).max() <= 6
+
+
+def test_jpeg_corrupt_entropy_data_degrades_to_header(spark=None):
+    import numpy as np
+
+    img = np.full((16, 16), 80, dtype=np.uint8)
+    jpg = bytearray(_encode_baseline_jpeg(img, q=16))
+    sos = jpg.find(b"\xff\xda")
+    corrupted = bytes(jpg[: sos + 10]) + b"\x07" * 4  # truncate mid-scan
+    d = mm.decode_image(corrupted)  # no crash: header path survives
+    assert (d["width"], d["height"]) == (16, 16)
+    assert d["mean_r"] is None
+    # fully random tails after a valid header never raise
+    rng = np.random.RandomState(5)
+    for _ in range(25):
+        tail = rng.bytes(rng.randint(1, 200))
+        d = mm.decode_image(bytes(jpg[: sos + 10]) + tail)
+        assert d["width"] == 16
+
+
+def test_jpeg_resize_to_raw_end_to_end(spark):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([xx * 4 % 256, yy * 5 % 256, (xx + yy) % 256],
+                   axis=-1).astype(np.uint8)
+    jpg = _encode_baseline_jpeg(img, q=1)
+    rows = [(21, "image", "image/jpeg", jpg, -1, -1, -1)]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.resize_to_raw(media, side=8).collect()}
+    assert out[21].decoded and len(out[21].raw_rgb) == 8 * 8 * 3
+    feats = {r.media_id: r for r in mm.decode_image_features(media).collect()}
+    assert feats[21].decoded
+    assert abs(feats[21].mean_r - img[:, :, 0].mean()) < 2.0
