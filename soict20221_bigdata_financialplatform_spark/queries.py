@@ -4672,20 +4672,45 @@ def q112_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-3 rotation. The driver caps CORRECTNESS rows at the first 50
-    # registry entries, so placement here decides which oracle queries get a
-    # driver-green row. Slots 1-10: sentinels, twice driver-green (r1+r2) —
-    # keep a canary in every family. Slots 11-50: queries that have NEVER had
-    # a driver row (round-2 additions + the 4 displaced in r2). The rest of
-    # the oracle-backed set (all driver-green in r2) sits past the cap this
-    # round; rows-only variants stay dead last.
-    # -- sentinels (driver-green r1 AND r2)
+    # -- Round-4 rotation. The driver caps CORRECTNESS rows at the first 50
+    # registry entries (r1-r3 confirmed), so placement decides which oracle
+    # queries get a driver-green row. Slots 1-10: sentinels, thrice
+    # driver-green (r1+r2+r3) — one canary per family. Slots 11-50: every
+    # query that has NEVER had a driver row — q08/q10/q15/q16/q55/q61/q62
+    # (displaced since r2), the nine round-3 additions q104-q112, q51 (gained
+    # a full Lloyd-trained oracle post-r3), and any round-4 additions — then
+    # once-green (r2-only) queries to earn a second row. The rest of the
+    # oracle-backed set (green in r2 and/or r3) sits past the cap; rows-only
+    # variants stay dead last.
+    # -- sentinels (driver-green r1+r2+r3)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
     "q11_outer_join_activity", "q22_rsi", "q23_ema", "q30_exact_dedup",
     "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
     # -- never driver-checked: promoted into the window (slots 11-50)
-    "q38_sessionization",  # red in r2 (HUGEINT hash) — fixed; needs a green row
-    "q05_summary_stats", "q31_ngram_jaccard_pairs", "q48_corpus_survivors",
+    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
+    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
+    "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
+    "q106_funnel_conversion", "q107_robust_outliers",
+    "q108_drawdown_sharpe", "q109_embedding_quantization",
+    "q110_holt_linear", "q111_fixed_k_sample", "q112_equidepth_histogram",
+    "q51_ann_ivf",  # oracle added post-r3 (deterministic Lloyd IVF)
+    # -- once-green (r2 only): second driver row
+    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
+    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
+    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
+    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
+    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
+    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
+    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
+    "q40_window_grabbag",
+    # -- past the cap this round: driver-green in r2 and/or r3
+    "q05_summary_stats", "q31_ngram_jaccard_pairs", "q36_embedding_near_dup",
+    "q38_sessionization", "q41_cube", "q42_scalar_subquery",
+    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
+    "q46_range_join", "q47_union_all", "q48_corpus_survivors",
+    "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",
+    "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
+    "q60_corpus_clean_exact", "q63_semantic_neighbors",
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue", "q69_dormant_rich_customers",
     "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
@@ -4699,31 +4724,9 @@ _FINAL_ORDER = [
     "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
     "q98_token_heavy_hitters", "q100_map_funcs", "q101_unpivot",
     "q102_variant_json", "q103_returned_items",
-    # -- past the cap this round: driver-green in r2 (or family-covered);
-    #    q08/q10/q15/q16/q61/q62 have never been checked — rotate them in r4
-    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
-    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
-    "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
-    "q106_funnel_conversion", "q107_robust_outliers",
-    "q108_drawdown_sharpe", "q109_embedding_quantization",
-    "q110_holt_linear", "q111_fixed_k_sample", "q112_equidepth_histogram",
-    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
-    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
-    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
-    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
-    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
-    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
-    "q34_ann_bruteforce", "q35_ann_lsh", "q36_embedding_near_dup",
-    "q37_percentiles", "q39_pivot",
-    "q40_window_grabbag", "q41_cube", "q42_scalar_subquery",
-    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
-    "q46_range_join", "q47_union_all", "q52_hourly_window",
-    "q54_data_profile", "q56_grouping_sets", "q57_minhash_md5",
-    "q58_simhash_md5", "q59_bpe_token_count", "q60_corpus_clean_exact",
-    "q63_semantic_neighbors",
     # -- rows-only variants (no DuckDB twin by construction): dead last
     "q32_minhash_pairs", "q33_simhash_pairs", "q49_corpus_clean",
-    "q51_ann_ivf", "q87_approx_distinct", "q92_approx_quantiles",
+    "q87_approx_distinct", "q92_approx_quantiles",
     "q99_heavy_hitters_mg",
 ]
 
