@@ -61,6 +61,13 @@ HEADLINE = [
     "q110_holt_linear",
     "q111_fixed_k_sample",
     "q112_equidepth_histogram",
+    # round-4 additions: benchmark decontamination, sliding-window chunking,
+    # blocked fuzzy dictionary match, within-doc dedup, dup-graph PageRank
+    "q113_decontamination",
+    "q114_doc_chunking",
+    "q115_fuzzy_dictionary_match",
+    "q116_within_doc_dedup",
+    "q117_pagerank_dup_graph",
 ]
 
 

@@ -298,3 +298,114 @@ def fixed_k_sample(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every training doc sharing at least
+    one word ``n``-gram with the eval/benchmark set, emit
+    ``(doc_id, n_bad_grams, contamination_frac)`` — the standard
+    pre-training hygiene pass (flag/drop training docs that leak test-set
+    spans; 8-13 grams in published practice).
+
+    Scale shape: both sides reduce to per-doc DISTINCT n-grams before any
+    join (a doc repeating a leaked phrase counts it once); the eval
+    side's distinct gram set is tiny relative to the corpus — mark it
+    broadcast so the contamination check is a map-side hash join, with
+    the corpus never shuffling. ``contamination_frac`` =
+    n_bad_grams / total distinct grams in the doc — a single int/int
+    division, emitted unrounded per the float policy (bit-equal
+    cross-engine). Clean docs are NOT emitted; anti-join the result to
+    keep them. At 100 TB hash grams to 64-bit keys for the join
+    (xxhash64) — string grams here keep the q113 oracle comparable.
+
+    Engine-added (no reference counterpart); q113 cross-checks against
+    DuckDB at the registry level."""
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    def grams_of(d: DataFrame) -> DataFrame:
+        staged = (
+            d.select(id_col, text_col)
+            .repartition(max(2, npart))
+            .withColumn("__w", tx.words(text_col))
+            .withColumn("__g", tx.word_ngrams_from("__w", n))
+        )
+        return staged.select(
+            id_col, F.explode(F.array_distinct("__g")).alias("gram")
+        )
+
+    train = grams_of(docs)
+    eval_grams = F.broadcast(
+        grams_of(eval_docs).select("gram").distinct()
+    )
+    totals = train.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_grams")
+    )
+    hits = (
+        train.join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bad_grams"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_bad_grams",
+        (
+            F.col("n_bad_grams").cast("double") / F.col("__n_grams")
+        ).alias("contamination_frac"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — split each doc into ``size``-token
+    chunks every ``stride`` tokens (overlap = size - stride), the
+    context-window preparation step for training/RAG ingestion. Emits
+    ``(doc_id, chunk_idx, n_tokens, chunk_text)``; the final chunk is
+    whatever remains (may be shorter than ``size``).
+
+    Pure per-row explode — no shuffle, no UDF: starts are a
+    ``sequence(0, L-1, stride)``, each chunk a clamped ``slice`` of the
+    staged words array. The words array is staged as its own projection
+    (HOF lambdas re-evaluate captured non-trivial exprs per element) and
+    the scan repartitioned before the CPU-heavy projection (single-file
+    testdata = single row group). q114 is the oracle-checked form."""
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        docs.select(id_col, text_col)
+        .repartition(max(2, npart))
+        .withColumn("__w", tx.words(text_col))
+        .withColumn("__L", F.size("__w"))
+        .where(F.col("__L") > 0)
+        .withColumn(
+            "__starts",
+            F.sequence(F.lit(0), F.col("__L") - 1, F.lit(stride)),
+        )
+    )
+    return staged.select(
+        id_col,
+        F.posexplode("__starts").alias("chunk_idx", "__start"),
+        "__w",
+        "__L",
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(size), F.col("__L") - F.col("__start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("__w", F.col("__start") + 1, size)
+        ).alias("chunk_text"),
+    )

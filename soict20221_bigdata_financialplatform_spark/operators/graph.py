@@ -1,0 +1,111 @@
+"""Iterative graph analytics over edge lists — PageRank as the canonical
+centrality pass over the near-duplicate / similarity graphs the dedup
+family produces (``dedup.minhash_near_dup_pairs``, q66's shared-n-gram
+pairs). The headline use: pick the CANONICAL document per duplicate
+cluster by centrality instead of by min-id — the doc most connected to
+its cluster is usually the cleanest/most complete copy.
+
+Execution model (Spark-first, no GraphX/GraphFrames dependency):
+  - the graph lives as two DataFrames: ``edges (src, dst)`` and the
+    derived out-degree frame; ranks are a ``(node, rank)`` frame;
+  - one synchronous iteration = one hash join (edges x ranks on src) +
+    one aggregation (sum of rank/deg by dst) + one left join back onto
+    the node set — all key-partitioned on node ids, no driver loop over
+    nodes, nothing collected;
+  - every iteration ends in ``localCheckpoint(eager=True)``: persist()
+    does NOT truncate the logical plan, and an iterative frame that
+    re-references the previous round grows its plan each round until the
+    driver chokes on plan size, not data size (see
+    ``components.connected_components``, same invariant).
+
+Scale notes: state is two longs + a double per node; edges shuffle once
+per iteration on src then dst — at 100 TB pre-partition ``edges`` by
+src (bucketing) so the per-iteration join reuses the layout. Skewed
+in-degree (one mega-hub) shows up as one hot reducer in the dst
+aggregation; salt the sum (partial sums over (dst, salt), then re-sum)
+via ``operators.skew`` if a hub dominates.
+
+Float policy: the per-node contribution ``rank/deg`` is a single IEEE
+division (bit-equal cross-engine); the SUM over in-neighbors is
+order-dependent, so each iteration rounds the new rank to ``round_to``
+decimals — the repo-wide rule for order-dependent accumulations, and
+what makes a DuckDB unrolled-CTE oracle bit-comparable (q117).
+
+Reference parity: the reference has no graph operator; engine-added for
+the large-scale-pipeline brief (canonical-doc selection; cf. SURVEY.md
+§2 engine-added rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """``(node, rank)`` after ``iterations`` synchronous PageRank rounds
+    over the DIRECTED edge list (symmetrize first for undirected graphs —
+    near-dup pair lists should be fed both orientations).
+
+    Plain PageRank without dangling-mass redistribution: a node with
+    in-edges but no out-edges absorbs rank. Symmetric graphs (the
+    near-dup use case) have no dangling nodes, so total mass is
+    conserved there. Ranks start uniform at 1/N over the nodes that
+    appear in any edge; each round computes
+
+        rank' = round((1 - damping)/N + damping * sum_in(rank/deg), round_to)
+
+    with the rounding applied AFTER the affine step (see module note on
+    cross-engine parity). ``(1 - damping)`` is computed, not pre-folded:
+    ``1.0 - 0.85`` yields a different double than the literal ``0.15``,
+    so the oracle twin must write the same subtraction — identical
+    expression trees are what bit-parity needs (q110 Holt lesson)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # 1-row broadcast scalar, never collected to the driver
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_frame)).persist()  # node, n
+    ranks = base.select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    ).localCheckpoint(eager=True)
+    # edge weight stays as rank/deg DIVISION per edge (not a precomputed
+    # 1/deg multiply — r/d and r*(1/d) differ bitwise, and the oracle
+    # divides)
+    ewd = e.join(deg, "src").persist()  # src, dst, deg
+    teleport = F.lit(1.0 - damping) / F.col("n")
+    for _ in range(iterations):
+        contrib = (
+            ewd.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+        )
+        ranks = (
+            base.join(contrib, base["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    round_to,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

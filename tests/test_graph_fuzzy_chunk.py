@@ -1,0 +1,125 @@
+"""Round-4 pipeline operators: PageRank, blocked fuzzy matching,
+sliding-window chunking, n-gram decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+    chunk_documents,
+    ngram_contamination,
+)
+from soict20221_bigdata_financialplatform_spark.operators.fuzzy import (
+    blocked_levenshtein_pairs,
+)
+from soict20221_bigdata_financialplatform_spark.operators.graph import pagerank
+
+
+def _pagerank_reference(edges, iterations=5, damping=0.85, round_to=6):
+    """Driver-side mirror of graph.pagerank for tiny graphs."""
+    nodes = sorted({n for e in edges for n in e})
+    deg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    n = float(len(nodes))
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / deg[s]
+        rank = {
+            v: round((1.0 - damping) / n + damping * contrib[v], round_to)
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_star_graph_matches_reference(spark):
+    """Undirected star (hub 0, leaves 1-3): the hub must dominate, and
+    every rank must equal the hand-iterated reference at 6dp."""
+    und = [(0, 1), (0, 2), (0, 3)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges]
+    )
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    want = _pagerank_reference(edges)
+    assert got == want
+    assert got[0] > got[1] == got[2] == got[3]
+    # symmetric graph: mass conserved (up to per-node rounding)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_two_components_independent(spark):
+    """Disconnected components don't leak rank into each other: a 2-cycle
+    pair in one component ranks identically, regardless of the other
+    component's shape."""
+    und = [(1, 2), (10, 11), (10, 12), (11, 12), (12, 13)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    want = _pagerank_reference(edges)
+    assert got == want
+    assert got[1] == got[2]
+
+
+def test_blocked_fuzzy_pairs_finds_near_spellings(spark):
+    rows = (
+        [Row(name="cold bolt")] * 3
+        + [Row(name="old bolt")] * 1
+        + [Row(name="red bolt")] * 2
+        + [Row(name="cold gear")] * 4  # different block (last token)
+    )
+    out = blocked_levenshtein_pairs(
+        spark.createDataFrame(rows), "name", max_dist=2
+    ).collect()
+    pairs = {(r.value_a, r.value_b): (r.dist, r.cnt_a, r.cnt_b) for r in out}
+    # within-block, within-distance pairs only; counts carried through
+    assert pairs[("cold bolt", "old bolt")] == (1, 3, 1)
+    assert ("cold bolt", "red bolt") not in pairs  # dist 3 > 2
+    assert all("gear" not in a and "gear" not in b for (a, b) in pairs)
+    # ordered pairs: each unordered pair exactly once
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    words = [f"w{i}" for i in range(80)]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(words)), Row(doc_id=2, text="solo")]
+    )
+    out = chunk_documents(df, size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # starts 0,24,48,72 -> 4 chunks; last chunk is the 8-token remainder
+    assert [r.n_tokens for r in c1] == [32, 32, 32, 8]
+    assert c1[0].chunk_text.split(" ") == words[0:32]
+    assert c1[1].chunk_text.split(" ") == words[24:56]
+    assert c1[3].chunk_text.split(" ") == words[72:80]
+    # every token appears in at least one chunk
+    seen = {w for r in c1 for w in r.chunk_text.split(" ")}
+    assert seen == set(words)
+    # a doc shorter than one window is a single whole-doc chunk
+    assert [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [
+        (0, 1, "solo")
+    ]
+
+
+def test_ngram_contamination_flags_planted_leak(spark):
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    train = spark.createDataFrame(
+        [
+            # doc 1: the leaked 8-gram + 8 clean words -> 9 grams, 1 bad
+            Row(doc_id=1, text=leak + " one two three four five six seven eight"),
+            Row(doc_id=2, text="clean words only nothing shared here at all nine ten"),
+        ]
+    )
+    evals = spark.createDataFrame(
+        [Row(doc_id=100, text=leak + " trailing benchmark context words here")]
+    )
+    out = {r.doc_id: r for r in ngram_contamination(train, evals, n=8).collect()}
+    assert set(out) == {1}  # clean doc not emitted
+    assert out[1].n_bad_grams == 1
+    assert out[1].contamination_frac == 1 / 9
