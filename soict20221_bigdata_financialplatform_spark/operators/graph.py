@@ -49,6 +49,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_to: int = 6,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """``(node, rank)`` after ``iterations`` synchronous PageRank rounds
     over the DIRECTED edge list (symmetrize first for undirected graphs —
@@ -90,22 +91,27 @@ def pagerank(
     # divides)
     ewd = e.join(deg, "src").persist()  # src, dst, deg
     teleport = F.lit(1.0 - damping) / F.col("n")
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             ewd.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
         )
-        ranks = (
-            base.join(contrib, base["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                F.round(
-                    teleport
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
-                    round_to,
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = base.join(
+            contrib, base["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            F.round(
+                teleport
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                round_to,
+            ).alias("rank"),
         )
+        # Each round references the previous ranks exactly ONCE, so the
+        # plan grows linearly (not the doubling of components.py's
+        # two-reference rounds) — a checkpoint every few rounds bounds
+        # analysis cost without paying a materialization job per round.
+        # The final round always checkpoints so callers get a flat plan.
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -4896,9 +4896,11 @@ def q117_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__w", tx.words("text"))
         .withColumn("__g", tx.word_ngrams_from("__w", 5))
     )
+    # persist the (doc, gram) frame: the self-join reads it twice, and an
+    # unpersisted frame would re-run the CPU-heavy gram projection per side
     f = staged.select(
         "doc_id", F.explode(F.array_distinct("__g")).alias("gram")
-    )
+    ).persist()
     a = f.select(F.col("doc_id").alias("src"), "gram")
     b = f.select(F.col("doc_id").alias("dst"), "gram")
     edges = (

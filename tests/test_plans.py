@@ -362,3 +362,22 @@ def test_drawdown_sharpe_single_exchange_single_window(spark, sf_dir):
     plan = checks.executed_plan(q)
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert plan.count("Window") == 1
+
+
+def test_decontamination_eval_side_broadcast(spark, sf_dir):
+    """q113's eval gram set must reach the membership check as a
+    BroadcastHashJoin: the training corpus never shuffles its grams — the
+    whole point of the decontamination design at 100 TB."""
+    q = QUERIES["q113_decontamination"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_shuffle_free_after_staging(spark, sf_dir):
+    """q114 is a pure per-row explode: the only exchange allowed is the
+    deliberate staging repartition of the single-file scan — no
+    hash/range exchange from the operator itself."""
+    q = QUERIES["q114_doc_chunking"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Generate" in plan  # the explode is really there
