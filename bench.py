@@ -68,6 +68,8 @@ HEADLINE = [
     "q115_fuzzy_dictionary_match",
     "q116_within_doc_dedup",
     "q117_pagerank_dup_graph",
+    "q118_pps_sample",
+    "q119_leakage_free_split",
 ]
 
 

@@ -49,11 +49,15 @@ def connected_components(
     can log/alert on. Non-convergence within ``max_iterations`` raises
     ``RuntimeError`` unless ``allow_partial=True`` (then it warns and returns
     the partial labels)."""
+    # localCheckpoint, not persist: persist caches the DATA but each round's
+    # join still re-ANALYZES the full upstream lineage (for near-dup input
+    # that subtree is the whole shingle self-join) — truncating it once here
+    # cuts per-round planning cost for every iteration.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))

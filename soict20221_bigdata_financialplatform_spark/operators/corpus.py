@@ -409,3 +409,56 @@ def chunk_documents(
             " ", F.slice("__w", F.col("__start") + 1, size)
         ).alias("chunk_text"),
     )
+
+
+def pps_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    k: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling: include each row
+    independently with probability ``min(1, k * w / W)`` (w = row weight,
+    W = total weight), giving an EXPECTED sample size of ~k with
+    inclusion probability proportional to weight — the
+    importance-sampling primitive (upweight long/high-quality docs, or
+    feed 1/p as the Horvitz-Thompson correction downstream). Adds the
+    inclusion probability as ``__p``.
+
+    Deterministic and key-stable: the uniform draw is a seeded md5 hash
+    of the id mapped to [0,1) — same doc, same verdict, across runs and
+    engines (no RNG, no transcendentals: every step is integer
+    arithmetic and one exact int->double division, so a SQL oracle
+    matches bit-for-bit — q118). W is an exact integer sum broadcast
+    back as a one-row frame; the scan never collects or reshuffles.
+    Weighted WITHOUT-replacement (exact-k) sampling is
+    :func:`fixed_k_sample`'s ordering applied to ``u^(1/w)`` keys — not
+    offered cross-engine because ``pow`` is not bit-portable."""
+    w_frame = docs.agg(F.sum(weight_col).alias("__W"))
+    scale = 1152921504606846976  # 16^15: the md5-prefix integer range
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"pps{seed}|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(scale)
+    )
+    p = F.least(
+        F.lit(1.0), F.lit(k) * F.col(weight_col) / F.col("__W")
+    )
+    return (
+        docs.crossJoin(F.broadcast(w_frame))
+        .withColumn("__p", p)
+        .where(u < F.col("__p"))
+        .drop("__W")
+    )

@@ -123,3 +123,46 @@ def test_ngram_contamination_flags_planted_leak(spark):
     assert set(out) == {1}  # clean doc not emitted
     assert out[1].n_bad_grams == 1
     assert out[1].contamination_frac == 1 / 9
+
+
+def test_pps_sample_expected_size_and_stability(spark):
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import pps_sample
+
+    rows = [Row(doc_id=i, n_chars=100 + (i % 50) * 10) for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = pps_sample(df, weight_col="n_chars", k=200, seed=7)
+    got = out.collect()
+    # expected size ~k: Poisson sampling concentrates (here within +/-40%)
+    assert 120 <= len(got) <= 280
+    # key-stable: a second run returns the identical id set
+    again = {r.doc_id for r in pps_sample(df, "n_chars", 200, seed=7).collect()}
+    assert {r.doc_id for r in got} == again
+    # inclusion probability is emitted, in (0, 1], and proportional to weight
+    ps = {r["doc_id"]: r["__p"] for r in out.select("doc_id", "__p").collect()}
+    assert all(0.0 < p <= 1.0 for p in ps.values())
+    w = {r.doc_id: r.n_chars for r in df.collect()}
+    some = sorted(ps)[:20]
+    for i in some:
+        for j in some:
+            if w[i] < w[j]:
+                assert ps[i] <= ps[j]
+
+
+def test_leakage_free_split_never_straddles_clusters(spark, sf_dir):
+    """Every near-dup pair used to build the clusters lands on ONE side of
+    the split — the property per-doc hash splits cannot give."""
+    from soict20221_bigdata_financialplatform_spark.operators import dedup as dd
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    split = {
+        r.doc_id: r.split
+        for r in QUERIES["q119_leakage_free_split"](spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.5).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for r in pairs:
+        assert split[r.id_a] == split[r.id_b], (r.id_a, r.id_b)
+    # both sides populated (0.8/0.2 over many clusters)
+    assert {"train", "test"} == set(split.values())
