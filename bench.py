@@ -70,6 +70,7 @@ HEADLINE = [
     "q117_pagerank_dup_graph",
     "q118_pps_sample",
     "q119_leakage_free_split",
+    "q120_cdc_chunking",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Round-4 training-data preparation pipeline — the pre-training hygiene
+and packaging stages downstream of corpus cleaning (see
+corpus_pipeline.py for the cleaning stages), composed the way a dataset
+build would run them at 100 TB:
+
+ 1. benchmark DECONTAMINATION: drop training docs sharing any 8-gram
+    with the (broadcast) eval set
+ 2. LEAKAGE-FREE train/test split: near-dup clusters are the assignment
+    unit, so near-dups never straddle the split
+ 3. PPS importance sampling of the training side (inclusion prob ∝
+    doc length, Horvitz-Thompson weight emitted)
+ 4. content-defined chunking of the sampled docs (rolling-hash
+    boundaries -> dedup-friendly chunks)
+ 5. fuzzy canonicalization of the source-label dictionary (blocked
+    levenshtein over distinct values)
+ 6. PageRank over the shared-5-gram graph: centrality-based canonical
+    doc per duplication neighborhood
+
+Run: python examples/training_data_pipeline.py   (read-only; one summary
+line per stage)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from soict20221_bigdata_financialplatform_spark import get_spark
+from soict20221_bigdata_financialplatform_spark.operators import corpus, fuzzy
+from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("training-data-pipeline-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents")
+
+    # 1. decontamination against a held-out benchmark slice
+    evals = docs.where(F.col("doc_id") % 11 == 0)
+    train_pool = docs.where(F.col("doc_id") % 11 != 0)
+    contaminated = corpus.ngram_contamination(train_pool, evals, n=8)
+    clean = train_pool.join(contaminated.select("doc_id"), "doc_id", "anti")
+    print(
+        f"[1] decontaminated: {train_pool.count()} -> {clean.count()} docs "
+        f"({contaminated.count()} flagged)"
+    )
+
+    # 2. leakage-free split (cluster-aware; registry form over full corpus)
+    split = QUERIES["q119_leakage_free_split"](spark, SF_DIR)
+    sides = {r["split"]: r["n"] for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    print(f"[2] cluster-aware split: {sides}")
+
+    # 3. PPS sample of the clean training docs (expected ~50)
+    sampled = corpus.pps_sample(clean, weight_col="n_chars", k=50)
+    print(f"[3] PPS sample: {sampled.count()} docs (expected ~50), "
+          f"HT weights = 1/__p available")
+
+    # 4. content-defined chunking of the sample
+    chunks = corpus.cdc_chunk_documents(sampled, modulus=8)
+    stats = chunks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    ).collect()[0]
+    print(f"[4] CDC chunks: {stats['n']} chunks, avg {stats['avg_tokens']} "
+          f"tokens (target ~8)")
+
+    # 5. fuzzy canonicalization of the part-name dictionary
+    names = load_table(spark, SF_DIR, "part").select("p_name")
+    matches = fuzzy.blocked_levenshtein_pairs(names, "p_name", max_dist=2)
+    print(f"[5] fuzzy dictionary: {matches.count()} near-spelling pairs")
+
+    # 6. duplication-graph centrality (registry form)
+    ranks = QUERIES["q117_pagerank_dup_graph"](spark, SF_DIR)
+    top = ranks.orderBy(F.col("pagerank").desc(), "doc_id").limit(3).collect()
+    print(f"[6] PageRank canonical docs: "
+          f"{[(r.doc_id, r.pagerank) for r in top]}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

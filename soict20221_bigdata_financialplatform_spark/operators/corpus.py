@@ -462,3 +462,79 @@ def pps_sample(
         .where(u < F.col("__p"))
         .drop("__W")
     )
+
+
+def cdc_chunk_documents(
+    docs: DataFrame,
+    modulus: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries): a chunk
+    boundary falls AFTER token i whenever the hash of the 3-gram ending
+    at i is ≡ 0 (mod ``modulus``) — expected chunk length ≈ modulus
+    tokens. Unlike fixed windows (:func:`chunk_documents`), boundaries
+    depend only on LOCAL content, so a passage duplicated across docs
+    (with different prefixes) still splits into IDENTICAL chunks — the
+    property that makes chunk-level dedup/storage (LBFS/borg-style) work
+    and that offset-based chunking destroys. Emits
+    ``(doc_id, chunk_id, n_tokens, chunk_text)``.
+
+    Shape: posexplode → one window (cumulative INTEGER marker sum,
+    partitioned per doc — exact in any accumulation order, no float
+    policy concerns) → grouped re-assembly ordered by position. Two
+    shuffles on doc_id that AQE coalesces; at 100 TB both reuse one
+    hash partitioning. The boundary hash is the md5-prefix integer
+    (cross-engine, q120's oracle); swap for xxhash64 at scale."""
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    staged = (
+        docs.select(id_col, text_col)
+        .repartition(max(2, npart))
+        .withColumn("__w", tx.words(text_col))
+        .where(F.size("__w") > 0)
+    )
+    t = staged.select(
+        id_col, "__w", F.posexplode("__w").alias("__pos", "word")
+    ).withColumn("__i", F.col("__pos") + 1)
+    gram = F.concat_ws(
+        " ",
+        F.element_at("__w", F.col("__i") - 2),
+        F.element_at("__w", F.col("__i") - 1),
+        F.element_at("__w", F.col("__i")),
+    )
+    marker = F.when(
+        (F.col("__i") >= 3)
+        & (
+            F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+            % modulus
+            == 0
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("__marker", marker).withColumn(
+        "chunk_id",
+        F.coalesce(F.sum("__marker").over(w), F.lit(0)).cast("long"),
+    )
+    return (
+        c.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__i", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )

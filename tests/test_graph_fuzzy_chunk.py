@@ -166,3 +166,31 @@ def test_leakage_free_split_never_straddles_clusters(spark, sf_dir):
         assert split[r.id_a] == split[r.id_b], (r.id_a, r.id_b)
     # both sides populated (0.8/0.2 over many clusters)
     assert {"train", "test"} == set(split.values())
+
+
+def test_cdc_chunking_shared_passage_yields_identical_chunks(spark):
+    """THE content-defined-chunking property: a passage duplicated across
+    docs at DIFFERENT offsets still splits into identical chunks (fixed
+    windows can't do this — their boundaries shift with the offset)."""
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        cdc_chunk_documents,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(64))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="pre1 " + shared + " post1"),
+            Row(doc_id=2, text="a b c d e f g " + shared + " tail tail2"),
+        ]
+    )
+    out = cdc_chunk_documents(df, modulus=8).collect()
+    chunks = {1: set(), 2: set()}
+    for r in out:
+        chunks[r.doc_id].add(r.chunk_text)
+    common = chunks[1] & chunks[2]
+    # interior chunks of the shared passage align despite offset shift
+    assert len(common) >= 3, common
+    # reassembly is lossless and ordered
+    rows1 = sorted((r for r in out if r.doc_id == 1), key=lambda r: r.chunk_id)
+    assert " ".join(r.chunk_text for r in rows1) == "pre1 " + shared + " post1"
+    assert all(r.n_tokens == len(r.chunk_text.split(" ")) for r in out)
