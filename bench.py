@@ -71,6 +71,7 @@ HEADLINE = [
     "q118_pps_sample",
     "q119_leakage_free_split",
     "q120_cdc_chunking",
+    "q121_temperature_rebalance",
 ]
 
 

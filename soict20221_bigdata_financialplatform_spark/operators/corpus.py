@@ -538,3 +538,64 @@ def cdc_chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    k: int = 150,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based stratum rebalancing (the multilingual
+    upsampling rule from mBERT/XLM-R): sample so that stratum l's
+    EXPECTED share is ∝ n_l^alpha instead of n_l — alpha < 1 upweights
+    rare languages/domains without exhausting them. Per-doc inclusion is
+    an independent seeded-hash Bernoulli with
+    ``p_l = min(1, k * n_l^alpha / (n_l * sum_m n_m^alpha))``
+    (expected total ≈ k); ``__p`` is emitted for Horvitz-Thompson
+    reweighting.
+
+    Shape: one tiny per-stratum count agg; the stratum weight table and
+    the rounded normalizer broadcast back; the corpus scan is
+    filter-only — no window, no per-stratum driver loop, any stratum
+    cardinality. Determinism: same md5-prefix uniform as
+    :func:`pps_sample`. ``alpha=0.5`` uses ``sqrt`` — an IEEE-754
+    EXACT-rounded op, so the q121 oracle is bit-exact; other alphas use
+    ``pow``, which is NOT bit-portable across engines (library-only,
+    no oracle). The normalizer (an order-dependent double sum) is
+    rounded to 6dp on both engines per the float policy."""
+    cnt = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.sqrt("__n") if alpha == 0.5 else F.pow("__n", F.lit(alpha))
+    weights = cnt.withColumn("__wt", w)
+    norm = weights.agg(F.round(F.sum("__wt"), 6).alias("__W"))
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(k) * F.col("__wt")) / (F.col("__n") * F.col("__W")),
+    )
+    scale = 1152921504606846976  # 16^15
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"temp{seed}|"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(scale)
+    )
+    return (
+        docs.join(F.broadcast(weights), strata_col)
+        .crossJoin(F.broadcast(norm))
+        .withColumn("__p", p)
+        .where(u < F.col("__p"))
+        .drop("__n", "__wt", "__W")
+    )

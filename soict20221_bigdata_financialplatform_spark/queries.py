@@ -5083,6 +5083,49 @@ def q120_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q121_temperature_rebalance",
+    """
+    WITH cnt AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+    norm AS (SELECT round(sum(sqrt(n)), 6) AS W FROM cnt)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           least(1.0, (150 * sqrt(c.n)) / (c.n * (SELECT W FROM norm))) AS p
+    FROM documents d JOIN cnt c ON c.lang = d.lang
+    WHERE (('0x' || substr(md5('temp42|' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+             ::UBIGINT)::BIGINT / 1152921504606846976
+          < least(1.0, (150 * sqrt(c.n)) / (c.n * (SELECT W FROM norm)))
+    """,
+)
+def q121_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (alpha = 0.5, the
+    mBERT/XLM-R upsampling rule): expected per-language share ∝ sqrt(n_l)
+    instead of n_l, so rare languages are upsampled relative to the head
+    without replacement or exhaustion; expected total ≈ 150 docs, with
+    the inclusion probability emitted for Horvitz-Thompson reweighting.
+
+    ``corpus.temperature_sample``: one tiny per-language count agg
+    broadcast back; the corpus scan is filter-only. alpha = 0.5 is the
+    one temperature whose weight (``sqrt``) is IEEE-exact-rounded in
+    both engines — hence the only bit-exact-oracle-able member of the
+    family (``pow`` is not bit-portable; other alphas stay
+    library-only). The sqrt-sum normalizer rounds to 6dp both sides
+    per float policy. Engine-added (sampling family with q111/q118)."""
+    return cp.temperature_sample(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        ),
+        strata_col="lang",
+        k=150,
+        alpha=0.5,
+        seed=42,
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("__p").alias("p"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -5120,6 +5163,7 @@ _FINAL_ORDER = [
     "q115_fuzzy_dictionary_match", "q116_within_doc_dedup",
     "q117_pagerank_dup_graph", "q118_pps_sample",
     "q119_leakage_free_split", "q120_cdc_chunking",
+    "q121_temperature_rebalance",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

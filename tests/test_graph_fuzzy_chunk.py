@@ -194,3 +194,31 @@ def test_cdc_chunking_shared_passage_yields_identical_chunks(spark):
     rows1 = sorted((r for r in out if r.doc_id == 1), key=lambda r: r.chunk_id)
     assert " ".join(r.chunk_text for r in rows1) == "pre1 " + shared + " post1"
     assert all(r.n_tokens == len(r.chunk_text.split(" ")) for r in out)
+
+
+def test_temperature_sample_upweights_rare_strata(spark):
+    """alpha=0.5 rebalancing: the rare stratum's expected share rises
+    above its raw share, the dominant one's falls — and inclusion
+    probabilities are exactly min(1, k*sqrt(n)/(n*W))."""
+    import math
+
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        temperature_sample,
+    )
+
+    rows = [Row(doc_id=i, lang="en") for i in range(1600)] + [
+        Row(doc_id=10000 + i, lang="fr") for i in range(100)
+    ]
+    out = temperature_sample(
+        spark.createDataFrame(rows), strata_col="lang", k=400, seed=3
+    )
+    ps = {(r["lang"]): r["__p"] for r in out.select("lang", "__p").distinct().collect()}
+    W = round(math.sqrt(1600) + math.sqrt(100), 6)
+    assert ps["en"] == min(1.0, 400 * math.sqrt(1600) / (1600 * W))
+    assert ps["fr"] == min(1.0, 400 * math.sqrt(100) / (100 * W))
+    # raw share en = 16/17; alpha=0.5 share = 40/50 = 0.8 < 16/17, fr up
+    assert ps["fr"] > ps["en"]
+    got = out.groupBy("lang").count().collect()
+    n = {r["lang"]: r["count"] for r in got}
+    # expected en=320, fr=80; Bernoulli concentration within +/-35%
+    assert 200 <= n["en"] <= 440 and 50 <= n["fr"] <= 100
