@@ -5,10 +5,11 @@
 The Spark-side contract — schemas, partitioning, batch shape, UDF signatures
 — is real and tested. Decoding is pure-python/stdlib where the format allows:
 full pixel/sample decode for BMP, PPM, PNG (zlib inflate + filter reversal),
-BASELINE JPEG (Huffman entropy decode + dequant + matrix IDCT + chroma
-upsample + YCbCr→RGB, ITU T.81) and WAV PCM; header-true metadata (true
-dimensions / duration / cadence, no entropy decode) for progressive JPEG
-(SOF + EXIF orientation), WebP (VP8/VP8L/VP8X),
+JPEG — BOTH baseline-sequential AND progressive (Huffman entropy decode
+incl. spectral selection + successive approximation + dequant + matrix IDCT
++ chroma upsample + YCbCr→RGB, ITU T.81 Annexes F and G) — and WAV PCM;
+header-true metadata (true dimensions / duration / cadence, no entropy
+decode) for WebP (VP8/VP8L/VP8X),
 MP4 (ISO-BMFF box walk), AVI, MKV/WebM (EBML walk), FLAC (STREAMINFO) and
 MP3 (frame header + Xing). Only formats whose
 METADATA needs a codec library (HEIC/AVIF/AAC/Opus/...) are stubbed behind a
@@ -348,25 +349,132 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _jpeg_decode_block_prog(
+    reader, blk, tdc, tac, ss, se, ah, al, pred, eobrun
+):
+    """Decode ONE block's contribution for one PROGRESSIVE scan (T.81
+    Annex G; the traversal mirrors the spec's G.1.2.2/G.1.2.3 flow).
+    Returns (new_pred, new_eobrun)."""
+    if ss == 0:  # DC scan
+        if ah == 0:  # first pass: diff-coded, scaled by 2^Al
+            s = _jpeg_huff_decode(reader, tdc)
+            pred += _jpeg_extend(reader.read(s), s) if s else 0
+            blk[0] = pred << al
+        else:  # refinement: one appended bit
+            if reader.read(1):
+                blk[0] |= 1 << al
+        return pred, eobrun
+    if ah == 0:  # AC first pass over the spectral band
+        if eobrun > 0:
+            return pred, eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _jpeg_huff_decode(reader, tac)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read(r)
+                    return pred, eobrun
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[_ZIGZAG[k]] = _jpeg_extend(reader.read(s), s) * (1 << al)
+            k += 1
+        return pred, eobrun
+    # AC refinement pass: correction bits for known coefficients, ±2^Al
+    # births for new ones
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(reader, tac)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read(r)
+                break
+            while k <= se:  # skip r zero-history coefs, correcting en route
+                z = _ZIGZAG[k]
+                if blk[z] != 0:
+                    if reader.read(1) and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:  # EOB span: corrections only through the band's end
+        while k <= se:
+            z = _ZIGZAG[k]
+            if blk[z] != 0:
+                if reader.read(1) and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return pred, eobrun
+
+
+def _jpeg_decode_block_seq(reader, blk, tdc, tac, pred):
+    """Sequential-baseline block decode: DC diff + AC run-length (T.81
+    F.2.2). Returns the new DC prediction."""
+    s = _jpeg_huff_decode(reader, tdc)
+    pred += _jpeg_extend(reader.read(s), s) if s else 0
+    blk[0] = pred
+    z = 1
+    while z < 64:
+        rs = _jpeg_huff_decode(reader, tac)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                break  # EOB
+            z += 16
+            continue
+        z += r
+        if z > 63:
+            raise ValueError("AC run past block end")
+        blk[_ZIGZAG[z]] = _jpeg_extend(reader.read(s), s)
+        z += 1
+    return pred
+
+
 def _jpeg_decode_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    """Baseline-sequential (SOF0, 8-bit, Huffman) JPEG → interleaved RGB888
-    raster, pure python + numpy (public spec, ITU T.81): marker walk → DQT/
-    DHT/DRI/SOF0/SOS → per-MCU Huffman entropy decode (DC diff + AC
-    run-length, restart markers honored) → dequantize → batched matrix IDCT
-    (one einsum per component, not per block) → integer-ratio chroma
-    upsample → YCbCr→RGB. Returns None for anything outside that scope
-    (progressive SOF2, arithmetic coding, 12-bit, fractional sampling) so
-    callers fall back to the header-only path; raises nothing on valid
-    input shapes. Grayscale replicates Y into all three channels."""
+    """Huffman JPEG → interleaved RGB888 raster, pure python + numpy
+    (public spec, ITU T.81): marker walk → DQT/DHT/DRI/SOF/SOS(es) →
+    entropy decode into per-component coefficient grids → dequantize →
+    batched matrix IDCT (one einsum per component) → integer-ratio
+    chroma upsample → YCbCr→RGB. Covers BOTH frame types that dominate
+    the web: SOF0 baseline-sequential AND SOF2 progressive (spectral
+    selection + successive approximation, DC and AC first/refinement
+    scans, interleaved and non-interleaved, restart markers, multi-scan
+    table redefinition). Returns None for anything outside that scope
+    (arithmetic coding, 12-bit, lossless/hierarchical, fractional
+    sampling) so callers fall back to the header-only path. Grayscale
+    replicates Y into all three channels."""
     import numpy as np
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
-    frame = None  # (h, w, comps) comps: [(cid, hs, vs, tq)]
+    frame = None  # (h, w, comps, progressive) comps: [(cid, hs, vs, tq)]
     restart_interval = 0
-    scan = None  # ([(cid, td, ta)], data_pos)
+    grids: list | None = None  # per comp (blocks_y, blocks_x, 64) int32
+    nat_dims: list | None = None  # per comp non-interleaved (bh, bw)
+    geom = None  # (mcus_x, mcus_y)
+    saw_scan = False
     pos, n = 2, len(b)
     while pos + 2 <= n:
         if b[pos] != 0xFF:
@@ -407,7 +515,7 @@ def _jpeg_decode_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 tab = np.zeros(64, dtype=np.int32)
                 tab[_ZIGZAG] = vals  # store in natural order
                 qt[tq] = tab.reshape(8, 8)
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may redefine tables between scans)
             q = 0
             while q + 17 <= len(payload):
                 tc, th = payload[q] >> 4, payload[q] & 0xF
@@ -420,95 +528,141 @@ def _jpeg_decode_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 q += 17 + cnt
         elif marker == 0xDD and len(payload) >= 2:  # DRI
             restart_interval = int.from_bytes(payload[:2], "big")
-        elif marker == 0xC0:  # SOF0 baseline ONLY
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(payload) < 6 or payload[0] != 8:
                 return None
             fh = int.from_bytes(payload[1:3], "big")
             fw = int.from_bytes(payload[3:5], "big")
             nc = payload[5]
-            if nc not in (1, 3) or len(payload) < 6 + 3 * nc:
+            if nc not in (1, 3) or len(payload) < 6 + 3 * nc or not fh or not fw:
                 return None
             comps = []
             for i in range(nc):
                 cid, samp, tqi = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, tqi))
-            frame = (fh, fw, comps)
-        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive/arithmetic/lossless: out of scope
-        elif marker == 0xDA:  # SOS
-            if frame is None or len(payload) < 1:
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax == 0 or vmax == 0:
                 return None
+            for _, hs, vs, _ in comps:
+                if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
+                    return None  # fractional sampling: out of scope
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            geom = (mcus_x, mcus_y)
+            grids = [
+                np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+                for _, hs, vs, _ in comps
+            ]
+            # non-interleaved scans code the component's TRUE block grid
+            # (no MCU padding blocks): ceil(ceil(dim*samp/max)/8)
+            def _ceil(a, b):
+                return -(-a // b)
+
+            nat_dims = [
+                (
+                    _ceil(_ceil(fh * vs, vmax), 8),
+                    _ceil(_ceil(fw * hs, hmax), 8),
+                )
+                for _, hs, vs, _ in comps
+            ]
+            frame = (fh, fw, comps, marker == 0xC2)
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # arithmetic/lossless/hierarchical: out of scope
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data now
+            if frame is None or len(payload) < 4:
+                return None
+            fh, fw, comps, progressive = frame
             ns = payload[0]
-            scomps = []
+            if len(payload) < 1 + 2 * ns + 3:
+                return None
+            scan_comps = []  # (ci, tdc table | None, tac table | None)
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i : 3 + 2 * i]
-                scomps.append((cs, tt >> 4, tt & 0xF))
-            scan = (scomps, pos + seglen)
-            break
+                ci = next(
+                    (j for j, c in enumerate(comps) if c[0] == cs), None
+                )
+                if ci is None:
+                    return None
+                scan_comps.append((ci, tt >> 4, tt & 0xF))
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            if ss > se or se > 63 or (ss == 0 and progressive and se != 0):
+                return None
+            if ss > 0 and ns != 1:
+                return None  # AC scans are single-component by spec
+            resolved = []
+            for ci, td, ta in scan_comps:
+                need_dc = (ss == 0 and ah == 0) or not progressive
+                need_ac = ss > 0 or not progressive
+                tdc = huff.get((0, td))
+                tac = huff.get((1, ta))
+                if (need_dc and tdc is None) or (need_ac and tac is None):
+                    return None
+                resolved.append((ci, tdc, tac))
+            mcus_x, mcus_y = geom
+            interleaved = ns > 1
+            units = (
+                mcus_x * mcus_y
+                if interleaved
+                else nat_dims[resolved[0][0]][0] * nat_dims[resolved[0][0]][1]
+            )
+            reader = _JpegBitReader(b, pos + seglen)
+            pred = [0] * len(comps)
+            eobrun = 0
+            try:
+                for u in range(units):
+                    if restart_interval and u and u % restart_interval == 0:
+                        m = reader.align_to_marker()
+                        if m is None or not 0xD0 <= m <= 0xD7:
+                            return None
+                        pred = [0] * len(comps)
+                        eobrun = 0
+                    if interleaved:
+                        my, mx = divmod(u, mcus_x)
+                        for ci, tdc, tac in resolved:
+                            _, hs, vs, _ = comps[ci]
+                            for v in range(vs):
+                                for hh in range(hs):
+                                    blk = grids[ci][my * vs + v, mx * hs + hh]
+                                    if progressive:
+                                        pred[ci], eobrun = _jpeg_decode_block_prog(
+                                            reader, blk, tdc, tac,
+                                            ss, se, ah, al, pred[ci], eobrun,
+                                        )
+                                    else:
+                                        pred[ci] = _jpeg_decode_block_seq(
+                                            reader, blk, tdc, tac, pred[ci]
+                                        )
+                    else:
+                        ci, tdc, tac = resolved[0]
+                        bw = nat_dims[ci][1]
+                        by_, bx_ = divmod(u, bw)
+                        blk = grids[ci][by_, bx_]
+                        if progressive:
+                            pred[ci], eobrun = _jpeg_decode_block_prog(
+                                reader, blk, tdc, tac,
+                                ss, se, ah, al, pred[ci], eobrun,
+                            )
+                        else:
+                            pred[ci] = _jpeg_decode_block_seq(
+                                reader, blk, tdc, tac, pred[ci]
+                            )
+            except (EOFError, ValueError):
+                return None
+            saw_scan = True
+            reader.bits = reader.nbits = 0
+            pos = reader.pos  # resume the marker walk after entropy data
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan or grids is None:
         return None
-    fh, fw, comps = frame
-    if fh == 0 or fw == 0:
-        return None
-    scomps, data_pos = scan
+    fh, fw, comps, _ = frame
+    mcus_x, mcus_y = geom
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax == 0 or vmax == 0:
-        return None
-    for _, hs, vs, _ in comps:
-        if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
-            return None  # fractional sampling ratios: out of scope
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-    order = []  # interleave order: (comp_index, tdc, tac) per block-in-MCU
-    for cs, td, ta in scomps:
-        ci = next((i for i, c in enumerate(comps) if c[0] == cs), None)
-        if ci is None or (0, td) not in huff or (1, ta) not in huff:
-            return None
-        if comps[ci][3] not in qt:
-            return None
-        order.append((ci, huff[(0, td)], huff[(1, ta)]))
-    if len(order) != len(comps):
-        return None  # non-interleaved multi-scan: out of scope
-
-    # entropy decode: per component, a flat list of 8×8 coefficient blocks
-    nblk = [comps[ci][1] * comps[ci][2] for ci, _, _ in order]
-    coefs = [
-        np.zeros((mcus_x * mcus_y * nb, 64), dtype=np.int32) for nb in nblk
-    ]
-    reader = _JpegBitReader(b, data_pos)
-    pred = [0] * len(comps)
-    try:
-        for mcu in range(mcus_x * mcus_y):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                m = reader.align_to_marker()
-                if m is None or not 0xD0 <= m <= 0xD7:
-                    return None
-                pred = [0] * len(comps)
-            for k, (ci, tdc, tac) in enumerate(order):
-                for blk in range(nblk[k]):
-                    row = coefs[k][mcu * nblk[k] + blk]
-                    s = _jpeg_huff_decode(reader, tdc)
-                    diff = _jpeg_extend(reader.read(s), s) if s else 0
-                    pred[ci] += diff
-                    row[0] = pred[ci]
-                    z = 1
-                    while z < 64:
-                        rs = _jpeg_huff_decode(reader, tac)
-                        rr, ss = rs >> 4, rs & 0xF
-                        if ss == 0:
-                            if rr != 15:
-                                break  # EOB
-                            z += 16
-                            continue
-                        z += rr
-                        if z > 63:
-                            return None
-                        row[_ZIGZAG[z]] = _jpeg_extend(reader.read(ss), ss)
-                        z += 1
-    except (EOFError, ValueError):
-        return None
 
     # dequantize + batched IDCT per component (A.T @ C @ A, orthonormal
     # DCT-II basis), then stitch blocks into the component plane
@@ -516,16 +670,15 @@ def _jpeg_decode_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     A = np.cos((2 * k8[None, :] + 1) * k8[:, None] * np.pi / 16) * 0.5
     A[0, :] *= 1 / np.sqrt(2.0)
     planes = []
-    for k, (ci, _, _) in enumerate(order):
-        _, hs, vs, tqi = comps[ci]
-        blocks = (coefs[k].reshape(-1, 8, 8) * qt[tqi][None, :, :]).astype(
-            np.float64
-        )
+    for ci, (_, hs, vs, tqi) in enumerate(comps):
+        if tqi not in qt:
+            return None
+        g = grids[ci]
+        by, bx = g.shape[:2]
+        blocks = (g.reshape(-1, 8, 8) * qt[tqi][None, :, :]).astype(np.float64)
         px = np.einsum("ij,njk,kl->nil", A.T, blocks, A) + 128.0
-        # block (mcu, v, h) → plane rows (mcu_y*vs + v)*8, cols (mcu_x*hs + h)*8
-        px = px.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
-        plane = px.transpose(0, 2, 4, 1, 3, 5).reshape(
-            mcus_y * vs * 8, mcus_x * hs * 8
+        plane = px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            by * 8, bx * 8
         )
         plane = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
         planes.append(plane[:fh, :fw])
@@ -545,10 +698,11 @@ def _decode_jpeg(b: bytes) -> dict | None:
     """JPEG decode — marker-walk to the SOF0/SOF2 frame header (precision,
     height, width, components) and EXIF orientation from APP1 so
     rotated-capture photos report their DISPLAY dimensions (orientations
-    5-8 transpose). For BASELINE files the pixel means are REAL — the
-    full pure-python entropy decode (:func:`_jpeg_decode_pixels`) runs and
-    averages the RGB raster; progressive/arithmetic files stay
-    header-true with means None. Returns None if not JPEG."""
+    5-8 transpose). For Huffman files — BASELINE and PROGRESSIVE alike —
+    the pixel means are REAL: the full pure-python entropy decode
+    (:func:`_jpeg_decode_pixels`) runs and averages the RGB raster;
+    arithmetic-coded/12-bit files stay header-true with means None.
+    Returns None if not JPEG."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     orientation, width, height, ncomp, progressive = 1, None, None, None, False
@@ -588,14 +742,13 @@ def _decode_jpeg(b: bytes) -> dict | None:
     if orientation >= 5:  # 5-8 are the transposed orientations
         width, height = height, width
     mean_r = mean_g = mean_b = None
-    if not progressive:
-        px = _jpeg_decode_pixels(b)
-        if px is not None:
-            import numpy as np
+    px = _jpeg_decode_pixels(b)
+    if px is not None:
+        import numpy as np
 
-            _, _, raw = px
-            means = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).mean(0)
-            mean_r, mean_g, mean_b = (round(float(m), 3) for m in means)
+        _, _, raw = px
+        means = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).mean(0)
+        mean_r, mean_g, mean_b = (round(float(m), 3) for m in means)
     return {
         "width": width,
         "height": height,
@@ -638,12 +791,12 @@ def decode_image(content: bytes) -> dict:
     """Decode an image blob to {width, height, mean_r, mean_g, mean_b}.
 
     Real decode: uncompressed BMP 24-bit and PPM P6, PNG 8-bit RGB/RGBA
-    (zlib inflate + filter reversal), and BASELINE JPEG (pure-python
-    Huffman entropy decode + matrix IDCT + chroma upsample + YCbCr→RGB —
-    the dominant web format, fully decoded without a codec library).
-    Progressive JPEG (SOF dimensions + EXIF orientation) and WebP
-    (VP8/VP8L/VP8X headers) decode header-true with pixel means None.
-    Formats needing codec libraries (HEIC/AVIF/...) raise
+    (zlib inflate + filter reversal), and JPEG — baseline AND progressive
+    (pure-python Huffman entropy decode with spectral selection +
+    successive approximation, matrix IDCT, chroma upsample, YCbCr→RGB —
+    the dominant web format fully decoded without a codec library).
+    WebP (VP8/VP8L/VP8X headers) decodes header-true with pixel means
+    None. Formats needing codec libraries (HEIC/AVIF/...) raise
     NotImplementedError via the stub — loudly, per the environment
     contract.
     """
@@ -1118,9 +1271,9 @@ def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def _decode_rgb(b: bytes) -> tuple[int, int, bytes] | None:
     """Interleaved top-down RGB888 raster for the pixel-decodable formats
-    (BMP 24-bit, PPM P6, PNG 8-bit RGB/RGBA, baseline JPEG). Returns None
-    when only header metadata is available (progressive JPEG/WebP/...) —
-    callers fall back to the metadata path."""
+    (BMP 24-bit, PPM P6, PNG 8-bit RGB/RGBA, JPEG baseline AND
+    progressive). Returns None when only header metadata is available
+    (WebP/...) — callers fall back to the metadata path."""
     import struct
 
     if b[:2] == b"\xff\xd8":

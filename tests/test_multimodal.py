@@ -954,3 +954,310 @@ def test_jpeg_resize_to_raw_end_to_end(spark):
     feats = {r.media_id: r for r in mm.decode_image_features(media).collect()}
     assert feats[21].decoded
     assert abs(feats[21].mean_r - img[:, :, 0].mean()) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Progressive-JPEG pixel decode: the encoder below emits SOF2 streams with
+# spectral selection AND successive approximation (DC first/refine, AC
+# first/refine with EOBRUN/ZRL, non-interleaved AC scans, per-scan DHT
+# redefinition), written independently from T.81 Annex G — the decoder is
+# checked against the spec's forward path, not against itself. Baseline and
+# progressive encodings of the same image carry IDENTICAL coefficients, so
+# the decoded rasters must match EXACTLY.
+# ---------------------------------------------------------------------------
+
+
+def _forward_blocks(rgb, subsampling="444", q=1):
+    """RGB (or gray) array -> (comp_blocks, samp, h, w): quantized DCT
+    coefficient blocks (mcus_y, mcus_x, vs, hs, 8, 8) per component."""
+    import numpy as np
+
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    A = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None]
+               * np.pi / 16) * 0.5
+    A[0, :] *= 1 / np.sqrt(2.0)
+    if gray:
+        planes = [rgb.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, bl = (rgb[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [
+            (1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comp_blocks = []
+    for plane, (hs, vs) in zip(planes, samp):
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            pl = np.pad(plane, ((0, ph - plane.shape[0]),
+                                (0, pw - plane.shape[1])), mode="edge")
+            plane = pl.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+        th, tw = mcus_y * 8 * vs, mcus_x * 8 * hs
+        plane = np.pad(plane, ((0, th - plane.shape[0]),
+                               (0, tw - plane.shape[1])), mode="edge")
+        blocks = plane.reshape(mcus_y, vs, 8, mcus_x, hs, 8).transpose(
+            0, 3, 1, 4, 2, 5)
+        coef = np.einsum("ij,...jk,kl->...il", A, blocks - 128.0, A.T)
+        comp_blocks.append(np.rint(coef / q).astype(np.int64))
+    return comp_blocks, samp, h, w
+
+
+def _cat(v):
+    return v.bit_length() if v > 0 else (-v).bit_length()
+
+
+def _catbits(v, s):
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _pt_ac(v, al):
+    """AC point transform: magnitude shift, truncation toward zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ScanBuilder:
+    """Collects (huffman-symbol | raw-bit) ops for one scan, builds the
+    scan-local DHT, and serializes DHT+SOS+entropy."""
+
+    def __init__(self, tclass):
+        self.ops = []  # ("h", sym) | ("b", val, nbits)
+        self.syms = set()
+        self.tclass = tclass  # 0 dc / 1 ac / None (raw-bit-only scan)
+
+    def h(self, sym):
+        self.ops.append(("h", sym))
+        self.syms.add(sym)
+
+    def b(self, val, nbits):
+        if nbits:
+            self.ops.append(("b", val, nbits))
+
+    def serialize(self, scomps, ss, se, ah, al):
+        out = bytearray()
+        codes = None
+        if self.tclass is not None and self.syms:
+            short, long_, cap = ((2, 5, 3) if self.tclass == 0
+                                 else (8, 12, 200))
+            bits, syms, codes = _huff_spec(self.syms, short, long_, cap)
+            payload = bytes([(self.tclass << 4) | 0]) + bytes(bits) + bytes(syms)
+            out += b"\xff\xc4" + (len(payload) + 2).to_bytes(2, "big") + payload
+        sos = bytes([len(scomps)])
+        for cid in scomps:
+            sos += bytes([cid, 0x00])  # table id 0 for both classes
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        wtr = _JpegBitWriter()
+        for op in self.ops:
+            if op[0] == "h":
+                length, code = codes[op[1]]
+                wtr.write(code, length)
+            else:
+                wtr.write(op[1], op[2])
+        wtr.pad_to_byte()
+        out += wtr.out
+        return bytes(out)
+
+
+def _encode_progressive_jpeg(rgb, subsampling="444", q=1, dc_al=1, ac_al=1,
+                             splits=((1, 5), (6, 63))):
+    """Progressive (SOF2) encoder: interleaved DC first scan at Al=dc_al,
+    DC refinement bits, then per-component non-interleaved AC scans per
+    spectral split at Al=ac_al followed by AC refinement scans. dc_al/
+    ac_al of 0 emit first passes only (pure spectral selection)."""
+    import numpy as np
+
+    comp_blocks, samp, h, w = _forward_blocks(rgb, subsampling, q)
+    nc = len(comp_blocks)
+    mcus_y, mcus_x = comp_blocks[0].shape[:2]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    zz = mm._ZIGZAG
+
+    out = bytearray(b"\xff\xd8")
+    qtab = bytes([0]) + bytes([q] * 64)
+    out += b"\xff\xdb" + (len(qtab) + 2).to_bytes(2, "big") + qtab
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+
+    # --- DC first scan (interleaved, all components), Al = dc_al
+    sb = _ScanBuilder(0)
+    pred = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(samp):
+                for v in range(vs):
+                    for hh in range(hs):
+                        dc = int(comp_blocks[ci][my, mx, v, hh, 0, 0])
+                        sh = dc >> dc_al  # arithmetic shift per spec
+                        diff = sh - pred[ci]
+                        pred[ci] = sh
+                        s = _cat(diff)
+                        sb.h(s)
+                        sb.b(_catbits(diff, s), s)
+    out += sb.serialize(range(1, nc + 1), 0, 0, 0, dc_al)
+
+    # --- DC refinement bits (one per block), Ah = dc_al .. 1
+    for ah in range(dc_al, 0, -1):
+        sb = _ScanBuilder(None)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (hs, vs) in enumerate(samp):
+                    for v in range(vs):
+                        for hh in range(hs):
+                            dc = int(comp_blocks[ci][my, mx, v, hh, 0, 0])
+                            sb.b((dc >> (ah - 1)) & 1, 1)
+        out += sb.serialize(range(1, nc + 1), 0, 0, ah, ah - 1)
+
+    # natural-order per-component block grids, true (non-padded) dims
+    grids = []
+    for ci, (hs, vs) in enumerate(samp):
+        g = comp_blocks[ci].transpose(0, 2, 1, 3, 4, 5).reshape(
+            mcus_y * vs, mcus_x * hs, 8, 8)
+        grids.append(g)
+
+    def ceil2(a, b):
+        return -(-a // b)
+
+    nat = [(ceil2(ceil2(h * vs, vmax), 8), ceil2(ceil2(w * hs, hmax), 8))
+           for hs, vs in samp]
+
+    # --- AC first scans per component per spectral split, Al = ac_al
+    for ci in range(nc):
+        bh, bw = nat[ci]
+        for (ss, se) in splits:
+            sb = _ScanBuilder(1)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = grids[ci][by, bx].ravel()
+                    run = 0
+                    for k in range(ss, se + 1):
+                        val = _pt_ac(int(blk[zz[k]]), ac_al)
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            sb.h(0xF0)
+                            run -= 16
+                        s = _cat(val)
+                        sb.h((run << 4) | s)
+                        sb.b(_catbits(val, s), s)
+                        run = 0
+                    if run:
+                        sb.h(0x00)  # EOB (EOBRUN = 1)
+            out += sb.serialize([ci + 1], ss, se, 0, ac_al)
+
+    # --- AC refinement scans, Ah = ac_al .. 1 (mirror of G.1.2.3)
+    for ah in range(ac_al, 0, -1):
+        al = ah - 1
+        for ci in range(nc):
+            bh, bw = nat[ci]
+            for (ss, se) in splits:
+                sb = _ScanBuilder(1)
+                for by in range(bh):
+                    for bx in range(bw):
+                        blk = grids[ci][by, bx].ravel()
+                        run = 0
+                        pend = []
+                        for k in range(ss, se + 1):
+                            v = int(blk[zz[k]])
+                            hist = _pt_ac(v, ah) != 0
+                            if hist:
+                                pend.append((abs(v) >> al) & 1)
+                                continue
+                            newly = _pt_ac(v, al) != 0
+                            if newly:
+                                sb.h((run << 4) | 1)
+                                sb.b(1 if v > 0 else 0, 1)
+                                for bit in pend:
+                                    sb.b(bit, 1)
+                                pend = []
+                                run = 0
+                            else:
+                                run += 1
+                                if run == 16:
+                                    sb.h(0xF0)
+                                    for bit in pend:
+                                        sb.b(bit, 1)
+                                    pend = []
+                                    run = 0
+                        if run or pend:
+                            sb.h(0x00)  # EOB flushes trailing corrections
+                            for bit in pend:
+                                sb.b(bit, 1)
+                out += sb.serialize([ci + 1], ss, se, ah, al)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decoded(jpg):
+    px = mm._jpeg_decode_pixels(jpg)
+    assert px is not None
+    w, h, raw = px
+    return _rgb_array(raw, w, h)
+
+
+def _test_image(h, w, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(h, w, 3))
+    return base.astype(np.uint8)
+
+
+def test_progressive_spectral_only_matches_baseline():
+    img = _test_image(24, 17, seed=1)
+    base = _decoded(_encode_baseline_jpeg(img, q=24))
+    prog = _decoded(_encode_progressive_jpeg(img, q=24, dc_al=0, ac_al=0))
+    assert (base == prog).all()
+
+
+def test_progressive_successive_approximation_matches_baseline():
+    img = _test_image(23, 30, seed=2)
+    base = _decoded(_encode_baseline_jpeg(img, q=16))
+    prog = _decoded(_encode_progressive_jpeg(img, q=16, dc_al=1, ac_al=1))
+    assert (base == prog).all()
+
+
+def test_progressive_two_level_approximation_matches_baseline():
+    img = _test_image(16, 16, seed=3)
+    base = _decoded(_encode_baseline_jpeg(img, q=8))
+    prog = _decoded(_encode_progressive_jpeg(
+        img, q=8, dc_al=2, ac_al=2, splits=((1, 2), (3, 20), (21, 63))))
+    assert (base == prog).all()
+
+
+def test_progressive_420_subsampled_matches_baseline():
+    img = _test_image(33, 26, seed=4)
+    base = _decoded(_encode_baseline_jpeg(img, subsampling="420", q=20))
+    prog = _decoded(_encode_progressive_jpeg(
+        img, subsampling="420", q=20, dc_al=1, ac_al=1))
+    assert (base == prog).all()
+
+
+def test_progressive_gray_matches_baseline():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(19, 21)).astype(np.uint8)
+    base = _decoded(_encode_baseline_jpeg(img, q=12))
+    prog = _decoded(_encode_progressive_jpeg(img, q=12, dc_al=1, ac_al=1))
+    assert (base == prog).all()
+
+
+def test_progressive_decode_image_reports_real_means():
+    img = _test_image(20, 20, seed=6)
+    d = mm.decode_image(_encode_progressive_jpeg(img, q=16))
+    assert d["width"] == 20 and d["height"] == 20
+    assert d["mean_r"] is not None and d["progressive"] is True
