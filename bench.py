@@ -72,6 +72,7 @@ HEADLINE = [
     "q119_leakage_free_split",
     "q120_cdc_chunking",
     "q121_temperature_rebalance",
+    "q122_bm25",
 ]
 
 

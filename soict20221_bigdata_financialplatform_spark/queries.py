@@ -5126,6 +5126,111 @@ def q121_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q122_bm25",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM w),
+    st AS (SELECT count(*)::BIGINT AS N, round(avg(dl), 6) AS avgdl FROM dl),
+    t AS (SELECT doc_id, unnest(w) AS word FROM w),
+    tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM t
+           WHERE word IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+    df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    idf AS (SELECT word,
+              round(ln(((SELECT N FROM st) - df + 0.5) / (df + 0.5) + 1.0), 6)
+                AS idf
+            FROM df),
+    sc AS (
+      SELECT tf.doc_id,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM st)))
+               AS s
+      FROM tf JOIN idf USING (word) JOIN dl ON dl.doc_id = tf.doc_id
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q122_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance (Robertson/Spärck Jones; k1=1.2, b=0.75) of every
+    document for the query {spark, join, hash}, top-20 — the full-text
+    retrieval primitive behind search-index serving and RAG candidate
+    generation, complementing the embedding ANN family (q34/q35/q72)
+    with the lexical leg of hybrid retrieval.
+
+    Shape: tokens explode once, filtered TO THE QUERY TERMS at the
+    source (the per-(doc, term) frame is tiny — terms ≪ vocabulary);
+    df/idf and the (N, avgdl) stats are broadcast one-row/few-row
+    frames; no window anywhere. Floats: idf's ``ln`` is the one
+    transcendental — rounded to 6dp on BOTH engines (cross-engine libm
+    ulp differences), as is avgdl and the final per-doc term sum; the
+    inner score chain is identical-expression-tree arithmetic. Top-k
+    ties break on doc_id. Engine-added (text-retrieval family with
+    q86 TF-IDF)."""
+    terms = ["spark", "join", "hash"]
+    npart = max(2, spark.sparkContext.defaultParallelism)
+    w = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(npart)
+        .withColumn("__w", tx.words("text"))
+    )
+    dl = w.select("doc_id", F.size("__w").cast("long").alias("dl")).persist()
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    tf = (
+        w.select("doc_id", F.explode("__w").alias("word"))
+        .where(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (
+        df.crossJoin(F.broadcast(st))
+        .select(
+            "word",
+            F.round(
+                F.log(
+                    (F.col("N") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    sc = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(1.2 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -5163,7 +5268,7 @@ _FINAL_ORDER = [
     "q115_fuzzy_dictionary_match", "q116_within_doc_dedup",
     "q117_pagerank_dup_graph", "q118_pps_sample",
     "q119_leakage_free_split", "q120_cdc_chunking",
-    "q121_temperature_rebalance",
+    "q121_temperature_rebalance", "q122_bm25",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
