@@ -1041,6 +1041,9 @@ class _ScanBuilder:
         if nbits:
             self.ops.append(("b", val, nbits))
 
+    def rst(self, idx):
+        self.ops.append(("r", idx % 8))
+
     def serialize(self, scomps, ss, se, ah, al):
         out = bytearray()
         codes = None
@@ -1060,19 +1063,24 @@ class _ScanBuilder:
             if op[0] == "h":
                 length, code = codes[op[1]]
                 wtr.write(code, length)
-            else:
+            elif op[0] == "b":
                 wtr.write(op[1], op[2])
+            else:  # restart marker: byte-align, emit unstuffed
+                wtr.pad_to_byte()
+                wtr.out += bytes([0xFF, 0xD0 + op[1]])
         wtr.pad_to_byte()
         out += wtr.out
         return bytes(out)
 
 
 def _encode_progressive_jpeg(rgb, subsampling="444", q=1, dc_al=1, ac_al=1,
-                             splits=((1, 5), (6, 63))):
+                             splits=((1, 5), (6, 63)), restart=0):
     """Progressive (SOF2) encoder: interleaved DC first scan at Al=dc_al,
     DC refinement bits, then per-component non-interleaved AC scans per
     spectral split at Al=ac_al followed by AC refinement scans. dc_al/
-    ac_al of 0 emit first passes only (pure spectral selection)."""
+    ac_al of 0 emit first passes only (pure spectral selection). With
+    ``restart``, RST markers are emitted every ``restart`` MCUs/blocks
+    in EVERY scan (DRI applies per scan; DC predictions reset)."""
     import numpy as np
 
     comp_blocks, samp, h, w = _forward_blocks(rgb, subsampling, q)
@@ -1085,6 +1093,8 @@ def _encode_progressive_jpeg(rgb, subsampling="444", q=1, dc_al=1, ac_al=1,
     out = bytearray(b"\xff\xd8")
     qtab = bytes([0]) + bytes([q] * 64)
     out += b"\xff\xdb" + (len(qtab) + 2).to_bytes(2, "big") + qtab
+    if restart:
+        out += b"\xff\xdd\x00\x04" + restart.to_bytes(2, "big")
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for ci, (hs, vs) in enumerate(samp):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
@@ -1095,6 +1105,10 @@ def _encode_progressive_jpeg(rgb, subsampling="444", q=1, dc_al=1, ac_al=1,
     pred = [0] * nc
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            u = my * mcus_x + mx
+            if restart and u and u % restart == 0:
+                sb.rst(u // restart - 1)
+                pred = [0] * nc
             for ci, (hs, vs) in enumerate(samp):
                 for v in range(vs):
                     for hh in range(hs):
@@ -1112,6 +1126,9 @@ def _encode_progressive_jpeg(rgb, subsampling="444", q=1, dc_al=1, ac_al=1,
         sb = _ScanBuilder(None)
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                u = my * mcus_x + mx
+                if restart and u and u % restart == 0:
+                    sb.rst(u // restart - 1)
                 for ci, (hs, vs) in enumerate(samp):
                     for v in range(vs):
                         for hh in range(hs):
@@ -1139,6 +1156,9 @@ def _encode_progressive_jpeg(rgb, subsampling="444", q=1, dc_al=1, ac_al=1,
             sb = _ScanBuilder(1)
             for by in range(bh):
                 for bx in range(bw):
+                    u = by * bw + bx
+                    if restart and u and u % restart == 0:
+                        sb.rst(u // restart - 1)
                     blk = grids[ci][by, bx].ravel()
                     run = 0
                     for k in range(ss, se + 1):
@@ -1166,6 +1186,9 @@ def _encode_progressive_jpeg(rgb, subsampling="444", q=1, dc_al=1, ac_al=1,
                 sb = _ScanBuilder(1)
                 for by in range(bh):
                     for bx in range(bw):
+                        u = by * bw + bx
+                        if restart and u and u % restart == 0:
+                            sb.rst(u // restart - 1)
                         blk = grids[ci][by, bx].ravel()
                         run = 0
                         pend = []
@@ -1261,3 +1284,11 @@ def test_progressive_decode_image_reports_real_means():
     d = mm.decode_image(_encode_progressive_jpeg(img, q=16))
     assert d["width"] == 20 and d["height"] == 20
     assert d["mean_r"] is not None and d["progressive"] is True
+
+
+def test_progressive_with_restart_markers_matches_baseline():
+    img = _test_image(26, 35, seed=7)
+    base = _decoded(_encode_baseline_jpeg(img, q=16))
+    prog = _decoded(_encode_progressive_jpeg(
+        img, q=16, dc_al=1, ac_al=1, restart=3))
+    assert (base == prog).all()
