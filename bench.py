@@ -73,6 +73,7 @@ HEADLINE = [
     "q120_cdc_chunking",
     "q121_temperature_rebalance",
     "q122_bm25",
+    "q123_vshape_patterns",
 ]
 
 

@@ -5231,6 +5231,64 @@ def q122_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q123_vshape_patterns",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value, 2)  OVER w AS p2,
+             lag(value, 1)  OVER w AS p1,
+             lead(value, 1) OVER w AS n1,
+             lead(value, 2) OVER w AS n2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hits AS (
+      SELECT user_id, event_id, ts FROM t
+      WHERE p2 > p1 AND p1 > value AND value < n1 AND n1 < n2
+    )
+    SELECT user_id, count(*)::BIGINT AS n_vshapes,
+           min(ts) AS first_vshape_ts
+    FROM hits GROUP BY user_id
+    """,
+)
+def q123_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): strict V-shapes
+    in each user's event-time value series — two consecutive drops
+    followed by two consecutive rises — with per-user count and first
+    occurrence. The pattern-mining shape behind technical-signal scans
+    and anomaly triage, expressed as pure lag/lead windows: Catalyst
+    plans ONE window node behind ONE hash exchange for all four offsets
+    (shared frame), then a grouped agg reuses the user_id partitioning.
+    Comparisons on raw doubles are exact cross-engine (no float policy
+    needed — no arithmetic at all); window order ties break on event_id
+    per the determinism rule. Engine-added (window family with
+    q40/q95/q106)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value", 2).over(w).alias("p2"),
+        F.lag("value", 1).over(w).alias("p1"),
+        F.lead("value", 1).over(w).alias("n1"),
+        F.lead("value", 2).over(w).alias("n2"),
+    )
+    hits = t.where(
+        (F.col("p2") > F.col("p1"))
+        & (F.col("p1") > F.col("value"))
+        & (F.col("value") < F.col("n1"))
+        & (F.col("n1") < F.col("n2"))
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vshapes"),
+        F.min("ts").alias("first_vshape_ts"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -5268,7 +5326,7 @@ _FINAL_ORDER = [
     "q115_fuzzy_dictionary_match", "q116_within_doc_dedup",
     "q117_pagerank_dup_graph", "q118_pps_sample",
     "q119_leakage_free_split", "q120_cdc_chunking",
-    "q121_temperature_rebalance", "q122_bm25",
+    "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

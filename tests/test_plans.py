@@ -381,3 +381,13 @@ def test_chunking_is_shuffle_free_after_staging(spark, sf_dir):
     plan = checks.executed_plan(q)
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Generate" in plan  # the explode is really there
+
+
+def test_vshape_single_window_single_exchange(spark, sf_dir):
+    """q123: all four lag/lead offsets share one frame -> ONE Window node
+    behind ONE user_id hash exchange, and the grouped agg reuses that
+    partitioning (no second exchange)."""
+    q = QUERIES["q123_vshape_patterns"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
