@@ -83,6 +83,17 @@ def main() -> None:
     print(f"[6] PageRank canonical docs: "
           f"{[(r.doc_id, r.pagerank) for r in top]}")
 
+    # 7. temperature rebalancing (alpha=0.5 multilingual upsampling)
+    rebal = corpus.temperature_sample(docs, strata_col="lang", k=100)
+    by_lang = {r["lang"]: r["n"] for r in rebal.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    print(f"[7] temperature-rebalanced sample by lang: {by_lang}")
+
+    # 8. BM25 lexical retrieval (hybrid-search leg beside the ANN family)
+    hits = QUERIES["q122_bm25"](spark, SF_DIR).limit(3).collect()
+    print(f"[8] BM25 top docs for (spark, join, hash): "
+          f"{[(r.doc_id, r.bm25) for r in hits]}")
+
     spark.stop()
 
 
