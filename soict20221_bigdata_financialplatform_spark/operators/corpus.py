@@ -599,3 +599,74 @@ def temperature_sample(
         .where(u < F.col("__p"))
         .drop("__n", "__wt", "__W")
     )
+
+
+def ingest_clean_batch(
+    batch: DataFrame,
+    digest_store: str,
+    eval_grams: DataFrame | None = None,
+    n: int = 8,
+    min_quality: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Full hygiene gate for ONE ingest batch — the ``foreachBatch`` body
+    a streaming corpus build actually wants, composing the library in the
+    production order: (1) quality filter, (2) benchmark DECONTAMINATION
+    against a static broadcast eval-gram set, (3) incremental exact-dedup
+    against the persisted digest store (replay-idempotent). Returns the
+    surviving rows for the caller's corpus append.
+
+    ``eval_grams`` is a one-column ``gram`` frame (build once per job:
+    the distinct word n-grams of the benchmark suite — MBs, broadcast to
+    every batch; the standard stream-static join shape). Pass
+    ``stats={}`` to read back per-stage survivor counts — the ingest
+    observability a pipeline alerts on. Stage order matters at scale:
+    quality and contamination are filter-only map work and run BEFORE
+    the dedup shuffle, so the digest store only ever sees docs worth
+    keeping."""
+    out = quality_filter(batch, min_quality=min_quality, text_col=text_col)
+    if stats is not None:
+        stats["after_quality"] = out.count()
+    if eval_grams is not None:
+        from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+        grams = out.select(
+            id_col,
+            F.explode(
+                F.array_distinct(tx.word_ngrams(F.col(text_col), n))
+            ).alias("gram"),
+        )
+        bad = grams.join(
+            F.broadcast(eval_grams.select("gram")), "gram"
+        ).select(id_col).distinct()
+        out = out.join(bad, id_col, "left_anti")
+        if stats is not None:
+            stats["after_decontamination"] = out.count()
+    out = incremental_ingest_dedup(
+        out, digest_store, text_col=text_col, id_col=id_col
+    )
+    if stats is not None:
+        stats["after_dedup"] = out.count()
+    return out
+
+
+def eval_gram_set(
+    eval_docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word ``n``-grams of the benchmark/eval suite — build once,
+    reuse across every :func:`ingest_clean_batch` call (a static frame in
+    a stream-static join; localCheckpoint it so each micro-batch reuses
+    the materialized set instead of re-tokenizing the eval docs)."""
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    return (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(tx.word_ngrams(F.col(text_col), n))
+            ).alias("gram")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )

@@ -256,3 +256,45 @@ def test_corpus_clean_lsh_sandwiched_by_exact_twins(spark, sf_dir):
     assert missed <= max(1, removed_exact // 10), (
         f"LSH missed {missed} of {removed_exact} exact near-dup removals"
     )
+
+
+def test_ingest_clean_batch_full_hygiene_gate(spark, tmp_path):
+    """quality -> decontamination -> incremental dedup in one foreachBatch
+    body, with per-stage survivor counts and replay idempotence."""
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        eval_gram_set,
+        ingest_clean_batch,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # an 8-gram
+    good = ("solid document with plenty of words and the usual amount "
+            "of real content for the quality gate to accept it fine")
+    evals = spark.createDataFrame(
+        [Row(doc_id=900, text=leak + " benchmark continuation words here")]
+    )
+    grams = eval_gram_set(evals, n=8)
+    store = str(tmp_path / "digests")
+
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good + " one"),
+            Row(doc_id=2, text=good + " one"),          # in-batch dup
+            Row(doc_id=3, text=leak + " " + good),      # contaminated
+            Row(doc_id=4, text="x"),                    # fails quality
+        ]
+    )
+    stats: dict = {}
+    out1 = ingest_clean_batch(b1, store, eval_grams=grams, stats=stats)
+    assert {r.doc_id for r in out1.collect()} == {1}
+    assert stats["after_quality"] == 3         # doc 4 gone
+    assert stats["after_decontamination"] == 2  # doc 3 gone
+    assert stats["after_dedup"] == 1            # doc 2 gone
+
+    # second batch: cross-batch dup dies, fresh clean doc survives
+    b2 = spark.createDataFrame(
+        [Row(doc_id=5, text=good + " one"), Row(doc_id=6, text=good + " two")]
+    )
+    out2 = ingest_clean_batch(b2, store, eval_grams=grams)
+    assert {r.doc_id for r in out2.collect()} == {6}
+    # replay (foreachBatch redelivery): idempotent
+    assert ingest_clean_batch(b2, store, eval_grams=grams).count() == 0
