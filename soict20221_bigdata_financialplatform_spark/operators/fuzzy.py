@@ -48,17 +48,34 @@ def blocked_levenshtein_pairs(
     value_col: str,
     max_dist: int = 2,
     block_key=last_token,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """``(value_a, value_b, dist, cnt_a, cnt_b)`` for every DISTINCT pair
     of column values sharing a block key with ``levenshtein <= max_dist``
     (``value_a < value_b``); ``cnt_*`` are row occurrence counts so the
-    caller can canonicalize toward the more frequent spelling."""
+    caller can canonicalize toward the more frequent spelling.
+
+    ``max_block_size`` caps the quadratic hot-block failure mode exactly
+    like the LSH bucket cap (``dedup.minhash_near_dup_pairs``): blocks
+    with more distinct values than the cap are DROPPED from candidate
+    generation (a block that big means the key under-discriminates —
+    refine the key rather than pay |block|² comparisons). The cap is a
+    windowless group-count semi-join, so enforcing it costs one extra
+    tiny aggregate, not a shuffle of the data."""
     dic = (
         df.groupBy(F.col(value_col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("blk", block_key("value"))
         .persist()
     )
+    if max_block_size is not None:
+        ok = (
+            dic.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") <= max_block_size)
+            .select("blk")
+        )
+        dic = dic.join(F.broadcast(ok), "blk", "left_semi")
     a = dic.select(
         F.col("blk"),
         F.col("value").alias("value_a"),

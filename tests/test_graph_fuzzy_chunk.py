@@ -222,3 +222,17 @@ def test_temperature_sample_upweights_rare_strata(spark):
     n = {r["lang"]: r["count"] for r in got}
     # expected en=320, fr=80; Bernoulli concentration within +/-35%
     assert 200 <= n["en"] <= 440 and 50 <= n["fr"] <= 100
+
+
+def test_blocked_fuzzy_hot_block_cap(spark):
+    """A block exceeding max_block_size is dropped from candidate
+    generation entirely; small blocks are untouched."""
+    rows = [Row(name=f"v{i} bolt") for i in range(10)] + [
+        Row(name="cold gear"), Row(name="old gear")
+    ]
+    out = blocked_levenshtein_pairs(
+        spark.createDataFrame(rows), "name", max_dist=3, max_block_size=5
+    ).collect()
+    pairs = {(r.value_a, r.value_b) for r in out}
+    assert ("cold gear", "old gear") in pairs       # small block survives
+    assert all("bolt" not in a for a, _ in pairs)   # hot block dropped
