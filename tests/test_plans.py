@@ -391,3 +391,42 @@ def test_vshape_single_window_single_exchange(spark, sf_dir):
     plan = checks.executed_plan(q)
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_scale_lint_flags_and_passes(spark, sf_dir):
+    """The user-facing linter: clean registry query -> no findings; the
+    classic scale-killers -> error findings; assert_scalable raises."""
+    from pyspark.sql import Window
+
+    from soict20221_bigdata_financialplatform_spark.plans.linter import (
+        assert_scalable,
+        scale_lint,
+    )
+
+    clean = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert [f for f in scale_lint(clean) if f["level"] == "error"] == []
+    assert_scalable(clean)  # must not raise
+
+    glob = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    rules = {f["rule"] for f in scale_lint(glob)}
+    assert "global-ordered-window" in rules
+    with pytest.raises(ValueError, match="global-ordered-window"):
+        assert_scalable(glob)
+
+    a = spark.range(50).withColumnRenamed("id", "x")
+    b = spark.range(50).withColumnRenamed("id", "y")
+    theta = a.join(b, (F.col("x") == F.col("y")) | (F.col("x") == F.col("y") + 1))
+    assert {f["rule"] for f in scale_lint(theta)} >= {"quadratic-nested-loop"}
+
+    from pyspark.sql.functions import udf
+
+    slow = spark.range(100).select(udf(lambda v: v + 1, "long")("id"))
+    assert any(f["rule"] == "row-python-udf" for f in scale_lint(slow))
+
+    # Arrow crossings are informational, not errors (q23's EMA)
+    ema = QUERIES["q23_ema"](spark, sf_dir)
+    lint = scale_lint(ema)
+    assert [f for f in lint if f["level"] == "error"] == []
+    assert any(f["rule"] == "arrow-python-crossing" for f in lint)
