@@ -5289,6 +5289,113 @@ def q123_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q124_grid_interpolate",
+    """
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) // 21600000000 AS bidx,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(range(min(bidx), max(bidx) + 1)) AS bidx
+      FROM obs GROUP BY user_id
+    ),
+    g AS (
+      SELECT s.user_id, s.bidx, o.v,
+             last_value(CASE WHEN o.v IS NOT NULL
+                             THEN {'i': s.bidx, 'v': o.v} END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.bidx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+             first_value(CASE WHEN o.v IS NOT NULL
+                              THEN {'i': s.bidx, 'v': o.v} END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.bidx
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.bidx = s.bidx
+    )
+    SELECT user_id, make_timestamp(bidx * 21600000000) AS grid_ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pr IS NOT NULL AND nx IS NOT NULL
+                THEN pr.v + (nx.v - pr.v) * (bidx - pr.i) / (nx.i - pr.i)
+                ELSE NULL END AS value_interp,
+           (v IS NOT NULL) AS is_observed
+    FROM g
+    """,
+)
+def q124_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation: each user's
+    event values averaged onto an epoch-aligned 6-hour grid, gaps filled
+    by interpolating between the bracketing observations — the
+    time-series alignment primitive (models want regular grids; q71's
+    forward-fill twin for the smooth-signal case). Leading/trailing gaps
+    (no bracket on one side) stay NULL, flagged by ``is_observed``.
+
+    Cross-engine exactness without float risk: grid buckets are INTEGER
+    epoch-microsecond divisions (``div``), the hourly aggregate rounds
+    per float policy, and the interpolation itself is an
+    identical-expression-tree chain on those exact inputs — the
+    bracketing observation rides along as a (grid_idx, value) struct via
+    IGNORE-NULLS last/first window frames. One user_id exchange serves
+    spine build, join, and both window directions. Engine-added
+    (time-series family with q71/q52)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "user_id",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 21600000000"
+            ).alias("bidx"),
+            "value",
+        )
+        .groupBy("user_id", "bidx")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("bidx").alias("lo"), F.max("bidx").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("bidx"),
+        )
+    )
+    g = spine.join(obs, ["user_id", "bidx"], "left")
+    mark = F.when(
+        F.col("v").isNotNull(),
+        F.struct(F.col("bidx").alias("i"), F.col("v").alias("v")),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bidx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    g = g.withColumn("pr", F.last(mark, ignorenulls=True).over(wb)).withColumn(
+        "nx", F.first(mark, ignorenulls=True).over(wf)
+    )
+    interp = (
+        F.col("pr.v")
+        + (F.col("nx.v") - F.col("pr.v"))
+        * (F.col("bidx") - F.col("pr.i"))
+        / (F.col("nx.i") - F.col("pr.i"))
+    )
+    return g.select(
+        "user_id",
+        F.timestamp_micros(F.col("bidx") * 21600000000)
+        .cast("timestamp_ntz")
+        .alias("grid_ts"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pr").isNotNull() & F.col("nx").isNotNull(), interp)
+        .alias("value_interp"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -5327,6 +5434,7 @@ _FINAL_ORDER = [
     "q117_pagerank_dup_graph", "q118_pps_sample",
     "q119_leakage_free_split", "q120_cdc_chunking",
     "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
+    "q124_grid_interpolate",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
