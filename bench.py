@@ -74,6 +74,7 @@ HEADLINE = [
     "q121_temperature_rebalance",
     "q122_bm25",
     "q123_vshape_patterns",
+    "q124_grid_interpolate",
 ]
 
 

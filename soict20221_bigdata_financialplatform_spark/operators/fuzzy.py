@@ -93,3 +93,56 @@ def blocked_levenshtein_pairs(
         .where(F.col("dist") <= max_dist)
         .select("value_a", "value_b", "dist", "cnt_a", "cnt_b")
     )
+
+
+def canonicalize(
+    df: DataFrame,
+    value_col: str,
+    max_dist: int = 2,
+    block_key=last_token,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """The full entity-resolution pass: fuzzy-match the value dictionary
+    (:func:`blocked_levenshtein_pairs`), cluster matches transitively
+    (pointer-doubling connected components over the pair graph), pick the
+    most frequent spelling per cluster as canonical (ties → lexicographic
+    min), and map every ROW to its canonical value — added as
+    ``<value_col>_canonical``.
+
+    Everything after the dictionary collapse happens on the dictionary
+    (distinct values), so the row-side cost is ONE broadcast join of the
+    (value -> canonical) mapping — the dictionary-first scale design end
+    to end. Unmatched values are their own canonical."""
+    from soict20221_bigdata_financialplatform_spark.operators.components import (
+        connected_components,
+    )
+
+    dic = (
+        df.groupBy(F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    pairs = blocked_levenshtein_pairs(
+        df, value_col, max_dist=max_dist, block_key=block_key,
+        max_block_size=max_block_size,
+    )
+    comp = connected_components(pairs, src="value_a", dst="value_b")
+    clustered = dic.join(comp, dic["value"] == comp["node"], "left").select(
+        "value", "cnt", F.coalesce("component", "value").alias("cluster")
+    )
+    reps = clustered.groupBy("cluster").agg(
+        F.min_by(
+            "value", F.struct((-F.col("cnt")).alias("nc"), F.col("value"))
+        ).alias("canonical")
+    )
+    mapping = F.broadcast(
+        clustered.join(reps, "cluster").select("value", "canonical")
+    )
+    return df.join(
+        mapping, df[value_col] == mapping["value"], "left"
+    ).select(
+        *df.columns,
+        F.coalesce("canonical", F.col(value_col)).alias(
+            f"{value_col}_canonical"
+        ),
+    )

@@ -236,3 +236,22 @@ def test_blocked_fuzzy_hot_block_cap(spark):
     pairs = {(r.value_a, r.value_b) for r in out}
     assert ("cold gear", "old gear") in pairs       # small block survives
     assert all("bolt" not in a for a, _ in pairs)   # hot block dropped
+
+
+def test_canonicalize_maps_rows_to_frequent_spelling(spark):
+    """End-to-end ER: transitive fuzzy clusters collapse onto the most
+    frequent spelling; unmatched values stay themselves."""
+    from soict20221_bigdata_financialplatform_spark.operators.fuzzy import canonicalize
+
+    rows = (
+        [Row(id=i, name="cold bolt") for i in range(5)]
+        + [Row(id=10, name="old bolt")]        # d1 from cold bolt
+        + [Row(id=11, name="olde bolt")]       # d1 from old bolt (chain!)
+        + [Row(id=20, name="cold gear"), Row(id=21, name="cold gear")]
+    )
+    out = canonicalize(spark.createDataFrame(rows), "name", max_dist=1)
+    got = {r.id: r.name_canonical for r in out.collect()}
+    # the chain cold~old~olde collapses transitively onto the majority
+    assert got[0] == got[10] == got[11] == "cold bolt"
+    assert got[20] == "cold gear"  # unmatched: its own canonical
+    assert out.count() == len(rows)  # row multiplicity preserved
