@@ -5396,6 +5396,87 @@ def q124_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q125_containment_pairs",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common,
+           common / sa.sz AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    WHERE common / sa.sz >= 0.8
+    """,
+)
+def q125_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment C(A,B) = |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| ≥ 0.8 — detects documents CONTAINED in another
+    (quotes, boilerplate wrappers, subset pages), which symmetric
+    Jaccard (q31) misses when the containing doc is much larger.
+    Emitted as ORDERED pairs (id_a contained-in id_b), both directions
+    possible.
+
+    Same inverted-index shape as q31: per-doc-distinct 3-shingles,
+    equi-join on the shingle (quadratic only within a posting list —
+    combine with LSH at corpus scale), sizes joined back. The
+    containment ratio is a single long/long division, unrounded per
+    float policy. Engine-added (dedup-similarity family: jaccard /
+    minhash / simhash / cosine / containment)."""
+    d = _t(spark, sf_dir, "documents")
+    npart = max(2, spark.sparkContext.defaultParallelism)
+    sh = (
+        d.select("doc_id", "text")
+        .repartition(npart)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(dd.word_shingles("text", 3))
+            ).alias("s"),
+        )
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "sz", "sz_a"
+            ),
+            "id_a",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (F.col("common") / F.col("sz_a")).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.8)
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -5434,7 +5515,7 @@ _FINAL_ORDER = [
     "q117_pagerank_dup_graph", "q118_pps_sample",
     "q119_leakage_free_split", "q120_cdc_chunking",
     "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
-    "q124_grid_interpolate",
+    "q124_grid_interpolate", "q125_containment_pairs",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
