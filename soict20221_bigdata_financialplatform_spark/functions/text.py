@@ -287,3 +287,19 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id_en_score(text_col).alias("en_score"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def dedup_tokens(col: Column | str, pre_split: bool = False) -> Column:
+    """Order-preserving within-document token dedup: the words array with
+    each token's FIRST occurrence kept and repeats dropped — the repair
+    path for repetition-heavy docs (q116 is the registered oracle form;
+    ``dup_bigram_frac``/``top_word_frac`` are the detectors). Pure
+    per-row HOF (indexed ``filter``): O(L²) worst case in tokens-per-doc,
+    zero shuffle; for book-length docs use the posexplode → min(pos)
+    shuffle form instead. In hot paths STAGE the words array and pass
+    ``pre_split=True`` — a lambda capturing a computed split re-splits
+    per element (invariant 14)."""
+    w = _warr(col, pre_split)
+    return F.filter(
+        w, lambda x, i: F.array_position(w, x) == i + F.lit(1)
+    )

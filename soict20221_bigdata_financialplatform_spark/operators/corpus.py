@@ -670,3 +670,21 @@ def eval_gram_set(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The drop-side convenience of :func:`ngram_contamination`: return
+    ``docs`` with every eval-leaking document REMOVED (anti-join on the
+    flagged ids) — what a pipeline actually applies, while the scoring
+    form feeds audits. Same broadcast-eval/never-shuffle-the-corpus
+    shape."""
+    flagged = ngram_contamination(
+        docs, eval_docs, n=n, text_col=text_col, id_col=id_col
+    ).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")

@@ -4807,10 +4807,7 @@ def q116_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__w", tx.words("text"))
         .where(F.size("__w") > 0)
     )
-    w = F.col("__w")
-    kept = F.filter(
-        w, lambda x, i: F.array_position(w, x) == i + F.lit(1)
-    )
+    kept = tx.dedup_tokens("__w", pre_split=True)
     return staged.select(
         "doc_id",
         F.size("__w").cast("long").alias("n_tokens"),

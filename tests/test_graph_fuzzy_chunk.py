@@ -255,3 +255,27 @@ def test_canonicalize_maps_rows_to_frequent_spelling(spark):
     assert got[0] == got[10] == got[11] == "cold bolt"
     assert got[20] == "cold gear"  # unmatched: its own canonical
     assert out.count() == len(rows)  # row multiplicity preserved
+
+
+def test_decontaminate_drops_only_leaking_docs(spark):
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=leak + " plus trailing training words here now"),
+            Row(doc_id=2, text="totally clean text with enough words to have grams"),
+        ]
+    )
+    evals = spark.createDataFrame([Row(doc_id=9, text=leak + " eval tail")])
+    kept = decontaminate(docs, evals, n=8)
+    assert {r.doc_id for r in kept.collect()} == {2}
+
+
+def test_dedup_tokens_expression(spark):
+    from soict20221_bigdata_financialplatform_spark.functions.text import dedup_tokens
+
+    out = spark.createDataFrame([Row(text="a b a c b a d")]).select(
+        dedup_tokens("text").alias("k")
+    ).collect()[0]["k"]
+    assert out == ["a", "b", "c", "d"]
