@@ -50,6 +50,7 @@ def pagerank(
     damping: float = 0.85,
     round_to: int = 6,
     checkpoint_every: int = 3,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """``(node, rank)`` after ``iterations`` synchronous PageRank rounds
     over the DIRECTED edge list (symmetrize first for undirected graphs —
@@ -67,7 +68,14 @@ def pagerank(
     cross-engine parity). ``(1 - damping)`` is computed, not pre-folded:
     ``1.0 - 0.85`` yields a different double than the literal ``0.15``,
     so the oracle twin must write the same subtraction — identical
-    expression trees are what bit-parity needs (q110 Holt lesson)."""
+    expression trees are what bit-parity needs (q110 Holt lesson).
+
+    ``seeds`` (a one-column ``node`` frame) switches to PERSONALIZED
+    PageRank: teleport mass lands only on the seed set, ranks start
+    uniform over the seeds — "rank everything by proximity to THESE
+    docs through the duplication/similarity graph" (related-document
+    expansion, contamination blast-radius). Seeds are broadcast; the
+    iteration shape is unchanged."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -81,16 +89,42 @@ def pagerank(
         .persist()
     )
     # 1-row broadcast scalar, never collected to the driver
-    n_frame = nodes.agg(F.count(F.lit(1)).alias("n"))
-    base = nodes.crossJoin(F.broadcast(n_frame)).persist()  # node, n
-    ranks = base.select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    ).localCheckpoint(eager=True)
+    if seeds is None:
+        n_frame = nodes.agg(F.count(F.lit(1)).alias("n"))
+        base = nodes.crossJoin(F.broadcast(n_frame)).persist()  # node, n
+        base = base.withColumn("__tmass", F.lit(1.0))  # uniform teleport
+        ranks = base.select(
+            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        ).localCheckpoint(eager=True)
+    else:
+        s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        n_frame = s.agg(F.count(F.lit(1)).alias("n"))
+        flagged = nodes.join(
+            F.broadcast(s.withColumn("__is_seed", F.lit(True))),
+            "node",
+            "left",
+        )
+        base = flagged.crossJoin(F.broadcast(n_frame)).persist()
+        # teleport indicator: 1 on seeds, 0 elsewhere (n = |seeds| here,
+        # so the shared (1-d)/n * tmass expression lands (1-d)/|S| mass
+        # on each seed and nothing elsewhere)
+        base = base.withColumn(
+            "__tmass",
+            F.when(F.col("__is_seed"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        ranks = base.select(
+            "node",
+            F.when(F.col("__is_seed"), F.lit(1.0) / F.col("n"))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        ).localCheckpoint(eager=True)
     # edge weight stays as rank/deg DIVISION per edge (not a precomputed
     # 1/deg multiply — r/d and r*(1/d) differ bitwise, and the oracle
     # divides)
     ewd = e.join(deg, "src").persist()  # src, dst, deg
-    teleport = F.lit(1.0 - damping) / F.col("n")
+    # x * 1.0 is an exact IEEE identity, so the uniform case stays
+    # bit-identical to the pre-personalization expression (q117 oracle)
+    teleport = F.lit(1.0 - damping) / F.col("n") * F.col("__tmass")
     for i in range(iterations):
         contrib = (
             ewd.join(ranks.withColumnRenamed("node", "src"), "src")

@@ -279,3 +279,60 @@ def test_dedup_tokens_expression(spark):
         dedup_tokens("text").alias("k")
     ).collect()[0]["k"]
     assert out == ["a", "b", "c", "d"]
+
+
+def _round_half_up(x, nd):
+    """Spark's F.round on doubles: HALF_UP over the shortest decimal
+    repr (java BigDecimal.valueOf) — python's round() is half-EVEN and
+    diverges on exact .5 boundaries."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(f"1e-{nd}"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _ppr_reference(edges, seeds, iterations=5, damping=0.85, round_to=6):
+    nodes = sorted({n for e in edges for n in e})
+    deg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    ns = float(len(seeds))
+    rank = {v: (1.0 / ns if v in seeds else 0.0) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / deg[s]
+        rank = {
+            v: _round_half_up(
+                (1.0 - damping) / ns * (1.0 if v in seeds else 0.0)
+                + damping * contrib[v],
+                round_to,
+            )
+            for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_biases_toward_seeds(spark):
+    """A path graph 1-2-3-4-5 personalized on {1}: rank decays with
+    distance from the seed, and every value matches the hand-iterated
+    reference at 6dp."""
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    seeds = spark.createDataFrame([Row(node=1)])
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=5, seeds=seeds).collect()
+    }
+    want = _ppr_reference(edges, {1})
+    assert got == want
+    # mass concentrates on the seed's side of the path (per-hop
+    # monotonicity does NOT hold — rank flows in waves — but the
+    # seed-side half must dominate, and the far end must stay small)
+    assert got[1] + got[2] > got[4] + got[5]
+    assert got[5] < got[2]
+    assert abs(sum(got.values()) - 1.0) < 1e-3  # symmetric: mass conserved
