@@ -688,3 +688,177 @@ def decontaminate(
         docs, eval_docs, n=n, text_col=text_col, id_col=id_col
     ).select(id_col)
     return docs.join(flagged, id_col, "left_anti")
+
+
+def dsir_scores(
+    docs: DataFrame,
+    is_target: F.Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): estimate hashed-unigram
+    distributions for a TARGET slice (``is_target``, a boolean Column over
+    ``docs``) and for the raw corpus, then score every document by the
+    log-likelihood ratio of its words under the two distributions. High
+    scores = "looks like the target domain" — the standard pretraining-data
+    selection signal. Engine-added: the reference has no corpus tooling;
+    this completes the selection family (quality q29/q65, temperature q121,
+    PPS q118) with the distribution-matching member.
+
+    Parity design (why the score is an integer sum): per-bucket weights are
+    ``ln`` of add-one-smoothed frequencies — transcendental, NOT bit-portable
+    across libm implementations — so each ln is rounded to 6dp at the
+    transcendental itself (float policy), the difference is quantized to
+    integer MICRO-UNITS (``floor(x*1e6 + 0.5)``), and the per-document
+    accumulation is a BIGINT sum: exact, order-independent, immune to the
+    float-summation-order trap entirely. The emitted double is one final
+    division (single-op per-row arithmetic — bit-exact).
+
+    Scale shape: one explode of words → (bucket, is_target) counts shuffle
+    ``n_buckets`` rows (map-side combined); totals are one broadcast row;
+    the weight table (≤ n_buckets rows) broadcast-joins back onto the
+    exploded words; the per-doc sum map-side combines before the doc_id
+    shuffle. The corpus is scanned twice (counts, scores) — both scans are
+    the same projection, so at 100 TB persist the exploded frame or let the
+    parquet cache serve it; nothing here is quadratic and no state exceeds
+    n_buckets rows."""
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    b = float(n_buckets)
+    ex = docs.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(tx.words(F.col(text_col))).alias("__w"),
+    ).select(
+        id_col,
+        "__t",
+        (F.conv(F.substring(F.md5("__w"), 1, 15), 16, 10).cast("long") % n_buckets
+         ).alias("__b"),
+    )
+    cnt = ex.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__r_cnt"),
+        F.count_if(F.col("__t")).alias("__t_cnt"),
+    )
+    tot = ex.agg(
+        F.count(F.lit(1)).alias("__r_tot"),
+        F.count_if(F.col("__t")).alias("__t_tot"),
+    )
+    lnt = F.round(
+        F.log((F.col("__t_cnt") + 1.0) / (F.col("__t_tot") + b)), 6
+    )
+    lnr = F.round(
+        F.log((F.col("__r_cnt") + 1.0) / (F.col("__r_tot") + b)), 6
+    )
+    wt = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "__b",
+            F.floor((lnt - lnr) * 1000000.0 + 0.5).cast("long").alias("__wm"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(wt), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__wm").alias("__sm"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__sm") / 1000000.0).alias("dsir_score"),
+        )
+    )
+
+
+def lm_perplexity_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020): train
+    an add-one-smoothed bigram LM on the corpus itself, score every document
+    by its average per-bigram log-probability, and emit ``ppl_proxy`` =
+    negated avg-logprob (low = fluent/typical, high = gibberish — the
+    perplexity-filter signal, monotone in true perplexity exp(ppl_proxy)).
+    Engine-added: completes the quality family (heuristic q29/q65,
+    distribution-matching q126) with the statistical-LM member.
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), c(w1) the corpus unigram
+    count, V the distinct-vocabulary size. Same parity machinery as
+    :func:`dsir_scores`: each ln is rounded to 6dp at the transcendental,
+    quantized to BIGINT micro-units, per-doc accumulation is an exact
+    integer sum; the emitted double is one final division chain on exact
+    integers (bit-exact; ANSI-guarded for docs with < 2 words).
+
+    Scale shape: bigram/unigram count aggs shuffle only distinct-gram rows
+    (map-side combined — the LM itself, not the corpus); V and the unigram
+    table ride a shuffle join keyed on the first word; the per-doc re-agg
+    partial-aggregates before its id shuffle. The bigram weight table is
+    corpus-vocabulary-sized, so the score join is a plain hash join on the
+    bigram string — hash-partitionable, no broadcast assumption. The word
+    and bigram arrays are STAGED projections (HOFs are CodegenFallback with
+    no subexpression elimination — CLAUDE.md invariant 14)."""
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    staged = docs.select(
+        F.col(id_col), tx.words(F.col(text_col)).alias("__w")
+    ).select(
+        id_col,
+        "__w",
+        F.when(
+            F.size("__w") >= 2,
+            F.zip_with(
+                F.slice(F.col("__w"), 1, F.size("__w") - 1),
+                F.slice(F.col("__w"), 2, F.size("__w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__bg"),
+    )
+    uni = (
+        staged.select(F.explode("__w").alias("__u"))
+        .groupBy("__u")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("__v"))
+    bg = staged.select(F.col(id_col), F.explode("__bg").alias("__b"))
+    cb = bg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
+    wt = (
+        cb.withColumn("__u", F.split_part(F.col("__b"), F.lit(" "), F.lit(1)))
+        .join(uni, "__u")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__b",
+            F.floor(
+                F.round(
+                    F.log(
+                        (F.col("__cb") + 1.0) / (F.col("__cu") + F.col("__v"))
+                    ),
+                    6,
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("__wm"),
+        )
+    )
+    return (
+        bg.join(wt, "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__wm").alias("__sm"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (-F.col("__sm") / (1000000.0 * F.col("n_bigrams"))).alias(
+                "ppl_proxy"
+            ),
+        )
+    )

@@ -546,3 +546,87 @@ def dequantize_embeddings(
         .withColumn(out_col, deq)
         .drop("__mins", "__maxs")
     )
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings with k-means, then dropping within each cluster every vector
+    that has a higher-cosine-than-``threshold`` neighbor with a LOWER id
+    (min-id survivor policy, matching the exact/MinHash dedup operators).
+    Returns one row per vector: (id, cell, keep) — ``keep=false`` marks the
+    semantic duplicates a corpus pipeline would drop.
+
+    Where it sits in the dedup family: exact (q30) catches byte-equal,
+    MinHash/SimHash (q32/q33/q57/q58) catch lexical near-dups, and this
+    catches MEANING-level duplicates (paraphrases, translations re-encoded
+    by the same embedding model) that share no n-grams. The clustering is
+    what makes it tractable: candidate pairs exist only within a cell, so
+    pair cost is sum(|cell|²) instead of n² — the paper's design, with the
+    cell count chosen so cells stay bounded (√n cells of √n vectors each is
+    the classic operating point). Combine with :func:`kmeans_lloyd_det`
+    (deterministic, oracle-checkable — q127 cross-checks training AND
+    pruning against DuckDB) or the MLlib-trained quantizer for production.
+
+    Scale shape: cell assignment is the broadcast-centroid per-row HOF
+    argmin (corpus never shuffles to pick a cell); the pair join is an
+    EQUI-join on the cell id (hash-partitionable, never BNLJ — invariant
+    13); the prune set is a distinct-id semi-join. Skewed giant cells are
+    the known failure mode — cap them upstream (more centroids) or salt via
+    ``skew.salted_self_pairs``."""
+
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    carr = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(F.col(cent_id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            ).alias("__cents")
+        )
+    )
+    cells = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(carr)
+        .select(
+            id_col,
+            vec_col,
+            F.array_min(
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.struct(
+                        _sq(F.col(vec_col), c["cv"]).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cell"),
+        )
+    )
+    a = cells.select(
+        F.col("cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = cells.select(
+        F.col("cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    pruned = (
+        a.join(b, "cell")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return cells.join(
+        pruned.withColumn("__pruned", F.lit(True)), id_col, "left"
+    ).select(
+        id_col, "cell", F.coalesce(~F.col("__pruned"), F.lit(True)).alias("keep")
+    )

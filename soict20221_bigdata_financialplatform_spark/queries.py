@@ -1958,19 +1958,21 @@ def q63_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q51_oracle_sql(
-    nlist: int = 8, iters: int = 2, nprobe: int = 3, k: int = 10, nq: int = 4
-) -> str:
-    """DuckDB twin of q51: walks the SAME deterministic Lloyd training loop
-    (seed centroids = nlist lowest-id vectors; per-round assignment via
-    (sqdist, cid) argmin; per-cell per-dim mean ROUNDED to 6 both engines)
-    and then the q72-proven IVF read path. Generated per-iteration CTEs keep
-    the recursion explicit — identical expression trees, identical
-    tiebreaks."""
-    sq = (
-        "list_sum(list_transform(range(1, len({v}) + 1), "
-        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
-    )
+_LLOYD_SQ = (
+    "list_sum(list_transform(range(1, len({v}) + 1), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+)
+
+
+def _lloyd_cells_ctes(nlist: int, iters: int) -> list[str]:
+    """Shared DuckDB CTE prefix for queries built on the deterministic Lloyd
+    k-means (``similarity.kmeans_lloyd_det``): seed centroids = nlist
+    lowest-id vectors, ``iters`` assign→mean rounds (per-cell per-dim mean
+    ROUNDED to 6 both engines), ending in a ``cells`` CTE that assigns every
+    vector to its final centroid via (sqdist, cid) argmin. q51 (IVF read
+    path) and q127 (SemDeDup pruning) both build on this prefix — identical
+    expression trees, identical tiebreaks."""
+    sq = _LLOYD_SQ
     ctes = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb"
         " FROM embeddings)",
@@ -1991,13 +1993,23 @@ def _q51_oracle_sql(
             "GROUP BY a.cell, t.i) GROUP BY cell)"
         )
     dcell = sq.format(v="e.emb", c="c.cv")
-    dq = sq.format(v="q.qe", c="c.cv")
     ctes.append(
         "cells AS (SELECT vec_id, emb, cid AS cell FROM ("
         "SELECT e.vec_id, e.emb, c.cid, row_number() OVER ("
         f"PARTITION BY e.vec_id ORDER BY {dcell}, c.cid) AS rn "
         f"FROM e CROSS JOIN c{iters} c) WHERE rn = 1)"
     )
+    return ctes
+
+
+def _q51_oracle_sql(
+    nlist: int = 8, iters: int = 2, nprobe: int = 3, k: int = 10, nq: int = 4
+) -> str:
+    """DuckDB twin of q51: walks the SAME deterministic Lloyd training loop
+    (see :func:`_lloyd_cells_ctes`) and then the q72-proven IVF read path."""
+    sq = _LLOYD_SQ
+    dq = sq.format(v="q.qe", c="c.cv")
+    ctes = _lloyd_cells_ctes(nlist, iters)
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {nq})"
     )
@@ -5474,6 +5486,177 @@ def q125_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q126_dsir_importance",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    t AS (SELECT doc_id, len(w) >= 50 AS is_t, w FROM w),
+    x AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(word), 1, 15))::UBIGINT % 256 AS b
+      FROM (SELECT doc_id, is_t, unnest(w) AS word FROM t)
+    ),
+    cnt AS (
+      SELECT b, count(*) AS r_cnt,
+             count(*) FILTER (WHERE is_t) AS t_cnt
+      FROM x GROUP BY b
+    ),
+    tot AS (
+      SELECT count(*) AS r_tot, count(*) FILTER (WHERE is_t) AS t_tot FROM x
+    ),
+    wt AS (
+      SELECT b,
+             CAST(floor((round(ln((t_cnt + 1.0) / (t_tot + 256.0)), 6)
+                         - round(ln((r_cnt + 1.0) / (r_tot + 256.0)), 6))
+                        * 1000000.0 + 0.5) AS BIGINT) AS wm
+      FROM cnt, tot
+    )
+    SELECT x.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(wm)::BIGINT / 1000000.0 AS dsir_score
+    FROM x JOIN wt USING (b)
+    GROUP BY x.doc_id
+    """,
+)
+def q126_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed importance score per document (Xie et al. 2023):
+    hashed-unigram log-likelihood ratio between a target slice (here: docs
+    with ≥ 50 words — a stand-in for "the domain you want more of") and the
+    raw corpus; high score = target-like. The selection member of the
+    corpus-curation family (quality q29/q65, temperature q121, PPS q118).
+    Library form :func:`corpus.dsir_scores`; engine-added (the reference has
+    no corpus tooling).
+
+    Parity design: ln is transcendental (NOT bit-portable across libm) →
+    round(6) AT the transcendental both engines; the bucket weight is then
+    quantized to integer micro-units and the per-doc accumulation is a
+    BIGINT sum — exact and order-independent, side-stepping float-summation
+    order entirely; the emitted score is one final division (single-op
+    per-row — bit-exact, never rounded). Word→bucket hashing rides the
+    md5-prefix trick (CLAUDE.md): Spark ``conv(substr(md5,1,15),16,10)`` ==
+    DuckDB ``('0x'||…)::UBIGINT``, mod 256.
+
+    Scale shape (see :func:`corpus.dsir_scores`): bucket counts shuffle 256
+    rows map-side-combined; totals are one broadcast row; the ≤256-row
+    weight table broadcast-joins back; the doc_id re-agg partial-aggregates
+    before its shuffle. Nothing quadratic, state bounded by n_buckets."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = cp.dsir_scores(
+        d, is_target=(F.size(tx.words(F.col("text"))) >= 50), n_buckets=256
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dsir_score",
+    )
+
+
+def _q127_oracle_sql(nlist: int = 8, iters: int = 2, thr: float = 0.35) -> str:
+    """DuckDB twin of q127: the q51-shared Lloyd training prefix (see
+    :func:`_lloyd_cells_ctes`), then SemDeDup pruning — within-cell pairs
+    above the cosine threshold, min-id survivor."""
+    cos = (
+        "list_sum(list_transform(range(1, len(a.emb) + 1), "
+        "i -> a.emb[i] * b.emb[i])) "
+        "/ (sqrt(list_sum(list_transform(a.emb, x -> x * x))) "
+        "* sqrt(list_sum(list_transform(b.emb, x -> x * x))))"
+    )
+    ctes = _lloyd_cells_ctes(nlist, iters)
+    ctes.append(
+        "pr AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b "
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {thr})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT c.vec_id, c.cell, pr.vec_id IS NULL AS keep "
+        "FROM cells c LEFT JOIN pr ON pr.vec_id = c.vec_id"
+    )
+
+
+@register("q127_semdedup", _q127_oracle_sql())
+def q127_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = deterministic Lloyd
+    k-means over the embeddings (q51's trainer, 8 lowest-id seeds, 2
+    rounds) → within-CLUSTER cosine ≥ 0.35 pairs → drop the higher id
+    (min-id survivor, the dedup-family policy). Completes the dedup ladder:
+    exact (q30) → lexical near-dup (q31/q32/q33) → embedding near-dup
+    (q36/q64) → MEANING-level dedup with clustering bounding the pair cost
+    to sum(|cell|²) instead of n². Threshold 0.35 = the right tail of the
+    random-vector testdata (invariant 12); production uses 0.9+.
+
+    The oracle cross-checks BOTH stages — the training loop CTE-by-CTE
+    (shared with q51) and the pruning join. Library form
+    :func:`similarity.semdedup_keep`; MLlib-trained centroids are the
+    data-adaptive production path. Scale: broadcast-centroid HOF argmin for
+    assignment (no shuffle), equi-join on cell for pairs (invariant 13 —
+    never BNLJ), distinct-id anti side for survivors."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    init = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    cents = sim.kmeans_lloyd_det(emb, init, iters=2)
+    return sim.semdedup_keep(emb, cents, threshold=0.35)
+
+
+@register(
+    "q128_perplexity_lm",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    st AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+             ELSE [] END AS bg
+      FROM w
+    ),
+    uni AS (
+      SELECT word AS u, count(*) AS cu
+      FROM (SELECT unnest(w) AS word FROM st) GROUP BY word
+    ),
+    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    bg AS (SELECT doc_id, unnest(bg) AS b FROM st),
+    cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+    wt AS (
+      SELECT cb.b,
+             CAST(floor(round(ln((cb + 1.0) / (cu + v)), 6) * 1000000.0 + 0.5)
+                  AS BIGINT) AS wm
+      FROM cb JOIN uni ON split_part(cb.b, ' ', 1) = uni.u, vocab
+    )
+    SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+           -(sum(wm)::BIGINT) / (1000000.0 * count(*)) AS ppl_proxy
+    FROM bg JOIN wt USING (b)
+    GROUP BY bg.doc_id
+    """,
+)
+def q128_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter signal (Wenzek et al. 2020): add-one
+    bigram LM trained on the corpus itself; per-doc ppl_proxy = negated
+    average bigram log-probability (low = fluent, high = gibberish). The
+    statistical-LM member of the quality family (heuristic q29/q65,
+    distribution-matching q126). Docs with < 2 words have no bigrams and are
+    (deliberately, both engines) absent from the output. Library form
+    :func:`corpus.lm_perplexity_scores` — parity machinery documented there
+    (ln rounded at the transcendental, BIGINT micro-unit sums, final
+    division chain on exact integers)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return cp.lm_perplexity_scores(d).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "ppl_proxy",
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -5513,6 +5696,7 @@ _FINAL_ORDER = [
     "q119_leakage_free_split", "q120_cdc_chunking",
     "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
     "q124_grid_interpolate", "q125_containment_pairs",
+    "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

@@ -298,3 +298,51 @@ def test_ingest_clean_batch_full_hygiene_gate(spark, tmp_path):
     assert {r.doc_id for r in out2.collect()} == {6}
     # replay (foreachBatch redelivery): idempotent
     assert ingest_clean_batch(b2, store, eval_grams=grams).count() == 0
+
+
+def test_dsir_scores_prefers_target_vocabulary(spark):
+    """Docs written in the target slice's vocabulary score higher than docs
+    in the off-domain vocabulary, and n_tokens counts duplicates."""
+    from pyspark.sql import functions as F
+
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import dsir_scores
+
+    tgt_words = "finance market equity bond yield"
+    off_words = "banana kiwi mango papaya lychee"
+    rows = [
+        # target slice: doc_id < 10 (marked via the is_target column below)
+        Row(doc_id=i, text=tgt_words) for i in range(5)
+    ] + [
+        Row(doc_id=100 + i, text=off_words) for i in range(5)
+    ] + [
+        # held-out docs, one per vocabulary
+        Row(doc_id=500, text=tgt_words),
+        Row(doc_id=501, text=off_words),
+    ]
+    docs = spark.createDataFrame(rows)
+    out = dsir_scores(docs, is_target=F.col("doc_id") < 10, n_buckets=64)
+    scores = {r.doc_id: r for r in out.collect()}
+    assert scores[500].dsir_score > scores[501].dsir_score
+    assert scores[500].n_tokens == 5
+    # deterministic: a second run is bit-identical (integer micro-unit sums)
+    again = {r.doc_id: r.dsir_score for r in dsir_scores(
+        docs, is_target=F.col("doc_id") < 10, n_buckets=64).collect()}
+    assert again == {k: v.dsir_score for k, v in scores.items()}
+
+
+def test_lm_perplexity_scores_flags_gibberish(spark):
+    """A doc whose bigrams are common in the corpus scores lower (more
+    fluent) than a doc of corpus-unseen bigrams; short docs are absent."""
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        lm_perplexity_scores,
+    )
+
+    common = "the market closed higher today"
+    rows = [Row(doc_id=i, text=common) for i in range(20)]
+    rows.append(Row(doc_id=100, text="zq xv qj vx jq zx"))  # gibberish
+    rows.append(Row(doc_id=101, text="one"))                # no bigrams
+    out = {r.doc_id: r for r in lm_perplexity_scores(
+        spark.createDataFrame(rows)).collect()}
+    assert 101 not in out
+    assert out[0].ppl_proxy < out[100].ppl_proxy
+    assert out[0].n_bigrams == 4

@@ -322,3 +322,28 @@ def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     assert e64 <= e36
     pair_recall = len(e64 & e36) / max(1, len(e36))
     assert pair_recall >= 0.1, f"q64 pair recall {pair_recall}"
+
+
+def test_semdedup_keep_min_id_survivor(spark):
+    """Identical vectors land in one cell; only the lowest id keeps. A
+    threshold above every cosine keeps everything."""
+    from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),   # dup of 0
+        Row(vec_id=2, embedding=[0.99, 0.01, 0.0]),  # near-dup of 0
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),    # distinct direction
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),    # distinct direction
+    ]
+    corpus = spark.createDataFrame(rows)
+    init = corpus.where("vec_id IN (0, 3, 4)").selectExpr(
+        "vec_id AS cent_id", "embedding"
+    )
+    cents = sim.kmeans_lloyd_det(corpus, init, iters=2, id_col="vec_id")
+    out = {r.vec_id: r.keep for r in sim.semdedup_keep(
+        corpus, cents, threshold=0.95).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: True}
+    all_keep = {r.vec_id: r.keep for r in sim.semdedup_keep(
+        corpus, cents, threshold=1.1).collect()}
+    assert all(all_keep.values())
