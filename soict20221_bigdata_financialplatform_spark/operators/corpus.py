@@ -862,3 +862,64 @@ def lm_perplexity_scores(
             ),
         )
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    min_pairs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information over document-level word co-occurrence —
+    the classic distributional-semantics association matrix (the implicit
+    target of word2vec/SGNS per Levy & Goldberg 2014) and a collocation
+    detector for tokenizer/vocab curation. For each unordered word pair
+    (w_a < w_b) present together in ≥ ``min_pairs`` documents:
+    pmi = ln(P(a,b) / (P(a)P(b))) = ln((c_ab · N) / (c_a · c_b)), with
+    doc-presence counts.
+
+    Parity: all counts are exact integers; the products stay < 2^53 so the
+    single long/long division is one IEEE op, and the lone ln is rounded to
+    6dp at the transcendental both engines (float policy) — no sums of
+    floats anywhere.
+
+    Scale shape: per-doc DISTINCT words explode once (persisted); the pair
+    build is an EQUI-join on doc_id (quadratic only within one document —
+    cap/trim pathological mega-docs upstream; the windowed-co-occurrence
+    variant bounds this by construction), then a map-side-combined pair
+    count; doc-frequency joins are hash joins on the word. N is one
+    broadcast scalar."""
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    wd = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tx.words(F.col(text_col)))).alias("__w"),
+    ).persist()
+    n = docs.select(F.count(F.lit(1)).cast("long").alias("__n"))
+    ca = wd.groupBy("__w").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    a = wd.select(F.col(id_col), F.col("__w").alias("w_a"))
+    b = wd.select(F.col(id_col), F.col("__w").alias("w_b"))
+    pairs = (
+        a.join(b, id_col)
+        .where(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_pairs)
+    )
+    return (
+        pairs.join(ca.withColumnRenamed("__w", "w_a").withColumnRenamed("__c", "__ca"), "w_a")
+        .join(ca.withColumnRenamed("__w", "w_b").withColumnRenamed("__c", "__cb"), "w_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w_a",
+            "w_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("__n"))
+                    / (F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

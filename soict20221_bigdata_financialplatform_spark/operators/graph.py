@@ -149,3 +149,50 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle participation counts over an UNDIRECTED edge list
+    — the clustering-coefficient numerator and the standard density signal
+    for the similarity graphs the dedup family emits (a near-dup cluster
+    that is a clique behaves very differently from a chain under
+    transitive-closure dedup, q53). Engine-added graph-analytics member
+    beside :func:`pagerank` and ``components.connected_components``.
+
+    Input edges may be in either orientation and may contain duplicates;
+    self-loops are dropped. The count for vertex v = number of unordered
+    vertex triples {v, x, y} whose three edges all exist.
+
+    Plan shape (the classic distributed algorithm): canonicalize each edge
+    to (lo, hi) and distinct → every triangle a<b<c is found exactly once
+    by joining (a,b)⋈(b,c) on the middle vertex, then a semi-join against
+    the edge set on (a,c). ALL equi-joins, hash-partitionable; the wedge
+    join's fan-out is Σ deg² — at 100 TB use the degree-ordered variant
+    (orient each edge low-degree→high-degree before wedging) to cap hub
+    fan-out, and salt hot vertices via ``operators.skew``. Nothing here is
+    BNLJ (invariant 13) and nothing collects."""
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+        .persist()
+    )
+    wedge = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    tri = wedge.alias("w").join(
+        e.alias("e3"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+        "left_semi",
+    )
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_vertex

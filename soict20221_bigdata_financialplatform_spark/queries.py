@@ -5657,6 +5657,98 @@ def q128_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q129_pmi_cooccurrence",
+    """
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    x AS (SELECT doc_id, unnest(w) AS w FROM w),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ca AS (SELECT w, count(*)::BIGINT AS c FROM x GROUP BY w),
+    p AS (
+      SELECT a.w AS w_a, b.w AS w_b, count(*)::BIGINT AS c_ab
+      FROM x a JOIN x b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT p.w_a, p.w_b, p.c_ab,
+           round(ln((p.c_ab * n.n) / (ca1.c * ca2.c)), 6) AS pmi
+    FROM p
+    JOIN ca ca1 ON p.w_a = ca1.w
+    JOIN ca ca2 ON p.w_b = ca2.w
+    CROSS JOIN n
+    """,
+)
+def q129_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI over document-level word co-occurrence (Levy & Goldberg 2014's
+    implicit SGNS target; collocation detection for vocab curation):
+    pmi = ln((c_ab·N)/(c_a·c_b)) over doc-presence counts, pairs kept at
+    support ≥ 5 docs. All counts exact integers, one IEEE division, the
+    lone ln rounded at the transcendental (float policy) — no float sums.
+    Library form :func:`corpus.pmi_cooccurrence` (scale shape documented
+    there: the pair build is quadratic only WITHIN a document — the
+    windowed variant bounds it by construction at 100 TB)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return cp.pmi_cooccurrence(d, min_pairs=5)
+
+
+@register(
+    "q130_triangle_counts",
+    """
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    x AS (SELECT doc_id, unnest(w) AS w FROM w),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ca AS (SELECT w, count(*)::BIGINT AS c FROM x GROUP BY w),
+    p AS (
+      SELECT a.w AS w_a, b.w AS w_b, count(*)::BIGINT AS c_ab
+      FROM x a JOIN x b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    e AS (
+      SELECT p.w_a AS a, p.w_b AS b
+      FROM p JOIN ca ca1 ON p.w_a = ca1.w JOIN ca ca2 ON p.w_b = ca2.w
+      CROSS JOIN n
+      WHERE round(ln((p.c_ab * n.n) / (ca1.c * ca2.c)), 6) > 0
+    ),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    )
+    SELECT vertex, count(*)::BIGINT AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS vertex FROM tri)
+    GROUP BY vertex
+    """,
+)
+def q130_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the POSITIVE-PMI word-association
+    graph (edges = q129 pairs with pmi > 0): the clustering-coefficient
+    numerator — how clique-like each term's neighborhood is, the density
+    signal that separates genuine collocation clusters from chains.
+    Completes the graph-analytics family (PageRank q117, connected
+    components q53) with the classic wedge-join + edge-semi-join algorithm:
+    ALL equi-joins (invariant 13), every triangle found exactly once via
+    a<b<c canonical ordering. Library form :func:`graph.triangle_counts`
+    (degree-ordered orientation + skew salting are the 100 TB notes there).
+    The pmi>0 edge filter compares the ROUNDED pmi both engines, so the
+    edge sets are bit-identical."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    edges = (
+        cp.pmi_cooccurrence(d, min_pairs=5)
+        .where(F.col("pmi") > 0)
+        .select(F.col("w_a").alias("src"), F.col("w_b").alias("dst"))
+    )
+    return gr.triangle_counts(edges)
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -5697,6 +5789,7 @@ _FINAL_ORDER = [
     "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
     "q124_grid_interpolate", "q125_containment_pairs",
     "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
+    "q129_pmi_cooccurrence", "q130_triangle_counts",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

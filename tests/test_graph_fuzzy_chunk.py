@@ -336,3 +336,41 @@ def test_personalized_pagerank_biases_toward_seeds(spark):
     assert got[1] + got[2] > got[4] + got[5]
     assert got[5] < got[2]
     assert abs(sum(got.values()) - 1.0) < 1e-3  # symmetric: mass conserved
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: two triangles; shared-edge vertices count 2,
+    opposite vertices 1. Duplicate/reversed edges and self-loops are
+    canonicalized away; a vertex in no triangle is absent."""
+    from soict20221_bigdata_financialplatform_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [
+            Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=1),
+            Row(src=2, dst=4), Row(src=4, dst=3),
+            Row(src=3, dst=2),   # reversed duplicate
+            Row(src=1, dst=1),   # self-loop
+            Row(src=4, dst=5),   # pendant edge: 5 in no triangle
+        ]
+    )
+    out = {r.vertex: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_pmi_cooccurrence_collocation_beats_independents(spark):
+    """A pair that always co-occurs has positive PMI; a pair appearing
+    together at its independent rate sits near zero; support < min_pairs
+    is dropped."""
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        pmi_cooccurrence,
+    )
+
+    rows = (
+        [Row(doc_id=i, text="alpha beta filler" + str(i % 7)) for i in range(10)]
+        + [Row(doc_id=100 + i, text="gamma solo") for i in range(10)]
+        + [Row(doc_id=200 + i, text="rare pairword") for i in range(2)]
+    )
+    out = {(r.w_a, r.w_b): r for r in pmi_cooccurrence(
+        spark.createDataFrame(rows), min_pairs=5).collect()}
+    assert out[("alpha", "beta")].pmi > 0.5
+    assert ("pairword", "rare") not in out  # support 2 < 5
