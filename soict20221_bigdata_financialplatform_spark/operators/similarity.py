@@ -9,6 +9,8 @@ from __future__ import annotations
 import math
 import random
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -629,4 +631,150 @@ def semdedup_keep(
         pruned.withColumn("__pruned", F.lit(True)), id_col, "left"
     ).select(
         id_col, "cell", F.coalesce(~F.col("__pruned"), F.lit(True)).alias("keep")
+    )
+
+
+def pq_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each vector into ``m`` subvectors
+    of ``dim/m`` dims, train an independent ``ksub``-centroid codebook per
+    subspace (deterministic Lloyd, :func:`kmeans_lloyd_det` — seeds = the
+    ksub lowest-id vectors' slices, 2 rounds, centroids rounded 6dp), encode
+    every corpus vector as ``m`` small codes, and answer queries by
+    Asymmetric Distance Computation: per-subspace distance TABLES from the
+    query to each centroid, approx distance = the sum of ``m`` table
+    lookups. Returns (query_id, id, approx_sqdist, rank) top-k per query,
+    ties on id. q131 cross-checks training, encoding, AND the ADC read path
+    against DuckDB CTE-by-CTE.
+
+    Why PQ at 100 TB: the corpus collapses to m·log2(ksub·…) bits per
+    vector (here 4 codes ≈ 4 bytes vs 512 bytes of floats) — the scan side
+    of a query reads codes only, and distances come from m map lookups
+    instead of a dim-length float fold. The codebooks and the per-query
+    distance tables are broadcast (m·ksub rows total); the corpus never
+    shuffles: encode is a per-row HOF argmin per subspace, scoring is a
+    broadcast cross of the (tiny) query table against the code columns.
+    Combine with an IVF coarse quantizer (q51) for the classic IVF-PQ.
+
+    Per invariant 14 (HOFs are CodegenFallback, no subexpression
+    elimination), every subvector slice is STAGED as its own column before
+    the argmin lambda references it."""
+    from pyspark.sql import Window
+
+    d_sub = dim // m
+    assert d_sub * m == dim, "dim must divide evenly into m subspaces"
+
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codebooks = []
+    for s in range(m):
+        sub = corpus.select(
+            id_col, F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("sub")
+        )
+        init = sub.where(F.col(id_col) < ksub).select(
+            F.col(id_col).alias("cent_id"), "sub"
+        )
+        codebooks.append(
+            kmeans_lloyd_det(
+                sub, init, iters=iters, id_col=id_col, vec_col="sub"
+            )
+        )
+
+    # NB: the HOF lambdas below MUST be single-parameter and close over the
+    # staged column NAME via a factory — a `s=s` default on a two-parameter
+    # lambda is silently overridden by the array index (invariant 3).
+    def _dist_struct_fn(sub_name: str) -> Callable[[Column], Column]:
+        def fn(c: Column) -> Column:
+            return F.struct(
+                _sq(F.col(sub_name), c["cv"]).alias("d"),
+                c["cid"].alias("cid"),
+            )
+
+        return fn
+
+    def _entry_struct_fn(sub_name: str) -> Callable[[Column], Column]:
+        def fn(c: Column) -> Column:
+            return F.struct(
+                c["cid"].alias("cid"),
+                _sq(F.col(sub_name), c["cv"]).alias("d"),
+            )
+
+        return fn
+
+    enc = corpus.select(id_col, vec_col)
+    for s, cb in enumerate(codebooks):
+        carr = F.broadcast(
+            cb.agg(
+                F.collect_list(
+                    F.struct(F.col("cent_id").alias("cid"), F.col("sub").alias("cv"))
+                ).alias(f"__cb{s}")
+            )
+        )
+        enc = (
+            enc.withColumn(f"__sub{s}", F.slice(F.col(vec_col), s * d_sub + 1, d_sub))
+            .crossJoin(carr)
+            .withColumn(
+                f"code{s}",
+                F.array_min(
+                    F.transform(F.col(f"__cb{s}"), _dist_struct_fn(f"__sub{s}"))
+                )["cid"],
+            )
+            .drop(f"__cb{s}", f"__sub{s}")
+        )
+
+    qs = queries.select(query_id_col, vec_col)
+    for s, cb in enumerate(codebooks):
+        carr = F.broadcast(
+            cb.agg(
+                F.collect_list(
+                    F.struct(F.col("cent_id").alias("cid"), F.col("sub").alias("cv"))
+                ).alias(f"__cb{s}")
+            )
+        )
+        qs = (
+            qs.withColumn(f"__sub{s}", F.slice(F.col(vec_col), s * d_sub + 1, d_sub))
+            .crossJoin(carr)
+            .withColumn(
+                f"qd{s}",
+                F.map_from_entries(
+                    F.transform(F.col(f"__cb{s}"), _entry_struct_fn(f"__sub{s}"))
+                ),
+            )
+            .drop(f"__cb{s}", f"__sub{s}")
+        )
+
+    pairs = enc.drop(vec_col).crossJoin(
+        F.broadcast(qs.drop(vec_col))
+    )
+    ad = F.element_at(F.col("qd0"), F.col("code0"))
+    for s in range(1, m):
+        ad = ad + F.element_at(F.col(f"qd{s}"), F.col(f"code{s}"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        ad.asc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(ad, 6).alias("approx_sqdist"),
+            "rank",
+        )
     )

@@ -5749,6 +5749,104 @@ def q130_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.triangle_counts(edges)
 
 
+def _pq_oracle_sql(
+    dim: int = 64, m: int = 4, ksub: int = 4, iters: int = 2,
+    k: int = 10, nq: int = 4,
+) -> str:
+    """DuckDB twin of q131: per-subspace deterministic Lloyd codebooks
+    (q51's recipe on each dim/m slice), per-vector code assignment, then the
+    ADC read path — per-query distance tables joined back by code, approx
+    distance summed in fixed subspace order (identical expression tree)."""
+    d_sub = dim // m
+    sq = _LLOYD_SQ
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb"
+        " FROM embeddings)",
+    ]
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes.append(
+            f"s{s}e AS (SELECT vec_id, emb[{lo}:{hi}] AS sub FROM e)"
+        )
+        ctes.append(
+            f"s{s}c0 AS (SELECT vec_id AS cid, sub AS cv FROM s{s}e "
+            f"WHERE vec_id < {ksub})"
+        )
+        for it in range(1, iters + 1):
+            d = sq.format(v="x.sub", c="c.cv")
+            ctes.append(
+                f"s{s}a{it} AS (SELECT vec_id, sub, cid AS cell FROM ("
+                "SELECT x.vec_id, x.sub, c.cid, row_number() OVER ("
+                f"PARTITION BY x.vec_id ORDER BY {d}, c.cid) AS rn "
+                f"FROM s{s}e x CROSS JOIN s{s}c{it - 1} c) WHERE rn = 1)"
+            )
+            ctes.append(
+                f"s{s}c{it} AS (SELECT cell AS cid, list(v ORDER BY pos) AS cv"
+                " FROM (SELECT a.cell, t.i AS pos, round(avg(a.sub[t.i]), 6)"
+                f" AS v FROM s{s}a{it} a, UNNEST(range(1, len(a.sub) + 1))"
+                " AS t(i) GROUP BY a.cell, t.i) GROUP BY cell)"
+            )
+        d = sq.format(v="x.sub", c="c.cv")
+        ctes.append(
+            f"s{s}code AS (SELECT vec_id, cid AS code FROM ("
+            "SELECT x.vec_id, c.cid, row_number() OVER ("
+            f"PARTITION BY x.vec_id ORDER BY {d}, c.cid) AS rn "
+            f"FROM s{s}e x CROSS JOIN s{s}c{iters} c) WHERE rn = 1)"
+        )
+        dq = sq.format(v="x.sub", c="c.cv")
+        ctes.append(
+            f"s{s}qd AS (SELECT x.vec_id AS query_id, c.cid, {dq} AS d "
+            f"FROM s{s}e x CROSS JOIN s{s}c{iters} c WHERE x.vec_id < {nq})"
+        )
+    adc_sum = " + ".join(f"d{s}.d" for s in range(m))
+    joins = []
+    for s in range(m):
+        joins.append(f"JOIN s{s}code c{s} ON c{s}.vec_id = v.vec_id")
+        joins.append(
+            f"JOIN s{s}qd d{s} ON d{s}.query_id = q.query_id "
+            f"AND d{s}.cid = c{s}.code"
+        )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id FROM e WHERE vec_id < {nq})"
+    )
+    ctes.append(
+        f"adc AS (SELECT q.query_id, v.vec_id, ({adc_sum}) AS ad "
+        "FROM q CROSS JOIN e v " + " ".join(joins) + ")"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, vec_id, ad, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY ad, vec_id) AS rank FROM adc)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, round(ad, 6) AS approx_sqdist, rank"
+        f" FROM ranked WHERE rank <= {k}"
+    )
+
+
+@register("q131_pq_adc", _pq_oracle_sql())
+def q131_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with Asymmetric Distance Computation (Jégou
+    et al. 2011): 4 subspaces × 16 dims, 4-centroid deterministic Lloyd
+    codebook per subspace, corpus encoded to 4 small codes, queries answered
+    by summed distance-table lookups. The memory-bound scale path of the ANN
+    family (brute q34, LSH q35, IVF q51/q72 — IVF-PQ is their composition):
+    at 100 TB the scan side reads codes (≈4 bytes/vector) instead of floats.
+    The oracle walks training, encoding AND the ADC read path CTE-by-CTE.
+    Library form :func:`similarity.pq_topk_det` (plan shape + staging notes
+    there); the approx distance sums the m=4 subspace lookups in fixed
+    order — identical expression trees, so ranking on the unrounded value
+    with a vec_id tiebreak is cross-engine safe (q51/q72 precedent)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.pq_topk_det(emb, queries, dim=64, m=4, ksub=4, iters=2, k=10)
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -5789,7 +5887,7 @@ _FINAL_ORDER = [
     "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
     "q124_grid_interpolate", "q125_containment_pairs",
     "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
-    "q129_pmi_cooccurrence", "q130_triangle_counts",
+    "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

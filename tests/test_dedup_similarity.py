@@ -347,3 +347,36 @@ def test_semdedup_keep_min_id_survivor(spark):
     all_keep = {r.vec_id: r.keep for r in sim.semdedup_keep(
         corpus, cents, threshold=1.1).collect()}
     assert all(all_keep.values())
+
+
+def test_pq_adc_retrieves_own_cluster(spark):
+    """Three well-separated clusters in 8-dim space (m=2 subspaces): a query
+    sitting on a cluster retrieves that cluster's members ahead of the
+    others, and its own vector ranks first (ADC distance = pure
+    quantization error, minimal for the query itself)."""
+    from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
+
+    def vec(base, eps):
+        return [base + eps * (i % 3) for i in range(8)]
+
+    # ids interleave clusters (cluster = id % 3) so the deterministic seeds
+    # (vec_id < ksub) land one per cluster
+    rows = []
+    for cid, base in enumerate([0.0, 10.0, 20.0]):
+        for j in range(4):
+            rows.append(Row(vec_id=cid + 3 * j, embedding=vec(base, 0.01 * j)))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.where("vec_id IN (0, 1, 2)").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = sim.pq_topk_det(
+        corpus, queries, dim=8, m=2, ksub=3, iters=2, k=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, cluster in [(0, {0, 3, 6, 9}), (1, {1, 4, 7, 10}), (2, {2, 5, 8, 11})]:
+        got = {r.vec_id for r in by_q[qid]}
+        assert got == cluster, (qid, got)
+        top = min(by_q[qid], key=lambda r: r.rank)
+        assert top.vec_id == qid
