@@ -75,6 +75,13 @@ HEADLINE = [
     "q122_bm25",
     "q123_vshape_patterns",
     "q124_grid_interpolate",
+    # round-4 late additions: corpus curation + graph + PQ
+    "q126_dsir_importance",
+    "q127_semdedup",
+    "q128_perplexity_lm",
+    "q129_pmi_cooccurrence",
+    "q130_triangle_counts",
+    "q131_pq_adc",
 ]
 
 

@@ -736,14 +736,15 @@ def dsir_scores(
         "__t",
         (F.conv(F.substring(F.md5("__w"), 1, 15), 16, 10).cast("long") % n_buckets
          ).alias("__b"),
-    )
+    ).persist()
     cnt = ex.groupBy("__b").agg(
         F.count(F.lit(1)).alias("__r_cnt"),
         F.count_if(F.col("__t")).alias("__t_cnt"),
     )
-    tot = ex.agg(
-        F.count(F.lit(1)).alias("__r_tot"),
-        F.count_if(F.col("__t")).alias("__t_tot"),
+    # totals fold over the ≤n_buckets count rows, NOT a second corpus scan
+    tot = cnt.agg(
+        F.sum("__r_cnt").cast("long").alias("__r_tot"),
+        F.sum("__t_cnt").cast("long").alias("__t_tot"),
     )
     lnt = F.round(
         F.log((F.col("__t_cnt") + 1.0) / (F.col("__t_tot") + b)), 6
@@ -818,14 +819,16 @@ def lm_perplexity_scores(
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("__bg"),
-    )
+    ).persist()
     uni = (
         staged.select(F.explode("__w").alias("__u"))
         .groupBy("__u")
         .agg(F.count(F.lit(1)).alias("__cu"))
     )
     vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("__v"))
-    bg = staged.select(F.col(id_col), F.explode("__bg").alias("__b"))
+    bg = staged.select(
+        F.col(id_col), F.explode("__bg").alias("__b")
+    ).persist()
     cb = bg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
     wt = (
         cb.withColumn("__u", F.split_part(F.col("__b"), F.lit(" "), F.lit(1)))

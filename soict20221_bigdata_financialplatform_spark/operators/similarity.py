@@ -613,7 +613,7 @@ def semdedup_keep(
                 )
             )["cid"].alias("cell"),
         )
-    )
+    ).persist()
     a = cells.select(
         F.col("cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
     )
@@ -682,19 +682,41 @@ def pq_topk_det(
             lambda acc, x: acc + x,
         )
 
-    codebooks = []
-    for s in range(m):
-        sub = corpus.select(
-            id_col, F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("sub")
-        )
-        init = sub.where(F.col(id_col) < ksub).select(
-            F.col(id_col).alias("cent_id"), "sub"
-        )
-        codebooks.append(
-            kmeans_lloyd_det(
-                sub, init, iters=iters, id_col=id_col, vec_col="sub"
+    # all m codebooks train in ONE stacked plan (bit-identical to per-subspace
+    # loops — groups never mix) and materialize ONCE: the m·ksub-row result
+    # feeds both the encode side and the query distance tables, and without
+    # truncation the whole training lineage would re-execute per consumer
+    stacked = corpus.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("grp"),
+                        F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("sub"),
+                    )
+                    for s in range(m)
+                ]
             )
+        ).alias("__sv"),
+    ).select(id_col, F.col("__sv.grp").alias("grp"), F.col("__sv.sub").alias("sub"))
+    init = stacked.where(F.col(id_col) < ksub).select(
+        "grp", F.col(id_col).alias("cent_id"), "sub"
+    )
+    cb_all = kmeans_lloyd_det_stacked(
+        stacked, init, iters=iters, id_col=id_col
+    ).localCheckpoint(eager=True)
+    carr_all = F.broadcast(
+        cb_all.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("grp").alias("g"),
+                    F.col("cent_id").alias("cid"),
+                    F.col("sub").alias("cv"),
+                )
+            ).alias("__cb")
         )
+    )
 
     # NB: the HOF lambdas below MUST be single-parameter and close over the
     # staged column NAME via a factory — a `s=s` default on a two-parameter
@@ -717,47 +739,32 @@ def pq_topk_det(
 
         return fn
 
-    enc = corpus.select(id_col, vec_col)
-    for s, cb in enumerate(codebooks):
-        carr = F.broadcast(
-            cb.agg(
-                F.collect_list(
-                    F.struct(F.col("cent_id").alias("cid"), F.col("sub").alias("cv"))
-                ).alias(f"__cb{s}")
-            )
-        )
-        enc = (
-            enc.withColumn(f"__sub{s}", F.slice(F.col(vec_col), s * d_sub + 1, d_sub))
-            .crossJoin(carr)
-            .withColumn(
-                f"code{s}",
-                F.array_min(
-                    F.transform(F.col(f"__cb{s}"), _dist_struct_fn(f"__sub{s}"))
-                )["cid"],
-            )
-            .drop(f"__cb{s}", f"__sub{s}")
-        )
+    def _grp_cb(s: int) -> Column:
+        return F.filter(F.col("__cb"), lambda c: c["g"] == F.lit(s))
 
-    qs = queries.select(query_id_col, vec_col)
-    for s, cb in enumerate(codebooks):
-        carr = F.broadcast(
-            cb.agg(
-                F.collect_list(
-                    F.struct(F.col("cent_id").alias("cid"), F.col("sub").alias("cv"))
-                ).alias(f"__cb{s}")
-            )
-        )
-        qs = (
-            qs.withColumn(f"__sub{s}", F.slice(F.col(vec_col), s * d_sub + 1, d_sub))
-            .crossJoin(carr)
-            .withColumn(
-                f"qd{s}",
-                F.map_from_entries(
-                    F.transform(F.col(f"__cb{s}"), _entry_struct_fn(f"__sub{s}"))
-                ),
-            )
-            .drop(f"__cb{s}", f"__sub{s}")
-        )
+    enc = corpus.select(id_col, vec_col).crossJoin(carr_all)
+    for s in range(m):
+        enc = enc.withColumn(
+            f"__sub{s}", F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        ).withColumn(
+            f"code{s}",
+            F.array_min(
+                F.transform(_grp_cb(s), _dist_struct_fn(f"__sub{s}"))
+            )["cid"],
+        ).drop(f"__sub{s}")
+    enc = enc.drop("__cb")
+
+    qs = queries.select(query_id_col, vec_col).crossJoin(carr_all)
+    for s in range(m):
+        qs = qs.withColumn(
+            f"__sub{s}", F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        ).withColumn(
+            f"qd{s}",
+            F.map_from_entries(
+                F.transform(_grp_cb(s), _entry_struct_fn(f"__sub{s}"))
+            ),
+        ).drop(f"__sub{s}")
+    qs = qs.drop("__cb")
 
     pairs = enc.drop(vec_col).crossJoin(
         F.broadcast(qs.drop(vec_col))
@@ -777,4 +784,84 @@ def pq_topk_det(
             F.round(ad, 6).alias("approx_sqdist"),
             "rank",
         )
+    )
+
+
+def kmeans_lloyd_det_stacked(
+    stacked: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    grp_col: str = "grp",
+    id_col: str = "vec_id",
+    vec_col: str = "sub",
+    cent_id_col: str = "cent_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """:func:`kmeans_lloyd_det` generalized to MANY INDEPENDENT trainings in
+    one plan: rows carry a ``grp_col`` and each group trains its own
+    centroids (seeds = caller-supplied per-group ``init_centroids``).
+    Groups never mix — per-(grp, cell, dim) means see exactly the rows a
+    per-group run would — so results are bit-identical to looping
+    :func:`kmeans_lloyd_det` per group, while the stage count stays constant
+    in the number of groups (PQ trains m=4+ codebooks; serial loops paid
+    ~4x scheduler overhead for identical arithmetic). Assignment filters
+    the single broadcast centroid array by group INSIDE the HOF — the
+    corpus still never shuffles to pick a cell."""
+
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cents = init_centroids.select(
+        F.col(grp_col).alias("g"),
+        F.col(cent_id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+    )
+    rows = stacked.select(grp_col, id_col, vec_col)
+    for _ in range(iters):
+        carr = F.broadcast(
+            cents.agg(F.collect_list(F.struct("g", "cid", "cv")).alias("__cents"))
+        )
+        assigned = rows.crossJoin(carr).select(
+            grp_col,
+            id_col,
+            vec_col,
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("__cents"), lambda c: c["g"] == F.col(grp_col)
+                    ),
+                    lambda c: F.struct(
+                        _sq(F.col(vec_col), c["cv"]).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("__cell"),
+        )
+        cents = (
+            assigned.select(
+                grp_col, "__cell", F.posexplode(vec_col).alias("pos", "v")
+            )
+            .groupBy(grp_col, "__cell", "pos")
+            .agg(F.round(F.avg("v"), round_dp).alias("v"))
+            .groupBy(grp_col, "__cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cv")
+            )
+            .select(
+                F.col(grp_col).alias("g"),
+                F.col("__cell").alias("cid"),
+                "cv",
+            )
+        )
+    return cents.select(
+        F.col("g").alias(grp_col),
+        F.col("cid").alias(cent_id_col),
+        F.col("cv").alias(vec_col),
     )
