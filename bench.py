@@ -82,6 +82,8 @@ HEADLINE = [
     "q129_pmi_cooccurrence",
     "q130_triangle_counts",
     "q131_pq_adc",
+    "q132_windowed_pmi",
+    "q133_ivfpq",
 ]
 
 

@@ -926,3 +926,78 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def windowed_pmi(
+    docs: DataFrame,
+    window: int = 5,
+    min_pairs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skip-gram-window PMI — the SCALE path of :func:`pmi_cooccurrence`:
+    co-occurrence EVENTS are ordered (earlier, later) token pairs within
+    ``window`` positions, so per-doc cost is O(len·window) instead of the
+    doc-level variant's O(distinct²) — bounded by construction, the word2vec
+    operating regime. PMI is computed over the event distribution itself:
+    pmi = ln((c_ab·N) / (c_a·c_b)) with c_a/c_b the first-/second-slot
+    marginals and N the total event count — all from one event table.
+
+    Parity: the pair array is built IN-ARRAY with an index-aware HOF
+    (Spark's (x, i) lambda is 0-based, DuckDB's optional i is 1-based —
+    the slice bounds differ by exactly that offset, q116 precedent);
+    counts are exact integers, one IEEE division, the lone ln rounded at
+    the transcendental.
+
+    Scale shape: one explode of O(len·window) events (persisted), three
+    map-side-combined count aggs, two hash joins on the word marginals, N
+    broadcast. Nothing quadratic in document length or vocabulary."""
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    staged = docs.select(
+        F.col(id_col), tx.words(F.col(text_col)).alias("__w")
+    )
+    w = F.col("__w")
+    ev = (
+        staged.select(
+            F.col(id_col),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        w,
+                        lambda x, i: F.transform(
+                            F.slice(w, i + 2, window),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("__p"),
+        )
+        .select(id_col, F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+        .persist()
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ca = ev.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__ca"))
+    cb = ev.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__cb"))
+    pairs = (
+        ev.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_pairs)
+    )
+    return (
+        pairs.join(ca, "__a")
+        .join(cb, "__b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("__a").alias("w_a"),
+            F.col("__b").alias("w_b"),
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("__n"))
+                    / (F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

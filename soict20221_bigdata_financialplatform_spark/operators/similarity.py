@@ -672,21 +672,56 @@ def pq_topk_det(
     the argmin lambda references it."""
     from pyspark.sql import Window
 
+    enc, qs = _pq_build(
+        corpus, queries, dim, m, ksub, iters, id_col, vec_col, query_id_col
+    )
+    pairs = enc.drop(vec_col).crossJoin(F.broadcast(qs.drop(vec_col)))
+    ad = F.element_at(F.col("qd0"), F.col("code0"))
+    for s in range(1, m):
+        ad = ad + F.element_at(F.col(f"qd{s}"), F.col(f"code{s}"))
+    w = Window.partitionBy(query_id_col).orderBy(ad.asc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(ad, 6).alias("approx_sqdist"),
+            "rank",
+        )
+    )
+
+
+def _pq_build(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ machinery for :func:`pq_topk_det` and
+    :func:`ivfpq_topk_det`: train the m stacked codebooks, return
+    (encoded corpus with ``code0..code{m-1}``, query frame with per-subspace
+    distance maps ``qd0..qd{m-1}``)."""
+
+    cb_all = _pq_train(corpus, dim, m, ksub, iters, id_col, vec_col)
+    carr_all = _pq_carr(cb_all)
+    return _pq_encode(
+        corpus, queries, carr_all, m, dim // m, id_col, vec_col, query_id_col
+    )
+
+
+def _pq_stack(
+    corpus: DataFrame, dim: int, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, grp, sub) rows: one per subspace slice per vector."""
     d_sub = dim // m
     assert d_sub * m == dim, "dim must divide evenly into m subspaces"
-
-    def _sq(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # all m codebooks train in ONE stacked plan (bit-identical to per-subspace
-    # loops — groups never mix) and materialize ONCE: the m·ksub-row result
-    # feeds both the encode side and the query distance tables, and without
-    # truncation the whole training lineage would re-execute per consumer
-    stacked = corpus.select(
+    return corpus.select(
         id_col,
         F.explode(
             F.array(
@@ -700,13 +735,45 @@ def pq_topk_det(
             )
         ).alias("__sv"),
     ).select(id_col, F.col("__sv.grp").alias("grp"), F.col("__sv.sub").alias("sub"))
+
+
+def _pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    extra_stack: DataFrame | None = None,
+    extra_init: DataFrame | None = None,
+) -> DataFrame:
+    """All m codebooks train in ONE stacked plan (bit-identical to
+    per-subspace loops — groups never mix) and materialize ONCE: the result
+    feeds both the encode side and the query distance tables, and without
+    truncation the whole training lineage would re-execute per consumer.
+    ``extra_stack``/``extra_init`` let a caller ride MORE independent
+    trainings (IVF-PQ's coarse quantizer, as group ids >= m) in the same
+    plan — grouped Lloyd handles ragged vector lengths because groups never
+    interact."""
+    stacked = _pq_stack(corpus, dim, m, id_col, vec_col)
     init = stacked.where(F.col(id_col) < ksub).select(
         "grp", F.col(id_col).alias("cent_id"), "sub"
     )
-    cb_all = kmeans_lloyd_det_stacked(
+    if extra_stack is not None:
+        stacked = stacked.unionByName(extra_stack.select(id_col, "grp", "sub"))
+        init = init.unionByName(
+            extra_init.select("grp", "cent_id", "sub")
+        )
+    return kmeans_lloyd_det_stacked(
         stacked, init, iters=iters, id_col=id_col
     ).localCheckpoint(eager=True)
-    carr_all = F.broadcast(
+
+
+def _pq_carr(cb_all: DataFrame) -> Column:
+    """The single broadcast codebook array (g, cid, cv) used by every
+    encode/distance-table projection."""
+    return F.broadcast(
         cb_all.agg(
             F.collect_list(
                 F.struct(
@@ -717,6 +784,24 @@ def pq_topk_det(
             ).alias("__cb")
         )
     )
+
+
+def _pq_encode(
+    corpus: DataFrame,
+    queries: DataFrame,
+    carr_all: Column,
+    m: int,
+    d_sub: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
 
     # NB: the HOF lambdas below MUST be single-parameter and close over the
     # staged column NAME via a factory — a `s=s` default on a two-parameter
@@ -765,18 +850,103 @@ def pq_topk_det(
             ),
         ).drop(f"__sub{s}")
     qs = qs.drop("__cb")
+    return enc, qs
 
-    pairs = enc.drop(vec_col).crossJoin(
-        F.broadcast(qs.drop(vec_col))
+
+def ivfpq_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 4,
+    nlist: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the composition the ANN family builds toward — an IVF coarse
+    quantizer (q51's deterministic Lloyd) prunes the corpus to ``nprobe``
+    cells per query, and PQ codes (:func:`pq_topk_det`'s machinery) score
+    the surviving candidates by Asymmetric Distance Computation. This is
+    the FAISS IVFADC layout simplified to codes over RAW vectors (classic
+    IVFADC encodes residuals; the raw-vector variant keeps every stage
+    SQL-checkable — q133 cross-checks coarse training, cell assignment,
+    probe selection, PQ training, encoding and the ADC join end-to-end).
+
+    Scale shape: both quantizers train on broadcast-sized state; the corpus
+    is scanned once for cell assignment + encoding (one projection, no
+    shuffle), candidates flow through ONE equi-join on the cell id, and the
+    only other exchange is the per-query top-k window. At 100 TB the
+    candidate join reads m small code columns — not the vectors."""
+    from pyspark.sql import Window
+
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # the coarse quantizer trains as group id m INSIDE the same stacked
+    # Lloyd plan as the m PQ codebooks (one training job, one checkpoint;
+    # groups never mix so results are bit-identical to separate runs)
+    coarse_stack = corpus.select(
+        id_col, F.lit(m).alias("grp"), F.col(vec_col).alias("sub")
     )
+    coarse_init = corpus.where(F.col(id_col) < nlist).select(
+        F.lit(m).alias("grp"),
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("sub"),
+    )
+    cb_all = _pq_train(
+        corpus, dim, m, ksub, iters, id_col, vec_col,
+        extra_stack=coarse_stack, extra_init=coarse_init,
+    )
+    coarse = cb_all.where(F.col("grp") == m)
+    carr = F.broadcast(
+        coarse.agg(
+            F.collect_list(
+                F.struct(F.col("cent_id").alias("cid"), F.col("sub").alias("cv"))
+            ).alias("__cents")
+        )
+    )
+
+    def _dists(vec_name: str) -> Column:
+        return F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                _sq(F.col(vec_name), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+
+    enc, qs = _pq_encode(
+        corpus, queries, _pq_carr(cb_all.where(F.col("grp") < m)),
+        m, dim // m, id_col, vec_col, query_id_col,
+    )
+    # cell assignment rides the SAME projection as the PQ encode — one scan
+    cells = enc.crossJoin(carr).withColumn(
+        "__cell", F.array_min(_dists(vec_col))["cid"]
+    ).drop("__cents", vec_col)
+    probes = qs.crossJoin(carr).select(
+        F.col(query_id_col),
+        *[F.col(f"qd{s}") for s in range(m)],
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_dists(vec_col)), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("__cell"),
+    )
+    cand = cells.join(F.broadcast(probes), "__cell")
     ad = F.element_at(F.col("qd0"), F.col("code0"))
     for s in range(1, m):
         ad = ad + F.element_at(F.col(f"qd{s}"), F.col(f"code{s}"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        ad.asc(), F.col(id_col).asc()
-    )
+    w = Window.partitionBy(query_id_col).orderBy(ad.asc(), F.col(id_col).asc())
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             query_id_col,

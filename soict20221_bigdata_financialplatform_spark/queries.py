@@ -5749,20 +5749,17 @@ def q130_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.triangle_counts(edges)
 
 
-def _pq_oracle_sql(
-    dim: int = 64, m: int = 4, ksub: int = 4, iters: int = 2,
-    k: int = 10, nq: int = 4,
-) -> str:
-    """DuckDB twin of q131: per-subspace deterministic Lloyd codebooks
-    (q51's recipe on each dim/m slice), per-vector code assignment, then the
-    ADC read path — per-query distance tables joined back by code, approx
-    distance summed in fixed subspace order (identical expression tree)."""
+def _pq_sub_ctes(
+    dim: int, m: int, ksub: int, iters: int, nq: int
+) -> list[str]:
+    """Per-subspace PQ CTEs shared by q131 (flat PQ) and q133 (IVF-PQ):
+    for each subspace s — the slice view ``s{s}e``, the Lloyd codebook
+    rounds, the per-vector ``s{s}code`` assignment, and the per-query
+    distance table ``s{s}qd``. Builds on an ``e`` CTE the caller already
+    emitted."""
     d_sub = dim // m
     sq = _LLOYD_SQ
-    ctes = [
-        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb"
-        " FROM embeddings)",
-    ]
+    ctes: list[str] = []
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
         ctes.append(
@@ -5798,20 +5795,43 @@ def _pq_oracle_sql(
             f"s{s}qd AS (SELECT x.vec_id AS query_id, c.cid, {dq} AS d "
             f"FROM s{s}e x CROSS JOIN s{s}c{iters} c WHERE x.vec_id < {nq})"
         )
-    adc_sum = " + ".join(f"d{s}.d" for s in range(m))
+    return ctes
+
+
+def _pq_adc_joins(m: int, qalias: str) -> tuple[str, str]:
+    """(joins, adc_sum) for the ADC read: code join per subspace + distance
+    table lookup keyed by the probing frame's query_id, summed in FIXED
+    subspace order (identical expression tree both engines)."""
     joins = []
     for s in range(m):
         joins.append(f"JOIN s{s}code c{s} ON c{s}.vec_id = v.vec_id")
         joins.append(
-            f"JOIN s{s}qd d{s} ON d{s}.query_id = q.query_id "
+            f"JOIN s{s}qd d{s} ON d{s}.query_id = {qalias}.query_id "
             f"AND d{s}.cid = c{s}.code"
         )
+    return " ".join(joins), " + ".join(f"d{s}.d" for s in range(m))
+
+
+def _pq_oracle_sql(
+    dim: int = 64, m: int = 4, ksub: int = 4, iters: int = 2,
+    k: int = 10, nq: int = 4,
+) -> str:
+    """DuckDB twin of q131: per-subspace deterministic Lloyd codebooks
+    (q51's recipe on each dim/m slice), per-vector code assignment, then the
+    ADC read path — per-query distance tables joined back by code, approx
+    distance summed in fixed subspace order (identical expression tree)."""
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb"
+        " FROM embeddings)",
+    ]
+    ctes += _pq_sub_ctes(dim, m, ksub, iters, nq)
+    joins, adc_sum = _pq_adc_joins(m, "q")
     ctes.append(
         f"q AS (SELECT vec_id AS query_id FROM e WHERE vec_id < {nq})"
     )
     ctes.append(
         f"adc AS (SELECT q.query_id, v.vec_id, ({adc_sum}) AS ad "
-        "FROM q CROSS JOIN e v " + " ".join(joins) + ")"
+        "FROM q CROSS JOIN e v " + joins + ")"
     )
     ctes.append(
         "ranked AS (SELECT query_id, vec_id, ad, row_number() OVER ("
@@ -5845,6 +5865,105 @@ def q131_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.pq_topk_det(emb, queries, dim=64, m=4, ksub=4, iters=2, k=10)
+
+
+@register(
+    "q132_windowed_pmi",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    ev AS (
+      SELECT doc_id, p.a AS a, p.b AS b FROM (
+        SELECT doc_id,
+               unnest(flatten(list_transform(w, (x, i) ->
+                 list_transform(w[i + 1:i + 5], y -> {'a': x, 'b': y})))) AS p
+        FROM w)
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM ev),
+    ca AS (SELECT a, count(*)::BIGINT AS c FROM ev GROUP BY a),
+    cb AS (SELECT b, count(*)::BIGINT AS c FROM ev GROUP BY b),
+    p AS (
+      SELECT a, b, count(*)::BIGINT AS c_ab FROM ev
+      GROUP BY a, b HAVING count(*) >= 5
+    )
+    SELECT p.a AS w_a, p.b AS w_b, p.c_ab,
+           round(ln((p.c_ab * n.n) / (ca.c * cb.c)), 6) AS pmi
+    FROM p JOIN ca ON p.a = ca.a JOIN cb ON p.b = cb.b CROSS JOIN n
+    """,
+)
+def q132_windowed_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram-window PMI (window=5, ordered pairs) — q129's SCALE path:
+    per-doc pair cost O(len·window) instead of O(distinct²), the word2vec
+    counting regime. The pair array is built in-array with an index-aware
+    HOF — Spark's (x, i) lambda index is 0-based, DuckDB's optional lambda
+    index is 1-based, so the slice bounds differ by exactly that offset
+    (q116 precedent: ``F.slice(w, i+2, 5)`` == ``w[i+1:i+5]``). Library
+    form :func:`corpus.windowed_pmi` (event-marginal PMI; scale notes
+    there)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return cp.windowed_pmi(d, window=5, min_pairs=5)
+
+
+def _ivfpq_oracle_sql(
+    dim: int = 64, m: int = 4, ksub: int = 4, nlist: int = 8,
+    nprobe: int = 3, iters: int = 2, k: int = 10, nq: int = 4,
+) -> str:
+    """DuckDB twin of q133: q51's coarse-quantizer CTE prefix (training +
+    cell assignment + probe selection) composed with q131's per-subspace PQ
+    CTEs; the ADC read joins candidates THROUGH the probed cells."""
+    ctes = _lloyd_cells_ctes(nlist, iters)
+    ctes += _pq_sub_ctes(dim, m, ksub, iters, nq)
+    dq = _LLOYD_SQ.format(v="q.qe", c="c.cv")
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {nq})"
+    )
+    ctes.append(
+        "probes AS (SELECT query_id, cid AS cell FROM ("
+        "SELECT q.query_id, c.cid, row_number() OVER ("
+        f"PARTITION BY q.query_id ORDER BY {dq}, c.cid) AS rn "
+        f"FROM q CROSS JOIN c{iters} c) WHERE rn <= {nprobe})"
+    )
+    joins, adc_sum = _pq_adc_joins(m, "p")
+    ctes.append(
+        f"adc AS (SELECT p.query_id, v.vec_id, ({adc_sum}) AS ad "
+        "FROM probes p JOIN cells v ON v.cell = p.cell " + joins + ")"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, vec_id, ad, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY ad, vec_id) AS rank FROM adc)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, round(ad, 6) AS approx_sqdist, rank"
+        f" FROM ranked WHERE rank <= {k}"
+    )
+
+
+@register("q133_ivfpq", _ivfpq_oracle_sql())
+def q133_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the ANN family's capstone composition (FAISS IVFADC layout,
+    simplified to codes over raw vectors so every stage stays
+    SQL-checkable): q51's deterministic-Lloyd coarse quantizer prunes to
+    nprobe=3 cells per query; q131's PQ codes score the survivors by
+    Asymmetric Distance Computation. The oracle composes the two proven CTE
+    generators and cross-checks coarse training, cell assignment, probe
+    selection, PQ training, encoding AND the ADC candidate join end-to-end.
+    Library form :func:`similarity.ivfpq_topk_det` — one corpus scan
+    produces cells + codes in the same projection; candidates flow through
+    one equi-join on the cell id reading code columns, not vectors."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivfpq_topk_det(
+        emb, queries, dim=64, m=4, ksub=4, nlist=8, nprobe=3, iters=2, k=10
+    )
 
 
 # ===========================================================================
@@ -5888,6 +6007,7 @@ _FINAL_ORDER = [
     "q124_grid_interpolate", "q125_containment_pairs",
     "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
     "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
+    "q132_windowed_pmi", "q133_ivfpq",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

@@ -380,3 +380,29 @@ def test_pq_adc_retrieves_own_cluster(spark):
         assert got == cluster, (qid, got)
         top = min(by_q[qid], key=lambda r: r.rank)
         assert top.vec_id == qid
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark):
+    """With nprobe == nlist every cell is probed, so IVF-PQ degenerates to
+    flat PQ exactly — same codes, same ADC distances, same ranking (the
+    q51 nprobe==nlist ≡ brute-force precedent, one level up)."""
+    from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
+
+    def vec(base, eps):
+        return [base + eps * (i % 3) for i in range(8)]
+
+    rows = []
+    for cid, base in enumerate([0.0, 10.0, 20.0]):
+        for j in range(4):
+            rows.append(Row(vec_id=cid + 3 * j, embedding=vec(base, 0.01 * j)))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.where("vec_id IN (0, 1, 2)").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    flat = sim.pq_topk_det(corpus, queries, dim=8, m=2, ksub=3, iters=2, k=4)
+    ivf = sim.ivfpq_topk_det(
+        corpus, queries, dim=8, m=2, ksub=3, nlist=3, nprobe=3, iters=2, k=4
+    )
+    a = sorted(map(tuple, flat.collect()))
+    b = sorted(map(tuple, ivf.collect()))
+    assert a == b
