@@ -107,3 +107,73 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .where(F.col("mg_count") > 0)
         .select(col, "mg_count")
     )
+
+
+def cms_estimates(
+    df: DataFrame,
+    col: str,
+    query_items: DataFrame,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch point estimates (Cormode & Muthukrishnan 2005): a
+    depth×width counter matrix built in one grouped count, point queries as
+    the MIN over each item's ``depth`` counters. Guarantees (pinned by
+    pytest AND the q134 oracle): est ≥ true always (counters only ever
+    over-count via collisions); est ≤ true + εN with probability 1−δ for
+    ε = e/width, δ = e^−depth.
+
+    Unlike HLL/GK/Misra-Gries (rows-only — their internals are
+    engine-specific), the CM sketch IS cross-engine checkable: the hash
+    family is the md5-prefix trick (seed-prefixed, mod width), so DuckDB
+    builds the bit-identical counter matrix and takes the same mins — the
+    one sketch whose whole construction has a DuckDB oracle.
+
+    Scale shape: the matrix build explodes each row into ``depth`` (row,
+    bucket) pairs and grouped-counts them — map-side combine collapses to
+    ≤ depth×width rows per partition before the one tiny shuffle; the
+    matrix state is depth×width counters TOTAL regardless of corpus size
+    (the sketch's point). Queries hash the same way and hash-join the
+    matrix; the min is a ``depth``-row groupBy per item. Merge across
+    corpora/streams = add matrices (counts are additive — the mergeable-
+    summary property)."""
+    rows = F.array(*[F.lit(s) for s in range(depth)])
+
+    def _bucket():
+        # bucket(s, x) = md5-prefix("cms{s}|" + x) mod width
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.concat(F.lit("cms"), F.col("__s").cast("string")),
+                            F.lit("|"),
+                            F.col(col).cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    matrix = (
+        df.select(col)
+        .select(col, F.explode(rows).alias("__s"))
+        .select("__s", _bucket().alias("__b"))
+        .groupBy("__s", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    probes = (
+        query_items.select(col)
+        .select(col, F.explode(rows).alias("__s"))
+        .select(col, "__s", _bucket().alias("__b"))
+    )
+    return (
+        probes.join(matrix, ["__s", "__b"])
+        .groupBy(col)
+        .agg(F.min("__c").alias("cms_est"))
+    )

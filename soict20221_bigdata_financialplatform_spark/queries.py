@@ -5966,6 +5966,58 @@ def q133_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q134_cms_estimates",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ),
+    tc AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY word),
+    top AS (SELECT word, true_cnt FROM tc ORDER BY true_cnt DESC, word LIMIT 20),
+    m AS (
+      SELECT s,
+             ('0x' || substr(md5('cms' || s::VARCHAR || '|' || word), 1, 15))
+               ::UBIGINT % 64 AS b,
+             count(*)::BIGINT AS c
+      FROM tok, UNNEST(range(0, 4)) AS t(s)
+      GROUP BY s, b
+    ),
+    probes AS (
+      SELECT top.word, t.s,
+             ('0x' || substr(md5('cms' || t.s::VARCHAR || '|' || top.word),
+               1, 15))::UBIGINT % 64 AS b
+      FROM top, UNNEST(range(0, 4)) AS t(s)
+    ),
+    est AS (
+      SELECT p.word, min(m.c) AS cms_est
+      FROM probes p JOIN m ON m.s = p.s AND m.b = p.b
+      GROUP BY p.word
+    )
+    SELECT top.word, top.true_cnt, est.cms_est
+    FROM top JOIN est USING (word)
+    """,
+)
+def q134_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point estimates for
+    the 20 most frequent corpus words — the sketch family's mergeable
+    counter member beside HLL (q87), GK (q92) and Misra-Gries (q99). Those
+    three are rows-only (engine-internal layouts); the CM sketch's whole
+    construction rides the md5-prefix hash family, so uniquely among the
+    sketches its 4×64 counter matrix AND the min-query read path are
+    bit-identical in DuckDB — a fully oracle-checked sketch. est ≥ true
+    always; pytest pins the εN overcount bound. Library form
+    :func:`sketch.cms_estimates` (matrix state is depth×width counters
+    regardless of corpus size; merge = matrix addition)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(F.explode(tx.words("text")).alias("word")).persist()
+    tc = tok.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    top = tc.orderBy(F.desc("true_cnt"), "word").limit(20)
+    est = sk.cms_estimates(tok, "word", top.select("word"), depth=4, width=64)
+    return top.join(est, "word").select("word", "true_cnt", "cms_est")
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6007,7 +6059,7 @@ _FINAL_ORDER = [
     "q124_grid_interpolate", "q125_containment_pairs",
     "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
     "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
-    "q132_windowed_pmi", "q133_ivfpq",
+    "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

@@ -74,3 +74,30 @@ def test_mg_agrees_with_exact_on_heavy_set(spark):
     }
     mg = {r["item"] for r in sk.heavy_hitters_mg(df, "item", 32).collect()}
     assert exact <= mg
+
+
+def test_cms_est_bounds(spark):
+    """CM guarantee: est >= true for every queried item, and on a zipf-ish
+    planted distribution the overcount stays within eps*N for the heavy
+    items (eps = e/width; collisions add at most the colliding mass)."""
+    import math
+
+    from pyspark.sql import Row
+    from soict20221_bigdata_financialplatform_spark.operators.sketch import cms_estimates
+
+    rows = []
+    truth = {}
+    for i in range(40):
+        cnt = max(1, 500 // (i + 1))
+        truth[f"item{i}"] = cnt
+        rows += [Row(item=f"item{i}")] * cnt
+    df = spark.createDataFrame(rows)
+    queries = spark.createDataFrame([Row(item=f"item{i}") for i in range(10)])
+    est = {r.item: r.cms_est for r in cms_estimates(
+        df, "item", queries, depth=4, width=64).collect()}
+    n = sum(truth.values())
+    eps = math.e / 64
+    for i in range(10):
+        item = f"item{i}"
+        assert est[item] >= truth[item]
+        assert est[item] <= truth[item] + eps * n
