@@ -1001,3 +1001,91 @@ def windowed_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are maximal
+    stopword-free word runs; each word scores degree/frequency within the
+    document (degree = summed length of the phrases its occurrences sit
+    in); a phrase scores the sum of its words' scores; the top_k phrases
+    per document are its keywords. The per-document member of the text-
+    analysis family (corpus-level: TF-IDF q86, BM25 q122, PMI q129/q132).
+
+    Parity design: degree and frequency are exact integers, so each word
+    score is ONE IEEE division quantized half-up to BIGINT micro-units —
+    the phrase score is then an exact integer sum (micro-unit machinery of
+    q126/q128); ranking ties break on (phrase, phrase_id).
+
+    Scale shape: phrase segmentation is a per-doc running count of
+    stopwords (one doc-keyed window over exploded words — the only big
+    exchange, reused by every downstream agg since all are doc-keyed);
+    word stats, phrase stats and the final top-k all group/window on
+    doc-prefixed keys. Nothing global, nothing quadratic; state per doc is
+    its own words."""
+    from pyspark.sql import Window
+
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+
+    stopwords = tuple(stopwords or tx.EN_STOPWORDS)
+    w = Window.partitionBy(id_col).orderBy("__i")
+    toks = (
+        docs.select(
+            F.col(id_col), F.posexplode(tx.words(F.col(text_col))).alias("__i", "__w")
+        )
+        .withColumn(
+            "__stop", F.lower(F.col("__w")).isin(*stopwords)
+        )
+        .withColumn("__pid", F.sum(F.col("__stop").cast("int")).over(w))
+        .where(~F.col("__stop"))
+        .select(id_col, "__pid", "__i", "__w")
+        .persist()
+    )
+    plen = toks.groupBy(id_col, "__pid").agg(
+        F.count(F.lit(1)).alias("__plen")
+    )
+    members = toks.join(plen, [id_col, "__pid"])
+    wstats = members.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__plen").alias("__deg"),
+    )
+    wscore = wstats.select(
+        id_col,
+        "__w",
+        F.floor((F.col("__deg") * 1000000.0) / F.col("__freq") + 0.5)
+        .cast("long")
+        .alias("__wm"),
+    )
+    phrases = (
+        members.join(wscore, [id_col, "__w"])
+        .groupBy(id_col, "__pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__i", "__w"))),
+                    lambda s: s["__w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("__wm").alias("__sm"),
+        )
+    )
+    rw = Window.partitionBy(id_col).orderBy(
+        F.desc("__sm"), F.asc("phrase"), F.asc("__pid")
+    )
+    return (
+        phrases.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "phrase",
+            (F.col("__sm") / 1000000.0).alias("rake_score"),
+            "rank",
+        )
+    )

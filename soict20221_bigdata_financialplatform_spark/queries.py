@@ -6018,6 +6018,75 @@ def q134_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "word").select("word", "true_cnt", "cms_est")
 
 
+@register(
+    "q135_rake_keywords",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    t AS (
+      SELECT doc_id, t.i AS i, w.w[t.i] AS word
+      FROM w, UNNEST(range(1, len(w.w) + 1)) AS t(i)
+    ),
+    s AS (
+      SELECT doc_id, i, word,
+             list_contains(['the','a','and','of','to','in','is','for','on',
+                            'with'], lower(word)) AS stop
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, i, word, stop,
+             sum(stop::INT) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+      FROM s
+    ),
+    m AS (SELECT doc_id, pid, i, word FROM p WHERE NOT stop),
+    pl AS (SELECT doc_id, pid, count(*)::BIGINT AS plen FROM m GROUP BY 1, 2),
+    ws AS (
+      SELECT m.doc_id, m.word, count(*)::BIGINT AS freq,
+             sum(pl.plen)::BIGINT AS deg
+      FROM m JOIN pl ON m.doc_id = pl.doc_id AND m.pid = pl.pid
+      GROUP BY 1, 2
+    ),
+    wm AS (
+      SELECT doc_id, word,
+             CAST(floor((deg * 1000000.0) / freq + 0.5) AS BIGINT) AS wm
+      FROM ws
+    ),
+    ph AS (
+      SELECT m.doc_id, m.pid,
+             string_agg(m.word, ' ' ORDER BY m.i) AS phrase,
+             sum(wm.wm)::BIGINT AS sm
+      FROM m JOIN wm ON m.doc_id = wm.doc_id AND m.word = wm.word
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT doc_id, phrase, sm, pid, row_number() OVER (
+        PARTITION BY doc_id ORDER BY sm DESC, phrase, pid) AS rank
+      FROM ph
+    )
+    SELECT doc_id, phrase, sm / 1000000.0 AS rake_score, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q135_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): top-3 keyword phrases
+    per document — maximal stopword-free runs scored by summed
+    degree/frequency word scores. The per-DOCUMENT member of the text-
+    analysis family (corpus-level: TF-IDF q86, BM25 q122, PMI q129/q132).
+    Word scores are one IEEE division quantized half-up to BIGINT
+    micro-units, phrase scores exact integer sums (q126/q128 machinery);
+    ranking ties break on (phrase, phrase_id). Library form
+    :func:`corpus.rake_keywords` — every stage is doc-keyed (one exploded
+    window exchange reused by all downstream aggs), nothing global."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = cp.rake_keywords(d, top_k=3)
+    return out.select(
+        "doc_id", "phrase", "rake_score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6060,6 +6129,7 @@ _FINAL_ORDER = [
     "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
     "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
     "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
+    "q135_rake_keywords",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

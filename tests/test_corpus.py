@@ -346,3 +346,22 @@ def test_lm_perplexity_scores_flags_gibberish(spark):
     assert 101 not in out
     assert out[0].ppl_proxy < out[100].ppl_proxy
     assert out[0].n_bigrams == 4
+
+
+def test_rake_keywords_reference_example(spark):
+    """RAKE semantics on a hand-computable doc: phrases split at stopwords,
+    multi-word phrases outscore lone frequent words (degree rewards
+    co-occurrence), top_k + tiebreaks deterministic."""
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import rake_keywords
+
+    text = "linear diophantine equations and strict inequations in the criteria"
+    out = rake_keywords(
+        spark.createDataFrame([Row(doc_id=1, text=text)]), top_k=2
+    ).collect()
+    by_rank = {r.rank: r for r in out}
+    # phrases: "linear diophantine equations" (3 words, each deg=3 freq=1
+    # -> score 9), "strict inequations" (score 4), "criteria" (score 1)
+    assert by_rank[1].phrase == "linear diophantine equations"
+    assert by_rank[1].rake_score == 9.0
+    assert by_rank[2].phrase == "strict inequations"
+    assert by_rank[2].rake_score == 4.0
