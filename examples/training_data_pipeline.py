@@ -15,6 +15,9 @@ build would run them at 100 TB:
     levenshtein over distinct values)
  6. PageRank over the shared-5-gram graph: centrality-based canonical
     doc per duplication neighborhood
+ ... plus the selection/quality/semantic stages added later in round 4:
+    DSIR importance selection, bigram-LM perplexity filtering, SemDeDup,
+    and RAKE keyword enrichment
 
 Run: python examples/training_data_pipeline.py   (read-only; one summary
 line per stage)
@@ -93,6 +96,33 @@ def main() -> None:
     hits = QUERIES["q122_bm25"](spark, SF_DIR).limit(3).collect()
     print(f"[8] BM25 top docs for (spark, join, hash): "
           f"{[(r.doc_id, r.bm25) for r in hits]}")
+
+    # 9. DSIR importance selection: keep the docs that look most like the
+    # target slice (here: long docs stand in for "the domain you want")
+    scores = corpus.dsir_scores(
+        docs, is_target=(F.size(F.split(F.trim("text"), r"\s+")) >= 50)
+    )
+    kept = scores.orderBy(F.col("dsir_score").desc(), "doc_id").limit(5)
+    print(f"[9] DSIR top-5 target-like docs: "
+          f"{[(r.doc_id, round(r.dsir_score, 3)) for r in kept.collect()]}")
+
+    # 10. perplexity filter: corpus-trained bigram LM, drop the worst tail
+    ppl = corpus.lm_perplexity_scores(docs)
+    cut = ppl.approxQuantile("ppl_proxy", [0.9], 0.01)[0]
+    n_drop = ppl.where(F.col("ppl_proxy") > cut).count()
+    print(f"[10] perplexity filter: drop {n_drop} docs above p90 "
+          f"ppl_proxy={cut:.3f}")
+
+    # 11. SemDeDup on the embedding table (meaning-level dedup after the
+    # lexical passes) — registry form trains the deterministic quantizer
+    keep = QUERIES["q127_semdedup"](spark, SF_DIR)
+    n_sem = keep.where(~F.col("keep")).count()
+    print(f"[11] SemDeDup: {n_sem} semantic duplicates pruned")
+
+    # 12. per-doc RAKE keywords for the surviving sample (metadata
+    # enrichment before packing)
+    kw = corpus.rake_keywords(sampled, top_k=1)
+    print(f"[12] RAKE keywords extracted for {kw.count()} sampled docs")
 
     spark.stop()
 
