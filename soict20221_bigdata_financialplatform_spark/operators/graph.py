@@ -196,3 +196,49 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return per_vertex
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over an undirected edge list:
+    cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) — how close v's
+    neighborhood is to a clique. The interpretation layer over
+    :func:`triangle_counts` for near-dup graph forensics: a duplicate
+    cluster with cc ≈ 1 is one template (safe to keep a single canonical
+    doc); cc ≈ 0 with high degree is a chain/star (transitive dedup may
+    over-merge — inspect before collapsing). Vertices with degree < 2 are
+    excluded (coefficient undefined).
+
+    Parity: triangle and degree counts are exact integers; the coefficient
+    is ONE long/long IEEE division, emitted unrounded (float policy).
+    Scale: degree is one map-side-combined count over the canonicalized
+    edge list; the join with triangle counts is vertex-keyed. The wedge
+    cost lives in :func:`triangle_counts` (see its degree-ordering note)."""
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            (
+                (F.coalesce(F.col("n_triangles"), F.lit(0)) * 2.0)
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("clustering_coeff"),
+        )
+    )

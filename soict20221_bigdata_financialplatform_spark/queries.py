@@ -6087,6 +6087,171 @@ def q135_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q136_negative_sampling",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM e),
+    raw AS (
+      SELECT e.vec_id AS anchor_id, t.j AS j,
+             (('0x' || substr(md5('neg' || t.j::VARCHAR || '|' ||
+                e.vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % n.n) AS r,
+             n.n AS n
+      FROM e CROSS JOIN n, UNNEST(range(0, 4)) AS t(j)
+    ),
+    neg AS (
+      SELECT anchor_id, j,
+             (r + CASE WHEN r = anchor_id THEN 1 ELSE 0 END) % n AS neg_id
+      FROM raw
+    )
+    SELECT neg.anchor_id, neg.j, neg.neg_id,
+           round(list_sum(list_transform(range(1, len(a.emb) + 1),
+                    i -> a.emb[i] * b.emb[i]))
+           / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cos
+    FROM neg
+    JOIN e a ON a.vec_id = neg.anchor_id
+    JOIN e b ON b.vec_id = neg.neg_id
+    """,
+)
+def q136_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training (the
+    word2vec/SGNS and embedding-finetune primitive): k=4 pseudo-random
+    negatives per anchor via the seeded md5-prefix integer mod N —
+    key-stable (a corpus rebuild re-draws the SAME negatives, the property
+    `rand()` can't give), self-collisions remapped to the next id, each
+    negative joined back for its cosine (so a trainer can filter
+    false negatives / mine hard ones by score). NO RNG, NO
+    transcendentals except the family's rounded output — fully
+    oracle-checked.
+
+    Scale shape: the draw is a projection (one broadcast count scalar);
+    the two embedding joins are hash joins on the id — at 100 TB
+    pre-bucket the embedding table by id and both joins are zero-exchange
+    (sources/layout.py). Engine-added (training-data family: the pair-
+    generation member beside packing q104 and splits q111/q119)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).persist()
+    nf = emb.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    r = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg"),
+                        F.col("j").cast("string"),
+                        F.lit("|"),
+                        F.col("anchor_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("__n")
+    )
+    neg = (
+        emb.select(F.col("vec_id").alias("anchor_id"))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "anchor_id",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+            "__n",
+        )
+        .withColumn("__r", r)
+        .select(
+            "anchor_id",
+            "j",
+            (
+                (F.col("__r") + (F.col("__r") == F.col("anchor_id")).cast("long"))
+                % F.col("__n")
+            ).alias("neg_id"),
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("__ea"))
+    b = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("__eb"))
+    return (
+        neg.join(a, "anchor_id")
+        .join(b, "neg_id")
+        .select(
+            "anchor_id",
+            "j",
+            "neg_id",
+            F.round(sim.cosine(F.col("__ea"), F.col("__eb")), 6).alias("cos"),
+        )
+    )
+
+
+@register(
+    "q137_clustering_coeff",
+    """
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    x AS (SELECT doc_id, unnest(w) AS w FROM w),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ca AS (SELECT w, count(*)::BIGINT AS c FROM x GROUP BY w),
+    p AS (
+      SELECT a.w AS w_a, b.w AS w_b, count(*)::BIGINT AS c_ab
+      FROM x a JOIN x b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    e AS (
+      SELECT p.w_a AS a, p.w_b AS b
+      FROM p JOIN ca ca1 ON p.w_a = ca1.w JOIN ca ca2 ON p.w_b = ca2.w
+      CROSS JOIN n
+      WHERE round(ln((p.c_ab * n.n) / (ca1.c * ca2.c)), 6) > 0
+    ),
+    deg AS (
+      SELECT vertex, count(*)::BIGINT AS degree
+      FROM (SELECT unnest([a, b]) AS vertex FROM e) GROUP BY vertex
+    ),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    ),
+    tc AS (
+      SELECT vertex, count(*)::BIGINT AS n_triangles
+      FROM (SELECT unnest([a, b, c]) AS vertex FROM tri)
+      GROUP BY vertex
+    )
+    SELECT deg.vertex, deg.degree,
+           coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+           (coalesce(tc.n_triangles, 0) * 2.0)
+             / (deg.degree * (deg.degree - 1)) AS clustering_coeff
+    FROM deg LEFT JOIN tc ON deg.vertex = tc.vertex
+    WHERE deg.degree >= 2
+    """,
+)
+def q137_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient over the positive-PMI word
+    graph — the interpretation layer on q130's triangles: cc ≈ 1 marks
+    clique-like (template) neighborhoods, cc ≈ 0 with high degree marks
+    chains/stars where transitive dedup would over-merge. Exact-integer
+    counts, ONE long/long IEEE division emitted unrounded (float policy);
+    degree-<2 vertices excluded (undefined). Library form
+    :func:`graph.clustering_coefficients`."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    edges = (
+        cp.pmi_cooccurrence(d, min_pairs=5)
+        .where(F.col("pmi") > 0)
+        .select(F.col("w_a").alias("src"), F.col("w_b").alias("dst"))
+        .persist()
+    )
+    return gr.clustering_coefficients(edges)
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6130,6 +6295,8 @@ _FINAL_ORDER = [
     "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
     "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
     "q135_rake_keywords",
+    # -- round-4 additions past the 50-slot window (driver rows in r5)
+    "q136_negative_sampling", "q137_clustering_coeff",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

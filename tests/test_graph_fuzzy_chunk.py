@@ -374,3 +374,23 @@ def test_pmi_cooccurrence_collocation_beats_independents(spark):
         spark.createDataFrame(rows), min_pairs=5).collect()}
     assert out[("alpha", "beta")].pmi > 0.5
     assert ("pairword", "rare") not in out  # support 2 < 5
+
+
+def test_clustering_coefficients_triangle_plus_pendant(spark):
+    """Triangle {1,2,3} with a pendant 4 on vertex 3: cc=1.0 for 1 and 2
+    (deg 2, one triangle), cc=1/3 for 3 (deg 3, one of three possible),
+    vertex 4 (deg 1) excluded."""
+    from soict20221_bigdata_financialplatform_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=1),
+         Row(src=3, dst=4)]
+    )
+    out = {r.vertex: r for r in clustering_coefficients(edges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].clustering_coeff == 1.0
+    assert out[2].clustering_coeff == 1.0
+    assert out[3].degree == 3 and out[3].n_triangles == 1
+    assert abs(out[3].clustering_coeff - 1 / 3) < 1e-12
