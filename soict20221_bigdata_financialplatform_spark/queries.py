@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from soict20221_bigdata_financialplatform_spark.functions import indicators as ind
@@ -6252,6 +6252,163 @@ def q137_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.clustering_coefficients(edges)
 
 
+_BARS_SQL = """
+    bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             max(value) AS high, min(value) AS low,
+             arg_max(value, ts) AS close, count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    )"""
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars (q24's construction, the indicator batch's input)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q138_atr",
+    "WITH" + _BARS_SQL + """,
+    tr AS (
+      SELECT user_id, day, high, low, close,
+             CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(close) OVER w),
+                                abs(low - lag(close) OVER w))
+             END AS tr
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day, tr,
+           round(avg(tr) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS atr14
+    FROM tr
+    """,
+)
+def q138_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (Wilder 1978, simple-mean form) over q24's daily
+    bars — the volatility member of the reference's indicator family
+    (change/RSI/EMA at to_db.py:40-49; engine-added alongside Bollinger
+    q95 / MACD q96). TR = max(high−low, |high−prev_close|, |low−prev_close|)
+    is a per-row chain on exact bar values (unrounded, bit-exact); ATR is
+    the trailing-14 mean (order-dependent → round 6 both engines). One
+    window exchange per key serves both the lag and the frame."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    tr = F.when(prev.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev),
+            F.abs(F.col("low") - prev),
+        )
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rowsBetween(-13, 0)
+    return (
+        _bars(spark, sf_dir)
+        .withColumn("tr", tr)
+        .select(
+            "user_id", "day", "tr",
+            F.round(F.avg("tr").over(wf), 6).alias("atr14"),
+        )
+    )
+
+
+@register(
+    "q139_stochastic",
+    "WITH" + _BARS_SQL + """,
+    k AS (
+      SELECT user_id, day, close,
+             CASE WHEN max(high) OVER f <> min(low) OVER f THEN
+               100.0 * (close - min(low) OVER f)
+                     / (max(high) OVER f - min(low) OVER f)
+             END AS pct_k
+      FROM bars
+      WINDOW f AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, pct_k,
+           round(avg(pct_k) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS pct_d
+    FROM k
+    """,
+)
+def q139_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K fast / %D slow) over q24's daily bars:
+    %K = 100·(close − min14_low)/(max14_high − min14_low) — a per-row
+    chain on exact rolling extrema (unrounded; ANSI-guarded NULL when the
+    14-day range is flat), %D = trailing-3 mean of %K (order-dependent →
+    round 6; NULLs skipped identically both engines). The %K frame and
+    the lag-free %D frame share the one per-key exchange."""
+    f = Window.partitionBy("user_id").orderBy("day").rowsBetween(-13, 0)
+    hi, lo = F.max("high").over(f), F.min("low").over(f)
+    k = F.when(hi != lo, F.lit(100.0) * (F.col("close") - lo) / (hi - lo))
+    d = Window.partitionBy("user_id").orderBy("day").rowsBetween(-2, 0)
+    return (
+        _bars(spark, sf_dir)
+        .withColumn("pct_k", k)
+        .select(
+            "user_id", "day", "pct_k",
+            F.round(F.avg("pct_k").over(d), 6).alias("pct_d"),
+        )
+    )
+
+
+@register(
+    "q140_obv",
+    "WITH" + _BARS_SQL + """,
+    d AS (
+      SELECT user_id, day, n_events,
+             CASE WHEN lag(close) OVER w IS NULL THEN 0
+                  WHEN close > lag(close) OVER w THEN 1
+                  WHEN close < lag(close) OVER w THEN -1
+                  ELSE 0 END AS dir
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day, dir,
+           (sum(dir * n_events) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS obv
+    FROM d
+    """,
+)
+def q140_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume (Granville 1963) over q24's daily bars, with the
+    bar's event count as the volume proxy: signed running sum of volume by
+    close-to-close direction. The accumulation is an INTEGER cumsum —
+    exact, no rounding needed (the window-sum HUGEINT hasher burn is
+    handled by casting to BIGINT in the oracle, r2-q38 lesson)."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    direction = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("close") > prev, F.lit(1))
+        .when(F.col("close") < prev, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    cum = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        _bars(spark, sf_dir)
+        .withColumn("dir", direction)
+        .select(
+            "user_id", "day", "dir",
+            F.sum(F.col("dir") * F.col("n_events")).over(cum).cast("long").alias("obv"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6297,6 +6454,7 @@ _FINAL_ORDER = [
     "q135_rake_keywords",
     # -- round-4 additions past the 50-slot window (driver rows in r5)
     "q136_negative_sampling", "q137_clustering_coeff",
+    "q138_atr", "q139_stochastic", "q140_obv",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
