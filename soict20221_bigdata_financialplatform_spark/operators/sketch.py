@@ -137,40 +137,73 @@ def cms_estimates(
     matrix; the min is a ``depth``-row groupBy per item. Merge across
     corpora/streams = add matrices (counts are additive — the mergeable-
     summary property)."""
-    rows = F.array(*[F.lit(s) for s in range(depth)])
+    matrix = cms_matrix(df, col, depth=depth, width=width)
+    return cms_query(matrix, query_items, col, depth=depth, width=width)
 
-    def _bucket():
-        # bucket(s, x) = md5-prefix("cms{s}|" + x) mod width
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.concat(F.lit("cms"), F.col("__s").cast("string")),
-                            F.lit("|"),
-                            F.col(col).cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
+
+def _cms_bucket(col: str, width: int):
+    # bucket(s, x) = md5-prefix("cms{s}|" + x) mod width
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.concat(F.lit("cms"), F.col("__s").cast("string")),
+                        F.lit("|"),
+                        F.col(col).cast("string"),
+                    )
                 ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
 
-    matrix = (
+
+def cms_matrix(
+    df: DataFrame, col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """The CM counter matrix as a (row, bucket, count) frame — ≤ depth×width
+    rows total. MERGEABLE: the sketch of a union is the key-wise SUM of the
+    two matrices (:func:`cms_merge`), which is what makes it maintainable
+    incrementally over streaming micro-batches or per-shard corpora."""
+    rows = F.array(*[F.lit(s) for s in range(depth)])
+    return (
         df.select(col)
         .select(col, F.explode(rows).alias("__s"))
-        .select("__s", _bucket().alias("__b"))
+        .select("__s", _cms_bucket(col, width).alias("__b"))
         .groupBy("__s", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CM matrices (same depth/width/hash family): key-wise
+    counter addition — sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    exactly, pinned by pytest."""
+    return (
+        a.unionByName(b)
+        .groupBy("__s", "__b")
+        .agg(F.sum("__c").alias("__c"))
+    )
+
+
+def cms_query(
+    matrix: DataFrame,
+    query_items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-estimate read path over a prebuilt :func:`cms_matrix`."""
+    rows = F.array(*[F.lit(s) for s in range(depth)])
     probes = (
         query_items.select(col)
         .select(col, F.explode(rows).alias("__s"))
-        .select(col, "__s", _bucket().alias("__b"))
+        .select(col, "__s", _cms_bucket(col, width).alias("__b"))
     )
     return (
         probes.join(matrix, ["__s", "__b"])

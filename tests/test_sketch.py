@@ -101,3 +101,45 @@ def test_cms_est_bounds(spark):
         item = f"item{i}"
         assert est[item] >= truth[item]
         assert est[item] <= truth[item] + eps * n
+
+
+def test_cms_mergeable(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly — counter
+    matrices are additive, the property that makes the CM sketch
+    maintainable over micro-batches / per-shard corpora."""
+    from pyspark.sql import Row
+    from soict20221_bigdata_financialplatform_spark.operators.sketch import (
+        cms_matrix, cms_merge,
+    )
+
+    a = spark.createDataFrame([Row(item=f"a{i % 7}") for i in range(50)])
+    b = spark.createDataFrame([Row(item=f"b{i % 5}") for i in range(30)])
+    merged = {(r["__s"], r["__b"]): r["__c"] for r in cms_merge(
+        cms_matrix(a, "item"), cms_matrix(b, "item")).collect()}
+    union = {(r["__s"], r["__b"]): r["__c"] for r in cms_matrix(
+        a.unionByName(b), "item").collect()}
+    assert merged == union
+
+
+def test_microunit_scores_partition_invariant(spark):
+    """The integer micro-unit machinery's core claim: DSIR and perplexity
+    scores are bit-identical regardless of partitioning (1 vs 32
+    partitions), because per-doc accumulations are exact integer sums."""
+    from soict20221_bigdata_financialplatform_spark.operators.corpus import (
+        dsir_scores, lm_perplexity_scores,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+        for i in range(60)
+    ]
+    one = spark.createDataFrame(rows).repartition(1)
+    many = spark.createDataFrame(rows).repartition(32)
+    tgt = F.col("doc_id") % 3 == 0
+    d1 = sorted((r.doc_id, r.dsir_score) for r in dsir_scores(one, tgt).collect())
+    d2 = sorted((r.doc_id, r.dsir_score) for r in dsir_scores(many, tgt).collect())
+    assert d1 == d2
+    p1 = sorted((r.doc_id, r.ppl_proxy) for r in lm_perplexity_scores(one).collect())
+    p2 = sorted((r.doc_id, r.ppl_proxy) for r in lm_perplexity_scores(many).collect())
+    assert p1 == p2
