@@ -210,3 +210,41 @@ def cms_query(
         .groupBy(col)
         .agg(F.min("__c").alias("cms_est"))
     )
+
+
+def cms_store_update(
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> None:
+    """foreachBatch body for INCREMENTAL CM-sketch maintenance over a
+    stream: write this micro-batch's matrix under its ``batch_id``
+    partition with dynamic partition overwrite — REPLAY-IDEMPOTENT (a
+    redelivered batch overwrites its own partition instead of
+    double-counting; the (partition, batch_id) overwrite pattern of the
+    bar sink, invariant 5). The store is the set of per-batch matrices;
+    :func:`cms_store_matrix` folds them by counter addition (mergeable-
+    summary property) at query time — or compact periodically with the
+    same groupBy. State on disk is ≤ batches·depth·width tiny rows."""
+    m = cms_matrix(batch, col, depth=depth, width=width).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
+    (
+        m.write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(store_path)
+    )
+
+
+def cms_store_matrix(spark, store_path: str) -> DataFrame:
+    """The current global CM matrix: key-wise sum of every per-batch
+    matrix in the store."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("__s", "__b")
+        .agg(F.sum("__c").alias("__c"))
+    )

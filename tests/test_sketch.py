@@ -143,3 +143,29 @@ def test_microunit_scores_partition_invariant(spark):
     p1 = sorted((r.doc_id, r.ppl_proxy) for r in lm_perplexity_scores(one).collect())
     p2 = sorted((r.doc_id, r.ppl_proxy) for r in lm_perplexity_scores(many).collect())
     assert p1 == p2
+
+
+def test_cms_store_incremental_and_replay_idempotent(spark, tmp_path):
+    """Streaming maintenance: per-batch matrices land under batch_id
+    partitions (dynamic overwrite), the global matrix is their key-wise
+    sum, and REPLAYING a batch (foreachBatch redelivery) changes
+    nothing."""
+    from pyspark.sql import Row
+    from soict20221_bigdata_financialplatform_spark.operators.sketch import (
+        cms_matrix, cms_store_matrix, cms_store_update,
+    )
+
+    store = str(tmp_path / "cms_store")
+    b0 = spark.createDataFrame([Row(item=f"x{i % 5}") for i in range(40)])
+    b1 = spark.createDataFrame([Row(item=f"y{i % 3}") for i in range(20)])
+    cms_store_update(b0, 0, store, "item")
+    cms_store_update(b1, 1, store, "item")
+
+    def snap(df):
+        return {(r["__s"], r["__b"]): r["__c"] for r in df.collect()}
+
+    want = snap(cms_matrix(b0.unionByName(b1), "item"))
+    assert snap(cms_store_matrix(spark, store)) == want
+    # replay batch 1: idempotent, not double-counted
+    cms_store_update(b1, 1, store, "item")
+    assert snap(cms_store_matrix(spark, store)) == want
