@@ -6409,6 +6409,220 @@ def q140_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q141_seasonal_decompose",
+    "WITH" + _BARS_SQL + """,
+    tr AS (
+      SELECT user_id, day, close,
+             round(avg(close) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS trend
+      FROM bars
+    ),
+    se AS (
+      SELECT user_id, dayofweek(day) + 1 AS dow,
+             sum(CAST(floor((close - trend) * 1000000.0 + 0.5) AS BIGINT))
+               ::BIGINT AS sm,
+             count(*)::BIGINT AS cnt
+      FROM tr GROUP BY 1, 2
+    )
+    SELECT tr.user_id, tr.day, tr.close, tr.trend,
+           se.sm / (1000000.0 * se.cnt) AS seasonal,
+           tr.close - tr.trend - se.sm / (1000000.0 * se.cnt) AS residual
+    FROM tr JOIN se ON tr.user_id = se.user_id
+                   AND dayofweek(tr.day) + 1 = se.dow
+    """,
+)
+def q141_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition over q24's daily close
+    series: trend = centered 7-day mean (partial frames at the series
+    edges, identical semantics both engines), seasonal = per-(user,
+    day-of-week) mean of the detrended series, residual = the remainder —
+    the anomaly-monitoring baseline STL approximates. The trend mean is
+    order-dependent → rounded 6 (a ≤7-element frame); the seasonal mean
+    rides the micro-unit INTEGER machinery (per-row detrended values
+    quantized half-up, exact integer sum, one final division) because a
+    plain rounded mean over ~60-row groups straddled a 6dp half-way
+    boundary at sf0.01 (8 rows split the engines). The residual is then a
+    two-subtraction chain on identical doubles (unrounded). Day-of-week
+    numbering differs
+    across engines (Spark 1=Sunday, DuckDB 0=Sunday) — the oracle writes
+    ``dayofweek(day) + 1``; the grouping partitions are identical either
+    way, alignment only matters because the join key crosses the two
+    frames. Scale: one per-user window + one tiny (user, dow) agg
+    broadcast back."""
+    tw = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+    tr = _bars(spark, sf_dir).select(
+        "user_id",
+        "day",
+        "close",
+        F.round(F.avg("close").over(tw), 6).alias("trend"),
+    )
+    se = tr.groupBy(
+        "user_id", F.dayofweek("day").alias("__dow")
+    ).agg(
+        F.sum(
+            F.floor((F.col("close") - F.col("trend")) * 1000000.0 + 0.5).cast(
+                "long"
+            )
+        ).alias("__sm"),
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+    )
+    seasonal = F.col("__sm") / (F.lit(1000000.0) * F.col("__cnt"))
+    return (
+        tr.withColumn("__dow", F.dayofweek("day"))
+        .join(se, ["user_id", "__dow"])
+        .select(
+            "user_id", "day", "close", "trend",
+            seasonal.alias("seasonal"),
+            (F.col("close") - F.col("trend") - seasonal).alias("residual"),
+        )
+    )
+
+
+@register(
+    "q142_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1992-01-01', max(o_orderdate)::DATE)
+               ::BIGINT AS r_days,
+             count(*)::BIGINT AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(r_days, 0.25), 6) AS r1,
+             round(quantile_cont(r_days, 0.50), 6) AS r2,
+             round(quantile_cont(r_days, 0.75), 6) AS r3,
+             round(quantile_cont(frequency, 0.25), 6) AS f1,
+             round(quantile_cont(frequency, 0.50), 6) AS f2,
+             round(quantile_cont(frequency, 0.75), 6) AS f3,
+             round(quantile_cont(monetary, 0.25), 6) AS m1,
+             round(quantile_cont(monetary, 0.50), 6) AS m2,
+             round(quantile_cont(monetary, 0.75), 6) AS m3
+      FROM cust
+    )
+    SELECT o_custkey, r_days, frequency, monetary,
+           (1 + (r_days > r1)::INT + (r_days > r2)::INT + (r_days > r3)::INT)
+             ::BIGINT AS r_score,
+           (1 + (frequency > f1)::INT + (frequency > f2)::INT
+              + (frequency > f3)::INT)::BIGINT AS f_score,
+           (1 + (monetary > m1)::INT + (monetary > m2)::INT
+              + (monetary > m3)::INT)::BIGINT AS m_score
+    FROM cust CROSS JOIN cuts
+    """,
+)
+def q142_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quartile
+    scores, the classic CRM analytics operator) — WITHOUT the global ntile
+    window the textbook formulation uses (banned registry-wide: a global
+    ordered window is a single-partition sort). Instead: one grouped agg
+    per customer, ONE row of exact interpolated quartile cut-points
+    (q37's percentile == quantile_cont equivalence, rounded 6) broadcast
+    back, scores as integer threshold comparisons — scales to any
+    customer count. Recency rides as integer days since the TPC-H epoch;
+    monetary is the rounded money sum (float policy)."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("r_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    cuts = cust.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {q})"), 6).alias(f"{c[0]}{i}")
+            for c in ("r_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(c: str) -> F.Column:
+        p = c[0]
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{p}1")).cast("int")
+            + (F.col(c) > F.col(f"{p}2")).cast("int")
+            + (F.col(c) > F.col(f"{p}3")).cast("int")
+        ).cast("long")
+
+    return cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey", "r_days", "frequency", "monetary",
+        score("r_days").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
+
+
+@register(
+    "q143_assoc_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM b),
+    ca AS (SELECT l_partkey, count(*)::BIGINT AS c FROM b GROUP BY 1),
+    p AS (
+      SELECT a.l_partkey AS part_a, bb.l_partkey AS part_b,
+             count(*)::BIGINT AS c_ab
+      FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                        AND a.l_partkey < bb.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.c_ab,
+           p.c_ab / n.n AS support,
+           p.c_ab / ca1.c AS conf_a_to_b,
+           p.c_ab / ca2.c AS conf_b_to_a,
+           (p.c_ab * n.n) / (ca1.c * ca2.c) AS lift
+    FROM p
+    JOIN ca ca1 ON p.part_a = ca1.l_partkey
+    JOIN ca ca2 ON p.part_b = ca2.l_partkey
+    CROSS JOIN n
+    """,
+)
+def q143_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994's measures
+    over order baskets): part pairs co-ordered in ≥ 3 orders with support,
+    both confidence directions and lift — all single IEEE divisions of
+    exact integer counts (unrounded, bit-exact). The pair build is an
+    equi-join on the order key — quadratic only WITHIN a basket (TPC-H
+    baskets are ≤ ~13 items; cap pathological baskets upstream at open
+    scale), the same posting-list shape as q31/q129. Engine-added
+    (completes the co-occurrence family with the transactional member)."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n = b.agg(F.count_distinct("l_orderkey").cast("long").alias("__n"))
+    ca = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    a_side = b.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b_side = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a_side.join(b_side, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    return (
+        pairs.join(
+            ca.select(F.col("l_partkey").alias("part_a"), F.col("__c").alias("__ca")),
+            "part_a",
+        )
+        .join(
+            ca.select(F.col("l_partkey").alias("part_b"), F.col("__c").alias("__cb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "c_ab",
+            (F.col("c_ab") / F.col("__n")).alias("support"),
+            (F.col("c_ab") / F.col("__ca")).alias("conf_a_to_b"),
+            (F.col("c_ab") / F.col("__cb")).alias("conf_b_to_a"),
+            ((F.col("c_ab") * F.col("__n")) / (F.col("__ca") * F.col("__cb"))).alias(
+                "lift"
+            ),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6455,6 +6669,7 @@ _FINAL_ORDER = [
     # -- round-4 additions past the 50-slot window (driver rows in r5)
     "q136_negative_sampling", "q137_clustering_coeff",
     "q138_atr", "q139_stochastic", "q140_obv",
+    "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
