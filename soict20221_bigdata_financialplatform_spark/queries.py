@@ -6623,6 +6623,94 @@ def q143_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUST_CENTS_SQL = """
+    rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(floor(round(sum(o.o_totalprice), 2) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )"""
+
+
+def _cust_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer revenue in exact integer CENTS, keyed by nation — the
+    shared input of the concentration metrics (q144/q145). The rounded
+    money sum (float policy) is quantized half-up so every downstream
+    accumulation is integer-exact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.floor(F.round(F.sum("o_totalprice"), 2) * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+@register(
+    "q144_gini_concentration",
+    "WITH" + _CUST_CENTS_SQL + """,
+    ranked AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS i
+      FROM rev
+    )
+    SELECT c_nationkey, count(*)::BIGINT AS n_customers,
+           (2.0 * sum(i * cents)) / (count(*)::DOUBLE * sum(cents))
+             - (count(*) + 1.0) / count(*) AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def q144_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per nation (the
+    inequality metric via the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    over ascending-sorted x): all accumulations are sums of exact integer
+    CENTS (and rank·cents products), so the only floats are the final
+    division chain — identical expression trees, unrounded, bit-exact.
+    Rank ties break on the customer key; the window partitions by nation
+    (never global). Engine-added (concentration family with q145)."""
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    r = _cust_cents(spark, sf_dir).withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return r.groupBy("c_nationkey").agg(
+        n.cast("long").alias("n_customers"),
+        (
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("cents")))
+            / (n.cast("double") * F.sum("cents"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q145_hhi_concentration",
+    "WITH" + _CUST_CENTS_SQL + """
+    SELECT c_nationkey, count(*)::BIGINT AS n_customers,
+           sum(cents * cents) / (sum(cents)::DOUBLE * sum(cents)::DOUBLE)
+             AS hhi
+    FROM rev GROUP BY c_nationkey
+    """,
+)
+def q145_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of customer-revenue concentration per
+    nation: HHI = Σ shareᵢ² computed as Σcentsᵢ² / (Σcents)² — numerator
+    and denominator stay exact integers until ONE final division (the
+    denominator squares in double to dodge int64 overflow at large SF;
+    int→double conversion is identically rounded in both engines). 1/n ≤
+    HHI ≤ 1; pairs with q144's Gini as the concentration family."""
+    r = _cust_cents(spark, sf_dir)
+    s0 = F.sum("cents").cast("double")
+    return r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum(F.col("cents") * F.col("cents")) / (s0 * s0)).alias("hhi"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6670,6 +6758,7 @@ _FINAL_ORDER = [
     "q136_negative_sampling", "q137_clustering_coeff",
     "q138_atr", "q139_stochastic", "q140_obv",
     "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
+    "q144_gini_concentration", "q145_hhi_concentration",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
