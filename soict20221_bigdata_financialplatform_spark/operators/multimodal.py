@@ -761,6 +761,130 @@ def _decode_jpeg(b: bytes) -> dict | None:
     }
 
 
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> bytearray | None:
+    """GIF-variant LZW decompress (variable code width, LSB-first bit
+    order, clear/end codes) → palette-index bytes; None on a corrupt
+    stream. Stops once ``n_pixels`` indices are produced."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out if len(out) >= n_pixels else None
+            if code < len(table):
+                entry = table[code]
+                if not entry and prev is None:
+                    return None
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None  # corrupt: code beyond the table
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                # width grows when the NEXT code could index the new slot
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out if len(out) >= n_pixels else None
+
+
+def _decode_gif(b: bytes) -> dict | None:
+    """Pure-python decode of a GIF87a/89a FIRST frame: LZW decompress
+    (variable-width, LSB-first), de-interlace if flagged, map palette →
+    true dimensions + mean RGB. Same no-external-libs precedent as the
+    PNG inflate + JPEG Huffman/IDCT decoders; animation frames beyond the
+    first are ignored (the mean is the first frame's). Returns None if
+    not a GIF; dims-only for streams this parser can't finish."""
+    import struct
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, packed = struct.unpack_from("<HHB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    out = {"width": sw, "height": sh, "mean_r": None, "mean_g": None,
+           "mean_b": None}
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return out
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:  # unknown block: bail with dims
+            return out
+        if pos + 9 > len(b):
+            return out
+        _, _, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = b[pos : pos + 3 * n]
+            pos += 3 * n
+        if pos >= len(b) or pal is None or w == 0 or h == 0:
+            return out
+        min_code = b[pos]
+        pos += 1
+        if not (2 <= min_code <= 11):
+            return out
+        lzw = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            lzw += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw(bytes(lzw), min_code, w * h)
+        if idx is None:
+            return out
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deinter = bytearray(w * h)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for row in range(start, h, step):
+                    deinter[row * w : (row + 1) * w] = idx[src : src + w]
+                    src += w
+            idx = deinter
+        sr = sg = sb = 0
+        npal = len(pal) // 3
+        for i in idx[: w * h]:
+            if i >= npal:
+                return out
+            sr += pal[3 * i]
+            sg += pal[3 * i + 1]
+            sb += pal[3 * i + 2]
+        n = w * h
+        out.update(width=w, height=h, mean_r=sr / n, mean_g=sg / n,
+                   mean_b=sb / n)
+        return out
+    return out
+
+
 def _decode_webp(b: bytes) -> dict | None:
     """WebP header decode — dimensions without any codec, covering all three
     container layouts: VP8X (extended: 24-bit canvas dims), VP8L (lossless:
@@ -801,7 +925,7 @@ def decode_image(content: bytes) -> dict:
     contract.
     """
     for parser in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg,
-                   _decode_webp):
+                   _decode_gif, _decode_webp):
         out = parser(content)
         if out is not None:
             return out
