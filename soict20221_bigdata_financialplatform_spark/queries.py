@@ -6711,6 +6711,86 @@ def q145_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q146_integrity_audit",
+    """
+    SELECT 'orphan_lineitems' AS check_name,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             ::BIGINT AS n_violations,
+           (SELECT count(*) FROM lineitem)::BIGINT AS n_scanned
+    UNION ALL
+    SELECT 'orders_without_lines',
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+             ::BIGINT,
+           (SELECT count(*) FROM orders)::BIGINT
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)::BIGINT,
+           (SELECT count(*) FROM lineitem)::BIGINT
+    UNION ALL
+    SELECT 'null_custkey',
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT,
+           (SELECT count(*) FROM orders)::BIGINT
+    UNION ALL
+    SELECT 'duplicate_orderkeys',
+           (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT,
+           (SELECT count(*) FROM orders)::BIGINT
+    """,
+)
+def q146_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity / data-quality audit over the orders↔lineitem
+    relationship — the pre-pipeline contract check (orphan facts, childless
+    orders, nonpositive quantities, null keys, duplicate primary keys) a
+    dataset build runs before trusting joins. Each check is a LEFT
+    SEMI/ANTI join or a grouped count (the q83 EXISTS pattern — never a
+    nested-loop), emitted as one tidy (check, violations, scanned) frame;
+    counts are exact longs. Complements the single-table profile
+    (`corpus.profile`, q54) with the CROSS-table member."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    okeys = o.select("o_orderkey")
+    lkeys = li.select("l_orderkey")
+
+    def row(name: str, viol: DataFrame, scanned: DataFrame) -> DataFrame:
+        v = viol.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        s = scanned.agg(F.count(F.lit(1)).cast("long").alias("n_scanned"))
+        return (
+            v.crossJoin(F.broadcast(s))
+            .select(
+                F.lit(name).alias("check_name"), "n_violations", "n_scanned"
+            )
+        )
+
+    checks = [
+        row(
+            "orphan_lineitems",
+            li.join(okeys, li["l_orderkey"] == okeys["o_orderkey"], "left_anti"),
+            li,
+        ),
+        row(
+            "orders_without_lines",
+            o.join(lkeys, o["o_orderkey"] == lkeys["l_orderkey"], "left_anti"),
+            o,
+        ),
+        row("nonpositive_quantity", li.where(F.col("l_quantity") <= 0), li),
+        row("null_custkey", o.where(F.col("o_custkey").isNull()), o),
+        row(
+            "duplicate_orderkeys",
+            o.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1),
+            o,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6759,6 +6839,7 @@ _FINAL_ORDER = [
     "q138_atr", "q139_stochastic", "q140_obv",
     "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
     "q144_gini_concentration", "q145_hhi_concentration",
+    "q146_integrity_audit",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
