@@ -6791,6 +6791,104 @@ def q146_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "q147_winsorized_stats",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.01), 6) AS lo,
+             round(quantile_cont(value, 0.99), 6) AS hi
+      FROM events GROUP BY event_type
+    ),
+    cl AS (
+      SELECT e.event_type,
+             least(greatest(e.value, c.lo), c.hi) AS v
+      FROM events e JOIN cuts c ON e.event_type = c.event_type
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+             / (1000000.0 * count(*)) AS winsorized_mean
+    FROM cl GROUP BY event_type
+    """,
+)
+def q147_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type — the robust-statistics complement to
+    q107's median/MAD screen: values clamped to the exact interpolated
+    [p01, p99] band (q37's percentile equivalence, thresholds rounded 6),
+    then averaged via the micro-unit INTEGER machinery (clamped values
+    quantized half-up, exact integer sum, one final division — the q141
+    lesson applied preemptively: plain rounded means over thousands-row
+    groups WILL straddle a 6dp half-way eventually). Scale: one grouped
+    percentile agg broadcast back as thresholds; clamp is a projection."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    cuts = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("__lo"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("__hi"),
+    )
+    cl = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")).alias(
+            "__v"
+        ),
+    )
+    return cl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.floor(F.col("__v") * 1000000.0 + 0.5).cast("long"))
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "q148_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             count(*)::BIGINT AS n_trans
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n_trans)::BIGINT AS n_from FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n_trans,
+           t.n_trans / tot.n_from AS p_transition
+    FROM t JOIN tot ON t.from_type = tot.from_type
+    """,
+)
+def q148_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (the user-journey / clickstream analytics primitive, and the
+    sequence-statistics sibling of the funnel q106): transition counts via
+    one per-user lag window (tiebreak event_id — the order-sensitivity
+    invariant), row-normalized probabilities as single exact-integer
+    divisions (unrounded, bit-exact). State is |types|² rows regardless of
+    corpus size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).withColumn("__prev", F.lag("event_type").over(w))
+    t = (
+        seq.where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    tot = t.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("__n_from")
+    )
+    return t.join(tot, "from_type").select(
+        "from_type", "to_type", "n_trans",
+        (F.col("n_trans") / F.col("__n_from")).alias("p_transition"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6839,7 +6937,8 @@ _FINAL_ORDER = [
     "q138_atr", "q139_stochastic", "q140_obv",
     "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
     "q144_gini_concentration", "q145_hhi_concentration",
-    "q146_integrity_audit",
+    "q146_integrity_audit", "q147_winsorized_stats",
+    "q148_markov_transitions",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
