@@ -6889,6 +6889,85 @@ def q148_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q149_zipf_fit",
+    """
+    WITH wc AS (
+      SELECT lang, word, count(*)::BIGINT AS cnt
+      FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+            FROM documents)
+      GROUP BY lang, word
+    ),
+    rk AS (
+      SELECT lang, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, word) AS r
+      FROM wc
+    ),
+    q AS (
+      SELECT lang,
+             CAST(floor(round(ln(r), 6) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(round(ln(cnt), 6) * 1000000.0 + 0.5) AS BIGINT) AS yq,
+             CAST(floor(round(ln(r), 6) * round(ln(cnt), 6) * 1000000.0 + 0.5)
+                  AS BIGINT) AS xyq,
+             CAST(floor(round(ln(r), 6) * round(ln(r), 6) * 1000000.0 + 0.5)
+                  AS BIGINT) AS xxq
+      FROM rk
+    )
+    SELECT lang, count(*)::BIGINT AS n_vocab,
+           (count(*)::DOUBLE * sum(xyq)::DOUBLE * 1000000.0
+              - sum(xq)::DOUBLE * sum(yq)::DOUBLE)
+           / (count(*)::DOUBLE * sum(xxq)::DOUBLE * 1000000.0
+              - sum(xq)::DOUBLE * sum(xq)::DOUBLE) AS zipf_slope
+    FROM q GROUP BY lang
+    """,
+)
+def q149_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: least-squares slope of ln(freq) on
+    ln(rank) over the vocabulary (natural text ≈ −1; a corpus whose slope
+    drifts is the classic crawl-quality / boilerplate-contamination
+    signal). Ranking windows partition by lang (never global); both logs
+    round AT the transcendental, the per-word x/y/xy/x² terms quantize to
+    BIGINT micro-units (exact integer sums — the q126 machinery), and the
+    closed-form slope is evaluated in double with an identical operation
+    order both engines (products cast to double BEFORE multiplying —
+    Sx·Sy overflows int64 at web-scale vocabularies)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wc = (
+        d.select("lang", F.explode(tx.words("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "word")
+    x = F.round(F.log(F.col("r")), 6)
+    y = F.round(F.log(F.col("cnt")), 6)
+
+    def q6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000.0 + 0.5).cast("long")
+
+    qd = wc.withColumn("r", F.row_number().over(w)).select(
+        "lang",
+        q6(x).alias("xq"),
+        q6(y).alias("yq"),
+        q6(x * y).alias("xyq"),
+        q6(x * x).alias("xxq"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("xq").cast("double")
+    sy = F.sum("yq").cast("double")
+    sxy = F.sum("xyq").cast("double")
+    sxx = F.sum("xxq").cast("double")
+    return qd.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        (
+            (n * sxy * F.lit(1000000.0) - sx * sy)
+            / (n * sxx * F.lit(1000000.0) - sx * sx)
+        ).alias("zipf_slope"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -6938,7 +7017,7 @@ _FINAL_ORDER = [
     "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
     "q144_gini_concentration", "q145_hhi_concentration",
     "q146_integrity_audit", "q147_winsorized_stats",
-    "q148_markov_transitions",
+    "q148_markov_transitions", "q149_zipf_fit",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
