@@ -911,6 +911,46 @@ def _decode_webp(b: bytes) -> dict | None:
     return out
 
 
+def _decode_tiff(b: bytes) -> dict | None:
+    """TIFF header decode (both byte orders): walk the first IFD for
+    ImageWidth (256) / ImageLength (257) — dimensions without a codec
+    (pixel data may be any of TIFF's many compressions, so means stay
+    None, the WebP precedent). Returns None if not TIFF; None rather than
+    dims-only when the IFD is unreadable (magic alone proves nothing —
+    stay loud)."""
+    import struct
+
+    if len(b) < 8 or b[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    end = "<" if b[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(end + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        return None
+    (n_entries,) = struct.unpack_from(end + "H", b, ifd_off)
+    w = h = None
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(b):
+            break
+        tag, typ, cnt = struct.unpack_from(end + "HHI", b, off)
+        if tag not in (256, 257) or cnt != 1:
+            continue
+        if typ == 3:  # SHORT: value left-justified in the 4-byte field
+            (val,) = struct.unpack_from(end + "H", b, off + 8)
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack_from(end + "I", b, off + 8)
+        else:
+            continue
+        if tag == 256:
+            w = val
+        else:
+            h = val
+    if w is None or h is None:
+        return None
+    return {"width": w, "height": h,
+            "mean_r": None, "mean_g": None, "mean_b": None}
+
+
 def decode_image(content: bytes) -> dict:
     """Decode an image blob to {width, height, mean_r, mean_g, mean_b}.
 
@@ -925,7 +965,7 @@ def decode_image(content: bytes) -> dict:
     contract.
     """
     for parser in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg,
-                   _decode_gif, _decode_webp):
+                   _decode_gif, _decode_webp, _decode_tiff):
         out = parser(content)
         if out is not None:
             return out

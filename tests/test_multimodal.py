@@ -1364,3 +1364,20 @@ def test_decode_gif_corrupt_stream_dims_only():
     d = mm.decode_image(bytes(blob[: len(blob) - 6]))
     assert (d["width"], d["height"]) == (3, 2)
     assert d["mean_r"] is None
+
+
+def test_decode_tiff_both_byte_orders():
+    import struct
+
+    def tiff(end, fmt_short):
+        # header + IFD at offset 8 with 2 entries (width SHORT, height LONG)
+        hdr = (b"II*\x00" if end == "<" else b"MM\x00*") + struct.pack(end + "I", 8)
+        entries = struct.pack(end + "H", 2)
+        entries += struct.pack(end + "HHI", 256, 3, 1) + struct.pack(end + "H", 640) + b"\x00\x00"
+        entries += struct.pack(end + "HHI", 257, 4, 1) + struct.pack(end + "I", 480)
+        return hdr + entries + struct.pack(end + "I", 0)
+
+    for end in ("<", ">"):
+        d = mm.decode_image(tiff(end, True))
+        assert (d["width"], d["height"]) == (640, 480)
+        assert d["mean_r"] is None
