@@ -84,6 +84,9 @@ HEADLINE = [
     "q131_pq_adc",
     "q132_windowed_pmi",
     "q133_ivfpq",
+    "q135_rake_keywords",
+    "q143_assoc_rules",
+    "q149_zipf_fit",
 ]
 
 

@@ -6968,6 +6968,73 @@ def q149_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q150_cusum_drift",
+    "WITH" + _BARS_SQL + """,
+    q AS (
+      SELECT user_id, day,
+             CAST(floor(close * 1000000.0 + 0.5) AS BIGINT) AS xq
+      FROM bars
+    ),
+    t AS (
+      SELECT user_id,
+             ((sum(xq) - sum(xq) % count(*)) / count(*))::BIGINT AS tq
+      FROM q GROUP BY user_id
+    ),
+    c AS (
+      SELECT q.user_id, q.day,
+             sum(q.xq - t.tq) OVER (PARTITION BY q.user_id ORDER BY q.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum
+      FROM q JOIN t ON q.user_id = t.user_id
+    )
+    SELECT user_id, day,
+           ((cum - least(0, min(cum) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT)
+             / 1000000.0 AS cusum,
+           (cum - least(0, min(cum) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+             > 50000000 AS alarm
+    FROM c
+    """,
+)
+def q150_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954) over q24's daily closes
+    — the classic change-point monitor: sₙ = max(0, sₙ₋₁ + (xₙ − target)),
+    alarm when sₙ exceeds the decision interval (here 50 price units).
+    The nonlinear recursion is NOT unrolled: it rides the closed-form
+    identity sₙ = Cₙ − min(0, min_{j≤n} Cⱼ) over the plain cumsum — two
+    shared-frame windows instead of a recursive CTE / applyInPandas (the
+    EMA family's machinery isn't needed when the recursion has a
+    prefix-min identity). EVERYTHING is integer micro-units — the per-user
+    target is an exact floored integer mean, the cumsum and prefix-min are
+    BIGINT — so the recursion is exact at any parallelism; the emitted
+    cusum is one final division."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    cumw = w.rowsBetween(Window.unboundedPreceding, 0)
+    q = _bars(spark, sf_dir).select(
+        "user_id", "day",
+        F.floor(F.col("close") * 1000000.0 + 0.5).cast("long").alias("xq"),
+    )
+    t = q.groupBy("user_id").agg(
+        (
+            (F.sum("xq") - F.sum("xq") % F.count(F.lit(1)))
+            / F.count(F.lit(1))
+        ).cast("long").alias("tq")
+    )
+    c = q.join(t, "user_id").withColumn(
+        "cum", F.sum(F.col("xq") - F.col("tq")).over(cumw).cast("long")
+    )
+    s = (F.col("cum") - F.least(F.lit(0).cast("long"), F.min("cum").over(cumw))).cast(
+        "long"
+    )
+    return c.select(
+        "user_id", "day",
+        (s / 1000000.0).alias("cusum"),
+        (s > 50000000).alias("alarm"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7017,7 +7084,7 @@ _FINAL_ORDER = [
     "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
     "q144_gini_concentration", "q145_hhi_concentration",
     "q146_integrity_audit", "q147_winsorized_stats",
-    "q148_markov_transitions", "q149_zipf_fit",
+    "q148_markov_transitions", "q149_zipf_fit", "q150_cusum_drift",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",

@@ -270,3 +270,39 @@ def test_holt_linear_golden_recursion(spark):
     got = [(r.holt_level, r.holt_trend) for r in rows]
     for (gl, gt), (el, et) in zip(got, exp):
         assert gl == pytest.approx(el, abs=1e-9) and gt == pytest.approx(et, abs=1e-9)
+
+
+def test_cusum_identity_matches_reference_recursion(spark):
+    """q150's closed form s_n = C_n - min(0, prefix-min C) equals the
+    textbook recursion s_n = max(0, s_{n-1} + d_n) on a drifting series."""
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+    import datetime
+    import os
+
+    import duckdb
+
+    # drive the registry query on real testdata, then re-walk the recursion
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["q150_cusum_drift"](spark, sf).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.day)):
+        by_user.setdefault(r.user_id, []).append(r)
+    bars = duckdb.sql(f"""
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               arg_max(value, ts) AS close
+        FROM '{os.path.join(sf, "events.parquet")}' GROUP BY 1, 2
+        ORDER BY 1, 2""").fetchall()
+    series = {}
+    for uid, day, close in bars:
+        series.setdefault(uid, []).append(int(close * 1_000_000 + 0.5))
+    checked = 0
+    for uid, rows in by_user.items():
+        xs = series[uid]
+        n = len(xs)
+        tq = (sum(xs) - sum(xs) % n) // n
+        s = 0
+        for i, r in enumerate(rows):
+            s = max(0, s + xs[i] - tq)
+            assert abs(r.cusum - s / 1_000_000) < 1e-9, (uid, i)
+            checked += 1
+    assert checked > 300
