@@ -7035,6 +7035,113 @@ def q150_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q151_oracle_sql(nlist: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of q151: the q51-shared Lloyd prefix, then per-vector
+    simplified-silhouette terms over the final centroids and a per-cell
+    micro-unit mean."""
+    sq = _LLOYD_SQ.format(v="v.emb", c="c.cv")
+    ctes = _lloyd_cells_ctes(nlist, iters)
+    ctes.append(
+        f"d2 AS (SELECT v.vec_id, v.cell, c.cid, {sq} AS d "
+        f"FROM cells v CROSS JOIN c{iters} c)"
+    )
+    ctes.append(
+        "ab AS (SELECT vec_id, cell, "
+        "min(d) FILTER (WHERE cid = cell) AS a, "
+        "min(d) FILTER (WHERE cid <> cell) AS b "
+        "FROM d2 GROUP BY vec_id, cell)"
+    )
+    ctes.append(
+        "s AS (SELECT vec_id, cell, CASE WHEN greatest(a, b) > 0 THEN "
+        "CAST(floor((b - a) / greatest(a, b) * 1000000.0 + 0.5) AS BIGINT) "
+        "ELSE 0 END AS sq FROM ab)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT cell, count(*)::BIGINT AS n,"
+        " sum(sq)::BIGINT / (1000000.0 * count(*)) AS mean_silhouette"
+        " FROM s GROUP BY cell"
+    )
+
+
+@register("q151_silhouette", _q151_oracle_sql())
+def q151_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per cluster for q51's
+    deterministic Lloyd k-means — the clustering-quality evaluator the
+    kmeans family (q51/q72/q127/q131/q133) reports against: per vector
+    s = (b − a)/max(a, b) with a = squared distance to the OWN centroid
+    and b = to the nearest OTHER centroid (Kaufman's O(n·k) simplification
+    of the O(n²) pairwise silhouette — the form that scales). a, b and s
+    are per-row chains on the bit-identical trained centroids (unrounded);
+    the per-cell mean rides micro-unit integer sums. One broadcast of the
+    k centroids; the corpus never shuffles except the final cell agg."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    init = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    cents = sim.kmeans_lloyd_det(emb, init, iters=2).localCheckpoint(eager=True)
+    carr = F.broadcast(
+        cents.agg(
+            F.collect_list(
+                F.struct(F.col("cent_id").alias("cid"), F.col("embedding").alias("cv"))
+            ).alias("__cents")
+        )
+    )
+
+    def _sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _sq(F.col("embedding"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    staged = (
+        emb.crossJoin(carr)
+        .withColumn("__ds", dists)
+        .withColumn("cell", F.array_min(F.col("__ds"))["cid"])
+        .withColumn(
+            "__a",
+            F.array_min(
+                F.filter(F.col("__ds"), lambda c: c["cid"] == F.col("cell"))
+            )["d"],
+        )
+        .withColumn(
+            "__b",
+            F.array_min(
+                F.filter(F.col("__ds"), lambda c: c["cid"] != F.col("cell"))
+            )["d"],
+        )
+    )
+    sq_ = F.when(
+        F.greatest("__a", "__b") > 0,
+        F.floor(
+            (F.col("__b") - F.col("__a"))
+            / F.greatest("__a", "__b")
+            * 1000000.0
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        staged.withColumn("__sq", sq_)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum("__sq") / (F.lit(1000000.0) * F.count(F.lit(1)))
+            ).alias("mean_silhouette"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7085,6 +7192,7 @@ _FINAL_ORDER = [
     "q144_gini_concentration", "q145_hhi_concentration",
     "q146_integrity_audit", "q147_winsorized_stats",
     "q148_markov_transitions", "q149_zipf_fit", "q150_cusum_drift",
+    "q151_silhouette",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
