@@ -7198,6 +7198,225 @@ def q152_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q153_token_budget_mixture",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             len(string_split(trim(text), ' '))::BIGINT AS n_tokens,
+             md5('mix42|' || doc_id::VARCHAR) AS h
+      FROM documents
+    ),
+    budgets AS (
+      SELECT * FROM (VALUES ('en', 6000), ('zh', 3000), ('de', 2000),
+                            ('fr', 2000), ('es', 1000)) AS t(lang, budget)
+    ),
+    c AS (
+      SELECT w.doc_id, w.lang, w.n_tokens, b.budget,
+             sum(w.n_tokens) OVER (PARTITION BY w.lang
+               ORDER BY w.h, w.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_tokens
+      FROM w JOIN budgets b ON w.lang = b.lang
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= budget
+    """,
+)
+def q153_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixture (the pretraining "mixture weights"
+    operator: fill each language's token quota, not a row quota): docs
+    ordered by a seeded md5 hash (key-stable — a corpus rebuild picks the
+    same docs, q111's property), running token cumsum per language,
+    kept while under that language's budget. The cumsum is an exact
+    INTEGER window (no float anywhere); budgets ride as a broadcast
+    literal frame. Per-stratum windows only — never global. A doc
+    straddling the boundary is dropped (strict under-budget semantics,
+    deterministic both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    budgets = spark.createDataFrame(
+        [("en", 6000), ("zh", 3000), ("de", 2000), ("fr", 2000), ("es", 1000)],
+        ["lang", "budget"],
+    )
+    w = d.select(
+        "doc_id",
+        "lang",
+        F.size(tx.words("text")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("mix42|"), F.col("doc_id").cast("string"))).alias(
+            "__h"
+        ),
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        w.join(F.broadcast(budgets), "lang")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(win).cast("long"))
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "q154_rrf_hybrid",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n,
+             round(avg(len(w)), 6) AS avgdl
+      FROM w
+    ),
+    tok AS (
+      SELECT doc_id, len(w)::BIGINT AS dl, word, count(*) ::BIGINT AS tf
+      FROM (SELECT doc_id, w, unnest(w) AS word FROM w)
+      WHERE word IN ('spark', 'join', 'hash')
+      GROUP BY doc_id, len(w), word
+    ),
+    df AS (SELECT word, count(*)::BIGINT AS df FROM tok GROUP BY word),
+    bm AS (
+      SELECT tok.doc_id,
+             round(sum(round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+               * (tok.tf * 2.2)
+               / (tok.tf + 1.2 * (0.25 + 0.75 * tok.dl / stats.avgdl))), 6)
+               AS score
+      FROM tok JOIN df ON tok.word = df.word CROSS JOIN stats
+      GROUP BY tok.doc_id
+    ),
+    bmtop AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+    bmarr AS (
+      SELECT list_sort(list({'ns': -score, 'd': doc_id})) AS s FROM bmtop
+    ),
+    bmrank AS (
+      SELECT x.s[t.i].d AS doc_id, t.i::BIGINT AS r
+      FROM bmarr x, UNNEST(range(1, len(x.s) + 1)) AS t(i)
+    ),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+    q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+    sc AS (
+      SELECT e.vec_id AS doc_id,
+             list_sum(list_transform(range(1, len(e.emb) + 1),
+                      i -> e.emb[i] * q.qe[i]))
+             / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS cos
+      FROM e CROSS JOIN q
+    ),
+    antop AS (SELECT doc_id, cos FROM sc ORDER BY cos DESC, doc_id LIMIT 20),
+    anarr AS (
+      SELECT list_sort(list({'ns': -cos, 'd': doc_id})) AS s FROM antop
+    ),
+    anrank AS (
+      SELECT x.s[t.i].d AS doc_id, t.i::BIGINT AS r
+      FROM anarr x, UNNEST(range(1, len(x.s) + 1)) AS t(i)
+    )
+    SELECT coalesce(bm.doc_id, an.doc_id) AS doc_id,
+           bm.r AS bm25_rank, an.r AS ann_rank,
+           coalesce(1.0 / (60 + bm.r), 0.0)
+             + coalesce(1.0 / (60 + an.r), 0.0) AS rrf
+    FROM bmrank bm FULL OUTER JOIN anrank an ON bm.doc_id = an.doc_id
+    """,
+)
+def q154_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of the two retrieval
+    legs — BM25 lexical (q122's scoring) and embedding cosine (q34's, the
+    embeddings table aligning 1:1 with doc_ids) — the standard hybrid-
+    search combiner: rrf = Σ 1/(60 + rankᵢ). Both legs keep only top-20
+    via TakeOrderedAndProject; ranks come from collecting each tiny top-k
+    into ONE row, array_sort on (−score, id) structs, posexplode — no
+    global ordered window (registry ban) and no OR-condition self-join
+    (invariant 13: that plans BNLJ). The fusion is a full-outer join — a
+    doc ranked by one leg only still fuses. 1/(60+r)
+    is a single-op chain; bm25 rounding follows q122's transcendental
+    policy."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    terms = ("spark", "join", "hash")
+    staged = d.select("doc_id", tx.words("text").alias("__w"))
+    stats = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.round(F.avg(F.size("__w")), 6).alias("__avgdl"),
+    )
+    tok = (
+        staged.select(
+            "doc_id",
+            F.size("__w").cast("long").alias("__dl"),
+            F.explode("__w").alias("__word"),
+        )
+        .where(F.col("__word").isin(*terms))
+        .groupBy("doc_id", "__dl", "__word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    df_ = tok.groupBy("__word").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    idf = F.round(
+        F.log(
+            (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+        ),
+        6,
+    )
+    bm = (
+        tok.join(F.broadcast(df_), "__word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf
+                    * (F.col("__tf") * 2.2)
+                    / (
+                        F.col("__tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("__dl") / F.col("__avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    bmtop = bm.orderBy(F.desc("score"), "doc_id").limit(20)
+
+    def toprank(top: DataFrame, score_col: str) -> DataFrame:
+        arr = top.agg(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("ns"), F.col("doc_id").alias("d")
+                )
+            ).alias("s")
+        )
+        return arr.select(
+            F.posexplode(F.array_sort("s")).alias("__i", "__e")
+        ).select(
+            F.col("__e.d").alias("doc_id"),
+            (F.col("__i") + 1).cast("long").alias("r"),
+        )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    qv = F.broadcast(
+        emb.where(F.col("doc_id") == 0).select(F.col("emb").alias("qe"))
+    )
+    sc = emb.crossJoin(qv).select(
+        "doc_id", sim.cosine(F.col("emb"), F.col("qe")).alias("cos")
+    )
+    antop = sc.orderBy(F.desc("cos"), "doc_id").limit(20)
+    bmrank = toprank(bmtop, "score").withColumnRenamed("r", "bm25_rank")
+    anrank = toprank(antop, "cos").withColumnRenamed("r", "ann_rank")
+    return bmrank.join(anrank, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        (
+            F.coalesce(1.0 / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("ann_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7249,6 +7468,7 @@ _FINAL_ORDER = [
     "q146_integrity_audit", "q147_winsorized_stats",
     "q148_markov_transitions", "q149_zipf_fit", "q150_cusum_drift",
     "q151_silhouette", "q152_phrase_search",
+    "q153_token_budget_mixture", "q154_rrf_hybrid",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
