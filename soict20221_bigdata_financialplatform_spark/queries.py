@@ -7417,6 +7417,91 @@ def q154_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q155_item_cf",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ca AS (SELECT l_partkey, count(*)::BIGINT AS c FROM b GROUP BY 1),
+    p AS (
+      SELECT a.l_partkey AS part_a, bb.l_partkey AS part_b,
+             count(*)::BIGINT AS c_ab
+      FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                        AND a.l_partkey < bb.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT part_a AS part, part_b AS other, c_ab FROM p
+      UNION ALL
+      SELECT part_b, part_a, c_ab FROM p
+    ),
+    scored AS (
+      SELECT s.part, s.other, s.c_ab,
+             s.c_ab / sqrt(ca1.c * ca2.c) AS ochiai
+      FROM sym s
+      JOIN ca ca1 ON s.part = ca1.l_partkey
+      JOIN ca ca2 ON s.other = ca2.l_partkey
+    )
+    SELECT part, other, c_ab, ochiai, rnk FROM (
+      SELECT part, other, c_ab, ochiai,
+             row_number() OVER (PARTITION BY part
+                                ORDER BY ochiai DESC, other) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q155_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ("customers who bought X also
+    bought"): Ochiai association c_ab/√(c_a·c_b) over order-basket
+    co-occurrence (q143's pair machinery symmetrized), top-5 neighbors per
+    part via a part-partitioned window. √ is IEEE-exact-rounded (usable
+    raw, CLAUDE.md float policy) and the integer product under it converts
+    identically, so the score is a bit-exact single-op chain; ranking
+    orders by the unrounded score with the neighbor id tiebreak (q51
+    precedent). At scale this is THE cheap recommender: pair counts are
+    the model, bounded by co-occurrence sparsity, never n²."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().persist()
+    ca = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    a_side = b.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b_side = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    p = (
+        a_side.join(b_side, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    sym = p.select(
+        F.col("part_a").alias("part"), F.col("part_b").alias("other"), "c_ab"
+    ).unionByName(
+        p.select(
+            F.col("part_b").alias("part"), F.col("part_a").alias("other"), "c_ab"
+        )
+    )
+    scored = (
+        sym.join(
+            ca.select(F.col("l_partkey").alias("part"), F.col("__c").alias("__ca")),
+            "part",
+        )
+        .join(
+            ca.select(F.col("l_partkey").alias("other"), F.col("__c").alias("__cb")),
+            "other",
+        )
+        .select(
+            "part", "other", "c_ab",
+            (F.col("c_ab") / F.sqrt(F.col("__ca") * F.col("__cb"))).alias(
+                "ochiai"
+            ),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("ochiai"), "other")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("part", "other", "c_ab", "ochiai", "rnk")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7468,7 +7553,7 @@ _FINAL_ORDER = [
     "q146_integrity_audit", "q147_winsorized_stats",
     "q148_markov_transitions", "q149_zipf_fit", "q150_cusum_drift",
     "q151_silhouette", "q152_phrase_search",
-    "q153_token_budget_mixture", "q154_rrf_hybrid",
+    "q153_token_budget_mixture", "q154_rrf_hybrid", "q155_item_cf",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
