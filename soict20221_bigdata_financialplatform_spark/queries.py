@@ -7502,6 +7502,146 @@ def q155_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q156_pareto_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             p_size::BIGINT AS sz
+      FROM part
+    ),
+    m AS (
+      SELECT p_partkey, p_brand, cents, sz,
+             max(sz) OVER (PARTITION BY p_brand ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper
+      FROM p
+    )
+    SELECT p_partkey, p_brand, cents / 100.0 AS price, sz AS size
+    FROM m
+    WHERE best_cheaper IS NULL OR sz > best_cheaper
+    """,
+)
+def q156_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per brand on (price↓, size↑): a part
+    survives iff no STRICTLY cheaper same-brand part has ≥ its size — the
+    classic multi-objective dominance query, computed WITHOUT the naive
+    inequality self-join (which plans BNLJ, invariant 13): price quantized
+    to integer cents, one brand-partitioned window with an integer
+    RANGE … 1 PRECEDING frame gives "best size among strictly cheaper",
+    and the skyline is a filter. Equal-price ties both survive unless
+    dominated by a strictly cheaper part (the frame excludes the current
+    price tier — deterministic, order-within-tie irrelevant). All
+    comparisons on exact integers; price re-emitted as one division."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long").alias(
+            "__cents"
+        ),
+        F.col("p_size").cast("long").alias("__sz"),
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("__cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m = p.withColumn("__best", F.max("__sz").over(w))
+    return m.where(
+        F.col("__best").isNull() | (F.col("__sz") > F.col("__best"))
+    ).select(
+        "p_partkey",
+        "p_brand",
+        (F.col("__cents") / 100.0).alias("price"),
+        F.col("__sz").alias("size"),
+    )
+
+
+@register(
+    "q157_ab_test",
+    """
+    WITH a AS (
+      SELECT user_id % 2 AS variant, user_id,
+             count(*) FILTER (WHERE event_type = 'purchase') * 5 > count(*)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, count(*)::BIGINT AS n,
+             count(*) FILTER (WHERE converted)::BIGINT AS conv
+      FROM a GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n END)::BIGINT AS n0,
+        max(CASE WHEN variant = 0 THEN conv END)::BIGINT AS c0,
+        max(CASE WHEN variant = 1 THEN n END)::BIGINT AS n1,
+        max(CASE WHEN variant = 1 THEN conv END)::BIGINT AS c1
+      FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           c0 / n0 AS p0, c1 / n1 AS p1,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+             (c1 / n1 - c0 / n0)
+               / sqrt(((c0 + c1) / (n0 + n1)) * (1.0 - (c0 + c1) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))
+           END AS z_score
+    FROM wide
+    """,
+)
+def q157_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on per-user conversion with users split into
+    variants by id parity — the experimentation analytics primitive.
+    "Converted" = above-20%-share purchase propensity (a raw "ever
+    purchased" flag saturates at 100% on this data — pooled rate 1.0 and
+    the z denominator hits exactly zero, which ANSI mode turns into a
+    runtime error; the guard is the invariant-4 division rule and the
+    CASE keeps degenerate experiments NULL instead of crashing). Every
+    input to the z statistic is an exact integer count, so p0/p1/pooled/z
+    are a pure division-sqrt chain (√ IEEE-exact) — bit-exact unrounded
+    with identical expression trees. One row out; the per-user agg
+    map-side combines."""
+    a = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.count_if(F.col("event_type") == "purchase") * 5
+                > F.count(F.lit(1))
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "converted")
+    )
+    v = a.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("converted")).cast("long").alias("conv"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).cast("long").alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).cast("long").alias("c1"),
+    )
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = F.when(
+        (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+        (
+            F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")
+        ) / F.sqrt(
+            pooled * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        (F.col("c0") / F.col("n0")).alias("p0"),
+        (F.col("c1") / F.col("n1")).alias("p1"),
+        z.alias("z_score"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7554,6 +7694,7 @@ _FINAL_ORDER = [
     "q148_markov_transitions", "q149_zipf_fit", "q150_cusum_drift",
     "q151_silhouette", "q152_phrase_search",
     "q153_token_budget_mixture", "q154_rrf_hybrid", "q155_item_cf",
+    "q156_pareto_skyline", "q157_ab_test",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
