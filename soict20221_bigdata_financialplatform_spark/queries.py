@@ -7642,6 +7642,71 @@ def q157_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q158_dau_wau",
+    """
+    WITH pres AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE))::BIGINT AS d
+      FROM events
+    ),
+    dau AS (SELECT d, count(*)::BIGINT AS dau FROM pres GROUP BY d),
+    cover AS (
+      SELECT DISTINCT user_id, pres.d + t.i AS cd
+      FROM pres, UNNEST(range(0, 7)) AS t(i)
+    ),
+    wau AS (SELECT cd AS d, count(*)::BIGINT AS wau FROM cover GROUP BY cd)
+    SELECT DATE '1970-01-01' + dau.d::INT AS day, dau.dau, wau.wau,
+           dau.dau / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q158_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics engagement triple. The sliding DISTINCT (WAU) is NOT a
+    window (count-distinct over frames isn't supported and a range join
+    would be quadratic): each (user, active-day) presence row COVERS the
+    next 7 days via a 7-element explode, distinct collapses multi-active
+    users, one grouped count per covered day — O(7·presence) rows, all
+    equi-keyed. Day arithmetic rides integer epoch-days both engines;
+    stickiness is one exact-integer division. Days only materialize where
+    DAU exists (inner join drops the trailing ghost cover)."""
+    e = _t(spark, sf_dir, "events")
+    pres = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("d"),
+        )
+        .distinct()
+        .persist()
+    )
+    dau = pres.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = (
+        pres.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__i"),
+            "d",
+        )
+        .select("user_id", (F.col("d") + F.col("__i")).alias("cd"))
+        .distinct()
+    )
+    wau = cover.groupBy(F.col("cd").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return dau.join(wau, "d").select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias(
+            "day"
+        ),
+        "dau",
+        "wau",
+        (F.col("dau") / F.col("wau")).alias("stickiness"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7694,7 +7759,7 @@ _FINAL_ORDER = [
     "q148_markov_transitions", "q149_zipf_fit", "q150_cusum_drift",
     "q151_silhouette", "q152_phrase_search",
     "q153_token_budget_mixture", "q154_rrf_hybrid", "q155_item_cf",
-    "q156_pareto_skyline", "q157_ab_test",
+    "q156_pareto_skyline", "q157_ab_test", "q158_dau_wau",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
