@@ -7707,6 +7707,49 @@ def q158_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q159_cycle_time",
+    """
+    WITH ct AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate::DATE,
+                       max(l.l_shipdate)::DATE)::BIGINT AS days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           round(quantile_cont(days, 0.5), 6) AS p50_days,
+           round(quantile_cont(days, 0.9), 6) AS p90_days,
+           round(quantile_cont(days, 0.99), 6) AS p99_days
+    FROM ct GROUP BY o_orderpriority
+    """,
+)
+def q159_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment cycle time (order date → last line shipped) as
+    exact interpolated percentiles per priority class — the operations-SLA
+    report. Day differences are exact integers; the percentile
+    interpolation follows q37's percentile == quantile_cont equivalence,
+    rounded 6. One order-keyed agg (co-partitioned join) + one tiny
+    priority agg."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ct = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.max("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).cast("long").alias("days")
+        )
+    )
+    return ct.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.9)"), 6).alias("p90_days"),
+        F.round(F.expr("percentile(days, 0.99)"), 6).alias("p99_days"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7760,6 +7803,7 @@ _FINAL_ORDER = [
     "q151_silhouette", "q152_phrase_search",
     "q153_token_budget_mixture", "q154_rrf_hybrid", "q155_item_cf",
     "q156_pareto_skyline", "q157_ab_test", "q158_dau_wau",
+    "q159_cycle_time",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
