@@ -7750,6 +7750,68 @@ def q159_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q160_cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m,
+             o_totalprice
+      FROM orders
+    ),
+    first_m AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort, o.m - f.cohort AS age,
+             CAST(floor(round(sum(o.o_totalprice), 2) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM o JOIN first_m f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cohort, o.m - f.cohort
+    )
+    SELECT cohort, age, cents / 100.0 AS revenue,
+           (sum(cents) OVER (PARTITION BY cohort ORDER BY age
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             / 100.0 AS cum_revenue
+    FROM rev
+    """,
+)
+def q160_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (cumulative revenue per acquisition-cohort age in
+    months) — the lifetime-value companion to q89's retention triangle.
+    Month arithmetic is integer (year·12+month both engines); per-(cohort,
+    age) revenue is the rounded money sum quantized to exact CENTS, so the
+    cumulative is an INTEGER window sum (exact at any parallelism, the
+    q140/q150 pattern) and both emitted values are one final division.
+    Windows partition by cohort — never global."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+        "o_totalprice",
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    rev = (
+        o.join(first_m, "o_custkey")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("age"))
+        .agg(
+            F.floor(F.round(F.sum("o_totalprice"), 2) * 100.0 + 0.5)
+            .cast("long")
+            .alias("__cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "cohort",
+        "age",
+        (F.col("__cents") / 100.0).alias("revenue"),
+        (F.sum("__cents").over(w).cast("long") / 100.0).alias("cum_revenue"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7803,7 +7865,7 @@ _FINAL_ORDER = [
     "q151_silhouette", "q152_phrase_search",
     "q153_token_budget_mixture", "q154_rrf_hybrid", "q155_item_cf",
     "q156_pareto_skyline", "q157_ab_test", "q158_dau_wau",
-    "q159_cycle_time",
+    "q159_cycle_time", "q160_cohort_ltv",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
