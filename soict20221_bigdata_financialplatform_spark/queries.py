@@ -7812,6 +7812,188 @@ def q160_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q161_bloom_semijoin",
+    """
+    SELECT l.l_orderkey, count(*)::BIGINT AS n_lines,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                          + 0.5) AS BIGINT))::BIGINT / 100.0 AS revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_totalprice > 400000)
+    GROUP BY l.l_orderkey
+    """,
+)
+def q161_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-style prefilter + exact semi-join: lineitems of
+    high-value orders, pre-filtered by the 2¹⁶-slot BUCKET SET of the
+    qualifying keys (a single-hash Bloom filter expressed relationally: a
+    broadcast semi-join on ``xxhash64(key) mod 2¹⁶`` — k=1, false
+    positives allowed) BEFORE the exact LEFT SEMI join. The manual form
+    of the runtime-bloom injection the planner already does for q10
+    (plan-asserted), usable across stages/jobs where the optimizer can't
+    see both sides (the build side materialized by another job). Results
+    are identical to the plain semi-join — exactly what the oracle checks;
+    the prefilter only cuts shuffle volume (probe rows drop before the
+    exact join's exchange). Revenue quantizes the deterministic PER-ROW
+    discounted price to exact cents and integer-sums them (a group-level
+    round(2) straddled a half-cent boundary on 2/294 groups — the q141
+    lesson in money form)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    keys = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    buckets = keys.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(65536)).alias("__b")
+    ).distinct()
+    prefiltered = li.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64(li["l_orderkey"]), F.lit(65536)) == buckets["__b"],
+        "left_semi",
+    )
+    exact = prefiltered.join(
+        keys, prefiltered["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    )
+    return exact.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                    + 0.5
+                ).cast("long")
+            ).cast("long")
+            / 100.0
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "q162_interval_islands",
+    """
+    WITH iv AS (
+      SELECT l_suppkey,
+             date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS s
+      FROM lineitem
+    ),
+    d AS (SELECT DISTINCT l_suppkey, s FROM iv),
+    g AS (
+      SELECT l_suppkey, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY l_suppkey ORDER BY s)
+                       <= 7 THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    isl AS (
+      SELECT l_suppkey, s,
+             sum(brk) OVER (PARTITION BY l_suppkey ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM g
+    )
+    SELECT l_suppkey, island::BIGINT AS island,
+           (DATE '1970-01-01' + min(s)::INT) AS start_day,
+           (DATE '1970-01-01' + max(s)::INT) AS end_day,
+           count(*)::BIGINT AS n_ship_days,
+           (max(s) - min(s) + 1)::BIGINT AS span_days
+    FROM isl GROUP BY l_suppkey, island
+    """,
+)
+def q162_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each supplier's ship days into activity
+    ISLANDS (runs where consecutive ship days are ≤ 7 days apart) — the
+    classic interval-coalescing pattern (maintenance windows, sensor
+    uptime, supplier activity periods) in its canonical lag+cumsum form:
+    a break flag when the gap exceeds the tolerance, a running sum of
+    breaks as the island id. Integer epoch-day arithmetic throughout; one
+    supplier-keyed window exchange serves the lag, the cumsum and the
+    island agg. NULL lag (first row) is a break both engines (the CASE's
+    ELSE branch — NULL ≤ 7 is not TRUE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = (
+        li.select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("s")
+    brk = F.when(
+        (F.col("s") - F.lag("s").over(w)) <= 7, F.lit(0)
+    ).otherwise(F.lit(1))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    isl = d.withColumn("__brk", brk).withColumn(
+        "island", F.sum("__brk").over(cum).cast("long")
+    )
+    return isl.groupBy("l_suppkey", "island").agg(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.min("s").cast("int")).alias(
+            "start_day"
+        ),
+        F.date_add(F.lit("1970-01-01").cast("date"), F.max("s").cast("int")).alias(
+            "end_day"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_ship_days"),
+        (F.max("s") - F.min("s") + 1).cast("long").alias("span_days"),
+    ).select(
+        "l_suppkey", "island", "start_day", "end_day", "n_ship_days",
+        "span_days",
+    )
+
+
+@register(
+    "q163_longest_streak",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, rn - rnt AS grp,
+             count(*)::BIGINT AS streak
+      FROM seq GROUP BY user_id, event_type, rn - rnt
+    ),
+    mx AS (SELECT user_id, max(streak)::BIGINT AS mx FROM runs GROUP BY user_id)
+    SELECT r.user_id, mx.mx AS longest_streak,
+           min(r.event_type) AS streak_type
+    FROM runs r JOIN mx ON r.user_id = mx.user_id AND r.streak = mx.mx
+    GROUP BY r.user_id, mx.mx
+    """,
+)
+def q163_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest same-event-type run per user — the second classic
+    gaps-and-islands form (rn − rn_within_type is constant exactly along a
+    run). Both row_numbers share the (ts, event_id) order (the unique
+    tiebreak invariant) and the one user-keyed exchange. The reported
+    streak_type breaks max-ties deterministically: runs join back to the
+    per-user max and the MIN type among tied runs wins (DuckDB's arg_min
+    rejects struct ordering keys, so the min_by-on-struct idiom stays
+    Spark-only)."""
+    base = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        base.withColumn("__g", F.row_number().over(w_all) - F.row_number().over(w_typ))
+        .groupBy("user_id", "event_type", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("streak"))
+    ).persist()
+    mx = runs.groupBy("user_id").agg(
+        F.max("streak").cast("long").alias("longest_streak")
+    )
+    return (
+        runs.join(mx, "user_id")
+        .where(F.col("streak") == F.col("longest_streak"))
+        .groupBy("user_id", "longest_streak")
+        .agg(F.min("event_type").alias("streak_type"))
+        .select("user_id", "longest_streak", "streak_type")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -7865,7 +8047,8 @@ _FINAL_ORDER = [
     "q151_silhouette", "q152_phrase_search",
     "q153_token_budget_mixture", "q154_rrf_hybrid", "q155_item_cf",
     "q156_pareto_skyline", "q157_ab_test", "q158_dau_wau",
-    "q159_cycle_time", "q160_cohort_ltv",
+    "q159_cycle_time", "q160_cohort_ltv", "q161_bloom_semijoin",
+    "q162_interval_islands", "q163_longest_streak",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
