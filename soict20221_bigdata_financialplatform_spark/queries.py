@@ -7994,6 +7994,110 @@ def q163_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q164_rolling_autocorr",
+    "WITH" + _BARS_SQL + """,
+    r AS (
+      SELECT user_id, day,
+             CASE WHEN lag(close) OVER w IS NOT NULL
+                       AND lag(close) OVER w <> 0
+                  THEN close / lag(close) OVER w - 1.0 END AS ret
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    p AS (
+      SELECT user_id, day, ret,
+             lag(ret) OVER (PARTITION BY user_id ORDER BY day) AS ret_prev
+      FROM r
+    )
+    SELECT user_id, day,
+           round(corr(ret, ret_prev) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS autocorr20
+    FROM p
+    """,
+)
+def q164_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation of daily returns (trailing 20 bars) —
+    the mean-reversion / momentum regime signal. Returns are guarded
+    per-row chains (ANSI, invariant 4); the windowed Pearson corr is an
+    order-dependent accumulation → round 6 both engines (q91's moments
+    policy); frames with < 2 valid (ret, ret_prev) pairs emit NULL
+    identically. One user-keyed exchange feeds all three stacked
+    windows."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    ret = F.when(
+        prev.isNotNull() & (prev != 0), F.col("close") / prev - 1.0
+    )
+    f = w.rowsBetween(-19, 0)
+    return (
+        _bars(spark, sf_dir)
+        .withColumn("ret", ret)
+        .withColumn("ret_prev", F.lag("ret").over(w))
+        .select(
+            "user_id", "day",
+            F.round(F.corr("ret", "ret_prev").over(f), 6).alias("autocorr20"),
+        )
+    )
+
+
+@register(
+    "q165_var_cvar",
+    "WITH" + _BARS_SQL + """,
+    r AS (
+      SELECT user_id,
+             CASE WHEN lag(close) OVER w IS NOT NULL
+                       AND lag(close) OVER w <> 0
+                  THEN close / lag(close) OVER w - 1.0 END AS ret
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    v AS (
+      SELECT user_id, round(quantile_cont(ret, 0.05), 6) AS var95
+      FROM r WHERE ret IS NOT NULL GROUP BY user_id
+    ),
+    t AS (
+      SELECT r.user_id, v.var95,
+             CAST(floor(r.ret * 1000000.0 + 0.5) AS BIGINT) AS rq
+      FROM r JOIN v ON r.user_id = v.user_id
+      WHERE r.ret IS NOT NULL AND r.ret <= v.var95
+    )
+    SELECT user_id, var95, count(*)::BIGINT AS n_tail,
+           sum(rq)::BIGINT / (1000000.0 * count(*)) AS cvar95
+    FROM t GROUP BY user_id, var95
+    """,
+)
+def q165_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR(95) and CVaR/expected shortfall per user over daily
+    returns — the risk-measure pair. VaR = exact interpolated 5th
+    percentile of returns (q37 equivalence, rounded 6); CVaR = mean of
+    the tail at-or-below VaR, via micro-unit integer sums (tail groups are
+    dozens of rows — exactly the q141 straddle regime). Tail membership
+    compares bit-identical returns against the identically-rounded VaR —
+    the same set both engines."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    ret = F.when(
+        prev.isNotNull() & (prev != 0), F.col("close") / prev - 1.0
+    )
+    r = (
+        _bars(spark, sf_dir)
+        .withColumn("ret", ret)
+        .where(F.col("ret").isNotNull())
+        .select("user_id", "ret")
+        .persist()
+    )
+    v = r.groupBy("user_id").agg(
+        F.round(F.expr("percentile(ret, 0.05)"), 6).alias("var95")
+    )
+    t = r.join(v, "user_id").where(F.col("ret") <= F.col("var95"))
+    return t.groupBy("user_id", "var95").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        (
+            F.sum(F.floor(F.col("ret") * 1000000.0 + 0.5).cast("long"))
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("cvar95"),
+    ).select("user_id", "var95", "n_tail", "cvar95")
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -8049,6 +8153,7 @@ _FINAL_ORDER = [
     "q156_pareto_skyline", "q157_ab_test", "q158_dau_wau",
     "q159_cycle_time", "q160_cohort_ltv", "q161_bloom_semijoin",
     "q162_interval_islands", "q163_longest_streak",
+    "q164_rolling_autocorr", "q165_var_cvar",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
