@@ -8098,6 +8098,81 @@ def q165_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "var95", "n_tail", "cvar95")
 
 
+@register(
+    "q166_chi_square",
+    """
+    WITH a AS (
+      SELECT user_id % 2 AS variant,
+             count(*) FILTER (WHERE event_type = 'purchase') * 5 > count(*)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT variant, converted, count(*)::BIGINT AS o
+      FROM a GROUP BY variant, converted
+    ),
+    tot AS (
+      SELECT sum(o)::BIGINT AS n FROM cells
+    ),
+    marg AS (
+      SELECT c.variant, c.converted, c.o,
+             rv.rsum, cv.csum, tot.n
+      FROM cells c
+      JOIN (SELECT variant, sum(o)::BIGINT AS rsum FROM cells
+            GROUP BY variant) rv ON c.variant = rv.variant
+      JOIN (SELECT converted, sum(o)::BIGINT AS csum FROM cells
+            GROUP BY converted) cv ON c.converted = cv.converted
+      CROSS JOIN tot
+    )
+    SELECT sum(CAST(floor(
+             ((o - (rsum * csum) / n) * (o - (rsum * csum) / n))
+               / ((rsum * csum) / n) * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+             / 1000000.0 AS chi2,
+           count(*)::BIGINT AS n_cells
+    FROM marg
+    """,
+)
+def q166_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the 2×2 (variant × converted) table
+    — q157's z-test companion (χ² = z² on a 2×2; the χ² form generalizes
+    to any contingency shape): expected counts from exact-integer
+    marginals, per-cell (o−e)²/e terms are deterministic division chains
+    quantized to micro-units, the statistic an exact integer sum ÷ 1e6.
+    Cell/marginal/grand aggregates are all map-side-combined group-bys;
+    the marginals join back as broadcasts of ≤2 rows."""
+    a = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.count_if(F.col("event_type") == "purchase") * 5
+                > F.count(F.lit(1))
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "converted")
+    )
+    cells = a.groupBy("variant", "converted").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).persist()
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    rv = cells.groupBy("variant").agg(F.sum("o").cast("long").alias("rsum"))
+    cv = cells.groupBy("converted").agg(F.sum("o").cast("long").alias("csum"))
+    marg = (
+        cells.join(F.broadcast(rv), "variant")
+        .join(F.broadcast(cv), "converted")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("rsum") * F.col("csum")) / F.col("n")
+    term = ((F.col("o") - e) * (F.col("o") - e)) / e
+    return marg.agg(
+        (
+            F.sum(F.floor(term * 1000000.0 + 0.5).cast("long")).cast("long")
+            / 1000000.0
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -8153,7 +8228,7 @@ _FINAL_ORDER = [
     "q156_pareto_skyline", "q157_ab_test", "q158_dau_wau",
     "q159_cycle_time", "q160_cohort_ltv", "q161_bloom_semijoin",
     "q162_interval_islands", "q163_longest_streak",
-    "q164_rolling_autocorr", "q165_var_cvar",
+    "q164_rolling_autocorr", "q165_var_cvar", "q166_chi_square",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
