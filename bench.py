@@ -140,6 +140,13 @@ def main() -> None:
         ).save()
 
     for name in HEADLINE:
+        # drop the PREVIOUS queries' persisted frames before this block:
+        # library persist()s accumulate across ~60 headline entries and the
+        # resulting executor-memory pressure taxed late entries ~3x (q127
+        # measured 1.1s in isolation, 3.3-4.3s late in the bench order).
+        # Within the block nothing is cleared — min-of-3 still measures the
+        # query's own warm plan including its own caching behavior.
+        spark.catalog.clearCache()
         _timed(name, _query_runner(QUERIES[name]))
 
     # Reference-workload regression target (SURVEY §6 / BASELINE.md): the
