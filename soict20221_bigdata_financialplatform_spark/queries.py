@@ -8260,6 +8260,149 @@ def q167_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q168_capm_beta",
+    "WITH" + _BARS_SQL + """,
+    r AS (
+      SELECT user_id, day,
+             CASE WHEN lag(close) OVER w IS NOT NULL
+                       AND lag(close) OVER w <> 0
+                  THEN close / lag(close) OVER w - 1.0 END AS ret
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    mkt AS (
+      SELECT day,
+             sum(CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+               / (1000000.0 * count(*)) AS mret
+      FROM r WHERE ret IS NOT NULL GROUP BY day
+    ),
+    j AS (
+      SELECT r.user_id, r.ret, mkt.mret
+      FROM r JOIN mkt ON r.day = mkt.day WHERE r.ret IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             round(covar_pop(ret, mret), 6) AS cov_rm,
+             round(var_pop(mret), 6) AS var_m,
+             round(corr(ret, mret), 6) AS corr_rm
+      FROM j GROUP BY user_id
+    )
+    SELECT user_id, n, corr_rm,
+           CASE WHEN var_m <> 0 THEN cov_rm / var_m END AS beta
+    FROM s
+    """,
+)
+def q168_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM beta per user vs the equal-weighted market return:
+    β = cov(rᵢ, r_m)/var(r_m) — the systematic-risk measure completing
+    the risk family (VaR q165, drawdown/Sharpe q108). The market return
+    is a cross-sectional micro-unit mean per day (exact integers, the
+    q141 machinery); cov/var/corr are order-dependent accumulations →
+    round 6 both engines (q91 moments policy); β is one guarded division
+    of identically-rounded values. The join is day-keyed; the moment aggs
+    map-side combine."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    ret = F.when(prev.isNotNull() & (prev != 0), F.col("close") / prev - 1.0)
+    r = (
+        _bars(spark, sf_dir)
+        .withColumn("ret", ret)
+        .where(F.col("ret").isNotNull())
+        .select("user_id", "day", "ret")
+        .persist()
+    )
+    mkt = r.groupBy("day").agg(
+        (
+            F.sum(F.floor(F.col("ret") * 1000000.0 + 0.5).cast("long"))
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("mret")
+    )
+    j = r.join(mkt, "day")
+    s = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.covar_pop("ret", "mret"), 6).alias("cov_rm"),
+        F.round(F.var_pop("mret"), 6).alias("var_m"),
+        F.round(F.corr("ret", "mret"), 6).alias("corr_rm"),
+    )
+    return s.select(
+        "user_id", "n", "corr_rm",
+        F.when(F.col("var_m") != 0, F.col("cov_rm") / F.col("var_m")).alias(
+            "beta"
+        ),
+    )
+
+
+@register(
+    "q169_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                            + 0.5) AS BIGINT))::BIGINT AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    ),
+    tot AS (SELECT p_brand, sum(cents)::BIGINT AS t FROM rev GROUP BY p_brand),
+    c AS (
+      SELECT rev.p_brand, rev.l_partkey, rev.cents, tot.t,
+             sum(rev.cents) OVER (PARTITION BY rev.p_brand
+               ORDER BY rev.cents DESC, rev.l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum
+      FROM rev JOIN tot ON rev.p_brand = tot.p_brand
+    )
+    SELECT p_brand, l_partkey, cents / 100.0 AS revenue,
+           cum / t AS cum_share,
+           CASE WHEN cum * 10 <= t * 8 THEN 'A'
+                WHEN cum * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def q169_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory analysis per brand: parts ranked by revenue, running
+    cumulative share, classed A (top 80% of revenue), B (to 95%), C (tail)
+    — the classic Pareto-classification operator. Revenue rides exact
+    per-row cents (q161 lesson) so the cumulative is an INTEGER window
+    sum, the share ONE division, and the class thresholds INTEGER
+    cross-multiplications (cum·10 ≤ t·8 avoids comparing floats at the
+    boundary — exact both engines). Windows partition by brand, never
+    global."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                    + 0.5
+                ).cast("long")
+            ).cast("long").alias("cents")
+        )
+    )
+    tot = rev.groupBy("p_brand").agg(F.sum("cents").cast("long").alias("t"))
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("cents"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = rev.join(tot, "p_brand").withColumn(
+        "cum", F.sum("cents").over(w).cast("long")
+    )
+    return c.select(
+        "p_brand",
+        "l_partkey",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.col("cum") / F.col("t")).alias("cum_share"),
+        F.when(F.col("cum") * 10 <= F.col("t") * 8, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -8316,7 +8459,7 @@ _FINAL_ORDER = [
     "q159_cycle_time", "q160_cohort_ltv", "q161_bloom_semijoin",
     "q162_interval_islands", "q163_longest_streak",
     "q164_rolling_autocorr", "q165_var_cvar", "q166_chi_square",
-    "q167_langid_eval",
+    "q167_langid_eval", "q168_capm_beta", "q169_abc_analysis",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
