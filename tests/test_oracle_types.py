@@ -19,3 +19,30 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     rc = parity_check.audit(sf_dir, only=None)
     out = capsys.readouterr().out
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
+
+
+def test_final_order_window_r4_rotation():
+    """The driver checks the FIRST 50 registry entries. Pin the round-4
+    window: 10 sentinels up front, every window entry oracle-backed, the
+    rows-only six dead last, and the full registry covered exactly once."""
+    from soict20221_bigdata_financialplatform_spark.queries import (
+        _FINAL_ORDER, ORACLE, QUERIES,
+    )
+
+    assert len(_FINAL_ORDER) == len(set(_FINAL_ORDER)) == len(QUERIES)
+    sentinels = [
+        "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
+        "q11_outer_join_activity", "q22_rsi", "q23_ema", "q30_exact_dedup",
+        "q50_decimal_money", "q53_near_dup_clusters",
+        "q64_embedding_near_dup_lsh",
+    ]
+    assert _FINAL_ORDER[:10] == sentinels
+    window = _FINAL_ORDER[:50]
+    assert all(name in ORACLE for name in window), [
+        n for n in window if n not in ORACLE
+    ]
+    rows_only = {
+        "q32_minhash_pairs", "q33_simhash_pairs", "q49_corpus_clean",
+        "q87_approx_distinct", "q92_approx_quantiles", "q99_heavy_hitters_mg",
+    }
+    assert set(_FINAL_ORDER[-6:]) == rows_only
