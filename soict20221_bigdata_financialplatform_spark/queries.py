@@ -8403,6 +8403,200 @@ def q169_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q170_seasonal_anomalies",
+    "WITH" + _BARS_SQL + """,
+    tr AS (
+      SELECT user_id, day, close,
+             round(avg(close) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS trend
+      FROM bars
+    ),
+    se AS (
+      SELECT user_id, dayofweek(day) + 1 AS dow,
+             sum(CAST(floor((close - trend) * 1000000.0 + 0.5) AS BIGINT))
+               ::BIGINT AS sm,
+             count(*)::BIGINT AS cnt
+      FROM tr GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT tr.user_id, tr.day,
+             tr.close - tr.trend - se.sm / (1000000.0 * se.cnt) AS resid
+      FROM tr JOIN se ON tr.user_id = se.user_id
+                     AND dayofweek(tr.day) + 1 = se.dow
+    ),
+    med AS (
+      SELECT user_id, round(quantile_cont(resid, 0.5), 6) AS med
+      FROM res GROUP BY user_id
+    ),
+    mad AS (
+      SELECT r.user_id, med.med,
+             round(quantile_cont(abs(r.resid - med.med), 0.5), 6) AS mad
+      FROM res r JOIN med ON r.user_id = med.user_id
+      GROUP BY r.user_id, med.med
+    )
+    SELECT r.user_id, r.day, r.resid,
+           CASE WHEN mad.mad > 0
+                THEN abs(r.resid - mad.med) > 3.5 * mad.mad
+                ELSE FALSE END AS is_anomaly
+    FROM res r JOIN mad ON r.user_id = mad.user_id
+    """,
+)
+def q170_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-hybrid anomaly detection (the S-H-ESD-lite composition):
+    q141's trend+day-of-week decomposition strips the expected structure,
+    then q107's robust median+MAD screen flags residuals beyond 3.5 MAD —
+    anomalies in the part of the signal the calendar can't explain.
+    Residuals are identical-tree chains on micro-unit seasonal means;
+    median/MAD are exact interpolated percentiles rounded 6; the flag
+    compares bit-identical residuals against identically-rounded
+    thresholds (guarded for MAD=0). Two tiny per-user stat aggs broadcast
+    back; one user-keyed window exchange."""
+    tw = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+    tr = _bars(spark, sf_dir).select(
+        "user_id", "day", "close",
+        F.round(F.avg("close").over(tw), 6).alias("trend"),
+    )
+    se = tr.groupBy("user_id", F.dayofweek("day").alias("__dow")).agg(
+        F.sum(
+            F.floor((F.col("close") - F.col("trend")) * 1000000.0 + 0.5).cast(
+                "long"
+            )
+        ).alias("__sm"),
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+    )
+    res = (
+        tr.withColumn("__dow", F.dayofweek("day"))
+        .join(se, ["user_id", "__dow"])
+        .select(
+            "user_id", "day",
+            (
+                F.col("close")
+                - F.col("trend")
+                - F.col("__sm") / (F.lit(1000000.0) * F.col("__cnt"))
+            ).alias("resid"),
+        )
+        .persist()
+    )
+    med = res.groupBy("user_id").agg(
+        F.round(F.expr("percentile(resid, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        res.join(med, "user_id")
+        .groupBy("user_id", "med")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(resid - med), 0.5)"), 6
+            ).alias("mad")
+        )
+    )
+    return res.join(mad, "user_id").select(
+        "user_id", "day", "resid",
+        F.when(
+            F.col("mad") > 0,
+            F.abs(F.col("resid") - F.col("med")) > 3.5 * F.col("mad"),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
+@register(
+    "q171_behavior_similarity",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           levenshtein(a.s, b.s)::BIGINT AS edit_dist,
+           length(a.s)::BIGINT AS len_a, length(b.s)::BIGINT AS len_b,
+           1.0 - levenshtein(a.s, b.s) / greatest(length(a.s), length(b.s))
+             AS similarity
+    FROM seq a JOIN seq b ON a.user_id < b.user_id
+    """,
+)
+def q171_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise behavioral similarity: each user's event-type sequence
+    collapses to a character string (first letter per event, (ts,
+    event_id)-ordered — the unique-tiebreak invariant), pairs scored by
+    normalized Levenshtein — the sequence-clustering input that treats
+    sessions as strings (the fuzzy-matching family q115 applied to
+    BEHAVIOR). Deliberately scoped to a 20-user cohort: edit distance is
+    O(len²) per pair and pairwise is O(n²) — at scale, block by coarse
+    features (q115's blocking) or sketch sequences first (q32's MinHash
+    over type n-grams). Distances are exact integers; similarity is one
+    IEEE division. Pair generation collects the 20-row cohort into ONE
+    row and builds ordered pairs IN-ARRAY (the q154 trick) — no
+    inequality join, so the registry-wide BNLJ ban holds with q36 as its
+    only opt-in."""
+    seq = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("s")
+        )
+        .persist()
+    )
+    arr = seq.agg(
+        F.collect_list(F.struct("user_id", "s")).alias("__u")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__u"),
+                    lambda a: F.transform(
+                        F.filter(
+                            F.col("__u"),
+                            lambda b: b["user_id"] > a["user_id"],
+                        ),
+                        lambda b: F.struct(
+                            a["user_id"].alias("ua"),
+                            a["s"].alias("sa"),
+                            b["user_id"].alias("ub"),
+                            b["s"].alias("sb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select(
+        F.col("__p.ua").alias("user_a"),
+        F.col("__p.ub").alias("user_b"),
+        F.col("__p.sa").alias("__sa"),
+        F.col("__p.sb").alias("__sb"),
+    )
+    lev = F.levenshtein(F.col("__sa"), F.col("__sb"))
+    return pairs.select(
+        "user_a", "user_b",
+        lev.cast("long").alias("edit_dist"),
+        F.length("__sa").cast("long").alias("len_a"),
+        F.length("__sb").cast("long").alias("len_b"),
+        (
+            F.lit(1.0)
+            - lev / F.greatest(F.length("__sa"), F.length("__sb"))
+        ).alias("similarity"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -8460,6 +8654,7 @@ _FINAL_ORDER = [
     "q162_interval_islands", "q163_longest_streak",
     "q164_rolling_autocorr", "q165_var_cvar", "q166_chi_square",
     "q167_langid_eval", "q168_capm_beta", "q169_abc_analysis",
+    "q170_seasonal_anomalies", "q171_behavior_similarity",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
