@@ -8597,6 +8597,123 @@ def q171_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q172_pct_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+               ::BIGINT AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    rt AS (SELECT region, sum(cents)::BIGINT AS rcents FROM rev GROUP BY region),
+    gt AS (SELECT sum(cents)::BIGINT AS gcents FROM rev)
+    SELECT rev.region, rev.nation, rev.cents / 100.0 AS revenue,
+           rev.cents / rt.rcents AS pct_of_region,
+           rt.rcents / gt.gcents AS region_pct_of_total
+    FROM rev JOIN rt ON rev.region = rt.region CROSS JOIN gt
+    """,
+)
+def q172_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy report (nation share of region, region
+    share of total) — the BI drill-down ratio the ROLLUP queries (q15/q41)
+    don't emit. Exact-cents sums at every level (per-row quantized, q161
+    lesson), shares as single exact-integer divisions; both parent levels
+    re-aggregate the nation frame (never rescan the fact), dims broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).cast("long").alias("cents")
+        )
+        .persist()
+    )
+    rt = rev.groupBy("region").agg(F.sum("cents").cast("long").alias("rcents"))
+    gt = rev.agg(F.sum("cents").cast("long").alias("gcents"))
+    return (
+        rev.join(F.broadcast(rt), "region")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "region", "nation",
+            (F.col("cents") / 100.0).alias("revenue"),
+            (F.col("cents") / F.col("rcents")).alias("pct_of_region"),
+            (F.col("rcents") / F.col("gcents")).alias("region_pct_of_total"),
+        )
+    )
+
+
+@register(
+    "q173_yoy_growth",
+    """
+    WITH m AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mi,
+             year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS mo,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+               AS cents
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT cur.y, cur.mo, cur.cents, prev.cents AS prev_cents
+      FROM m cur LEFT JOIN m prev ON prev.mi = cur.mi - 12
+    )
+    SELECT y, mo, cents / 100.0 AS revenue,
+           prev_cents / 100.0 AS revenue_prev_year,
+           CASE WHEN prev_cents > 0
+                THEN (cents - prev_cents) / prev_cents END AS yoy_growth
+    FROM j
+    """,
+)
+def q173_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth with exact calendar alignment
+    (a self-join on month-index − 12, NOT lag(12) — lag silently
+    misaligns when a month is missing from the series). Exact-cents
+    month sums; growth is one guarded division of exact integers; months
+    without a prior-year twin emit NULL identically."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mi"),
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).cast("long").alias("cents")
+        )
+        .persist()
+    )
+    prev = m.select(
+        (F.col("mi") + 12).alias("mi"), F.col("cents").alias("prev_cents")
+    )
+    return (
+        m.join(prev, "mi", "left")
+        .select(
+            "y", "mo",
+            (F.col("cents") / 100.0).alias("revenue"),
+            (F.col("prev_cents") / 100.0).alias("revenue_prev_year"),
+            F.when(
+                F.col("prev_cents") > 0,
+                (F.col("cents") - F.col("prev_cents")) / F.col("prev_cents"),
+            ).alias("yoy_growth"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -8655,6 +8772,7 @@ _FINAL_ORDER = [
     "q164_rolling_autocorr", "q165_var_cvar", "q166_chi_square",
     "q167_langid_eval", "q168_capm_beta", "q169_abc_analysis",
     "q170_seasonal_anomalies", "q171_behavior_similarity",
+    "q172_pct_of_parent", "q173_yoy_growth",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
