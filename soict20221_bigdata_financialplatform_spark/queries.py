@@ -8714,6 +8714,128 @@ def q173_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q174_dn_retention",
+    """
+    WITH pres AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE))::BIGINT AS d
+      FROM events
+    ),
+    first_d AS (SELECT user_id, min(d) AS d0 FROM pres GROUP BY user_id),
+    coh AS (SELECT d0, count(*)::BIGINT AS n_users FROM first_d GROUP BY d0),
+    ret AS (
+      SELECT f.d0,
+             count(*) FILTER (WHERE p.d = f.d0 + 1)::BIGINT AS r1,
+             count(*) FILTER (WHERE p.d = f.d0 + 7)::BIGINT AS r7,
+             count(*) FILTER (WHERE p.d = f.d0 + 30)::BIGINT AS r30
+      FROM first_d f JOIN pres p ON p.user_id = f.user_id
+      GROUP BY f.d0
+    )
+    SELECT (DATE '1970-01-01' + coh.d0::INT) AS cohort_day, coh.n_users,
+           ret.r1 / coh.n_users AS d1_retention,
+           ret.r7 / coh.n_users AS d7_retention,
+           ret.r30 / coh.n_users AS d30_retention
+    FROM coh JOIN ret ON coh.d0 = ret.d0
+    """,
+)
+def q174_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7/D30 retention by daily acquisition cohort — the growth-
+    analytics standard (q89's monthly triangle at daily granularity, fixed
+    offsets): presence days join back to each user's first day, offset
+    membership counts as conditional aggregation, rates as exact-integer
+    divisions. Integer epoch-day arithmetic; the presence join is
+    user-keyed."""
+    e = _t(spark, sf_dir, "events")
+    pres = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("d"),
+        )
+        .distinct()
+        .persist()
+    )
+    first_d = pres.groupBy("user_id").agg(F.min("d").alias("d0"))
+    coh = first_d.groupBy("d0").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    ret = (
+        first_d.join(pres, "user_id")
+        .groupBy("d0")
+        .agg(
+            F.count_if(F.col("d") == F.col("d0") + 1).cast("long").alias("r1"),
+            F.count_if(F.col("d") == F.col("d0") + 7).cast("long").alias("r7"),
+            F.count_if(F.col("d") == F.col("d0") + 30).cast("long").alias("r30"),
+        )
+    )
+    return coh.join(ret, "d0").select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("d0").cast("int")).alias(
+            "cohort_day"
+        ),
+        "n_users",
+        (F.col("r1") / F.col("n_users")).alias("d1_retention"),
+        (F.col("r7") / F.col("n_users")).alias("d7_retention"),
+        (F.col("r30") / F.col("n_users")).alias("d30_retention"),
+    )
+
+
+@register(
+    "q175_word_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    c AS (
+      SELECT doc_id, word, count(*)::BIGINT AS c
+      FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY doc_id, word
+    ),
+    n AS (SELECT doc_id, sum(c)::BIGINT AS n FROM c GROUP BY doc_id),
+    t AS (
+      SELECT c.doc_id,
+             CAST(floor((c.c / n.n) * round(ln(c.c / n.n), 6) * 1000000.0
+                        + 0.5) AS BIGINT) AS tq
+      FROM c JOIN n ON c.doc_id = n.doc_id
+    )
+    SELECT t.doc_id, n.n AS n_tokens,
+           -(sum(t.tq)::BIGINT) / 1000000.0 AS entropy
+    FROM t JOIN n ON t.doc_id = n.doc_id
+    GROUP BY t.doc_id, n.n
+    """,
+)
+def q175_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution (nats) —
+    the lexical-diversity quality signal (low entropy = repetitive/
+    boilerplate, complementing q65's explicit repetition rules and
+    approximating compression ratio without a codec). Per-term
+    p·ln(p) values are deterministic chains (exact-integer ratio, ln
+    rounded at the transcendental) quantized to micro-units; the per-doc
+    sum is an exact integer; one final negated division. Counts shuffle
+    (doc, word) rows once — the same shape as every tokenization agg."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    c = (
+        d.select("doc_id", F.explode(tx.words("text")).alias("__w"))
+        .groupBy("doc_id", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
+    )
+    n = c.groupBy("doc_id").agg(F.sum("__c").cast("long").alias("n_tokens"))
+    p = F.col("__c") / F.col("n_tokens")
+    t = c.join(n, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(p * F.round(F.log(p), 6) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("__tq"),
+    )
+    return t.groupBy("doc_id", "n_tokens").agg(
+        (-F.sum("__tq").cast("long") / 1000000.0).alias("entropy")
+    ).select("doc_id", "n_tokens", "entropy")
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -8772,7 +8894,8 @@ _FINAL_ORDER = [
     "q164_rolling_autocorr", "q165_var_cvar", "q166_chi_square",
     "q167_langid_eval", "q168_capm_beta", "q169_abc_analysis",
     "q170_seasonal_anomalies", "q171_behavior_similarity",
-    "q172_pct_of_parent", "q173_yoy_growth",
+    "q172_pct_of_parent", "q173_yoy_growth", "q174_dn_retention",
+    "q175_word_entropy",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
