@@ -8836,6 +8836,118 @@ def q175_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "entropy")
 
 
+@register(
+    "q176_theil_index",
+    "WITH" + _CUST_CENTS_SQL + """,
+    m AS (
+      SELECT c_nationkey, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+      FROM rev GROUP BY c_nationkey
+    ),
+    t AS (
+      SELECT rev.c_nationkey,
+             CAST(floor((rev.cents * m.n / m.s)
+                        * round(ln(rev.cents * m.n / m.s), 6)
+                        * 1000000.0 + 0.5) AS BIGINT) AS tq
+      FROM rev JOIN m ON rev.c_nationkey = m.c_nationkey
+      WHERE rev.cents > 0
+    )
+    SELECT t.c_nationkey, m.n AS n_customers,
+           sum(t.tq)::BIGINT / (1000000.0 * m.n) AS theil
+    FROM t JOIN m ON t.c_nationkey = m.c_nationkey
+    GROUP BY t.c_nationkey, m.n
+    """,
+)
+def q176_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of revenue inequality per nation — the entropy-based
+    member completing the concentration family (rank-formula Gini q144,
+    share-squared HHI q145): T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ). The ratio
+    xᵢ/μ rides exact integers (cents·n/s — one division), ln rounds at
+    the transcendental, per-customer terms quantize to micro-units, the
+    per-nation sum is exact, and one final division emits the double.
+    Zero-revenue customers drop (their Theil term is 0 by the x·ln x
+    limit — identical both engines via the WHERE)."""
+    r = _cust_cents(spark, sf_dir).persist()
+    m = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("cents").cast("long").alias("__s"),
+    )
+    ratio = F.col("cents") * F.col("__n") / F.col("__s")
+    t = (
+        r.join(m, "c_nationkey")
+        .where(F.col("cents") > 0)
+        .select(
+            "c_nationkey",
+            "__n",
+            F.floor(ratio * F.round(F.log(ratio), 6) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("__tq"),
+        )
+    )
+    return t.groupBy("c_nationkey", "__n").agg(
+        (
+            F.sum("__tq").cast("long") / (F.lit(1000000.0) * F.col("__n"))
+        ).alias("theil")
+    ).select(
+        "c_nationkey", F.col("__n").alias("n_customers"), "theil"
+    )
+
+
+@register(
+    "q177_lorenz_deciles",
+    "WITH" + _CUST_CENTS_SQL + """,
+    d AS (
+      SELECT c_nationkey, cents,
+             ntile(10) OVER (PARTITION BY c_nationkey
+                             ORDER BY cents, o_custkey) AS decile
+      FROM rev
+    ),
+    g AS (
+      SELECT c_nationkey, decile, sum(cents)::BIGINT AS dc,
+             count(*)::BIGINT AS n
+      FROM d GROUP BY c_nationkey, decile
+    ),
+    tot AS (SELECT c_nationkey, sum(dc)::BIGINT AS t FROM g GROUP BY c_nationkey)
+    SELECT g.c_nationkey, g.decile::BIGINT AS decile, g.n,
+           (sum(g.dc) OVER (PARTITION BY g.c_nationkey ORDER BY g.decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             / tot.t AS cum_share
+    FROM g JOIN tot ON g.c_nationkey = tot.c_nationkey
+    """,
+)
+def q177_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile points per nation (cumulative revenue share of
+    the poorest k/10 customers) — the distributional picture behind
+    q144's scalar Gini. ntile(10) is the one place the textbook form IS
+    usable: the window partitions BY NATION (never global) with the
+    (cents, custkey) total order making bucket boundaries deterministic
+    both engines; the cumulative is an INTEGER window over decile sums
+    and the share one exact division."""
+    r = _cust_cents(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    d = r.withColumn("decile", F.ntile(10).over(w))
+    g = d.groupBy("c_nationkey", "decile").agg(
+        F.sum("cents").cast("long").alias("__dc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = g.groupBy("c_nationkey").agg(F.sum("__dc").cast("long").alias("__t"))
+    cw = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        g.join(tot, "c_nationkey")
+        .select(
+            "c_nationkey",
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            (
+                F.sum("__dc").over(cw).cast("long") / F.col("__t")
+            ).alias("cum_share"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -8896,6 +9008,8 @@ _FINAL_ORDER = [
     "q170_seasonal_anomalies", "q171_behavior_similarity",
     "q172_pct_of_parent", "q173_yoy_growth", "q174_dn_retention",
     "q175_word_entropy",
+    # -- round-5+ backlog (past even the r5 window; driver rows in r6)
+    "q176_theil_index", "q177_lorenz_deciles",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
