@@ -8948,6 +8948,68 @@ def q177_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q178_burstiness",
+    """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+               AS gap_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*)::BIGINT AS n_gaps,
+             sum(gap_s)::BIGINT AS sg,
+             sum(gap_s * gap_s)::BIGINT AS sg2
+      FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           sg / (1.0 * n_gaps) AS mean_gap_s,
+           CASE WHEN sg > 0 THEN
+             (sg2::DOUBLE * n_gaps - sg::DOUBLE * sg::DOUBLE)
+               / (sg::DOUBLE * sg::DOUBLE)
+           END AS cv2
+    FROM s
+    """,
+)
+def q178_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each user's event stream: CV² of inter-event gaps
+    (variance/mean² — 1 for Poisson arrivals, >1 bursty, <1 periodic) —
+    the temporal-pattern member beside sessionization (q38) and streaks
+    (q163). Gaps floor-divide to exact integer SECONDS (µs² sums overflow
+    int64 — gap² in seconds stays < 2^47·n; sub-second truncation is
+    identical both engines and negligible at this cadence), so Σg and Σg²
+    are exact integer sums and CV² = (n·Σg² − (Σg)²)/(Σg)² evaluates in
+    double with an identical operation order (big products cast to double
+    BEFORE multiplying — (Σg)² overflows int64 at scale; the q149
+    closed-form pattern). Guarded for the all-zero-gap degenerate."""
+    g = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp))"
+            " - lag(unix_micros(cast(ts as timestamp))) over ("
+            "partition by user_id order by ts, event_id)) div 1000000"
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("__sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("__sg2"),
+    )
+    sgd = F.col("__sg").cast("double")
+    return s.select(
+        "user_id", "n_gaps",
+        (F.col("__sg") / (F.lit(1.0) * F.col("n_gaps"))).alias("mean_gap_s"),
+        F.when(
+            F.col("__sg") > 0,
+            (F.col("__sg2").cast("double") * F.col("n_gaps") - sgd * sgd)
+            / (sgd * sgd),
+        ).alias("cv2"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -9009,7 +9071,7 @@ _FINAL_ORDER = [
     "q172_pct_of_parent", "q173_yoy_growth", "q174_dn_retention",
     "q175_word_entropy",
     # -- round-5+ backlog (past even the r5 window; driver rows in r6)
-    "q176_theil_index", "q177_lorenz_deciles",
+    "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
