@@ -9010,6 +9010,120 @@ def q178_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q179_heaps_fit",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT lang, doc_id, len(w)::BIGINT AS n_tok FROM w
+    ),
+    firsts AS (
+      SELECT lang, word, min(doc_id) AS doc_id
+      FROM (SELECT lang, doc_id, unnest(w) AS word FROM w)
+      GROUP BY lang, word
+    ),
+    nw AS (
+      SELECT lang, doc_id, count(*)::BIGINT AS new_words
+      FROM firsts GROUP BY lang, doc_id
+    ),
+    series AS (
+      SELECT t.lang, t.doc_id,
+             sum(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_tok,
+             sum(coalesce(nw.new_words, 0)) OVER (PARTITION BY t.lang
+               ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_vocab
+      FROM tok t LEFT JOIN nw ON t.lang = nw.lang AND t.doc_id = nw.doc_id
+    ),
+    q AS (
+      SELECT lang,
+             CAST(floor(round(ln(cum_tok), 6) * 1000000.0 + 0.5) AS BIGINT)
+               AS xq,
+             CAST(floor(round(ln(cum_vocab), 6) * 1000000.0 + 0.5) AS BIGINT)
+               AS yq,
+             CAST(floor(round(ln(cum_tok), 6) * round(ln(cum_vocab), 6)
+                        * 1000000.0 + 0.5) AS BIGINT) AS xyq,
+             CAST(floor(round(ln(cum_tok), 6) * round(ln(cum_tok), 6)
+                        * 1000000.0 + 0.5) AS BIGINT) AS xxq
+      FROM series WHERE cum_tok > 0 AND cum_vocab > 0
+    )
+    SELECT lang, count(*)::BIGINT AS n_points,
+           (count(*)::DOUBLE * sum(xyq)::DOUBLE * 1000000.0
+              - sum(xq)::DOUBLE * sum(yq)::DOUBLE)
+           / (count(*)::DOUBLE * sum(xxq)::DOUBLE * 1000000.0
+              - sum(xq)::DOUBLE * sum(xq)::DOUBLE) AS heaps_beta
+    FROM q GROUP BY lang
+    """,
+)
+def q179_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent per language — vocabulary growth V(n) ≈ K·n^β
+    fitted as the ln-ln least-squares slope over the cumulative
+    (tokens, vocab) series (natural text β ≈ 0.4-0.6; a crawl whose β
+    drifts up is ingesting noise, down is ingesting boilerplate — the
+    growth-side twin of q149's Zipf slope). Cumulative DISTINCT vocab is
+    NOT a window count-distinct (unsupported): each word attributes to
+    its FIRST document (min doc_id per (lang, word) — one grouped agg),
+    new-word counts cumsum per lang as exact integers alongside the token
+    cumsum; the regression rides q149's micro-unit closed form. Windows
+    partition by lang."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    staged = d.select("doc_id", "lang", tx.words("text").alias("__w")).persist()
+    tok = staged.select(
+        "lang", "doc_id", F.size("__w").cast("long").alias("n_tok")
+    )
+    firsts = (
+        staged.select("lang", "doc_id", F.explode("__w").alias("__word"))
+        .groupBy("lang", "__word")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    nw = firsts.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("new_words")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    series = (
+        tok.join(nw, ["lang", "doc_id"], "left")
+        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .withColumn(
+            "cum_vocab",
+            F.sum(F.coalesce(F.col("new_words"), F.lit(0))).over(w).cast("long"),
+        )
+        .where((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
+    )
+    x = F.round(F.log(F.col("cum_tok")), 6)
+    y = F.round(F.log(F.col("cum_vocab")), 6)
+
+    def q6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000.0 + 0.5).cast("long")
+
+    qd = series.select(
+        "lang",
+        q6(x).alias("xq"),
+        q6(y).alias("yq"),
+        q6(x * y).alias("xyq"),
+        q6(x * x).alias("xxq"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("xq").cast("double"), F.sum("yq").cast("double")
+    sxy, sxx = F.sum("xyq").cast("double"), F.sum("xxq").cast("double")
+    return qd.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (
+            (n * sxy * F.lit(1000000.0) - sx * sy)
+            / (n * sxx * F.lit(1000000.0) - sx * sx)
+        ).alias("heaps_beta"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -9072,6 +9186,7 @@ _FINAL_ORDER = [
     "q175_word_entropy",
     # -- round-5+ backlog (past even the r5 window; driver rows in r6)
     "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
+    "q179_heaps_fit",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
