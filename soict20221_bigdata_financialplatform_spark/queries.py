@@ -9124,6 +9124,47 @@ def q179_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q180_lexical_stats",
+    """
+    WITH c AS (
+      SELECT doc_id, word, count(*)::BIGINT AS c
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+            FROM documents)
+      GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_types,
+           count(*) FILTER (WHERE c = 1)::BIGINT AS n_hapax,
+           count(*) / sum(c) AS ttr,
+           count(*) FILTER (WHERE c = 1) / sum(c) AS hapax_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def q180_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax-legomena ratio per document — the
+    corpus-linguistics lexical-richness pair beside entropy (q175): both
+    are single exact-integer divisions over one (doc, word) count agg
+    (the same shuffle every tokenization stat shares). Low TTR flags
+    repetitive/boilerplate docs cheaper than the full Gopher battery."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    c = (
+        d.select("doc_id", F.explode(tx.words("text")).alias("__w"))
+        .groupBy("doc_id", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.count_if(F.col("__c") == 1).cast("long").alias("n_hapax"),
+        (F.count(F.lit(1)) / F.sum("__c")).alias("ttr"),
+        (F.count_if(F.col("__c") == 1) / F.sum("__c")).alias("hapax_ratio"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -9186,7 +9227,7 @@ _FINAL_ORDER = [
     "q175_word_entropy",
     # -- round-5+ backlog (past even the r5 window; driver rows in r6)
     "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
-    "q179_heaps_fit",
+    "q179_heaps_fit", "q180_lexical_stats",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
