@@ -9165,6 +9165,148 @@ def q180_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q181_novel_ngram_rate",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 2 = 0 AS is_ref,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS gram
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+    ),
+    ref AS (SELECT DISTINCT gram FROM g WHERE is_ref),
+    new_side AS (
+      SELECT doc_id, gram FROM g WHERE NOT is_ref
+    ),
+    per_doc AS (
+      SELECT n.doc_id,
+             count(*)::BIGINT AS n_grams,
+             count(*) FILTER (WHERE r.gram IS NULL)::BIGINT AS n_novel
+      FROM new_side n LEFT JOIN ref r ON n.gram = r.gram
+      GROUP BY n.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel, n_novel / n_grams AS novel_rate
+    FROM per_doc
+    """,
+)
+def q181_novel_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift on the TEXT side: per-document rate of 3-grams unseen
+    in a reference corpus half (even doc_ids stand in for "yesterday's
+    corpus") — a new batch whose novel-gram rate jumps is a scrape-source
+    change or an injection, caught before it trains. Per-doc distinct
+    shingles (q31's machinery), reference membership via one LEFT join on
+    the gram (hash-partitionable; at 100 TB the reference side is the
+    materialized digest/gram store of corpus.eval_gram_set), rates exact
+    integer divisions."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("__is_ref"),
+        F.explode(F.array_distinct(dd.word_shingles("text", 3))).alias("gram"),
+    ).persist()
+    ref = g.where(F.col("__is_ref")).select("gram").distinct().withColumn(
+        "__seen", F.lit(True)
+    )
+    new_side = g.where(~F.col("__is_ref")).select("doc_id", "gram")
+    per_doc = (
+        new_side.join(ref, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count_if(F.col("__seen").isNull()).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "n_novel",
+        (F.col("n_novel") / F.col("n_grams")).alias("novel_rate"),
+    )
+
+
+@register(
+    "q182_kl_drift",
+    """
+    WITH us AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+    ),
+    h AS (
+      SELECT event_type,
+             t < (SELECT min(t) + (max(t) - min(t)) // 2 FROM us)
+               AS first_half,
+             count(*)::BIGINT AS c
+      FROM us GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT first_half, sum(c)::BIGINT AS n FROM h GROUP BY first_half
+    ),
+    pq AS (
+      SELECT p.event_type,
+             p.c AS cp, tp.n AS np, q.c AS cq, tq.n AS nq
+      FROM h p JOIN tot tp ON p.first_half = tp.first_half
+      JOIN h q ON q.event_type = p.event_type AND NOT q.first_half
+      JOIN tot tq ON tq.first_half = q.first_half
+      WHERE p.first_half
+    )
+    SELECT sum(CAST(floor(
+             (cp / np) * round(ln((cp * nq) / (np * cq)), 6) * 1000000.0
+             + 0.5) AS BIGINT))::BIGINT / 1000000.0 AS kl_first_vs_second,
+           count(*)::BIGINT AS n_types
+    FROM pq
+    """,
+)
+def q182_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift: KL divergence of the event-type distribution,
+    first half of the time range vs second — the standard production
+    drift monitor (PSI's information-theoretic sibling). The midpoint
+    splits on the raw timestamp scalar (broadcast); per-type terms
+    p·ln(p/q) ride exact-integer ratios (cp·nq/(np·cq) — one division),
+    ln rounded at the transcendental, micro-unit sums. Types present in
+    only one half would make KL infinite — the inner join restricts to
+    the shared support (both engines identically; add smoothing upstream
+    if absolute divergence matters)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"),
+    )
+    mid = e.agg(
+        F.expr("min(__t) + (max(__t) - min(__t)) div 2").alias("__mid")
+    )
+    h = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            (F.col("__t") < F.col("__mid")).alias("__fh"),
+        )
+        .groupBy("event_type", "__fh")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
+    )
+    tot = h.groupBy("__fh").agg(F.sum("__c").cast("long").alias("__n"))
+    p = (
+        h.where(F.col("__fh"))
+        .crossJoin(F.broadcast(tot.where(F.col("__fh")).select("__n")))
+        .select("event_type", F.col("__c").alias("cp"), F.col("__n").alias("np"))
+    )
+    q = (
+        h.where(~F.col("__fh"))
+        .crossJoin(F.broadcast(tot.where(~F.col("__fh")).select("__n")))
+        .select("event_type", F.col("__c").alias("cq"), F.col("__n").alias("nq"))
+    )
+    pq = p.join(q, "event_type")
+    term = (F.col("cp") / F.col("np")) * F.round(
+        F.log((F.col("cp") * F.col("nq")) / (F.col("np") * F.col("cq"))), 6
+    )
+    return pq.agg(
+        (
+            F.sum(F.floor(term * 1000000.0 + 0.5).cast("long")).cast("long")
+            / 1000000.0
+        ).alias("kl_first_vs_second"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -9227,7 +9369,8 @@ _FINAL_ORDER = [
     "q175_word_entropy",
     # -- round-5+ backlog (past even the r5 window; driver rows in r6)
     "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
-    "q179_heaps_fit", "q180_lexical_stats",
+    "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
+    "q182_kl_drift",
     # -- once-green (r2 only): second driver row
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
