@@ -6689,25 +6689,32 @@ def q144_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q145_hhi_concentration",
-    "WITH" + _CUST_CENTS_SQL + """
+    "WITH" + _CUST_CENTS_SQL + """,
+    d AS (SELECT c_nationkey, cents // 100 AS dol FROM rev)
     SELECT c_nationkey, count(*)::BIGINT AS n_customers,
-           sum(cents * cents) / (sum(cents)::DOUBLE * sum(cents)::DOUBLE)
-             AS hhi
-    FROM rev GROUP BY c_nationkey
+           (sum(dol * dol)::BIGINT)
+             / (sum(dol)::DOUBLE * sum(dol)::DOUBLE) AS hhi
+    FROM d GROUP BY c_nationkey
     """,
 )
 def q145_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl–Hirschman index of customer-revenue concentration per
-    nation: HHI = Σ shareᵢ² computed as Σcentsᵢ² / (Σcents)² — numerator
-    and denominator stay exact integers until ONE final division (the
-    denominator squares in double to dodge int64 overflow at large SF;
-    int→double conversion is identically rounded in both engines). 1/n ≤
-    HHI ≤ 1; pairs with q144's Gini as the concentration family."""
-    r = _cust_cents(spark, sf_dir)
-    s0 = F.sum("cents").cast("double")
+    nation: HHI = Σ shareᵢ² computed as Σdᵢ² / (Σd)² over WHOLE-DOLLAR
+    revenue (cents² sums overflowed int64 at sf0.1 under ANSI while
+    DuckDB silently widened to HUGEINT — dollar granularity keeps both
+    sums exact integers through sf0.1; at larger SF shard the sum or go
+    double); the denominator squares in double (int→double conversion is
+    identically rounded both engines) and ONE final division emits the
+    ratio. 1/n ≤ HHI ≤ 1; pairs with q144's Gini."""
+    r = _cust_cents(spark, sf_dir).select(
+        "c_nationkey", F.expr("cents div 100").alias("__dol")
+    )
+    s0 = F.sum("__dol").cast("double")
     return r.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        (F.sum(F.col("cents") * F.col("cents")) / (s0 * s0)).alias("hhi"),
+        (
+            F.sum(F.col("__dol") * F.col("__dol")).cast("long") / (s0 * s0)
+        ).alias("hhi"),
     )
 
 
