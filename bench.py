@@ -89,6 +89,19 @@ HEADLINE = [
     "q149_zipf_fit",
 ]
 
+# The compact final stdout line (driver keeps only a 2000-char tail) reports
+# this r1-era subset — one per core capability family — so round-over-round
+# comparisons stay apples-to-apples; the full per-query detail (all ~60
+# entries + variance) is printed on the PRECEDING line and in BENCH_DETAIL.
+COMPACT = HEADLINE[:17]  # through q34_ann_bruteforce
+
+# Iterative multi-job queries (5-15 chained Spark jobs each): their first
+# run pays JVM codegen/JIT for the whole chain, which dominated r4 stdev
+# (q117: 1.45s stdev on a 3.0s median). One untimed warm run before the
+# timed reps measures steady state — same policy as the global warmup.
+ITERATIVE = {"q117_pagerank_dup_graph", "q119_leakage_free_split",
+             "q127_semdedup", "q133_ivfpq"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,6 +137,8 @@ def main() -> None:
 
     def _timed(name: str, run, reps: int = 3) -> None:
         samples = []
+        if name in ITERATIVE:
+            run()  # untimed warm run: JIT the 5-15-job chain (see ITERATIVE)
         for _ in range(reps):
             t0 = time.time()
             run()
@@ -275,25 +290,46 @@ def main() -> None:
     polluted = sentinel > 1.5 * max(timings[HEADLINE[0]], 0.05)
 
     total = round(sum(timings.values()), 3)
+    load_sentinel = {
+        "query": HEADLINE[0],
+        "min_sec": timings[HEADLINE[0]],
+        "final_sec": sentinel,
+        "polluted": polluted,
+    }
+    # Full detail record first (per-query min + variance for every entry) —
+    # for humans and BENCH_DETAIL archaeology.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_total_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "variance": variance,
                 "streaming": streaming,
-                "load_sentinel": {
-                    "query": HEADLINE[0],
-                    "min_sec": timings[HEADLINE[0]],
-                    "final_sec": sentinel,
-                    "polluted": polluted,
-                },
+                "load_sentinel": load_sentinel,
                 "sf": sf,
             }
         )
     )
+    # LAST stdout line: compact (<2000 chars) so the driver's 2000-char tail
+    # capture parses — BENCH_r03/r04 were `parsed: null` because the single
+    # detail line grew past the capture window. Keep this line small forever.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": {k: timings[k] for k in COMPACT if k in timings},
+            "backfill_sec": timings.get("backfill_ref_workload"),
+            "n_benched": len(timings),
+            "streaming_rows_per_sec": streaming["value"],
+            "load_sentinel": load_sentinel,
+        }
+    )
+    assert len(compact) < 1900, f"compact bench line too long: {len(compact)}"
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -247,6 +247,86 @@ def minhash_near_dup_pairs(
     return out
 
 
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with a CROSS-ENGINE-PORTABLE hash family:
+    sig[i] = lexicographic min over shingle md5 hex strings prefixed with
+    the family index — md5 hex is identical in every engine, so a DuckDB
+    oracle can rebuild the exact signature/band/candidate set (working
+    notes: xxhash64 has no DuckDB twin; this family trades ~3x hash cost
+    for full oracle coverage — ``minhash_near_dup_pairs`` is the
+    production-speed path with identical LSH structure).
+
+    Same scale shape as the xxhash64 path: one persisted shingle
+    projection feeds signatures AND verification; band keys are exploded
+    to (band, key) rows and candidates come from an EQUI-join (an OR of
+    band equalities would plan a BroadcastNestedLoopJoin — invariant 13);
+    exact Jaccard runs on candidates only. Returns (id_a < id_b, jaccard).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(npart, id_col)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    ).persist()
+
+    def _family(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform("sh", _family(i))) for i in range(num_hashes)]
+    )
+    sigs = sh.select("doc_id", sig.alias("sig"))
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "key")
+    ).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    out = cand.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / (
+        F.size("sh_a")
+        + F.size("sh_b")
+        - F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    return out.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -951,7 +951,7 @@ def _decode_tiff(b: bytes) -> dict | None:
             "mean_r": None, "mean_g": None, "mean_b": None}
 
 
-def decode_image(content: bytes) -> dict:
+def decode_image(content: bytes, codecs: dict | None = None) -> dict:
     """Decode an image blob to {width, height, mean_r, mean_g, mean_b}.
 
     Real decode: uncompressed BMP 24-bit and PPM P6, PNG 8-bit RGB/RGBA
@@ -963,9 +963,21 @@ def decode_image(content: bytes) -> dict:
     None. Formats needing codec libraries (HEIC/AVIF/...) raise
     NotImplementedError via the stub — loudly, per the environment
     contract.
+
+    ``codecs`` is the PLUGGABLE DECODER SEAM: a ``{format_name: fn}`` dict
+    of ``bytes -> dict | None`` callables (None = "not my format"), tried
+    in insertion order BEFORE the built-ins so a cluster user can mount
+    PIL/libheif without touching engine code — e.g.
+    ``{"heic": lambda b: pil_decode(b) if b[4:12] == b"ftypheic" else None}``.
+    The format_name key is documentation; dispatch is each codec's own
+    sniff. Executor-side requirement: the callable must be picklable (a
+    module-level function or a closure over picklable state).
     """
-    for parser in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg,
-                   _decode_gif, _decode_webp, _decode_tiff):
+    for parser in (
+        *(codecs or {}).values(),
+        _decode_bmp, _decode_ppm, _decode_png, _decode_jpeg,
+        _decode_gif, _decode_webp, _decode_tiff,
+    ):
         out = parser(content)
         if out is not None:
             return out
@@ -985,13 +997,17 @@ IMAGE_DECODE_SCHEMA = T.StructType(
 )
 
 
-def decode_image_features(media: DataFrame) -> DataFrame:
+def decode_image_features(
+    media: DataFrame, codecs: dict | None = None
+) -> DataFrame:
     """media (MEDIA_SCHEMA) → IMAGE_DECODE_SCHEMA via ``mapInPandas``:
     TRUE decoded dimensions + mean RGB for natively-decodable formats
     (BMP/PPM), ``decoded=false`` rows (metadata dims passthrough) for
     formats whose decoder is stubbed. Same Arrow-batched shape as
     ``extract_image_features`` — one batch in memory at a time, bytes never
-    on the driver."""
+    on the driver. ``codecs`` (see ``decode_image``) rides into the Arrow
+    workers via closure capture — injected decoders run executor-side on
+    every batch, no engine change needed to mount PIL/libheif."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1000,7 +1016,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
                 try:
-                    d = decode_image(bytes(content or b""))
+                    d = decode_image(bytes(content or b""), codecs)
                     rows.append(
                         {
                             "media_id": mid,
@@ -1181,13 +1197,16 @@ def _decode_mp3(b: bytes) -> dict | None:
     return out
 
 
-def decode_audio(content: bytes) -> dict:
+def decode_audio(content: bytes, codecs: dict | None = None) -> dict:
     """Decode an audio blob to {sample_rate, n_channels, bits, duration_ms,
     rms}. Real decode for RIFF/WAVE PCM8/PCM16 (including RMS); header-true
     metadata for FLAC (STREAMINFO) and MP3 (frame header + Xing). Other
     codecs (AAC/Opus/...) raise NotImplementedError (plug ffmpeg/soundfile
-    there), keeping the environment contract loud."""
-    for parser in (_decode_wav, _decode_flac, _decode_mp3):
+    there), keeping the environment contract loud. ``codecs``: injected
+    ``{name: bytes -> dict | None}`` decoders tried before the built-ins —
+    same pluggable seam as ``decode_image``."""
+    for parser in (*(codecs or {}).values(), _decode_wav, _decode_flac,
+                   _decode_mp3):
         out = parser(content)
         if out is not None:
             return out
@@ -1211,12 +1230,14 @@ AUDIO_DECODE_SCHEMA = T.StructType(
 )
 
 
-def decode_audio_features(media: DataFrame) -> DataFrame:
+def decode_audio_features(
+    media: DataFrame, codecs: dict | None = None
+) -> DataFrame:
     """media (MEDIA_SCHEMA) → AUDIO_DECODE_SCHEMA via ``mapInPandas``: true
     sample rate / channels / duration / RMS for WAV PCM, ``decoded=false``
     (metadata duration passthrough) for stubbed codecs. Same Arrow-batched
     shape as the image path: one batch in memory, bytes never on the
-    driver."""
+    driver. ``codecs``: injected decoders (see ``decode_audio``)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1225,7 +1246,7 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
                 try:
-                    d = decode_audio(bytes(content or b""))
+                    d = decode_audio(bytes(content or b""), codecs)
                     rows.append(
                         {
                             "media_id": mid,
@@ -1801,13 +1822,17 @@ def _decode_mkv(b: bytes) -> dict | None:
     }
 
 
-def decode_video(content: bytes) -> dict:
+def decode_video(content: bytes, codecs: dict | None = None) -> dict:
     """Decode a video blob to {width, height, n_frames, fps, duration_ms}.
     Real container parse for RIFF/AVI, MP4/ISO-BMFF (box walk — the
     dominant real-corpus container) and MKV/WebM (EBML walk), all
     header-true with no codec; anything else raises NotImplementedError
-    (plug ffmpeg there), keeping the environment contract loud."""
-    for parser in (_decode_avi, _decode_mp4, _decode_mkv):
+    (plug ffmpeg there), keeping the environment contract loud. ``codecs``:
+    injected ``{name: bytes -> dict | None}`` decoders tried before the
+    built-ins — same pluggable seam as ``decode_image``; mount ffmpeg/PyAV
+    here for frame-accurate n_frames/fps on codec formats."""
+    for parser in (*(codecs or {}).values(), _decode_avi, _decode_mp4,
+                   _decode_mkv):
         out = parser(content)
         if out is not None:
             return out
@@ -1831,12 +1856,15 @@ VIDEO_DECODE_SCHEMA = T.StructType(
 )
 
 
-def decode_video_features(media: DataFrame) -> DataFrame:
+def decode_video_features(
+    media: DataFrame, codecs: dict | None = None
+) -> DataFrame:
     """media (MEDIA_SCHEMA) → VIDEO_DECODE_SCHEMA via ``mapInPandas``: true
     container dimensions/cadence for AVI, ``decoded=false`` metadata
     passthrough for stubbed containers — the same Arrow-batched shape as
     the image/audio paths, so all three modalities share one plumbing
-    pattern (reference has none of this; engine-added surface)."""
+    pattern (reference has none of this; engine-added surface).
+    ``codecs``: injected decoders (see ``decode_video``)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1846,7 +1874,7 @@ def decode_video_features(media: DataFrame) -> DataFrame:
                 pdf["height"], pdf["duration_ms"],
             ):
                 try:
-                    d = decode_video(bytes(content or b""))
+                    d = decode_video(bytes(content or b""), codecs)
                     rows.append(
                         {
                             "media_id": mid,

@@ -1073,64 +1073,11 @@ def q57_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 bands x 4 rows over 32 hashes, candidates = pairs sharing any
     band, verified by exact string-shingle Jaccard. The xxhash64 variant
     (q32, ~3x faster) is the production path; this one proves the LSH
-    pipeline end-to-end against an independent engine."""
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sh = d.select(
-        "doc_id", dd.word_shingles("text", 3).alias("sh")
-    ).persist()
-
-    def fam(i):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-
-    sig = F.array(*[F.array_min(F.transform("sh", fam(i))) for i in range(32)])
-    sigs = sh.select("doc_id", sig.alias("sig"))
-    # "shares ANY band" as a posexplode + EQUI-join on (band, key), like q32:
-    # an OR of 8 band equalities in the join condition would plan a
-    # BroadcastNestedLoopJoin — O(n²) pair evaluation, a scale-killer.
-    # The exploded form is 8 rows/doc and hash-partitions on the band key;
-    # distinct collapses pairs sharing several bands. Identical pair set.
-    band_arr = F.array(
-        *[
-            F.md5(F.concat_ws("|", *[F.col("sig")[b * 4 + j] for j in range(4)]))
-            for b in range(8)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_arr).alias("band", "key")
-    ).persist()
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    # verification joins fetch shingles for candidates only (sh never rides
-    # through the band join)
-    out = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
-        )
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / (
-        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
-    )
-    return out.select("id_a", "id_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= 0.5
-    )
+    pipeline end-to-end against an independent engine. The candidate join
+    is a posexplode + EQUI-join on (band, key) — an OR of band equalities
+    would plan a BroadcastNestedLoopJoin (invariant 13)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_md5_pairs(d, jaccard_threshold=0.5)
 
 
 @register(
@@ -1440,13 +1387,98 @@ def q60_corpus_clean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q49_corpus_clean")  # minhash stage → rows-only
 def q49_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full training-data cleaning pipeline: quality gate → exact dedup →
-    MinHash-LSH near-dup removal (survivor = min doc_id)."""
+    MinHash-LSH near-dup removal (survivor = min doc_id). Rows-only (the
+    xxhash64 family has no DuckDB twin); q183 is the oracle-checked twin
+    with the md5 hash family, and q60 ⊆ q49 ⊆ q48 is pytest-pinned."""
     from soict20221_bigdata_financialplatform_spark.operators import corpus
 
     d = _t(spark, sf_dir, "documents")
     return corpus.clean_corpus(d, min_quality=0.5, jaccard_threshold=0.8).select(
         "doc_id"
     )
+
+
+# q183 oracle: q60's quality+exact-dedup prefix, then q57's md5-family
+# MinHash-LSH (32 hashes, 8 bands x 4 rows) at theta=0.8 — generated
+# programmatically so the 32-entry signature list stays readable.
+_Q183_SIGS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}' || '|' || s)))"
+    for i in range(32)
+)
+_Q183_BANDS = ",\n             ".join(
+    "md5(" + " || '|' || ".join(f"sig[{b * 4 + j + 1}]" for j in range(4)) + f") AS k{b}"
+    for b in range(8)
+)
+_Q183_OR = " OR ".join(f"a.k{b} = b.k{b}" for b in range(8))
+
+
+@register(
+    "q183_corpus_clean_lsh",
+    """
+    WITH scored AS (
+      SELECT doc_id, text,
+             length(text)::DOUBLE AS nc,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
+             len(regexp_extract_all(lower(text), '{STOP}'))::DOUBLE AS ns
+      FROM documents
+    ), q AS (
+      SELECT doc_id, text FROM scored
+      WHERE nt > 0 AND
+            0.4 * (CASE WHEN nc >= 50 AND nc <= 10000 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * least(1.0, 5.0 * ns / nt)
+          + 0.3 * (CASE WHEN nc / nt >= 3.0 AND nc / nt <= 12.0 THEN 1.0 ELSE 0.0 END)
+            >= 0.5
+    ), ex AS (
+      SELECT doc_id, text FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM ex
+    ), shing AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id, sh, [{SIGS}] AS sig FROM shing
+    ), banded AS (
+      SELECT doc_id, sh,
+             {BANDS}
+      FROM sigs
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id AND ({OR})
+    ), losers AS (
+      SELECT DISTINCT id_b FROM cand
+      WHERE len(list_intersect(sh_a, sh_b))
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.8
+    )
+    SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """.replace("{STOP}", _EN_STOP_RE)
+    .replace("{SIGS}", _Q183_SIGS)
+    .replace("{BANDS}", _Q183_BANDS)
+    .replace("{OR}", _Q183_OR),
+)
+def q183_corpus_clean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-CHECKED twin of the full q49 cleaning pipeline: quality
+    gate → exact dedup → MinHash-LSH near-dup removal, with the md5 hash
+    family (``dedup.minhash_md5_pairs``) so DuckDB rebuilds the exact
+    signature/band/candidate/survivor set — the whole clean pipeline, not
+    just its stages, is cross-engine-checked (r4 VERDICT item 8; q49 keeps
+    the ~3x-faster xxhash64 family for production and stays rows-only).
+    Same LSH parameters as q57 (32 hashes, 8 bands x 4 rows) at the
+    production threshold 0.8; survivor = doc never the higher id of a
+    verified pair."""
+    from soict20221_bigdata_financialplatform_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = corpus.drop_exact_dups(
+        corpus.quality_filter(d, min_quality=0.5)
+    )
+    pairs = dd.minhash_md5_pairs(survivors, jaccard_threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return survivors.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
 @register(
@@ -4513,14 +4545,17 @@ def q108_drawdown_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
       FROM d
+    ), qv AS (
+      SELECT vec_id,
+             list_transform(range(1, len(emb) + 1),
+               i -> CASE WHEN maxs[i] <> mins[i] THEN
+                      CAST(floor((emb[i] - mins[i]) / (maxs[i] - mins[i])
+                                 * 255.0 + 0.5) AS INT)
+                    ELSE 0 END) AS qvec
+      FROM e CROSS JOIN s
     )
-    SELECT vec_id,
-           list_transform(range(1, len(emb) + 1),
-             i -> CASE WHEN maxs[i] <> mins[i] THEN
-                    CAST(floor((emb[i] - mins[i]) / (maxs[i] - mins[i])
-                               * 255.0 + 0.5) AS INT)
-                  ELSE 0 END) AS qvec
-    FROM e CROSS JOIN s
+    SELECT vec_id, CAST(t.i - 1 AS INT) AS pos, qvec[t.i] AS q
+    FROM qv, UNNEST(range(1, len(qvec) + 1)) AS t(i)
     """,
 )
 def q109_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4535,12 +4570,16 @@ def q109_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles (never ``round()``, whose half-way tie-break
     differs across engines); flat dimensions quantize to 0 (ANSI-guarded
     division). Engine-added: completes the embedding family (q34-q36, q51,
-    q64, q72) with its compression stage."""
+    q64, q72) with its compression stage. The output is posexploded to
+    ``(vec_id, pos, q)`` rows — the driver's value hasher canonicalizes via
+    pandas sort_values, which cannot hash list cells (the r4 err row); flat
+    int columns are hasher-safe and carry identical information."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    return sim.quantize_embeddings(e, "emb", "qvec").select("vec_id", "qvec")
+    q = sim.quantize_embeddings(e, "emb", "qvec")
+    return q.select("vec_id", F.posexplode("qvec").alias("pos", "q"))
 
 
 @register(
@@ -9324,40 +9363,29 @@ def q182_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-4 rotation. The driver caps CORRECTNESS rows at the first 50
-    # registry entries (r1-r3 confirmed), so placement decides which oracle
-    # queries get a driver-green row. Slots 1-10: sentinels, thrice
-    # driver-green (r1+r2+r3) — one canary per family. Slots 11-50: every
-    # query that has NEVER had a driver row — q08/q10/q15/q16/q55/q61/q62
-    # (displaced since r2), the nine round-3 additions q104-q112, q51 (gained
-    # a full Lloyd-trained oracle post-r3), and any round-4 additions — then
-    # once-green (r2-only) queries to earn a second row. The rest of the
-    # oracle-backed set (green in r2 and/or r3) sits past the cap; rows-only
-    # variants stay dead last.
-    # -- sentinels (driver-green r1+r2+r3)
+    # -- Round-5 rotation. The driver caps CORRECTNESS rows at the first 50
+    # registry entries (r1-r4 confirmed), so placement decides which oracle
+    # queries get a driver-green row. Slots 1-9: sentinels (q11 rotated out
+    # — it holds 4 green rows and its join shape is exercised by several
+    # window queries — to free the slot for...) Slot 10: q109, the single
+    # r4 err row (array<int> output burned the driver hasher; now reshaped
+    # to posexploded scalar rows — it must re-enter the window to convert
+    # the fix into a green row). Slots 11-50: q136-q175, the 40 round-4
+    # additions that have NEVER had a driver row — exactly fills the window.
+    # R6 ROTATION PLAN: keep the 9(or10) sentinels; next in line are the
+    # "r6 backlog" block right after the window (q176-q182, the q49 oracle
+    # twin q183, and any further r5 additions — all parity-green locally,
+    # never driver-checked); q136-q175 then drop behind with their r5 row;
+    # q104-q135 (r4 row) and the r1-r3 greens queue behind them; rows-only
+    # stays dead last. Run `parity_check --audit` + the
+    # test_driver_window_schemas_are_hasher_safe guard before ANY rotation.
+    # -- sentinels (driver-green r1+r2+r3+r4)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
-    "q11_outer_join_activity", "q22_rsi", "q23_ema", "q30_exact_dedup",
+    "q22_rsi", "q23_ema", "q30_exact_dedup",
     "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- never driver-checked: promoted into the window (slots 11-50)
-    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
-    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
-    "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
-    "q106_funnel_conversion", "q107_robust_outliers",
-    "q108_drawdown_sharpe", "q109_embedding_quantization",
-    "q110_holt_linear", "q111_fixed_k_sample", "q112_equidepth_histogram",
-    "q51_ann_ivf",  # oracle added post-r3 (deterministic Lloyd IVF)
-    # -- round-4 additions (never checked, by construction)
-    "q113_decontamination", "q114_doc_chunking",
-    "q115_fuzzy_dictionary_match", "q116_within_doc_dedup",
-    "q117_pagerank_dup_graph", "q118_pps_sample",
-    "q119_leakage_free_split", "q120_cdc_chunking",
-    "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
-    "q124_grid_interpolate", "q125_containment_pairs",
-    "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
-    "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
-    "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
-    "q135_rake_keywords",
-    # -- round-4 additions past the 50-slot window (driver rows in r5)
+    # -- r4 err row, fixed (hasher-safe reshape): needs its green row
+    "q109_embedding_quantization",
+    # -- never driver-checked (r4 additions): promoted into slots 11-50
     "q136_negative_sampling", "q137_clustering_coeff",
     "q138_atr", "q139_stochastic", "q140_obv",
     "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
@@ -9374,17 +9402,38 @@ _FINAL_ORDER = [
     "q170_seasonal_anomalies", "q171_behavior_similarity",
     "q172_pct_of_parent", "q173_yoy_growth", "q174_dn_retention",
     "q175_word_entropy",
-    # -- round-5+ backlog (past even the r5 window; driver rows in r6)
+    # ========== 50-slot driver window ends here ==========
+    # -- r6 backlog: parity-green locally, never driver-checked — first in
+    # line for the r6 window (plus any new r5 additions appended here)
     "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
     "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
-    "q182_kl_drift",
-    # -- once-green (r2 only): second driver row
+    "q182_kl_drift", "q183_corpus_clean_lsh",
+    # -- driver-green r4 (and sentinel q11 resting with 4 rows)
+    "q11_outer_join_activity",
+    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
+    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
+    "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
+    "q106_funnel_conversion", "q107_robust_outliers",
+    "q108_drawdown_sharpe",
+    "q110_holt_linear", "q111_fixed_k_sample", "q112_equidepth_histogram",
+    "q51_ann_ivf",
+    "q113_decontamination", "q114_doc_chunking",
+    "q115_fuzzy_dictionary_match", "q116_within_doc_dedup",
+    "q117_pagerank_dup_graph", "q118_pps_sample",
+    "q119_leakage_free_split", "q120_cdc_chunking",
+    "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
+    "q124_grid_interpolate", "q125_containment_pairs",
+    "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
+    "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
+    "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
+    "q135_rake_keywords",
+    # -- once-green (r2 only)
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
     "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
     "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
-    # -- past the cap this round: driver-green in r2 and/or r3
+    # -- driver-green in r2 and/or r3
     "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
     "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
     "q40_window_grabbag",

@@ -237,8 +237,8 @@ def test_quantized_embeddings_preserve_topk_recall(spark, sf_dir):
 
     from soict20221_bigdata_financialplatform_spark.operators.similarity import (
         brute_force_topk,
+        quantize_embeddings,
     )
-    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
     from soict20221_bigdata_financialplatform_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -255,7 +255,12 @@ def test_quantized_embeddings_preserve_topk_recall(spark, sf_dir):
     )
     mins = F.array(*[F.lit(r.mn) for r in stats])
     spans = F.array(*[F.lit(r.mx - r.mn) for r in stats])
-    deq = QUERIES["q109_embedding_quantization"](spark, sf_dir).select(
+    # the operator behind q109 (the registry query posexplodes its array to
+    # driver-hasher-safe (vec_id, pos, q) rows; the recall property lives in
+    # the array form)
+    deq = quantize_embeddings(
+        emb.withColumnRenamed("embedding", "emb"), "emb", "qvec"
+    ).select(
         "vec_id",
         F.transform(
             "qvec",
@@ -406,3 +411,49 @@ def test_ivfpq_full_probe_equals_flat_pq(spark):
     a = sorted(map(tuple, flat.collect()))
     b = sorted(map(tuple, ivf.collect()))
     assert a == b
+
+
+def test_ann_family_recall_table_sf01(spark):
+    """End-to-end recall@10 report for the WHOLE ANN family vs q34 brute
+    force at sf0.1 on the real testdata embeddings — the single table a
+    tuning round reads (r4 VERDICT item 6). Metric: |approx ∩ exact@10| /
+    |approx| per query (normalizes q72's k=5), averaged over each method's
+    query set.
+
+    The embeddings are RANDOM vectors — the worst case for every
+    approximate method (no cluster structure, max pairwise cos ≈ 0.5), so
+    the floors are theory-level, not 90%+: sign-LSH collision at 6 planes,
+    4x4 PQ codebooks quantizing isotropic noise. Every pipeline is
+    deterministic (seeded planes, deterministic Lloyd), so the measured
+    values are exact and the floors sit just under them: a parameter change
+    that trades recall away trips the floor; an improvement only raises the
+    measured value. Measured at r5: q35 0.300, q72 1.000, q131 0.200,
+    q133 0.250."""
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+
+    sf01 = "/root/testdata/sf0.1"
+
+    def topk(name):
+        d: dict = {}
+        for r in QUERIES[name](spark, sf01).collect():
+            d.setdefault(r.query_id, set()).add(r.vec_id)
+        return d
+
+    exact = topk("q34_ann_bruteforce")
+    floors = {
+        "q35_ann_lsh": 0.25,      # 6-plane sign-LSH, multiprobe 1
+        "q72_ann_ivf_det": 0.95,  # IVF nprobe=3/8 cells, k=5 all in exact@10
+        "q131_pq_adc": 0.15,      # 4x16-dim subspaces, 4 centroids each
+        "q133_ivfpq": 0.20,       # coarse prune + ADC rescore
+    }
+    table = []
+    for name, floor in floors.items():
+        approx = topk(name)
+        recs = [len(mine & exact[q]) / len(mine) for q, mine in approx.items()]
+        mean = sum(recs) / len(recs)
+        table.append((name, mean, min(recs), floor))
+    print("\nANN family recall@10 vs brute force (sf0.1, random embeddings):")
+    for name, mean, lo, floor in table:
+        print(f"  {name:18s} mean={mean:.3f} min={lo:.3f} floor={floor:.2f}")
+    for name, mean, lo, floor in table:
+        assert mean >= floor, f"{name} mean recall {mean:.3f} < floor {floor}"

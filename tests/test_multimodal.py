@@ -1381,3 +1381,70 @@ def test_decode_tiff_both_byte_orders():
         d = mm.decode_image(tiff(end, True))
         assert (d["width"], d["height"]) == (640, 480)
         assert d["mean_r"] is None
+
+
+# --- pluggable codec seam -------------------------------------------------
+
+def test_injected_codec_flows_through_decode_image_features(spark):
+    """The codec-injection seam end-to-end: a {format: fn} dict passed to
+    decode_image_features rides into the mapInPandas workers and decodes a
+    format the engine stubs (HEIC), while built-ins still handle theirs and
+    unmatched formats still degrade to decoded=false passthrough.
+
+    The fake codec is a LOCAL function: cloudpickle serializes it by value,
+    which is exactly how a real user's decoder closure reaches the Arrow
+    workers (a module-level function would need its module importable on
+    every executor)."""
+
+    def _fake_heic_codec(b: bytes):
+        # stand-in for a real libheif/PIL mount: sniff the ISO-BMFF brand
+        if len(b) >= 12 and b[4:12] == b"ftypheic":
+            return {"width": 77, "height": 55,
+                    "mean_r": 1.0, "mean_g": 2.0, "mean_b": 3.0}
+        return None
+
+    heic = b"\x00\x00\x00\x18ftypheic" + b"\x00" * 16
+    bmp = _make_bmp(3, 2, _PX)
+    rows = [
+        (1, "image", "image/heic", heic, 640, 480, -1),
+        (2, "image", "image/bmp", bmp, -1, -1, -1),
+        (3, "image", "image/avif", b"\x00\x00\x00\x18ftypavif", 9, 9, -1),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in mm.decode_image_features(
+            media, codecs={"heic": _fake_heic_codec}
+        ).collect()
+    }
+    assert out[1].decoded and (out[1].width, out[1].height) == (77, 55)
+    assert (out[1].mean_r, out[1].mean_g, out[1].mean_b) == (1.0, 2.0, 3.0)
+    assert out[2].decoded and (out[2].width, out[2].height) == (3, 2)  # built-in
+    assert not out[3].decoded  # codec declined AND built-ins declined -> passthrough
+    assert (out[3].width, out[3].height) == (9, 9)
+
+
+def test_injected_codec_precedes_builtins_and_audio_video_seams():
+    """Injected codecs are tried FIRST (user override wins — mount PIL to
+    pixel-decode a format the engine only header-parses), and the same seam
+    exists on all three modalities."""
+    bmp = _make_bmp(2, 2, [[(0, 0, 0)] * 2] * 2)
+    override = {"any": lambda b: {"width": -1, "height": -2, "mean_r": None,
+                                  "mean_g": None, "mean_b": None}}
+    assert mm.decode_image(bmp, codecs=override)["width"] == -1
+    assert mm.decode_image(bmp)["width"] == 2  # no injection -> built-in
+
+    fake_audio = {"aac": lambda b: {"sample_rate": 48000, "n_channels": 2,
+                                    "bits": 16, "duration_ms": 10, "rms": 0.5}
+                  if b.startswith(b"\xff\xf1") else None}
+    assert mm.decode_audio(b"\xff\xf1rest", codecs=fake_audio)["sample_rate"] == 48000
+    with pytest.raises(NotImplementedError):  # codec declines -> still loud
+        mm.decode_audio(b"\x00\x00", codecs=fake_audio)
+
+    fake_video = {"h264": lambda b: {"width": 1280, "height": 720,
+                                     "n_frames": 30, "fps": 30.0,
+                                     "duration_ms": 1000}
+                  if b.startswith(b"\x00\x00\x00\x01") else None}
+    assert mm.decode_video(b"\x00\x00\x00\x01nal", codecs=fake_video)["fps"] == 30.0
+    with pytest.raises(NotImplementedError):
+        mm.decode_video(b"junk", codecs=fake_video)

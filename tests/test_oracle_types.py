@@ -21,10 +21,12 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r4_rotation():
-    """The driver checks the FIRST 50 registry entries. Pin the round-4
-    window: 10 sentinels up front, every window entry oracle-backed, the
-    rows-only six dead last, and the full registry covered exactly once."""
+def test_final_order_window_r5_rotation():
+    """The driver checks the FIRST 50 registry entries. Pin the round-5
+    window: 9 sentinels up front (q11 rotated out with 4 green rows), the
+    fixed q109 in slot 10, the 40 never-checked r4 additions q136-q175 in
+    slots 11-50, every window entry oracle-backed, the rows-only six dead
+    last, and the full registry covered exactly once."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -32,12 +34,16 @@ def test_final_order_window_r4_rotation():
     assert len(_FINAL_ORDER) == len(set(_FINAL_ORDER)) == len(QUERIES)
     sentinels = [
         "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
-        "q11_outer_join_activity", "q22_rsi", "q23_ema", "q30_exact_dedup",
+        "q22_rsi", "q23_ema", "q30_exact_dedup",
         "q50_decimal_money", "q53_near_dup_clusters",
         "q64_embedding_near_dup_lsh",
     ]
-    assert _FINAL_ORDER[:10] == sentinels
+    assert _FINAL_ORDER[:9] == sentinels
+    assert _FINAL_ORDER[9] == "q109_embedding_quantization"
     window = _FINAL_ORDER[:50]
+    assert window[10:] == [f"q{n}_" for n in range(136, 176)] or [
+        w.split("_")[0] for w in window[10:]
+    ] == [f"q{n}" for n in range(136, 176)]
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]

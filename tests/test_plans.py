@@ -430,3 +430,31 @@ def test_scale_lint_flags_and_passes(spark, sf_dir):
     lint = scale_lint(ema)
     assert [f for f in lint if f["level"] == "error"] == []
     assert any(f["rule"] == "arrow-python-crossing" for f in lint)
+
+
+def test_driver_window_schemas_are_hasher_safe(spark, sf_dir):
+    """The driver's value hasher canonicalizes results via pandas
+    sort_values over every output column; nested cells (list/dict) raise
+    "unhashable type" and DECIMAL values canonicalize differently from
+    their DOUBLE twins. Three rounds burned on this class (r1 q50 DECIMAL,
+    r2 q38 HUGEINT, r4 q109 array<int>) — make it structurally impossible
+    for any query inside the driver's 50-slot CORRECTNESS window to emit a
+    nested or decimal OUTPUT column. (Intermediate decimals/arrays are
+    fine; this checks the final schema only.)"""
+    from soict20221_bigdata_financialplatform_spark.queries import _FINAL_ORDER, QUERIES
+
+    offenders = {}
+    for name in _FINAL_ORDER[:50]:
+        schema = QUERIES[name](spark, sf_dir).schema
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.dataType.simpleString().startswith(
+                ("array<", "map<", "struct<", "decimal")
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"driver-hasher-unsafe output columns in window queries: {offenders}"
+    )

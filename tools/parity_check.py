@@ -112,9 +112,24 @@ def audit(sf_dir: str, only) -> int:
         except Exception as e:
             problems.append(f"duckdb error: {type(e).__name__}: {e}")
             dtypes = {}
+        # Nested OUTPUT columns burn the driver's hasher: its canonicalizer
+        # is pandas sort_values over every column, and list/dict cells raise
+        # "unhashable type" (the r4 q109 err row — value parity was green,
+        # the SHAPE failed). Flatten: posexplode to rows, or array_join.
+        for col, st in stypes.items():
+            if st.startswith(("array<", "map<", "struct<")):
+                problems.append(
+                    f"{col}: Spark {st} OUTPUT — driver hasher can't sort "
+                    "nested cells (r4 q109); posexplode to rows or array_join"
+                )
         for col, dt in dtypes.items():
             base = dt.split("(")[0]
-            if base in _RISKY_DUCK:
+            if dt.endswith("[]") or base in {"STRUCT", "MAP", "LIST", "UNION"}:
+                problems.append(
+                    f"{col}: DuckDB {dt} OUTPUT — nested cells burn the "
+                    "driver hasher (r4 q109); flatten to scalar columns"
+                )
+            elif base in _RISKY_DUCK:
                 problems.append(f"{col}: DuckDB {dt} — {_RISKY_DUCK[base]}")
             elif base == "DECIMAL":
                 problems.append(
