@@ -297,21 +297,29 @@ def main() -> None:
         "polluted": polluted,
     }
     # Full detail record first (per-query min + variance for every entry) —
-    # for humans and BENCH_DETAIL archaeology.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_detail",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "variance": variance,
-                "streaming": streaming,
-                "load_sentinel": load_sentinel,
-                "sf": sf,
-            }
-        )
+    # printed AND persisted to BENCH_DETAIL.json so the per-query history
+    # survives even though the driver keeps only a 2000-char stdout tail.
+    detail = json.dumps(
+        {
+            "metric": "headline_queries_total_detail",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "variance": variance,
+            "streaming": streaming,
+            "load_sentinel": load_sentinel,
+            "sf": sf,
+        }
     )
+    print(detail)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            f.write(detail + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the detail line
     # LAST stdout line: compact (<2000 chars) so the driver's 2000-char tail
     # capture parses — BENCH_r03/r04 were `parsed: null` because the single
     # detail line grew past the capture window. Keep this line small forever.

@@ -327,6 +327,91 @@ def minhash_md5_pairs(
     )
 
 
+def longest_common_run_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 5,
+    min_run: int = 10,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Longest common token RUN per document pair — the ExactSubstr signal
+    from "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022): two documents sharing a verbatim span of >= min_run tokens
+    are near-certainly one source copied into another, a class that
+    set-based Jaccard (q31) underweights when the shared span is a small
+    fraction of a long document.
+
+    Relational form of the paper's suffix-array scan: explode each doc to
+    (pos, gram)-grams, EQUI-join on the gram string (a.id < b.id), and on
+    each match diagonal ``diag = pos_a − pos_b`` detect runs of consecutive
+    ``pos_a`` with the islands trick (pos − row_number is constant within a
+    run); a run of k consecutive matching g-grams on one diagonal is a
+    common substring of exactly k + g − 1 tokens. Exact for every common
+    substring >= gram tokens — no sampling, no hashing collisions (the join
+    key is the raw gram; swap in a 128-bit digest at cluster scale if
+    shuffle width matters).
+
+    Scale: the join is the inverted-index shape (quadratic only within one
+    gram's posting list) and boilerplate grams are the hot-bucket risk —
+    ``max_gram_df`` drops grams appearing in more than that many documents
+    (their pairs still surface through the span's rarer grams unless the
+    ENTIRE span is boilerplate, which is exactly the content a dedup
+    pipeline wants ranked down); islands are per-(pair, diagonal) windows,
+    thousands of tiny hash-partitioned groups. Returns
+    (id_a, id_b, longest_common_tokens >= min_run)."""
+    assert min_run >= gram
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(npart, id_col).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    g = (
+        toks.where(F.size("t") >= gram)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (gram - 1))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "id",
+            "pos",
+            F.array_join(F.slice("t", F.col("pos"), gram), " ").alias("g"),
+        )
+    )
+    if max_gram_df is not None:
+        # hot-gram set first (one agg — never a per-row collect_set window,
+        # which would materialize the posting list on exactly the rows we
+        # are trying to drop), then anti-join it away. Usually tiny (only
+        # grams above the cap) — AQE broadcasts it when it is; no explicit
+        # hint because a boilerplate-heavy corpus can make it wide.
+        hot = (
+            g.groupBy("g")
+            .agg(F.count_distinct("id").alias("__df"))
+            .where(F.col("__df") > max_gram_df)
+            .select("g")
+        )
+        g = g.join(hot, "g", "left_anti")
+    a = g.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "g")
+    b = g.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "g")
+    m = a.join(b, "g").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w_isl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("isl", F.col("pa") - F.row_number().over(w_isl))
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg((F.count(F.lit(1)) + (gram - 1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(F.max("run_len").alias("longest_common_tokens"))
+        .where(F.col("longest_common_tokens") >= min_run)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

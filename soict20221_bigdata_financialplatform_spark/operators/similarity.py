@@ -550,6 +550,55 @@ def dequantize_embeddings(
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid: (id, cell).
+
+    The shared read-side primitive of the IVF/SemDeDup family
+    (:func:`kmeans_lloyd_det` training, :func:`semdedup_keep` pruning, q185
+    index-health monitoring): centroids collapse to ONE broadcast row and
+    the argmin is a per-row HOF fold over (sqdist, cid) structs — the
+    corpus never shuffles to pick a cell, and ties break on the lower
+    centroid id (identical to the DuckDB oracle's
+    ``row_number() OVER (ORDER BY d, cid)``)."""
+
+    def _sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    carr = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(F.col(cent_id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            ).alias("__cents")
+        )
+    )
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(carr)
+        .select(
+            id_col,
+            F.array_min(
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.struct(
+                        _sq(F.col(vec_col), c["cv"]).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cell"),
+        )
+    )
+
+
 def semdedup_keep(
     corpus: DataFrame,
     centroids: DataFrame,

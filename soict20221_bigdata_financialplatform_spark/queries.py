@@ -9353,6 +9353,134 @@ def q182_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q184_longest_common_run",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+4], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+      WHERE len(t) >= 5
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, count(*) + 4 AS run_len
+      FROM (SELECT id_a, id_b, diag, pa,
+                   pa - row_number() OVER (
+                     PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
+            FROM m)
+      GROUP BY id_a, id_b, diag, isl
+    )
+    SELECT id_a, id_b, max(run_len) AS longest_common_tokens
+    FROM runs GROUP BY id_a, id_b
+    HAVING max(run_len) >= 10
+    """,
+)
+def q184_longest_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup signal (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): longest VERBATIM token run shared
+    by each document pair, >= 10 tokens — catches source-copied spans that
+    set-Jaccard (q31) underweights inside long documents. Relational
+    suffix-array substitute: 5-gram inverted-index equi-join, then runs of
+    consecutive positions on each match diagonal via the islands trick
+    (``dedup.longest_common_run_pairs``; a k-run of matching 5-grams = a
+    k+4-token common substring, exact). Oracle walks the identical
+    gram→diagonal→island plan; all counts are exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.longest_common_run_pairs(d, gram=5, min_run=10)
+
+
+def _cell_balance_oracle_sql(nlist: int = 8, iters: int = 2) -> str:
+    """q185 oracle: the proven deterministic-Lloyd prefix (q51/q127), then
+    cell sizes → share / quantized-entropy / imbalance. Entropy terms are
+    the q182 micro-unit shape: share = exact-integer division (bit-exact),
+    ln rounded at the transcendental, per-cell terms quantized to BIGINT
+    micro-units and integer-summed."""
+    ctes = _lloyd_cells_ctes(nlist, iters)
+    ctes.append(
+        "sz AS (SELECT cell, count(*)::BIGINT AS n FROM cells GROUP BY cell)"
+    )
+    ctes.append(
+        "tot AS (SELECT sum(n)::BIGINT AS n_tot, count(*)::BIGINT AS k, "
+        "max(n)::BIGINT AS max_n FROM sz)"
+    )
+    ctes.append(
+        "terms AS (SELECT sz.cell, sz.n, sz.n::DOUBLE / t.n_tot AS share, "
+        "CAST(floor(((sz.n::DOUBLE / t.n_tot) "
+        "* round(ln(sz.n::DOUBLE / t.n_tot), 6)) * 1000000.0 + 0.5) "
+        "AS BIGINT) AS qterm FROM sz, tot t)"
+    )
+    ctes.append(
+        "gl AS (SELECT CAST(-sum(qterm) AS BIGINT) AS sq FROM terms)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT terms.cell, terms.n, terms.share,\n"
+        "       g.sq / 1000000.0 AS entropy,\n"
+        "       (t.max_n * t.k)::DOUBLE / t.n_tot AS imbalance\n"
+        "FROM terms, gl g, tot t"
+    )
+
+
+@register("q185_ivf_cell_balance", _cell_balance_oracle_sql())
+def q185_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health monitor: per-cell occupancy share, assignment
+    entropy and imbalance factor (max cell / mean cell) for the q51
+    deterministic-Lloyd coarse quantizer — the numbers that tell an ANN
+    operator when to retrain or re-shard (a hot cell is the IVF read path's
+    skew bomb: nprobe queries landing on one giant cell serialize exactly
+    like a hot LSH bucket). Composes the proven pieces: training =
+    ``kmeans_lloyd_det`` (q51's config), assignment =
+    ``similarity.assign_cells`` (broadcast-centroid HOF argmin, corpus
+    never shuffles), stats = one nlist-row aggregate. Float policy: share
+    and imbalance are single exact-integer divisions (never rounded);
+    entropy terms are micro-unit quantized then integer-summed (q182
+    pattern)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    init = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    cents = sim.kmeans_lloyd_det(emb, init, iters=2)
+    cells = sim.assign_cells(emb, cents)
+    sz = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = F.broadcast(
+        sz.agg(
+            F.sum("n").cast("long").alias("n_tot"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.max("n").cast("long").alias("max_n"),
+        )
+    )
+    share = F.col("n").cast("double") / F.col("n_tot")
+    terms = sz.crossJoin(tot).select(
+        "cell",
+        "n",
+        share.alias("share"),
+        F.floor((share * F.round(F.log(share), 6)) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("qterm"),
+        ((F.col("max_n") * F.col("k")).cast("double") / F.col("n_tot")).alias(
+            "imbalance"
+        ),
+    )
+    glob = F.broadcast(
+        terms.agg((-F.sum("qterm")).cast("long").alias("sq"))
+    )
+    return terms.crossJoin(glob).select(
+        "cell",
+        "n",
+        "share",
+        (F.col("sq") / 1000000.0).alias("entropy"),
+        "imbalance",
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -9403,11 +9531,13 @@ _FINAL_ORDER = [
     "q172_pct_of_parent", "q173_yoy_growth", "q174_dn_retention",
     "q175_word_entropy",
     # ========== 50-slot driver window ends here ==========
-    # -- r6 backlog: parity-green locally, never driver-checked — first in
-    # line for the r6 window (plus any new r5 additions appended here)
+    # -- r6 backlog: parity-green locally (sf0.001+sf0.01+sf0.1), never
+    # driver-checked — first in line for the r6 window (new r6 additions
+    # append here; 10 so far, ~30 free r6 slots behind them)
     "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
     "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
-    "q182_kl_drift", "q183_corpus_clean_lsh",
+    "q182_kl_drift", "q183_corpus_clean_lsh", "q184_longest_common_run",
+    "q185_ivf_cell_balance",
     # -- driver-green r4 (and sentinel q11 resting with 4 rows)
     "q11_outer_join_activity",
     "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",

@@ -457,3 +457,76 @@ def test_ann_family_recall_table_sf01(spark):
         print(f"  {name:18s} mean={mean:.3f} min={lo:.3f} floor={floor:.2f}")
     for name, mean, lo, floor in table:
         assert mean >= floor, f"{name} mean recall {mean:.3f} < floor {floor}"
+
+
+def test_longest_common_run_exact_span_lengths(spark):
+    """Planted spans: the operator reports EXACTLY the longest shared token
+    run (Lee et al. ExactSubstr semantics), ignores pairs below min_run,
+    and a repeated span inside one doc doesn't inflate the pair's run."""
+    span = " ".join(f"w{i}" for i in range(12))  # 12-token verbatim span
+    rows = [
+        Row(doc_id=0, text="alpha beta " + span + " gamma delta"),
+        Row(doc_id=1, text="x1 x2 x3 " + span + " y1 y2"),          # shares 12
+        Row(doc_id=2, text="p q r s t u v w unrelated tokens here"),
+        Row(doc_id=3, text=span + " tail " + span),                  # twice
+    ]
+    out = {
+        (r.id_a, r.id_b): r.longest_common_tokens
+        for r in dd.longest_common_run_pairs(
+            spark.createDataFrame(rows), gram=5, min_run=10
+        ).collect()
+    }
+    assert out[(0, 1)] == 12
+    assert out[(0, 3)] == 12  # repeat in doc 3 doesn't extend the run
+    assert out[(1, 3)] == 12
+    assert not any(2 in pair for pair in out)  # no >=10-token span with doc 2
+
+
+def test_longest_common_run_gram_df_cap_drops_boilerplate(spark):
+    """max_gram_df: a boilerplate span shared by EVERY doc exceeds the df
+    cap and stops generating candidate pairs (the hot-bucket guard), while
+    rarer spans still pair up."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rare = " ".join(f"r{i}" for i in range(10))
+    rows = [Row(doc_id=i, text=boiler + f" filler{i}") for i in range(6)]
+    rows += [
+        Row(doc_id=10, text="u1 u2 " + rare),
+        Row(doc_id=11, text="v1 v2 v3 " + rare),
+    ]
+    df = spark.createDataFrame(rows)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dd.longest_common_run_pairs(
+            df, gram=5, min_run=10, max_gram_df=3
+        ).collect()
+    }
+    assert capped == {(10, 11)}  # boilerplate pairs gone, rare span kept
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dd.longest_common_run_pairs(df, gram=5, min_run=10).collect()
+    }
+    assert len(uncapped) == 15 + 1  # C(6,2) boilerplate pairs + the rare pair
+
+
+def test_assign_cells_matches_semdedup_assignment_and_tiebreak(spark):
+    """assign_cells is the shared read-side argmin: identical cells to what
+    semdedup_keep computes internally, and equidistant vectors break the
+    tie toward the LOWER centroid id (the oracle's ORDER BY d, cid)."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 1.0]),
+        Row(vec_id=1, embedding=[11.0, 1.0]),
+        Row(vec_id=2, embedding=[2.0, 1.0]),   # near centroid A
+        Row(vec_id=3, embedding=[10.0, 1.0]),  # near centroid B
+        Row(vec_id=4, embedding=[6.0, 1.0]),   # EXACTLY between -> lower cid
+    ]
+    corpus = spark.createDataFrame(rows)
+    cents = corpus.where("vec_id IN (0, 1)").selectExpr(
+        "vec_id AS cent_id", "embedding"
+    )
+    cells = {r.vec_id: r.cell for r in sim.assign_cells(corpus, cents).collect()}
+    assert cells == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+    via_semdedup = {
+        r.vec_id: r.cell
+        for r in sim.semdedup_keep(corpus, cents, threshold=1.1).collect()
+    }
+    assert cells == via_semdedup
