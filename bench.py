@@ -87,6 +87,10 @@ HEADLINE = [
     "q135_rake_keywords",
     "q143_assoc_rules",
     "q149_zipf_fit",
+    # round-5 additions: ExactSubstr span dedup (inverted-index join +
+    # per-diagonal islands), IVF cell-balance monitor (Lloyd + argmin)
+    "q184_longest_common_run",
+    "q185_ivf_cell_balance",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

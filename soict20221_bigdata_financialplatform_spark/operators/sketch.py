@@ -248,3 +248,90 @@ def cms_store_matrix(spark, store_path: str) -> DataFrame:
         .groupBy("__s", "__b")
         .agg(F.sum("__c").alias("__c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with the md5-prefix hash family — the SECOND oracle-able sketch
+# ---------------------------------------------------------------------------
+
+# Scale factor for the harmonic-mean denominator: every register term
+# 2^(-M) is carried as the exact integer 2^(CAP - M), so the denominator is
+# an exact BIGINT sum (order-independent — zero float-sum parity risk) and
+# 2^(-M) only turns into a double at the single final division. CAP=48
+# keeps the max term (empty register, M=0) at 2^48 and the m-register sum
+# under 2^53 for m <= 16 — exactly representable AND far from BIGINT
+# overflow at any corpus size (the sum depends on m, never on rows).
+_HLL_CAP = 48
+_HLL_REST_BITS = 56  # 60-bit md5 prefix minus the 4 register-index bits
+
+
+def hll_md5_registers(
+    df: DataFrame, col: str, m: int = 16
+) -> DataFrame:
+    """HyperLogLog register state (Flajolet et al. 2007) with the md5-prefix
+    hash family: h = first 15 md5 hex chars as a 60-bit int, register =
+    h mod m, rho = leading-zero rank of the remaining 56 bits (via
+    ``length(bin(rest))`` — both engines print minimal binary), register
+    value = max rho. Returns ALL ``m`` rows (empty registers as 0), so two
+    sketches merge by key-wise MAX — the mergeable-summary property the
+    pytest pins.
+
+    Unlike ``approx_count_distinct`` (q87 — engine-internal HLL++, rows-only
+    forever), every piece here is deterministic and cross-engine: q186's
+    DuckDB oracle rebuilds the full register state AND the estimate
+    bit-identically, making HLL the second fully oracle-checked sketch
+    after the q134 Count-Min. Scale: one grouped MAX over m registers —
+    map-side combine collapses each partition to <= m rows before a tiny
+    shuffle; state is m integers regardless of corpus size."""
+    assert m == 16, "register-index arithmetic is pinned to m=16 (4 bits)"
+    spark = df.sparkSession
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = df.select(h.alias("__h")).select(
+        F.pmod(F.col("__h"), F.lit(m)).alias("register"),
+        F.shiftright(F.col("__h"), 4).alias("__rest"),
+    )
+    rho = F.when(
+        F.col("__rest") > 0,
+        F.lit(_HLL_REST_BITS) - F.length(F.bin("__rest")) + F.lit(1),
+    ).otherwise(F.lit(_HLL_REST_BITS + 1))
+    present = (
+        hashed.select("register", rho.alias("__rho"))
+        .groupBy("register")
+        .agg(F.max("__rho").alias("__mx"))
+    )
+    allregs = spark.range(m).select(F.col("id").alias("register"))
+    return allregs.join(present, "register", "left").select(
+        "register",
+        F.coalesce(F.col("__mx"), F.lit(0)).cast("long").alias("m_reg"),
+    )
+
+
+def hll_md5_estimate(regs: DataFrame, m: int = 16) -> DataFrame:
+    """One-row (hll_est, n_zero_regs) from a register frame: harmonic-mean
+    raw estimate with the standard small-range linear-counting correction.
+    Float policy: the denominator is an exact integer sum (see _HLL_CAP);
+    alpha·m²·2^CAP is embedded as ONE pre-folded literal so both engines
+    start from the identical double; ln (small-range branch only) is
+    rounded at the transcendental."""
+    assert m == 16
+    alpha_num = 4.84947607875255e16  # 0.673 * 256.0 * 2^48, pre-folded
+    # pyspark's F.shiftleft only takes a literal bit count — the per-row
+    # shift goes through the SQL expression form
+    scaled = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({_HLL_CAP} - LEAST(m_reg, {_HLL_CAP}) AS INT))"
+    )
+    s = regs.agg(
+        F.sum(scaled).cast("long").alias("__ssum"),
+        F.sum(F.when(F.col("m_reg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_regs"),
+    )
+    raw = F.lit(alpha_num) / F.col("__ssum")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero_regs") > 0),
+        F.lit(float(m)) * F.round(F.log(F.lit(float(m)) / F.col("n_zero_regs")), 6),
+    ).otherwise(raw)
+    return s.select(est.alias("hll_est"), "n_zero_regs")

@@ -9481,6 +9481,69 @@ def q185_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q186_hll_md5",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ), t AS (
+      SELECT word, ('0x' || substr(md5(word), 1, 15))::UBIGINT::BIGINT AS h
+      FROM tok WHERE word <> ''
+    ), r AS (
+      SELECT h % 16 AS register,
+             CASE WHEN (h >> 4) > 0
+                  THEN 56 - length(bin(h >> 4)) + 1 ELSE 57 END AS rho
+      FROM t
+    ), present AS (
+      SELECT register, max(rho) AS mx FROM r GROUP BY register
+    ), regs AS (
+      SELECT u.j AS register, coalesce(p.mx, 0)::BIGINT AS m_reg
+      FROM UNNEST(range(0, 16)) AS u(j)
+      LEFT JOIN present p ON p.register = u.j
+    ), s AS (
+      SELECT sum(1::BIGINT << (48 - least(m_reg, 48)::INT))::BIGINT AS ssum,
+             sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+      FROM regs
+    ), est AS (
+      SELECT CASE WHEN (4.84947607875255e16 / ssum) <= 40.0 AND v > 0
+                  THEN 16.0 * round(ln(16.0 / v), 6)
+                  ELSE 4.84947607875255e16 / ssum END AS hll_est,
+             v AS n_zero_regs
+      FROM s
+    ), d AS (SELECT count(DISTINCT word)::BIGINT AS n_distinct FROM t)
+    SELECT regs.register, regs.m_reg, e.hll_est, e.n_zero_regs, d.n_distinct
+    FROM regs, est e, d
+    """,
+)
+def q186_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-word estimate with the md5-prefix hash family —
+    the SECOND fully oracle-checked sketch after the q134 Count-Min: DuckDB
+    rebuilds the complete 16-register state, the harmonic-mean estimate and
+    the small-range correction bit-identically
+    (``sketch.hll_md5_registers`` / ``hll_md5_estimate``; q87 keeps
+    ``approx_count_distinct`` as the production path — engine-internal
+    HLL++, rows-only by construction). Float policy: the denominator
+    Σ2^(−M) is carried as exact 2^(48−M) BIGINTs and integer-summed (the
+    micro-unit idea with power-of-two units — zero float-sum risk); the
+    single final division and the pre-folded α·m²·2^48 literal are
+    bit-portable; ln is rounded at the transcendental. Output = register
+    rows + estimate + exact distinct count for the pytest error bound."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(F.explode(tx.words("text")).alias("word")).where(
+        F.col("word") != ""
+    )
+    regs = sk.hll_md5_registers(tok, "word")
+    est = F.broadcast(sk.hll_md5_estimate(regs))
+    nd = F.broadcast(
+        tok.agg(F.count_distinct("word").cast("long").alias("n_distinct"))
+    )
+    return regs.crossJoin(est).crossJoin(nd).select(
+        "register", "m_reg", "hll_est", "n_zero_regs", "n_distinct"
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -9537,7 +9600,7 @@ _FINAL_ORDER = [
     "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
     "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
     "q182_kl_drift", "q183_corpus_clean_lsh", "q184_longest_common_run",
-    "q185_ivf_cell_balance",
+    "q185_ivf_cell_balance", "q186_hll_md5",
     # -- driver-green r4 (and sentinel q11 resting with 4 rows)
     "q11_outer_join_activity",
     "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",

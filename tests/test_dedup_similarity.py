@@ -530,3 +530,49 @@ def test_assign_cells_matches_semdedup_assignment_and_tiebreak(spark):
         for r in sim.semdedup_keep(corpus, cents, threshold=1.1).collect()
     }
     assert cells == via_semdedup
+
+
+def test_longest_common_run_matches_bruteforce_lcs(spark):
+    """Equivalence against a brute-force longest-common-token-substring on a
+    seeded random corpus with planted overlaps: for every pair the operator
+    reports exactly the brute-force LCS length when >= min_run, and no pair
+    below min_run leaks through."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]  # small vocab -> accidental repeats
+    docs = [[rng.choice(vocab) for _ in range(40)] for _ in range(10)]
+    # plant a long overlap: doc1 carries a slice of doc0, doc3 of doc2
+    docs[1][5:20] = docs[0][10:25]
+    docs[3][0:11] = docs[2][20:31]
+    rows = [Row(doc_id=i, text=" ".join(d)) for i, d in enumerate(docs)]
+
+    def lcs_tokens(a, b):
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    min_run = 8
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            n = lcs_tokens(docs[i], docs[j])
+            if n >= min_run:
+                expect[(i, j)] = n
+
+    got = {
+        (r.id_a, r.id_b): r.longest_common_tokens
+        for r in dd.longest_common_run_pairs(
+            spark.createDataFrame(rows), gram=5, min_run=min_run
+        ).collect()
+    }
+    assert got == expect
+    assert (0, 1) in got and got[(0, 1)] >= 15
+    assert (2, 3) in got and got[(2, 3)] >= 11

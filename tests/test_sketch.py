@@ -3,6 +3,7 @@ guarantees (capacity-k undercount bound, superset-of-frequent property)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -169,3 +170,55 @@ def test_cms_store_incremental_and_replay_idempotent(spark, tmp_path):
     # replay batch 1: idempotent, not double-counted
     cms_store_update(b1, 1, store, "item")
     assert snap(cms_store_matrix(spark, store)) == want
+
+
+def _tokens(spark, words, partitions: int = 8):
+    return spark.createDataFrame(
+        [Row(word=w) for w in words]
+    ).repartition(partitions)
+
+
+def test_hll_md5_error_bound_and_full_registers(spark):
+    """HLL m=16 standard error is 1.04/sqrt(16) = 26%: on 5000 distinct
+    tokens the estimate lands within 2.5 sigma, all registers are occupied,
+    and duplicate tokens never move the registers (distinct-ness is the
+    whole point)."""
+    words = [f"tok{i}" for i in range(5000)]
+    regs = sk.hll_md5_registers(_tokens(spark, words), "word")
+    est = sk.hll_md5_estimate(regs).collect()[0]
+    assert est.n_zero_regs == 0
+    assert abs(est.hll_est - 5000) / 5000 <= 0.65
+    # duplicates are invisible: registers identical after tripling the data
+    regs3 = sk.hll_md5_registers(_tokens(spark, words * 3), "word")
+    assert sorted(map(tuple, regs.collect())) == sorted(map(tuple, regs3.collect()))
+
+
+def test_hll_md5_mergeability(spark):
+    """Mergeable-summary property: registers of a union == key-wise MAX of
+    the halves' registers (what makes HLL shardable across 1000 executors
+    — each partition sketches locally, one m-row max combines)."""
+    words = [f"w{i}" for i in range(2000)]
+    a = sk.hll_md5_registers(_tokens(spark, words[:1200]), "word")
+    b = sk.hll_md5_registers(_tokens(spark, words[800:]), "word")
+    union = sk.hll_md5_registers(_tokens(spark, words), "word")
+    merged = (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+
+
+def test_hll_md5_small_range_linear_counting(spark):
+    """With 3 distinct tokens the raw harmonic estimate falls under 2.5m and
+    the linear-counting branch fires: est = m * round(ln(m / V), 6) with V =
+    empty registers — verified against the collected register state."""
+    import math
+
+    regs = sk.hll_md5_registers(_tokens(spark, ["a", "b", "c"]), "word")
+    v = sum(1 for r in regs.collect() if r.m_reg == 0)
+    est = sk.hll_md5_estimate(regs).collect()[0]
+    assert est.n_zero_regs == v and v >= 13
+    assert est.hll_est == pytest.approx(16.0 * round(math.log(16.0 / v), 6))
