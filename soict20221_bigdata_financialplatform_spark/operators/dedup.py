@@ -491,12 +491,23 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     Pigeonhole banding: with 4 16-bit chunks, any pair within hamming 3 shares
     at least one exact chunk → join per chunk, union, verify with
-    bit_count(a XOR b)."""
+    bit_count(a XOR b).
+
+    ``max_bucket_size`` is the same hot-bucket guard as the MinHash path
+    (and it matters MORE here): on a boilerplate-heavy corpus every
+    document's token distribution looks alike, SimHash values cluster, and
+    one 16-bit chunk bucket can hold most of the corpus — the chunk join
+    then goes O(n²) (the r5 scale smoke measured exactly this blow-up on a
+    zipf-uniform synthetic corpus before the cap existed). Oversized
+    buckets are dropped; their members still pair through their other 3
+    chunks unless they agree on ALL hot chunks — i.e. unless they are the
+    boilerplate itself. None disables."""
     sigs = simhash(df, text_col, id_col)
     chunks = sigs.select(
         F.col(id_col),
@@ -512,6 +523,13 @@ def simhash_near_dup_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     ).persist()  # 64-sum simhash agg runs once, not once per join branch
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("chunk_idx", "chunk")
+        chunks = (
+            chunks.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

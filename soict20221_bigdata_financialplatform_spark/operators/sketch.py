@@ -123,11 +123,12 @@ def cms_estimates(
     over-count via collisions); est ≤ true + εN with probability 1−δ for
     ε = e/width, δ = e^−depth.
 
-    Unlike HLL/GK/Misra-Gries (rows-only — their internals are
+    Unlike GK/Misra-Gries (rows-only — their internals are
     engine-specific), the CM sketch IS cross-engine checkable: the hash
     family is the md5-prefix trick (seed-prefixed, mod width), so DuckDB
-    builds the bit-identical counter matrix and takes the same mins — the
-    one sketch whose whole construction has a DuckDB oracle.
+    builds the bit-identical counter matrix and takes the same mins. The
+    md5 family also oracle-checks HLL (:func:`hll_md5_registers`, q186)
+    and the sampled-quantile sketch (:func:`md5_bernoulli_sample`, q187).
 
     Scale shape: the matrix build explodes each row into ``depth`` (row,
     bucket) pairs and grouped-counts them — map-side combine collapses to
@@ -335,3 +336,20 @@ def hll_md5_estimate(regs: DataFrame, m: int = 16) -> DataFrame:
         F.lit(float(m)) * F.round(F.log(F.lit(float(m)) / F.col("n_zero_regs")), 6),
     ).otherwise(raw)
     return s.select(est.alias("hll_est"), "n_zero_regs")
+
+
+def md5_bernoulli_sample(
+    df: DataFrame, key_cols: list[str] | tuple, denom: int = 16
+) -> DataFrame:
+    """Deterministic hash-Bernoulli sample (rate 1/denom) keyed on the md5
+    prefix of the row's unique key — the sampling primitive behind the
+    q187 quantile sketch. Key-stable (a row keeps its fate across runs AND
+    across corpus versions — no rand(), no RNG state to replay) and
+    trivially mergeable: sample(A ∪ B) = sample(A) ∪ sample(B) because
+    membership is a per-row predicate. Cross-engine exact: DuckDB computes
+    the identical member set from the same md5 prefix. Scale: a pure scan
+    predicate — no shuffle, works at any cardinality, composes with
+    partition pruning."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return df.where(F.pmod(h, F.lit(denom)) == 0)

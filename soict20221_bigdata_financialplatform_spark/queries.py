@@ -9544,6 +9544,61 @@ def q186_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q187_sampled_quantiles",
+    """
+    WITH samp AS (
+      SELECT l_extendedprice AS v FROM lineitem
+      WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '|'
+                            || l_linenumber::VARCHAR), 1, 15))
+            ::UBIGINT % 16 = 0
+    ), s AS (
+      SELECT count(*)::BIGINT AS n_sample,
+             round(quantile_cont(v, 0.5), 6) AS p50_est,
+             round(quantile_cont(v, 0.9), 6) AS p90_est,
+             round(quantile_cont(v, 0.99), 6) AS p99_est
+      FROM samp
+    ), p AS (
+      SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_true,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_true,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_true
+      FROM lineitem
+    )
+    SELECT s.n_sample, s.p50_est, s.p90_est, s.p99_est,
+           p.p50_true, p.p90_true, p.p99_true
+    FROM s, p
+    """,
+)
+def q187_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-quantile sketch — the THIRD md5-family oracle-checked sketch
+    (after CMS q134 and HLL q186): a deterministic hash-Bernoulli 1/16
+    sample keyed on the row's unique key (``sketch.md5_bernoulli_sample``
+    — key-stable, no RNG state, sample(A∪B) = sample(A)∪sample(B) so it
+    merges trivially across shards/streams), then EXACT interpolated
+    quantiles over the sample (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, round(6) both sides — the q37-proven pair). The
+    population quantiles ride along so the pytest pins the sampling error
+    (rank error ~ 1/sqrt(n_sample)); q92's GK ``approx_percentile`` stays
+    the production rows-only path. Scale: the sample predicate is scan-side
+    (no shuffle); the quantile aggregate sees 1/16 of the rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    samp = sk.md5_bernoulli_sample(li, ("l_orderkey", "l_linenumber"), 16)
+    s = samp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_est"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_est"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_est"),
+    )
+    p = li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_true"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_true"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_true"),
+    )
+    return s.crossJoin(F.broadcast(p))
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -9600,7 +9655,7 @@ _FINAL_ORDER = [
     "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
     "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
     "q182_kl_drift", "q183_corpus_clean_lsh", "q184_longest_common_run",
-    "q185_ivf_cell_balance", "q186_hll_md5",
+    "q185_ivf_cell_balance", "q186_hll_md5", "q187_sampled_quantiles",
     # -- driver-green r4 (and sentinel q11 resting with 4 rows)
     "q11_outer_join_activity",
     "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",

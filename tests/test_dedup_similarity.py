@@ -576,3 +576,32 @@ def test_longest_common_run_matches_bruteforce_lcs(spark):
     assert got == expect
     assert (0, 1) in got and got[(0, 1)] >= 15
     assert (2, 3) in got and got[(2, 3)] >= 11
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """max_bucket_size drops a chunk bucket shared by the whole (boilerplate)
+    corpus — the O(n²) guard the r5 scale smoke showed simhash needs even
+    more than minhash (similar token DISTRIBUTIONS collapse SimHash values
+    even without shared n-grams). Identical docs still pair through their
+    other three chunks; with the cap disabled the full pair set returns."""
+    boiler = " ".join(f"b{i}" for i in range(40))
+    rows = [Row(doc_id=i, text=boiler) for i in range(8)]  # identical docs
+    df = spark.createDataFrame(rows)
+    full = {(r.id_a, r.id_b)
+            for r in dd.simhash_near_dup_pairs(df, max_hamming=6).collect()}
+    assert len(full) == 28  # C(8,2): identical docs, hamming 0
+    # cap of 7 kills all four chunk buckets (every one holds all 8 docs):
+    # the boilerplate cluster itself is what the cap refuses to pair
+    # quadratically
+    capped = {(r.id_a, r.id_b)
+              for r in dd.simhash_near_dup_pairs(
+                  df, max_hamming=6, max_bucket_size=7).collect()}
+    assert capped == set()
+    # a rare pair (distinct text, hamming 0 via identical tokens) survives
+    rare = [Row(doc_id=100, text="unique alpha beta gamma delta " * 4),
+            Row(doc_id=101, text="unique alpha beta gamma delta " * 4)]
+    mixed = spark.createDataFrame(rows + rare)
+    got = {(r.id_a, r.id_b)
+           for r in dd.simhash_near_dup_pairs(
+               mixed, max_hamming=6, max_bucket_size=7).collect()}
+    assert (100, 101) in got

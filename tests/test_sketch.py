@@ -222,3 +222,33 @@ def test_hll_md5_small_range_linear_counting(spark):
     est = sk.hll_md5_estimate(regs).collect()[0]
     assert est.n_zero_regs == v and v >= 13
     assert est.hll_est == pytest.approx(16.0 * round(math.log(16.0 / v), 6))
+
+
+def test_md5_bernoulli_sample_deterministic_and_mergeable(spark):
+    """Key-stable Bernoulli sampling: the same rows are chosen on every run
+    AND regardless of how the input is split — sample(A ∪ B) equals
+    sample(A) ∪ sample(B) row-for-row (membership is a per-row predicate,
+    the property that makes the quantile sketch shard-mergeable)."""
+    rows = spark.range(4000).selectExpr("id AS k", "id * 2.5 AS v")
+    once = sk.md5_bernoulli_sample(rows, ("k",), 16)
+    twice = sk.md5_bernoulli_sample(rows, ("k",), 16)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    a = sk.md5_bernoulli_sample(rows.where("k < 2500"), ("k",), 16)
+    b = sk.md5_bernoulli_sample(rows.where("k >= 2500"), ("k",), 16)
+    assert sorted(map(tuple, a.unionByName(b).collect())) == sorted(
+        map(tuple, once.collect())
+    )
+    # rate ~ 1/16 within binomial noise (4000 trials, p=1/16 -> sd ~ 15)
+    n = once.count()
+    assert abs(n - 4000 / 16) <= 5 * 15.3
+
+
+def test_sampled_quantiles_rank_error_bound(spark):
+    """The 1/16 sample's quantile sits within a small RANK band of the true
+    quantile: on 20k uniform values, sample-p50 must fall between the true
+    p45 and p55 (rank error ~ 1/sqrt(1250) ~ 2.8%; 5% band = ~1.8 sigma...
+    use p40/p60 for a 3.5-sigma-safe deterministic fixture check)."""
+    rows = spark.range(20000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    samp = sk.md5_bernoulli_sample(rows, ("k",), 16)
+    got = samp.agg(F.expr("percentile(v, 0.5)").alias("p50")).collect()[0].p50
+    assert 20000 * 0.40 <= got <= 20000 * 0.60
