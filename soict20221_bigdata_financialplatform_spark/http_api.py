@@ -59,6 +59,10 @@ def make_server(
 
         def _reply(self, code: int, payload) -> None:
             body = json.dumps(payload, default=str).encode("utf-8")
+            # Mark the stream dirty BEFORE the first write: if wfile breaks
+            # mid-reply (e.g. BrokenPipeError), do_GET's handler must NOT
+            # re-send a second status line into the corrupted stream.
+            self._headers_sent = True
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -66,6 +70,7 @@ def make_server(
             self.wfile.write(body)
 
         def do_GET(self) -> None:  # noqa: N802 (stdlib contract)
+            self._headers_sent = False
             try:
                 if m := re.fullmatch(r"/OLHC/([^/]+)/(\d+)", self.path):
                     self._reply(200, _rows(api.olhc(bars, m[1], int(m[2]))))
@@ -84,7 +89,11 @@ def make_server(
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
             except Exception as e:  # surface plan errors as 500, keep serving
-                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                if not self._headers_sent:
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                # else: failure happened mid-reply (partial headers/body on
+                # the wire) — a second status line would corrupt the stream
+                # and re-raise in the handler thread; just drop the connection.
 
     return ThreadingHTTPServer((host, port), _Handler)
 

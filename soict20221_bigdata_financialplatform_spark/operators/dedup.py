@@ -491,7 +491,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -507,7 +507,9 @@ def simhash_near_dup_pairs(
     zipf-uniform synthetic corpus before the cap existed). Oversized
     buckets are dropped; their members still pair through their other 3
     chunks unless they agree on ALL hot chunks — i.e. unless they are the
-    boilerplate itself. None disables."""
+    boilerplate itself. The cap is OPT-IN (default None = exact result, no
+    silent recall loss); pass e.g. 10_000 at cluster scale, and pair it with
+    ``simhash_hot_chunk_report`` to make the dropped buckets observable."""
     sigs = simhash(df, text_col, id_col)
     chunks = sigs.select(
         F.col(id_col),
@@ -551,3 +553,34 @@ def simhash_near_dup_pairs(
         "id_b",
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_hot_chunk_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bucket_size: int = 2,
+) -> DataFrame:
+    """Observability twin of ``simhash_near_dup_pairs(max_bucket_size=...)``:
+    per-(chunk_idx, chunk) posting-list sizes, largest first. Run this at the
+    cap value you intend to pass — every returned row with ``bucket_size``
+    above the cap is a bucket the capped join will drop, so recall loss is
+    measured, never silent (CLAUDE.md 'no silent caps'). One grouped count
+    over the same 4-chunk posexplode the pair join uses; no pair blow-up."""
+    sigs = simhash(df, text_col, id_col)
+    chunks = sigs.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF))
+                    for q in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk")
+    )
+    return (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") >= min_bucket_size)
+        .orderBy(F.desc("bucket_size"), "chunk_idx", "chunk")
+    )

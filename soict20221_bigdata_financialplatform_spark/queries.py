@@ -9609,29 +9609,43 @@ def q187_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-5 rotation. The driver caps CORRECTNESS rows at the first 50
-    # registry entries (r1-r4 confirmed), so placement decides which oracle
-    # queries get a driver-green row. Slots 1-9: sentinels (q11 rotated out
-    # — it holds 4 green rows and its join shape is exercised by several
-    # window queries — to free the slot for...) Slot 10: q109, the single
-    # r4 err row (array<int> output burned the driver hasher; now reshaped
-    # to posexploded scalar rows — it must re-enter the window to convert
-    # the fix into a green row). Slots 11-50: q136-q175, the 40 round-4
-    # additions that have NEVER had a driver row — exactly fills the window.
-    # R6 ROTATION PLAN: keep the 9(or10) sentinels; next in line are the
-    # "r6 backlog" block right after the window (q176-q182, the q49 oracle
-    # twin q183, and any further r5 additions — all parity-green locally,
-    # never driver-checked); q136-q175 then drop behind with their r5 row;
-    # q104-q135 (r4 row) and the r1-r3 greens queue behind them; rows-only
-    # stays dead last. Run `parity_check --audit` + the
-    # test_driver_window_schemas_are_hasher_safe guard before ANY rotation.
-    # -- sentinels (driver-green r1+r2+r3+r4)
+    # -- Round-6 rotation. The driver caps CORRECTNESS rows at the first 50
+    # registry entries (r1-r5 confirmed), so placement decides which oracle
+    # queries get a driver-green row. Slots 1-9: the standing sentinels.
+    # Slots 10-21: the r6 backlog q176-q187 (parity-green locally at
+    # sf0.001+sf0.01+sf0.1, never driver-checked). Then the new r6
+    # additions (q188+), then fillers earning SECOND rows: q11 returns
+    # (rested r5 on 4 green rows), q38 sessionization (green only in r2),
+    # then the once-green-r2 block in order. q109 earned its green row in
+    # r5 and drops into the r4 block. R7 ROTATION PLAN: keep sentinels;
+    # any r7 additions first; then continue second rows for the r2-only
+    # block from where the r6 fillers stopped. Run `parity_check --audit`
+    # + test_driver_window_schemas_are_hasher_safe before ANY rotation.
+    # -- sentinels (driver-green r1+r2+r3+r4+r5)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
     "q22_rsi", "q23_ema", "q30_exact_dedup",
     "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- r4 err row, fixed (hasher-safe reshape): needs its green row
-    "q109_embedding_quantization",
-    # -- never driver-checked (r4 additions): promoted into slots 11-50
+    # -- r6 backlog: never driver-checked, promoted into slots 10-21
+    "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
+    "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
+    "q182_kl_drift", "q183_corpus_clean_lsh", "q184_longest_common_run",
+    "q185_ivf_cell_balance", "q186_hll_md5", "q187_sampled_quantiles",
+    # -- new r6 additions (insert q188+ here as they land, displacing
+    # fillers off the end of the 50-slot window back to their home blocks)
+    # -- fillers: second green rows (q11 returns; q38's only row is r2;
+    # then the once-green-r2 block in order)
+    "q11_outer_join_activity", "q38_sessionization",
+    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
+    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
+    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
+    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
+    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
+    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
+    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
+    "q40_window_grabbag", "q05_summary_stats", "q31_ngram_jaccard_pairs",
+    "q36_embedding_near_dup",
+    # ========== 50-slot driver window ends here ==========
+    # -- driver-green r5 (q136-q175 earned their rows in the r5 window)
     "q136_negative_sampling", "q137_clustering_coeff",
     "q138_atr", "q139_stochastic", "q140_obv",
     "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
@@ -9648,21 +9662,12 @@ _FINAL_ORDER = [
     "q170_seasonal_anomalies", "q171_behavior_similarity",
     "q172_pct_of_parent", "q173_yoy_growth", "q174_dn_retention",
     "q175_word_entropy",
-    # ========== 50-slot driver window ends here ==========
-    # -- r6 backlog: parity-green locally (sf0.001+sf0.01+sf0.1), never
-    # driver-checked — first in line for the r6 window (new r6 additions
-    # append here; 10 so far, ~30 free r6 slots behind them)
-    "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
-    "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
-    "q182_kl_drift", "q183_corpus_clean_lsh", "q184_longest_common_run",
-    "q185_ivf_cell_balance", "q186_hll_md5", "q187_sampled_quantiles",
-    # -- driver-green r4 (and sentinel q11 resting with 4 rows)
-    "q11_outer_join_activity",
+    # -- driver-green r4
     "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
     "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
     "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
     "q106_funnel_conversion", "q107_robust_outliers",
-    "q108_drawdown_sharpe",
+    "q108_drawdown_sharpe", "q109_embedding_quantization",
     "q110_holt_linear", "q111_fixed_k_sample", "q112_equidepth_histogram",
     "q51_ann_ivf",
     "q113_decontamination", "q114_doc_chunking",
@@ -9675,18 +9680,9 @@ _FINAL_ORDER = [
     "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
     "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
     "q135_rake_keywords",
-    # -- once-green (r2 only)
-    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
-    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
-    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
-    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
-    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
-    # -- driver-green in r2 and/or r3
-    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
-    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
-    "q40_window_grabbag",
-    "q05_summary_stats", "q31_ngram_jaccard_pairs", "q36_embedding_near_dup",
-    "q38_sessionization", "q41_cube", "q42_scalar_subquery",
+    # -- driver-green in r2 and/or r3 (entries earning r6 second rows have
+    # moved up into the filler window; the rest queue here)
+    "q41_cube", "q42_scalar_subquery",
     "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
     "q46_range_join", "q47_union_all", "q48_corpus_survivors",
     "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",

@@ -21,11 +21,11 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r5_rotation():
-    """The driver checks the FIRST 50 registry entries. Pin the round-5
-    window: 9 sentinels up front (q11 rotated out with 4 green rows), the
-    fixed q109 in slot 10, the 40 never-checked r4 additions q136-q175 in
-    slots 11-50, every window entry oracle-backed, the rows-only six dead
+def test_final_order_window_r6_rotation():
+    """The driver checks the FIRST 50 registry entries. Pin the round-6
+    window: 9 sentinels up front, the 12-query r6 backlog q176-q187 in
+    slots 10-21, then only new r6 additions (q188+) or known second-row
+    fillers, every window entry oracle-backed, the rows-only six dead
     last, and the full registry covered exactly once."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
@@ -39,11 +39,15 @@ def test_final_order_window_r5_rotation():
         "q64_embedding_near_dup_lsh",
     ]
     assert _FINAL_ORDER[:9] == sentinels
-    assert _FINAL_ORDER[9] == "q109_embedding_quantization"
     window = _FINAL_ORDER[:50]
-    assert window[10:] == [f"q{n}_" for n in range(136, 176)] or [
-        w.split("_")[0] for w in window[10:]
-    ] == [f"q{n}" for n in range(136, 176)]
+    assert [w.split("_")[0] for w in window[9:21]] == [
+        f"q{n}" for n in range(176, 188)
+    ]
+    # Slots 22-50: new r6 additions (numbered q188+) or second-row fillers
+    # (driver-green in an earlier round) — never a rows-only entry.
+    for name in window[21:]:
+        num = int(name.split("_")[0][1:])
+        assert num >= 188 or num <= 175, name
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]
@@ -52,3 +56,4 @@ def test_final_order_window_r5_rotation():
         "q87_approx_distinct", "q92_approx_quantiles", "q99_heavy_hitters_mg",
     }
     assert set(_FINAL_ORDER[-6:]) == rows_only
+    assert not rows_only & set(window)

@@ -125,8 +125,11 @@ def op_suite(spark, d: str) -> dict:
         "exact_dedup": lambda: dd.exact_dedup(docs).count(),
         "minhash_lsh_pairs": lambda: pairs().count(),
         "near_dup_components": lambda: connected_components(pairs()).count(),
+        # Explicit opt-in cap (the function default is None = exact): the
+        # zipf-uniform synthetic corpus clusters SimHash chunks and the
+        # uncapped chunk join goes O(n²) here — exactly what the cap is for.
         "simhash_pairs": lambda: dd.simhash_near_dup_pairs(
-            docs, max_hamming=3
+            docs, max_hamming=3, max_bucket_size=10_000
         ).count(),
         "quality_filter": lambda: cp.quality_filter(docs, min_quality=0.5).count(),
         "lsh_ann_topk": lambda: sim.lsh_topk(
