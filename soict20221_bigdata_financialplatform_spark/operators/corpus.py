@@ -1089,3 +1089,157 @@ def rake_keywords(
             "rank",
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> DataFrame:
+    """BPE-style vocabulary learning: iterative most-frequent-adjacent-pair
+    merges over the corpus word vocabulary (Sennrich 2016 shape; the
+    training-side counterpart of ``functions.text.bpe_ish_token_count``).
+
+    Fully deterministic and engine-portable:
+
+    - state lives on the DISTINCT-word frame (vocab rows, corpus-count
+      weighted), never the corpus — one grouped word count touches the
+      100 TB side, every merge round is vocab-sized;
+    - each word is encoded as ``<c1><c2>...`` so a merge is a plain
+      left-to-right non-overlapping string ``replace`` of ``<a><b>`` with
+      ``<ab>`` — identical semantics in Spark and DuckDB (and exactly BPE's
+      leftmost-first merge order, e.g. ``aaa`` + (a,a) -> ``(aa)(a)``);
+    - pair counts are exact integers; the winning pair breaks ties on
+      (count DESC, sym1 ASC, sym2 ASC), so no float enters the loop at all;
+    - the winner joins back as a BROADCAST one-row frame (no collect) and
+      the vocab frame is localCheckpoint'ed each round (CLAUDE.md inv. 9:
+      a round referencing the previous round twice doubles the plan).
+
+    Returns one row per merge round: (bpe_round, sym1, sym2, merged,
+    pair_weight).
+    """
+    wc = (
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    enc = wc.select(
+        F.regexp_replace("word", "(.)", "<$1>").alias("enc"), "cnt"
+    ).localCheckpoint(eager=True)
+    rules: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        syms = F.split(F.regexp_replace("enc", "^<|>$", ""), "><")
+        pairs = (
+            enc.select(syms.alias("s"), "cnt")
+            .where(F.size("s") >= 2)  # Spark sequence(1,0) would DESCEND
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("s"), i).alias("sym1"),
+                            F.element_at(F.col("s"), i + 1).alias("sym2"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .select("p.sym1", "p.sym2", "cnt")
+        )
+        best = (
+            pairs.groupBy("sym1", "sym2")
+            .agg(F.sum("cnt").cast("long").alias("pair_weight"))
+            .orderBy(F.desc("pair_weight"), "sym1", "sym2")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rules.append(best.withColumn("bpe_round", F.lit(r).cast("long")))
+        enc = (
+            enc.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("enc"),
+                    F.concat(F.lit("<"), "sym1", F.lit("><"), "sym2", F.lit(">")),
+                    F.concat(F.lit("<"), "sym1", F.col("sym2"), F.lit(">")),
+                ).alias("enc"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "bpe_round",
+        "sym1",
+        "sym2",
+        F.concat("sym1", "sym2").alias("merged"),
+        "pair_weight",
+    ).orderBy("bpe_round")
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 13,
+) -> DataFrame:
+    """Paragraph-grain exact dedup with document reassembly — the practical
+    middle ground between whole-document digest dedup (``exact_dedup``) and
+    span-level ExactSubstr (``dedup.longest_common_run_pairs``): split each
+    document into non-overlapping ``seg_words``-word segments, keep only the
+    FIRST occurrence of each distinct segment corpus-wide (ordered by
+    (doc_id, seg_idx) — deterministic), and rebuild every document from its
+    surviving segments (RefinedWeb/CCNet line-dedup shape, Penedo 2023).
+
+    Returns (doc_id, n_segs, n_kept, kept_text). Scale: the only shuffle is
+    the first-occurrence window keyed on the segment text — swap the key for
+    a 128-bit digest at corpus scale (raw text here so the DuckDB oracle can
+    run the identical plan); segments are vocab-skew-free because boilerplate
+    segments collapse to ONE surviving row each.
+    """
+    from pyspark.sql import Window
+
+    w = seg_words
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    segs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(words) / w).cast("int") - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("seg_idx"),
+                    F.array_join(F.slice(words, i * w + 1, w), " ").alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, "s.seg_idx", "s.seg")
+    first = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    flagged = segs.withColumn(
+        "keep", F.row_number().over(first) == 1
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep"),
+                                    F.struct("seg_idx", "seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )

@@ -9600,6 +9600,173 @@ def q187_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-6 additions: BPE vocabulary learning, domain mixing report,
+# paragraph-grain dedup (VERDICT r5 "fill the spare slots" list)
+# ===========================================================================
+
+
+def _bpe_merge_ctes(rounds: int) -> str:
+    """Unrolled BPE merge-loop CTEs (the q117 unrolled-iteration pattern):
+    e0 = <c><h><a><r>-encoded vocab; each round counts adjacent symbol
+    pairs (1-based DuckDB list lateral — CLAUDE.md q109 note), picks the
+    (count DESC, sym1, sym2) winner, and string-replaces ``<a><b>``→``<ab>``
+    — plain ``replace`` is left-to-right non-overlapping in both engines,
+    which IS BPE's merge order. Integer counts throughout: no float policy
+    needed anywhere in the loop."""
+    ctes = ["""
+    tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents),
+    wc AS (SELECT word, count(*)::BIGINT AS cnt FROM tok
+           WHERE word <> '' GROUP BY word),
+    e0 AS (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS enc, cnt
+           FROM wc)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    p{r} AS (
+      SELECT q.s[t.i] AS sym1, q.s[t.i + 1] AS sym2,
+             sum(q.cnt)::BIGINT AS pair_weight
+      FROM (SELECT string_split(regexp_replace(enc, '^<|>$', '', 'g'), '><') AS s,
+                   cnt
+            FROM e{r - 1}) q,
+           UNNEST(range(1, len(q.s))) AS t(i)
+      GROUP BY sym1, sym2
+    ),
+    b{r} AS (SELECT sym1, sym2, pair_weight FROM p{r}
+             ORDER BY pair_weight DESC, sym1, sym2 LIMIT 1),
+    e{r} AS (SELECT replace(e.enc, '<' || b.sym1 || '><' || b.sym2 || '>',
+                            '<' || b.sym1 || b.sym2 || '>') AS enc, e.cnt
+             FROM e{r - 1} e, b{r} b)""")
+    select = "\n    UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS bpe_round, sym1, sym2, "
+        f"sym1 || sym2 AS merged, pair_weight FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + select + "\n    ORDER BY bpe_round"
+
+
+@register("q188_bpe_merges", _bpe_merge_ctes(4))
+def q188_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style vocabulary learning (Sennrich 2016): 4 most-frequent-pair
+    merge rounds over the corpus vocabulary — the TRAINING side of the
+    tokenizer whose counting side is q59. The merge loop runs on the
+    distinct-word frame (corpus-count weighted), the winner re-enters as a
+    broadcast one-row frame, and every quantity is an exact integer — see
+    ``corpus.bpe_learn_merges``. Oracle: fully unrolled merge-loop CTEs."""
+    return cp.bpe_learn_merges(_t(spark, sf_dir, "documents"), rounds=4)
+
+
+@register(
+    "q189_domain_mixture",
+    """
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+               AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens,
+             sum(n_chars)::BIGINT AS sum_chars
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM base),
+    lc AS (
+      SELECT source, lang, count(*)::BIGINT AS lang_docs,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+      FROM d GROUP BY source, lang
+    )
+    SELECT b.source, b.n_docs, b.n_tokens,
+           b.n_tokens / tot.t AS token_share,
+           b.sum_chars / b.n_docs AS chars_per_doc,
+           b.n_tokens / b.n_docs AS tokens_per_doc,
+           lc.lang AS top_lang,
+           lc.lang_docs / b.n_docs AS top_lang_share
+    FROM base b JOIN lc ON b.source = lc.source AND lc.rn = 1
+    CROSS JOIN tot
+    """,
+)
+def q189_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus mixing report (CCNet-style, Wenzek 2020): each
+    source's doc/token mass, its share of the corpus token budget (the
+    input q153's temperature mixing consumes), density stats, and the
+    dominant language with deterministic (count DESC, lang) tie-break.
+    Every emitted ratio is ONE division of two exact integers — bit-exact
+    with no rounding. Scale: one grouped agg over the corpus (map-side
+    combine), source-count-sized frames after; the total is a broadcast
+    one-row frame."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", tx.token_count("text").alias("toks")
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    tot = base.agg(F.sum("n_tokens").cast("long").alias("__t"))
+    rn = Window.partitionBy("source").orderBy(F.desc("lang_docs"), "lang")
+    lc = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("lang_docs"))
+        .withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        base.join(lc, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("__t")).alias("token_share"),
+            (F.col("sum_chars") / F.col("n_docs")).alias("chars_per_doc"),
+            (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
+            F.col("lang").alias("top_lang"),
+            (F.col("lang_docs") / F.col("n_docs")).alias("top_lang_share"),
+        )
+    )
+
+
+@register(
+    "q190_paragraph_dedup",
+    """
+    WITH segs AS (
+      SELECT doc_id, t.i::BIGINT AS seg_idx,
+             array_to_string(q.w[(t.i * 13 + 1):(t.i * 13 + 13)], ' ') AS seg
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents) q,
+           UNNEST(range(0, ceil(len(q.w) / 13.0)::BIGINT)) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) = 1 AS keep
+      FROM segs
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_segs,
+           count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE keep), '') AS kept_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q190_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup with document reassembly (RefinedWeb /
+    CCNet line-dedup shape, Penedo 2023): 13-word segments, first
+    occurrence corpus-wide wins (ordered (doc_id, seg_idx)), docs rebuilt
+    from surviving segments — the practical middle ground between q30's
+    whole-doc digests and q184's ExactSubstr spans. See
+    ``corpus.paragraph_dedup`` for the scale notes (digest the segment key
+    at corpus scale; raw text here so the oracle runs the identical
+    plan)."""
+    return cp.paragraph_dedup(
+        _t(spark, sf_dir, "documents"), seg_words=13
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
 # Policy: every oracle-backed query first (the ones a cap would silently
@@ -9632,6 +9799,7 @@ _FINAL_ORDER = [
     "q185_ivf_cell_balance", "q186_hll_md5", "q187_sampled_quantiles",
     # -- new r6 additions (insert q188+ here as they land, displacing
     # fillers off the end of the 50-slot window back to their home blocks)
+    "q188_bpe_merges", "q189_domain_mixture", "q190_paragraph_dedup",
     # -- fillers: second green rows (q11 returns; q38's only row is r2;
     # then the once-green-r2 block in order)
     "q11_outer_join_activity", "q38_sessionization",
