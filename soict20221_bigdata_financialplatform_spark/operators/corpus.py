@@ -778,6 +778,7 @@ def lm_perplexity_scores(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_micro: bool = False,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020): train
     an add-one-smoothed bigram LM on the corpus itself, score every document
@@ -850,7 +851,7 @@ def lm_perplexity_scores(
             .alias("__wm"),
         )
     )
-    return (
+    out = (
         bg.join(wt, "__b")
         .groupBy(id_col)
         .agg(
@@ -863,8 +864,12 @@ def lm_perplexity_scores(
             (-F.col("__sm") / (1000000.0 * F.col("n_bigrams"))).alias(
                 "ppl_proxy"
             ),
+            F.col("__sm").cast("long").alias("logprob_micro"),
         )
     )
+    if include_micro:
+        return out  # downstream bucket means stay integer-exact
+    return out.drop("logprob_micro")
 
 
 def pmi_cooccurrence(

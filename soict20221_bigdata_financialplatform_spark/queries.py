@@ -9766,6 +9766,349 @@ def q190_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "q191_repetition_filters",
+    """
+    WITH w AS (
+      SELECT doc_id, length(text) AS n_chars,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT w.doc_id, t.i::BIGINT AS pos, w.w[t.i] AS word
+      FROM w, UNNEST(range(1, len(w.w) + 1)) AS t(i)
+    ),
+    flags AS (
+      SELECT doc_id, pos,
+             CASE WHEN word = lag(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                  THEN 0 ELSE 1 END AS flag
+      FROM pos
+    ),
+    runs AS (
+      SELECT doc_id,
+             sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_id
+      FROM flags
+    ),
+    runlen AS (
+      SELECT doc_id, max(cnt)::BIGINT AS max_word_run FROM (
+        SELECT doc_id, run_id, count(*) AS cnt FROM runs
+        GROUP BY doc_id, run_id)
+      GROUP BY doc_id
+    ),
+    uni AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             count(DISTINCT word)::BIGINT AS n_distinct
+      FROM pos GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id, g, count(*)::BIGINT AS cnt FROM (
+        SELECT w.doc_id,
+               w.w[t.i] || ' ' || w.w[t.i + 1] || ' ' || w.w[t.i + 2] AS g
+        FROM w, UNNEST(range(1, len(w.w) - 1)) AS t(i)) q
+      GROUP BY doc_id, g
+    ),
+    top3 AS (
+      SELECT doc_id, g AS top_trigram, cnt * length(g) AS covered FROM (
+        SELECT doc_id, g, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, g) AS rn
+        FROM g3) q WHERE rn = 1
+    ),
+    g5 AS (
+      SELECT doc_id, sum(cnt * length(g))::BIGINT AS dup_covered FROM (
+        SELECT doc_id, g, count(*)::BIGINT AS cnt FROM (
+          SELECT w.doc_id,
+                 w.w[t.i] || ' ' || w.w[t.i + 1] || ' ' || w.w[t.i + 2]
+                   || ' ' || w.w[t.i + 3] || ' ' || w.w[t.i + 4] AS g
+          FROM w, UNNEST(range(1, len(w.w) - 3)) AS t(i)) q
+        GROUP BY doc_id, g) c
+      WHERE cnt >= 2 GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_words,
+           1.0 - u.n_distinct / u.n_words AS dup_unigram_frac,
+           t.top_trigram,
+           t.covered / w.n_chars AS top_trigram_char_frac,
+           coalesce(g5.dup_covered, 0) / w.n_chars AS dup_5gram_char_frac,
+           r.max_word_run
+    FROM uni u
+    JOIN w ON u.doc_id = w.doc_id
+    JOIN runlen r ON u.doc_id = r.doc_id
+    LEFT JOIN top3 t ON u.doc_id = t.doc_id
+    LEFT JOIN g5 ON u.doc_id = g5.doc_id
+    """,
+)
+def q191_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae 2021 §A1.1), the members q65 does NOT
+    cover: duplicate-unigram fraction, characters covered by the most
+    frequent trigram, characters inside duplicated 5-grams, and the longest
+    same-word run (islands machinery per doc). Every fraction is one
+    division of exact integers (products and sums stay integer), so no
+    rounding anywhere. Scale: all shuffles keyed by doc_id or (doc_id,
+    gram) — no corpus-global state at all."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    staged = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        tx.words(F.col("text")).alias("__w"),
+    ).persist()
+    pos = staged.select(
+        "doc_id", F.posexplode("__w").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "word")
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    runs = pos.select(
+        "doc_id",
+        F.sum(
+            F.when(F.col("word") == F.lag("word").over(dw), 0).otherwise(1)
+        )
+        .over(dw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    runlen = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("long").alias("max_word_run"))
+    )
+    uni = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.count_distinct("word").cast("long").alias("n_distinct"),
+    )
+
+    def grams(n: int):
+        return staged.where(F.size("__w") >= n).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
+                    ),
+                )
+            ).alias("g"),
+        )
+
+    g3 = grams(3).groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    rn = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "g")
+    top3 = (
+        g3.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_trigram"),
+            (F.col("cnt") * F.length("g")).alias("covered"),
+        )
+    )
+    g5 = (
+        grams(5)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).cast("long").alias("dup_covered"))
+    )
+    return (
+        uni.join(staged.select("doc_id", "n_chars"), "doc_id")
+        .join(runlen, "doc_id")
+        .join(top3, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.lit(1.0) - F.col("n_distinct") / F.col("n_words")).alias(
+                "dup_unigram_frac"
+            ),
+            "top_trigram",
+            (F.col("covered") / F.col("n_chars")).alias("top_trigram_char_frac"),
+            (
+                F.coalesce(F.col("dup_covered"), F.lit(0)) / F.col("n_chars")
+            ).alias("dup_5gram_char_frac"),
+            "max_word_run",
+        )
+    )
+
+
+_PPLX_CTES = """
+    w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    st AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+             ELSE [] END AS bg
+      FROM w
+    ),
+    uni AS (
+      SELECT word AS u, count(*) AS cu
+      FROM (SELECT unnest(w) AS word FROM st) GROUP BY word
+    ),
+    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    bg AS (SELECT doc_id, unnest(bg) AS b FROM st),
+    cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+    wt AS (
+      SELECT cb.b,
+             CAST(floor(round(ln((cb + 1.0) / (cu + v)), 6) * 1000000.0 + 0.5)
+                  AS BIGINT) AS wm
+      FROM cb JOIN uni ON split_part(cb.b, ' ', 1) = uni.u, vocab
+    ),
+    ppl AS (
+      SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(wm)::BIGINT AS sm,
+             -(sum(wm)::BIGINT) / (1000000.0 * count(*)) AS ppl_proxy
+      FROM bg JOIN wt USING (b)
+      GROUP BY bg.doc_id
+    )"""
+
+
+@register(
+    "q192_ccnet_buckets",
+    "WITH" + _PPLX_CTES + """,
+    b AS (
+      SELECT d.lang, ppl.*,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY ppl.ppl_proxy, ppl.doc_id) AS nt
+      FROM ppl JOIN documents d ON ppl.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_bigrams)::BIGINT AS n_bigrams,
+           -(sum(sm)::BIGINT) / (1000000.0 * sum(n_bigrams)) AS bucket_ppl,
+           min(ppl_proxy) AS ppl_min,
+           max(ppl_proxy) AS ppl_max
+    FROM b GROUP BY lang, nt
+    """,
+)
+def q192_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek 2020): per-lang
+    terciles of the q128 bigram-LM score with the (ppl, doc_id) total order
+    making tercile boundaries deterministic both engines (the q177 ntile
+    precedent); per-bucket perplexity re-aggregates the INTEGER micro-unit
+    sums (``include_micro``), never averages of doubles. Scale: bucket
+    assignment shuffles per-lang score rows only; the LM train is q128's
+    plan unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    s = cp.lm_perplexity_scores(d, include_micro=True)
+    j = d.select("doc_id", "lang").join(s, "doc_id")
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("ppl_proxy", "doc_id")
+    )
+    b = j.withColumn("nt", nt)
+    return (
+        b.groupBy("lang", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.sum("logprob_micro").cast("long").alias("__sm"),
+            F.min("ppl_proxy").alias("ppl_min"),
+            F.max("ppl_proxy").alias("ppl_max"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "n_bigrams",
+            (-F.col("__sm") / (1000000.0 * F.col("n_bigrams"))).alias(
+                "bucket_ppl"
+            ),
+            "ppl_min",
+            "ppl_max",
+        )
+    )
+
+
+@register(
+    "q193_soft_dedup_weights",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+               AS toks,
+             count(*) OVER (PARTITION BY md5(text))::BIGINT AS dup_count
+      FROM documents
+    )
+    SELECT doc_id, dup_count,
+           1.0 / dup_count AS weight,
+           toks / dup_count AS eff_tokens
+    FROM d
+    """,
+)
+def q193_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (down-weight instead of drop — the SoftDeDup
+    alternative to q30's hard removal): every doc keeps weight
+    1/|exact-dup group| so each distinct text contributes exactly one
+    document's worth of tokens to the training mixture. Both emitted
+    ratios are single divisions of exact integers. Scale: one window
+    keyed on the 16-byte text digest — same shuffle as exact_dedup."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count("text").alias("toks"), F.md5("text").alias("__h")
+    )
+    wb = Window.partitionBy("__h")
+    return d.select(
+        "doc_id",
+        F.count(F.lit(1)).over(wb).cast("long").alias("dup_count"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(wb)).alias("weight"),
+        (F.col("toks") / F.count(F.lit(1)).over(wb)).alias("eff_tokens"),
+    )
+
+
+@register(
+    "q194_quantile_normalize",
+    """
+    WITH s AS (
+      SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sc,
+             round(stddev_samp(n_chars), 6) AS sd
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           percent_rank() OVER (PARTITION BY d.source
+                                ORDER BY d.n_chars, d.doc_id) AS pr,
+           CASE WHEN s.sd > 0
+                THEN (d.n_chars - s.sc / s.n) / s.sd END AS z
+    FROM documents d JOIN s ON d.source = s.source
+    """,
+)
+def q194_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain score normalization — the rank/z-score transform applied
+    before cross-domain mixing so that per-source length distributions
+    become comparable (quality-score calibration shape). percent_rank is
+    the exact (rank-1)/(n-1) ratio (never rounded — float policy);
+    the z-score's mean is the exact integer division sum/count and only
+    stddev (a true multi-value float accumulation) rounds at 6dp. Scale:
+    one window + one grouped agg, both keyed by source."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("n_chars").cast("long").alias("__sc"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("__sd"),
+    )
+    pw = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        d.join(s, "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.percent_rank().over(pw).alias("pr"),
+            F.when(
+                F.col("__sd") > 0,
+                (F.col("n_chars") - F.col("__sc") / F.col("__n")) / F.col("__sd"),
+            ).alias("z"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -9800,6 +10143,8 @@ _FINAL_ORDER = [
     # -- new r6 additions (insert q188+ here as they land, displacing
     # fillers off the end of the 50-slot window back to their home blocks)
     "q188_bpe_merges", "q189_domain_mixture", "q190_paragraph_dedup",
+    "q191_repetition_filters", "q192_ccnet_buckets",
+    "q193_soft_dedup_weights", "q194_quantile_normalize",
     # -- fillers: second green rows (q11 returns; q38's only row is r2;
     # then the once-green-r2 block in order)
     "q11_outer_join_activity", "q38_sessionization",
