@@ -10519,6 +10519,270 @@ def q198_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q199_kneser_ney_bigram",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
+      FROM w, UNNEST(range(1, len(w.w))) AS t(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c)::BIGINT AS c1tot,
+                  count(*)::BIGINT AS n1p
+           FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, count(*)::BIGINT AS nc FROM c12 GROUP BY w2),
+    nt AS (SELECT count(*)::BIGINT AS types FROM c12),
+    p AS (
+      SELECT c12.w1, c12.w2, c12.c,
+             greatest(c12.c - 0.75, 0.0) / c1.c1tot
+               + (0.75 * c1.n1p / c1.c1tot) * (cont.nc / nt.types) AS p_kn,
+             nt.types
+      FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2), nt
+    )
+    SELECT w1, w2, c, p_kn, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY c DESC, w1, w2) AS rank
+          FROM p) q
+    WHERE rank <= 30
+    """,
+)
+def q199_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995, fixed discount
+    D=0.75) — the production-grade smoothing next to q128's add-one LM:
+    P(w2|w1) = max(c−D,0)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/types.
+    All inputs are exact integer counts, so every emitted probability is a
+    fixed 6-op IEEE chain (two divisions, two products, one max, one add)
+    with no accumulation — bit-exact unrounded. Ranking is by the integer
+    bigram count. Scale: grouped counts over the bigram frame + vocab-sized
+    joins; top-30 via TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    staged = d.select(tx.words(F.col("text")).alias("__w"))
+    bg = (
+        staged.where(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__w"), 1, F.size("__w") - 1),
+                    F.slice(F.col("__w"), 2, F.size("__w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c1tot"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    nt = c12.agg(F.count(F.lit(1)).cast("long").alias("types"))
+    p_kn = F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("c1tot") + (
+        F.lit(0.75) * F.col("n1p") / F.col("c1tot")
+    ) * (F.col("nc") / F.col("types"))
+    scored = (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select("w1", "w2", "c", p_kn.alias("p_kn"), "types")
+    )
+    top = scored.orderBy(F.desc("c"), "w1", "w2").limit(30)
+    rw = Window.partitionBy("types").orderBy(F.desc("c"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(rw)).select(
+        "w1", "w2", "c", "p_kn", "rank"
+    )
+
+
+@register(
+    "q200_tokenizer_fertility",
+    """
+    WITH d AS (
+      SELECT lang,
+             length(text)::BIGINT AS nc,
+             len(regexp_extract_all(text,
+               ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::BIGINT
+               AS bpe,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+               AS ws
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(ws)::BIGINT AS words, sum(bpe)::BIGINT AS bpe_tokens,
+           sum(nc)::BIGINT AS chars,
+           sum(bpe)::BIGINT / sum(ws) AS fertility,
+           sum(nc)::BIGINT / sum(bpe) AS chars_per_token
+    FROM d GROUP BY lang
+    """,
+)
+def q200_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (tokens-per-word; the standard
+    multilingual-tokenizer health metric) using the q59 BPE-ish
+    pre-tokenizer vs whitespace words, plus compression (chars/token).
+    Integer sums, single final divisions — bit-exact. Scale: one grouped
+    agg; the regex projection is the CPU cost, repartitioned first
+    (single-file testdata = single-threaded scan, CLAUDE.md inv. 8)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rows = d.select(
+        "lang",
+        tx.char_count("text").alias("nc"),
+        tx.bpe_ish_token_count("text").alias("bpe"),
+        tx.token_count("text").alias("ws"),
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("words"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("nc").cast("long").alias("chars"),
+        (F.sum("bpe").cast("long") / F.sum("ws")).alias("fertility"),
+        (F.sum("nc").cast("long") / F.sum("bpe")).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q201_dedup_cluster_stats",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.sz + sb.sz - common) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(n, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ), comp AS (
+      SELECT n AS node, least(n, min(r)) AS component FROM reach GROUP BY n
+    ), clusters AS (
+      SELECT coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), csz AS (
+      SELECT cluster_id, count(*)::BIGINT AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    ), tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+    SELECT csz.cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           (count(*) * csz.cluster_size)::BIGINT AS n_docs,
+           (count(*) * csz.cluster_size)::BIGINT / tot.n AS doc_share
+    FROM csz, tot
+    GROUP BY csz.cluster_size, tot.n
+    """,
+)
+def q201_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup QA report on q53's
+    transitive clustering (how much mass sits in how-big duplicate
+    families; the number a dedup run is judged by). Reuses the exact
+    Jaccard-pairs → pointer-doubling components plan; the histogram is two
+    more grouped counts, the share one integer division. Scale: identical
+    to q53 plus cluster-id-keyed aggs."""
+    from soict20221_bigdata_financialplatform_spark.operators.components import (
+        cluster_near_dups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.5)
+    clusters = cluster_near_dups(d.select("doc_id"), pairs)
+    csz = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        csz.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+            (
+                (F.col("n_clusters") * F.col("cluster_size")).cast("long")
+                / F.col("n")
+            ).alias("doc_share"),
+        )
+    )
+
+
+@register(
+    "q202_length_log_histogram",
+    """
+    WITH b AS (
+      SELECT source,
+             (length(bin(n_chars)) - 1)::BIGINT AS bucket
+      FROM documents WHERE n_chars > 0
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM b)
+    SELECT b.source, b.bucket,
+           (1::BIGINT << b.bucket)::BIGINT AS bucket_lo,
+           ((1::BIGINT << (b.bucket + 1)) - 1)::BIGINT AS bucket_hi,
+           count(*)::BIGINT AS n_docs,
+           count(*)::BIGINT / tot.n AS share
+    FROM b, tot GROUP BY b.source, b.bucket, tot.n
+    """,
+)
+def q202_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per source — the shard-size
+    planning view (which sources carry the long tail that breaks packing).
+    The bucket is floor(log2(n)) computed EXACTLY as the binary-string
+    length minus one (never a float log — log2 is not exactly-rounded at
+    powers of two); bounds come from integer shifts. Scale: one grouped
+    count."""
+    b = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            (F.length(F.bin("n_chars")) - 1).cast("long").alias("bucket"),
+        )
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        b.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "bucket",
+            # F.shiftleft only takes a literal bit count; the SQL form
+            # accepts a column expression
+            F.expr("cast(shiftleft(1L, cast(bucket as int)) as long)").alias(
+                "bucket_lo"
+            ),
+            F.expr(
+                "cast(shiftleft(1L, cast(bucket + 1 as int)) - 1 as long)"
+            ).alias("bucket_hi"),
+            "n_docs",
+            (F.col("n_docs") / F.col("n")).alias("share"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -10556,7 +10820,9 @@ _FINAL_ORDER = [
     "q191_repetition_filters", "q192_ccnet_buckets",
     "q193_soft_dedup_weights", "q194_quantile_normalize",
     "q195_ks_test", "q196_mann_whitney", "q197_benford",
-    "q198_llr_collocations",
+    "q198_llr_collocations", "q199_kneser_ney_bigram",
+    "q200_tokenizer_fertility", "q201_dedup_cluster_stats",
+    "q202_length_log_histogram",
     # -- fillers: second green rows (q11 returns; q38's only row is r2;
     # then the once-green-r2 block in order)
     "q11_outer_join_activity", "q38_sessionization",
