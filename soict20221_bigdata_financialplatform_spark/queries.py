@@ -10783,6 +10783,332 @@ def q202_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q203_kaufman_er",
+    "WITH" + _BARS_SQL + """,
+    st AS (
+      SELECT user_id, day, close,
+             CAST(floor(abs(close - lag(close, 10) OVER w) * 1000000.0 + 0.5)
+                  AS BIGINT) AS num_micro,
+             CAST(floor(abs(close - lag(close) OVER w) * 1000000.0 + 0.5)
+                  AS BIGINT) AS step_micro
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    er AS (
+      SELECT user_id, day, num_micro,
+             sum(step_micro) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS den_micro
+      FROM st
+    )
+    SELECT user_id, day, num_micro, den_micro::BIGINT AS den_micro,
+           CASE WHEN den_micro > 0 THEN num_micro / den_micro::DOUBLE END
+             AS efficiency_ratio
+    FROM er WHERE num_micro IS NOT NULL
+    """,
+)
+def q203_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman efficiency ratio (period 10): net 10-day move over the sum
+    of the 10 daily absolute moves — the trend/noise gate feeding KAMA.
+    Both numerator and every step quantize |Δclose| to micro-units so the
+    window SUM is an exact BIGINT and the ratio one integer division
+    (sums of raw-double abs-diffs would be order-dependent). Scale:
+    per-user windows over the daily-bar frame."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    b = _bars(spark, sf_dir)
+    st = b.select(
+        "user_id",
+        "day",
+        F.floor(F.abs(F.col("close") - F.lag("close", 10).over(w)) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("num_micro"),
+        F.floor(F.abs(F.col("close") - F.lag("close").over(w)) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("step_micro"),
+    )
+    den = F.sum("step_micro").over(w.rowsBetween(-9, 0))
+    return (
+        st.select(
+            "user_id",
+            "day",
+            "num_micro",
+            den.cast("long").alias("den_micro"),
+        )
+        .where(F.col("num_micro").isNotNull())
+        .select(
+            "user_id",
+            "day",
+            "num_micro",
+            "den_micro",
+            F.when(
+                F.col("den_micro") > 0,
+                F.col("num_micro") / F.col("den_micro").cast("double"),
+            ).alias("efficiency_ratio"),
+        )
+    )
+
+
+@register(
+    "q204_donchian_channels",
+    "WITH" + _BARS_SQL + """
+    SELECT user_id, day, close,
+           max(high) OVER w20 AS channel_high,
+           min(low) OVER w20 AS channel_low,
+           max(high) OVER w20 - min(low) OVER w20 AS channel_width,
+           CASE WHEN max(high) OVER w20 - min(low) OVER w20 <> 0
+                THEN (close - min(low) OVER w20)
+                     / (max(high) OVER w20 - min(low) OVER w20) END
+             AS channel_pos
+    FROM bars
+    WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q204_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day Donchian channel (rolling extreme band; the turtle-trading
+    breakout reference): channel bounds are exact window MAX/MIN picks,
+    width one subtraction, position one guarded division — nothing
+    accumulates, so nothing rounds. Scale: one per-user window pass."""
+    b = _bars(spark, sf_dir)
+    w20 = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(-19, 0)
+    )
+    hh, ll = F.max("high").over(w20), F.min("low").over(w20)
+    return b.select(
+        "user_id",
+        "day",
+        "close",
+        hh.alias("channel_high"),
+        ll.alias("channel_low"),
+        (hh - ll).alias("channel_width"),
+        F.when(
+            (hh - ll) != 0, (F.col("close") - ll) / (hh - ll)
+        ).alias("channel_pos"),
+    )
+
+
+@register(
+    "q205_heikin_ashi",
+    """
+    WITH RECURSIVE barso AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             arg_min(value, ts) AS open, max(value) AS high,
+             min(value) AS low, arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    nb AS (
+      SELECT *, (((open + high) + low) + close) / 4.0 AS ha_close,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM barso
+    ),
+    r AS (
+      SELECT user_id, rn, (open + close) / 2.0 AS ha_open
+      FROM nb WHERE rn = 1
+      UNION ALL
+      SELECT nb.user_id, nb.rn, (r.ha_open + p.ha_close) / 2.0
+      FROM r
+      JOIN nb p ON p.user_id = r.user_id AND p.rn = r.rn
+      JOIN nb ON nb.user_id = r.user_id AND nb.rn = r.rn + 1
+    )
+    SELECT nb.user_id, nb.day, r.ha_open, nb.ha_close,
+           greatest(nb.high, r.ha_open, nb.ha_close) AS ha_high,
+           least(nb.low, r.ha_open, nb.ha_close) AS ha_low
+    FROM nb JOIN r ON nb.user_id = r.user_id AND nb.rn = r.rn
+    """,
+)
+def q205_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi candles: ha_close is the OHLC mean; ha_open the
+    RECURSIVE half-sum ha_open_t = (ha_open_{t-1} + ha_close_{t-1})/2 —
+    the same linear-recursion class as q23's EMA, computed with the exact
+    HOF fold (per-user sorted array → ``aggregate`` appending one
+    half-sum per step) against a recursive-CTE oracle walking the
+    identical recurrence; IEEE halving is bit-exact in any order. Scale:
+    per-user arrays are calendar-bounded (days, not events) — the heavy
+    events→bars agg is the same shuffle as q24."""
+    e = _t(spark, sf_dir, "events")
+    barso = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    arr = barso.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "open", "high", "low", "close"))
+        ).alias("a")
+    )
+    hc = F.transform(
+        F.col("a"),
+        lambda b: (((b["open"] + b["high"]) + b["low"]) + b["close"]) / 4.0,
+    )
+    staged = arr.select("user_id", "a", hc.alias("hc"))
+    ho = F.aggregate(
+        F.slice(F.col("hc"), 1, F.size(F.col("hc")) - 1),
+        F.array(
+            (
+                F.element_at(F.col("a"), 1)["open"]
+                + F.element_at(F.col("a"), 1)["close"]
+            )
+            / 2.0
+        ),
+        lambda acc, x: F.concat(
+            acc, F.array((F.element_at(acc, -1) + x) / 2.0)
+        ),
+    )
+    staged2 = staged.select("user_id", "a", "hc", ho.alias("ho"))
+    idx = staged2.select(
+        "user_id",
+        "a",
+        "hc",
+        "ho",
+        F.explode(F.sequence(F.lit(1), F.size("a"))).alias("i"),
+    )
+    bar = F.element_at(F.col("a"), F.col("i"))
+    ha_open = F.element_at(F.col("ho"), F.col("i"))
+    ha_close = F.element_at(F.col("hc"), F.col("i"))
+    return idx.select(
+        "user_id",
+        bar["day"].alias("day"),
+        ha_open.alias("ha_open"),
+        ha_close.alias("ha_close"),
+        F.greatest(bar["high"], ha_open, ha_close).alias("ha_high"),
+        F.least(bar["low"], ha_open, ha_close).alias("ha_low"),
+    )
+
+
+@register(
+    "q206_realized_volatility",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(round(ln(value / lag(value)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6)
+                  * 1000000.0 + 0.5) AS BIGINT) AS r_micro
+      FROM events
+    )
+    SELECT user_id, day, count(r_micro)::BIGINT AS n_returns,
+           sum(r_micro * r_micro)::BIGINT / 1000000000000.0 AS rv,
+           sqrt(sum(r_micro * r_micro)::BIGINT / 1000000000000.0) AS rvol
+    FROM r GROUP BY user_id, day
+    HAVING count(r_micro) > 0
+    """,
+)
+def q206_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility per (user, day): Σ of squared intraday log
+    returns (Andersen-Bollerslev). Each log return rounds at the
+    transcendental and quantizes to micro-units; the squared sum is exact
+    BIGINT (budget: |ln ratio| ≤ ~11 → squares ≤ 1.5e14, bounded-days
+    groups — the q178 overflow-budget rule); rv is one division, rvol one
+    exact sqrt. Scale: per-user ordered window + grouped agg, both keyed
+    by user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events")
+    r = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.floor(
+            F.round(F.log(F.col("value") / F.lag("value").over(w)), 6)
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("r_micro"),
+    )
+    return (
+        r.groupBy("user_id", "day")
+        .agg(
+            F.count("r_micro").cast("long").alias("n_returns"),
+            F.sum(F.col("r_micro") * F.col("r_micro")).cast("long").alias("__ss"),
+        )
+        .where(F.col("n_returns") > 0)
+        .select(
+            "user_id",
+            "day",
+            "n_returns",
+            (F.col("__ss") / 1000000000000.0).alias("rv"),
+            F.sqrt(F.col("__ss") / 1000000000000.0).alias("rvol"),
+        )
+    )
+
+
+@register(
+    "q207_roll_spread",
+    "WITH" + _BARS_SQL + """,
+    d AS (
+      SELECT user_id, day,
+             CAST(floor((close - lag(close) OVER
+               (PARTITION BY user_id ORDER BY day)) * 10000.0 + 0.5) AS BIGINT)
+               AS dq
+      FROM bars
+    ),
+    p2 AS (
+      SELECT user_id, dq AS x,
+             lag(dq) OVER (PARTITION BY user_id ORDER BY day) AS y
+      FROM d WHERE dq IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, count(y)::BIGINT AS n,
+             sum(CASE WHEN y IS NOT NULL THEN x * y END)::BIGINT AS sxy,
+             sum(CASE WHEN y IS NOT NULL THEN x END)::BIGINT AS sx,
+             sum(CASE WHEN y IS NOT NULL THEN y END)::BIGINT AS sy
+      FROM p2 GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n >= 2 THEN
+             ((n * sxy - sx * sy) / (n * (n - 1.0))) / 100000000.0 END AS cov1,
+           CASE WHEN n >= 2
+                 AND ((n * sxy - sx * sy) / (n * (n - 1.0))) / 100000000.0 < 0
+                THEN 2.0 * sqrt(-(((n * sxy - sx * sy) / (n * (n - 1.0)))
+                                  / 100000000.0)) END AS roll_spread
+    FROM s
+    """,
+)
+def q207_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll's implied effective spread (Roll 1984): 2·sqrt(−cov(Δp_t,
+    Δp_{t−1})) from the serial covariance of daily close changes. Δp
+    quantizes to 1e-4 units so Σxy/Σx/Σy are exact BIGINTs (unit budgeted
+    for per-user × bounded-day groups — cents² would overflow at larger
+    SFs, the q145 lesson); cov is a fixed integer→double division chain
+    and the spread one sqrt. Scale: per-user windows + one grouped agg."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    b = _bars(spark, sf_dir)
+    d = b.select(
+        "user_id",
+        "day",
+        F.floor((F.col("close") - F.lag("close").over(w)) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("dq"),
+    ).where(F.col("dq").isNotNull())
+    wl = Window.partitionBy("user_id").orderBy("day")
+    pairs = d.select(
+        "user_id",
+        F.col("dq").alias("x"),
+        F.lag("dq").over(wl).alias("y"),
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.count("y").cast("long").alias("n"),
+        F.sum(F.when(F.col("y").isNotNull(), F.col("x") * F.col("y")))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.when(F.col("y").isNotNull(), F.col("x"))).cast("long").alias("sx"),
+        F.sum(F.when(F.col("y").isNotNull(), F.col("y"))).cast("long").alias("sy"),
+    )
+    cov1 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    ) / 100000000.0
+    return s.select(
+        "user_id",
+        "n",
+        F.when(F.col("n") >= 2, cov1).alias("cov1"),
+        F.when((F.col("n") >= 2) & (cov1 < 0), F.lit(2.0) * F.sqrt(-cov1)).alias(
+            "roll_spread"
+        ),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -10822,7 +11148,9 @@ _FINAL_ORDER = [
     "q195_ks_test", "q196_mann_whitney", "q197_benford",
     "q198_llr_collocations", "q199_kneser_ney_bigram",
     "q200_tokenizer_fertility", "q201_dedup_cluster_stats",
-    "q202_length_log_histogram",
+    "q202_length_log_histogram", "q203_kaufman_er",
+    "q204_donchian_channels", "q205_heikin_ashi",
+    "q206_realized_volatility", "q207_roll_spread",
     # -- fillers: second green rows (q11 returns; q38's only row is r2;
     # then the once-green-r2 block in order)
     "q11_outer_join_activity", "q38_sessionization",
