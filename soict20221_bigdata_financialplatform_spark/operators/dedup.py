@@ -334,6 +334,7 @@ def longest_common_run_pairs(
     gram: int = 5,
     min_run: int = 10,
     max_gram_df: int | None = None,
+    gram_key: str = "raw",
 ) -> DataFrame:
     """Longest common token RUN per document pair — the ExactSubstr signal
     from "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -341,6 +342,13 @@ def longest_common_run_pairs(
     are near-certainly one source copied into another, a class that
     set-based Jaccard (q31) underweights when the shared span is a small
     fraction of a long document.
+
+    ``gram_key`` selects the join key: ``"raw"`` joins on the gram text
+    (what the DuckDB oracle can replay); ``"digest"`` joins on the 128-bit
+    md5 of the gram — CONSTANT 32-byte shuffle width regardless of gram
+    length, the cluster-scale form (collision probability ~ n²/2^129 is
+    negligible at any corpus size; equivalence to the raw path is
+    pytest-pinned).
 
     Relational form of the paper's suffix-array scan: explode each doc to
     (pos, gram)-grams, EQUI-join on the gram string (a.id < b.id), and on
@@ -361,6 +369,7 @@ def longest_common_run_pairs(
     thousands of tiny hash-partitioned groups. Returns
     (id_a, id_b, longest_common_tokens >= min_run)."""
     assert min_run >= gram
+    assert gram_key in ("raw", "digest")
     npart = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(npart, id_col).select(
         F.col(id_col).alias("id"),
@@ -394,6 +403,8 @@ def longest_common_run_pairs(
             .select("g")
         )
         g = g.join(hot, "g", "left_anti")
+    if gram_key == "digest":
+        g = g.select("id", "pos", F.md5("g").alias("g"))
     a = g.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "g")
     b = g.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "g")
     m = a.join(b, "g").where(F.col("id_a") < F.col("id_b")).select(
