@@ -91,6 +91,16 @@ HEADLINE = [
     # per-diagonal islands), IVF cell-balance monitor (Lloyd + argmin)
     "q184_longest_common_run",
     "q185_ivf_cell_balance",
+    # round-6 additions: BPE merge training, paragraph dedup + reassembly,
+    # CCNet perplexity buckets, distributed-ECDF KS test, Dunning LLR,
+    # HITS iterations, minhash estimator calibration
+    "q188_bpe_merges",
+    "q190_paragraph_dedup",
+    "q192_ccnet_buckets",
+    "q195_ks_test",
+    "q198_llr_collocations",
+    "q208_hits_scores",
+    "q213_minhash_estimate_error",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports
@@ -104,7 +114,15 @@ COMPACT = HEADLINE[:17]  # through q34_ann_bruteforce
 # (q117: 1.45s stdev on a 3.0s median). One untimed warm run before the
 # timed reps measures steady state — same policy as the global warmup.
 ITERATIVE = {"q117_pagerank_dup_graph", "q119_leakage_free_split",
-             "q127_semdedup", "q133_ivfpq"}
+             "q127_semdedup", "q133_ivfpq",
+             "q188_bpe_merges", "q208_hits_scores"}
+
+# r5→r4 drift watch (VERDICT r5 item 3): these five medians moved
+# 1.25-1.38x with no code change — within 1-2 stdev, judged environment
+# noise. They get 5 reps instead of 3 so the r6 medians carry enough
+# samples to either confirm noise or expose a real trend.
+DRIFT_WATCH = {"q149_zipf_fit", "q131_pq_adc", "q108_drawdown_sharpe",
+               "q124_grid_interpolate", "q122_bm25"}
 
 
 def main() -> None:
@@ -166,7 +184,8 @@ def main() -> None:
         # Within the block nothing is cleared — min-of-3 still measures the
         # query's own warm plan including its own caching behavior.
         spark.catalog.clearCache()
-        _timed(name, _query_runner(QUERIES[name]))
+        _timed(name, _query_runner(QUERIES[name]),
+               reps=5 if name in DRIFT_WATCH else 3)
 
     # Reference-workload regression target (SURVEY §6 / BASELINE.md): the
     # full 23,820-row indicator backfill (10 symbols x 2,382 daily bars,
