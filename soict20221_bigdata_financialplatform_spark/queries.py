@@ -10981,12 +10981,18 @@ def q205_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q206_realized_volatility",
     """
-    WITH r AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(floor(round(ln(value / lag(value)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6)
-                  * 1000000.0 + 0.5) AS BIGINT) AS r_micro
+    WITH lv AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS pv
       FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             CASE WHEN value > 0 AND pv > 0 THEN
+               CAST(floor(round(ln(value / pv), 6) * 1000000.0 + 0.5)
+                    AS BIGINT) END AS r_micro
+      FROM lv
     )
     SELECT user_id, day, count(r_micro)::BIGINT AS n_returns,
            sum(r_micro * r_micro)::BIGINT / 1000000000000.0 AS rv,
@@ -11005,16 +11011,24 @@ def q206_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     by user."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _t(spark, sf_dir, "events")
-    r = e.select(
+    lv = e.select(
         "user_id",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-        F.floor(
-            F.round(F.log(F.col("value") / F.lag("value").over(w)), 6)
-            * 1000000.0
-            + 0.5
-        )
-        .cast("long")
-        .alias("r_micro"),
+        "value",
+        F.lag("value").over(w).alias("pv"),
+    )
+    # ANSI guard (invariant 4): sf0.1 carries zero values — ln/÷ only on
+    # strictly positive pairs, NULL otherwise (both engines)
+    r = lv.select(
+        "user_id",
+        "day",
+        F.when(
+            (F.col("value") > 0) & (F.col("pv") > 0),
+            F.floor(
+                F.round(F.log(F.col("value") / F.col("pv")), 6) * 1000000.0
+                + 0.5
+            ).cast("long"),
+        ).alias("r_micro"),
     )
     return (
         r.groupBy("user_id", "day")
