@@ -11836,6 +11836,789 @@ def q215_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-7 backlog: authored in r6, parity-green locally, first in line for
+# the r7 driver window (the same prepare-ahead pattern r5 used for r6)
+# ===========================================================================
+
+
+@register(
+    "q216_vocab_coverage_curve",
+    """
+    WITH wc AS (
+      SELECT lang, word, count(*)::BIGINT AS cnt
+      FROM (SELECT lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY lang, word
+    ),
+    r AS (
+      SELECT lang, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, word) AS rnk
+      FROM wc
+    )
+    SELECT lang, sum(cnt)::BIGINT AS total_tokens,
+           count(*)::BIGINT AS vocab_size,
+           sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END)::BIGINT
+             / sum(cnt) AS top10_share,
+           sum(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END)::BIGINT
+             / sum(cnt) AS top100_share,
+           sum(CASE WHEN rnk <= 1000 THEN cnt ELSE 0 END)::BIGINT
+             / sum(cnt) AS top1000_share
+    FROM r GROUP BY lang
+    """,
+)
+def q216_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve per language (the tokenizer-budget view:
+    what share of the token stream the top-N word types cover — q105's
+    fixed-vocab coverage generalized to the curve). Ranks partition by
+    lang with a (count DESC, word) total order; shares are single
+    integer divisions. Scale: one grouped count + per-lang window over
+    the vocabulary frame (types, not tokens)."""
+    wc = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(tx.words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rw = Window.partitionBy("lang").orderBy(F.desc("cnt"), "word")
+    r = wc.withColumn("rnk", F.row_number().over(rw))
+
+    def topshare(n: int):
+        return F.sum(
+            F.when(F.col("rnk") <= n, F.col("cnt")).otherwise(0)
+        ).cast("long") / F.sum("cnt")
+
+    return r.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        topshare(10).alias("top10_share"),
+        topshare(100).alias("top100_share"),
+        topshare(1000).alias("top1000_share"),
+    )
+
+
+@register(
+    "q217_js_divergence",
+    """
+    WITH mid AS (
+      SELECT CAST((min(epoch_us(cast(ts AS TIMESTAMP)))
+                   + max(epoch_us(cast(ts AS TIMESTAMP)))) / 2 AS BIGINT)
+               AS m
+      FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             sum(CASE WHEN epoch_us(cast(ts AS TIMESTAMP)) < mid.m
+                      THEN 1 ELSE 0 END)::BIGINT AS c1,
+             sum(CASE WHEN epoch_us(cast(ts AS TIMESTAMP)) >= mid.m
+                      THEN 1 ELSE 0 END)::BIGINT AS c2
+      FROM events, mid GROUP BY event_type, mid.m
+    ),
+    n AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM halves),
+    terms AS (
+      SELECT h.event_type,
+             CAST(floor((h.c1 / n.n1)
+               * round(ln((h.c1 / n.n1)
+                 / ((h.c1 / n.n1 + h.c2 / n.n2) / 2.0)), 6)
+               * 1000000.0 + 0.5) AS BIGINT) AS tp,
+             CAST(floor((h.c2 / n.n2)
+               * round(ln((h.c2 / n.n2)
+                 / ((h.c1 / n.n1 + h.c2 / n.n2) / 2.0)), 6)
+               * 1000000.0 + 0.5) AS BIGINT) AS tq
+      FROM halves h, n WHERE h.c1 > 0 AND h.c2 > 0
+    )
+    SELECT sum(tp)::BIGINT / 1000000.0 AS kl_p_m,
+           sum(tq)::BIGINT / 1000000.0 AS kl_q_m,
+           (sum(tp)::BIGINT + sum(tq)::BIGINT) / 2000000.0 AS js_divergence
+    FROM terms
+    """,
+)
+def q217_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of the event-type mix between the first
+    and second time halves — the SYMMETRIC, bounded drift metric next to
+    q182's KL (JS is what corpus-mix monitors alarm on: defined even when
+    one side has novel categories; here shared-support terms only, both
+    engines identically). Exact-integer probabilities, ln rounded at the
+    transcendental, micro-unit sums. Scale: two grouped counts over the
+    type-cardinality frame."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = e.agg(
+        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("m")
+    )
+    halves = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(us < F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(us >= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    n = halves.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    p = F.col("c1") / F.col("n1")
+    q = F.col("c2") / F.col("n2")
+    m = (p + q) / F.lit(2.0)
+    terms = (
+        halves.crossJoin(F.broadcast(n))
+        .where((F.col("c1") > 0) & (F.col("c2") > 0))
+        .select(
+            F.floor(p * F.round(F.log(p / m), 6) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("tp"),
+            F.floor(q * F.round(F.log(q / m), 6) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("tq"),
+        )
+    )
+    return terms.agg(
+        (F.sum("tp").cast("long") / 1000000.0).alias("kl_p_m"),
+        (F.sum("tq").cast("long") / 1000000.0).alias("kl_q_m"),
+        (
+            (F.sum("tp").cast("long") + F.sum("tq").cast("long")) / 2000000.0
+        ).alias("js_divergence"),
+    )
+
+
+@register(
+    "q218_spearman_trend",
+    """
+    WITH x AS (
+      SELECT user_id, value,
+             2 * row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS a
+      FROM events
+    ),
+    vt AS (
+      SELECT user_id, value, count(*)::BIGINT AS t
+      FROM events GROUP BY user_id, value
+    ),
+    vr AS (
+      SELECT user_id, value, t,
+             rank() OVER (PARTITION BY user_id ORDER BY value) AS mn
+      FROM vt
+    ),
+    y AS (SELECT user_id, value, (2 * mn + t - 1)::BIGINT AS b FROM vr),
+    j AS (
+      SELECT x.user_id, x.a::BIGINT AS a, y.b
+      FROM x JOIN y ON x.user_id = y.user_id AND x.value = y.value
+    ),
+    s AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+             sum(a * b)::BIGINT AS sab,
+             sum(a * a)::BIGINT AS saa, sum(b * b)::BIGINT AS sbb
+      FROM j GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+                THEN (n * sab - sa * sb)
+                     / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+           END AS spearman_rho
+    FROM s
+    """,
+)
+def q218_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of value against arrival order per user —
+    the nonparametric monotone-trend detector. Both rank vectors are
+    carried DOUBLED so ties average to integers (2·avgrank = 2·min_rank
+    + t − 1; Pearson is scale-invariant so the doubling cancels); all
+    five sums are exact BIGINTs and ρ is two exact sqrts + one division.
+    Tie-rank join is on (user, value) — the vt frame is per-user distinct
+    values. Scale: per-user windows + one grouped agg."""
+    e = _t(spark, sf_dir, "events")
+    wx = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        "value",
+        (2 * F.row_number().over(wx)).cast("long").alias("a"),
+    )
+    vt = e.groupBy("user_id", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wv = Window.partitionBy("user_id").orderBy("value")
+    y = vt.select(
+        "user_id",
+        "value",
+        (2 * F.rank().over(wv) + F.col("t") - 1).cast("long").alias("b"),
+    )
+    j = x.join(y, ["user_id", "value"])
+    s = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return s.select(
+        "user_id",
+        "n",
+        F.when(
+            (va > 0) & (vb > 0),
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            / (F.sqrt(va) * F.sqrt(vb)),
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q219_kaplan_meier",
+    """
+    WITH lt AS (
+      SELECT user_id,
+             date_diff('day', min(CAST(date_trunc('day', ts) AS DATE)),
+                       max(CAST(date_trunc('day', ts) AS DATE)))::BIGINT
+               AS lifetime
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT lifetime, count(*)::BIGINT AS deaths FROM lt GROUP BY lifetime
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM lt),
+    risk AS (
+      SELECT lifetime, deaths,
+             (tot.n - coalesce(sum(deaths) OVER (PARTITION BY lifetime % 1
+                ORDER BY lifetime
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+               AS n_risk
+      FROM d, tot
+    ),
+    lnterm AS (
+      SELECT lifetime, deaths, n_risk,
+             CASE WHEN n_risk > deaths THEN
+               CAST(floor(round(ln((n_risk - deaths) * 1.0 / n_risk), 6)
+                    * 1000000.0 + 0.5) AS BIGINT)
+             END AS lnm
+      FROM risk
+    )
+    SELECT lifetime, deaths, n_risk,
+           deaths * 1.0 / n_risk AS hazard,
+           (sum(lnm) OVER (PARTITION BY lifetime % 1 ORDER BY lifetime
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             / 1000000.0 AS ln_survival
+    FROM lnterm
+    """,
+)
+def q219_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user activity lifetimes (first→last
+    event day; all observed, no censoring in the testdata): per-duration
+    hazard d/n and the cumulative LOG-survival ln S(t) = Σ ln((n−d)/n) —
+    emitted in log space because exp is not bit-portable across libm
+    (q122 lesson); each factor's ln rounds at the transcendental on an
+    EXACT integer ratio and accumulates as micro-unit BIGINTs. The
+    duration frame is calendar-bounded, so both cumulatives (n_risk's
+    exclusive deaths-before and the log-survival sum) ride the
+    constant-key partition (lifetime % 1) — never an event-level window.
+    Scale: one per-user agg; everything after is duration-cardinality-
+    sized."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    lt = e.groupBy("user_id").agg(
+        F.datediff(F.max(day), F.min(day)).cast("long").alias("lifetime")
+    )
+    d = lt.groupBy("lifetime").agg(
+        F.count(F.lit(1)).cast("long").alias("deaths")
+    )
+    tot = lt.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wprev = (
+        Window.partitionBy(F.pmod(F.col("lifetime"), F.lit(1)))
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        d.withColumn(
+            "__cum", F.coalesce(F.sum("deaths").over(wprev), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lifetime",
+            "deaths",
+            (F.col("n") - F.col("__cum")).cast("long").alias("n_risk"),
+        )
+    )
+    lnm = F.when(
+        F.col("n_risk") > F.col("deaths"),
+        F.floor(
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("deaths"))
+                    * F.lit(1.0)
+                    / F.col("n_risk")
+                ),
+                6,
+            )
+            * 1000000.0
+            + 0.5
+        ).cast("long"),
+    )
+    wc = (
+        Window.partitionBy(F.pmod(F.col("lifetime"), F.lit(1)))
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return risk.select(
+        "lifetime",
+        "deaths",
+        "n_risk",
+        (F.col("deaths") * F.lit(1.0) / F.col("n_risk")).alias("hazard"),
+        lnm.alias("__lnm"),
+    ).select(
+        "lifetime",
+        "deaths",
+        "n_risk",
+        "hazard",
+        (F.sum("__lnm").over(wc).cast("long") / 1000000.0).alias(
+            "ln_survival"
+        ),
+    )
+
+
+@register(
+    "q220_wasserstein",
+    "WITH" + _TWOSAMPLE_CUM_CTES + """,
+    gaps AS (
+      SELECT value, cum1, cum2,
+             lead(value) OVER (PARTITION BY value - value
+                               ORDER BY value) - value AS gap
+      FROM cum
+    ),
+    terms AS (
+      SELECT CAST(floor(abs(cum1 * n.n2 - cum2 * n.n1) * gap * 1000000.0
+                        + 0.5) AS BIGINT) AS tm
+      FROM gaps, n WHERE gap IS NOT NULL
+    )
+    SELECT n.n1, n.n2,
+           sum(terms.tm)::BIGINT / ((n.n1 * n.n2) * 1000000.0)
+             AS wasserstein1
+    FROM terms, n GROUP BY n.n1, n.n2
+    """,
+)
+def q220_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth mover's) distance between the two sample
+    distributions of q195 — the drift metric that weighs HOW FAR mass
+    moved, not just the max ECDF gap: W1 = Σ |F1−F2| · Δx over the
+    distinct-value grid. The ECDF difference is the exact BIGINT
+    cross-product from the shared prefix-sum machinery; each strip's
+    area quantizes to micro-units so the total is an integer sum; Δx
+    rides the constant-key partition over the (bounded, price-grid-
+    sized) distinct-value frame. Budget: |diff|·gap ≤ n1·n2·range —
+    within BIGINT micro-units at the gate SFs."""
+    cum, n = _twosample_cum(spark, sf_dir)
+    wg = Window.partitionBy(
+        F.col("value") - F.col("value")
+    ).orderBy("value")
+    gaps = cum.select(
+        "value",
+        "cum1",
+        "cum2",
+        (F.lead("value").over(wg) - F.col("value")).alias("gap"),
+    )
+    terms = (
+        gaps.where(F.col("gap").isNotNull())
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                F.abs(
+                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+                )
+                * F.col("gap")
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("tm")
+        )
+    )
+    return terms.crossJoin(F.broadcast(n)).groupBy("n1", "n2").agg(
+        (
+            F.sum("tm").cast("long")
+            / ((F.col("n1") * F.col("n2")) * F.lit(1000000.0))
+        ).alias("wasserstein1")
+    )
+
+
+@register(
+    "q221_acf",
+    "WITH" + _BARS_SQL + """,
+    d AS (
+      SELECT user_id, day,
+             CAST(floor((close - lag(close) OVER
+               (PARTITION BY user_id ORDER BY day)) * 10000.0 + 0.5) AS BIGINT)
+               AS x
+      FROM bars
+    ),
+    l AS (
+      SELECT user_id, x,
+             lead(x, 1) OVER w AS x1,
+             lead(x, 2) OVER w AS x2,
+             lead(x, 3) OVER w AS x3
+      FROM d WHERE x IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, count(*)::BIGINT AS n,
+           CASE WHEN sum(x * x) > 0 THEN
+             sum(CASE WHEN x1 IS NOT NULL THEN x * x1 END)::BIGINT
+               / sum(x * x)::DOUBLE END AS acf1,
+           CASE WHEN sum(x * x) > 0 THEN
+             sum(CASE WHEN x2 IS NOT NULL THEN x * x2 END)::BIGINT
+               / sum(x * x)::DOUBLE END AS acf2,
+           CASE WHEN sum(x * x) > 0 THEN
+             sum(CASE WHEN x3 IS NOT NULL THEN x * x3 END)::BIGINT
+               / sum(x * x)::DOUBLE END AS acf3
+    FROM l GROUP BY user_id
+    """,
+)
+def q221_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily close changes at lags 1-3 per
+    user (momentum/mean-reversion fingerprint; the multi-lag extension of
+    q164's rolling lag-1). Changes quantize at 1e-4 (the q207 overflow
+    budget) so every Σx·x_lag and Σx² is an exact BIGINT; each ACF value
+    is one integer division (uncentered normalization, documented).
+    Scale: per-user windows + one grouped agg."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day")
+    d = b.select(
+        "user_id",
+        "day",
+        F.floor((F.col("close") - F.lag("close").over(w)) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("x"),
+    ).where(F.col("x").isNotNull())
+    lf = d.select(
+        "user_id",
+        "x",
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+        F.lead("x", 3).over(w).alias("x3"),
+    )
+    sxx = F.sum(F.col("x") * F.col("x"))
+
+    def acf(c: str):
+        return F.when(
+            sxx > 0,
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("x") * F.col(c))
+            ).cast("long")
+            / sxx.cast("double"),
+        )
+
+    return lf.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        acf("x1").alias("acf1"),
+        acf("x2").alias("acf2"),
+        acf("x3").alias("acf3"),
+    )
+
+
+@register(
+    "q222_conditional_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
+      FROM w, UNNEST(range(1, len(w.w))) AS t(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c)::BIGINT AS cf FROM c12 GROUP BY w1),
+    nt AS (SELECT sum(c)::BIGINT AS nb FROM c12),
+    hcond AS (
+      SELECT sum(CAST(floor((c12.c / nt.nb)
+                   * round(ln(c12.c * 1.0 / c1.cf), 6)
+                   * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS s
+      FROM c12 JOIN c1 USING (w1), nt
+    ),
+    uni AS (
+      SELECT word, count(*)::BIGINT AS cu
+      FROM (SELECT unnest(w) AS word FROM w) GROUP BY word
+    ),
+    nu AS (SELECT sum(cu)::BIGINT AS n FROM uni),
+    huni AS (
+      SELECT sum(CAST(floor((uni.cu / nu.n)
+                   * round(ln(uni.cu * 1.0 / nu.n), 6)
+                   * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS s
+      FROM uni, nu
+    )
+    SELECT nt.nb AS n_bigrams,
+           -(huni.s) / 1000000.0 AS h_unigram,
+           -(hcond.s) / 1000000.0 AS h_conditional,
+           (-(huni.s) / 1000000.0) - (-(hcond.s) / 1000000.0)
+             AS info_gain
+    FROM nt, hcond, huni
+    """,
+)
+def q222_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy rate: unigram entropy H(W), bigram conditional
+    entropy H(W₂|W₁) = −Σ p(w1w2)·ln p(w2|w1), and their gap (the mutual
+    information the bigram structure carries — the language-model-
+    difficulty number next to q175's per-doc entropy). All probabilities
+    are exact integer ratios; each p·ln term quantizes to micro-units at
+    its rounded transcendental; sums are exact BIGINTs. Scale: the
+    grouped bigram/unigram counts shuffle distinct grams only."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    staged = d.select(tx.words(F.col("text")).alias("__w"))
+    bg = (
+        staged.where(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__w"), 1, F.size("__w") - 1),
+                    F.slice(F.col("__w"), 2, F.size("__w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    c1 = c12.groupBy("w1").agg(F.sum("c").cast("long").alias("cf"))
+    nt = c12.agg(F.sum("c").cast("long").alias("nb"))
+    hcond = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("c") / F.col("nb"))
+                    * F.round(
+                        F.log(F.col("c") * F.lit(1.0) / F.col("cf")), 6
+                    )
+                    * 1000000.0
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_cond")
+        )
+    )
+    uni = staged.select(F.explode("__w").alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    nu = uni.agg(F.sum("cu").cast("long").alias("n"))
+    huni = uni.crossJoin(F.broadcast(nu)).agg(
+        F.sum(
+            F.floor(
+                (F.col("cu") / F.col("n"))
+                * F.round(F.log(F.col("cu") * F.lit(1.0) / F.col("n")), 6)
+                * 1000000.0
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s_uni")
+    )
+    h_uni = -F.col("s_uni") / 1000000.0
+    h_cond = -F.col("s_cond") / 1000000.0
+    return (
+        nt.crossJoin(F.broadcast(hcond))
+        .crossJoin(F.broadcast(huni))
+        .select(
+            F.col("nb").alias("n_bigrams"),
+            h_uni.alias("h_unigram"),
+            h_cond.alias("h_conditional"),
+            (h_uni - h_cond).alias("info_gain"),
+        )
+    )
+
+
+@register(
+    "q223_source_vocab_overlap",
+    """
+    WITH sw AS (
+      SELECT DISTINCT source, word
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> ''
+    ),
+    sz AS (SELECT source, count(*)::BIGINT AS vsz FROM sw GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*)::BIGINT AS common
+      FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT c.source_a, c.source_b, c.common,
+           c.common / (za.vsz + zb.vsz - c.common) AS jaccard,
+           c.common / least(za.vsz, zb.vsz) AS overlap_coef
+    FROM common c
+    JOIN sz za ON za.source = c.source_a
+    JOIN sz zb ON zb.source = c.source_b
+    """,
+)
+def q223_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (Jaccard + Szymkiewicz-
+    Simpson overlap coefficient) — the domain-similarity matrix that
+    informs q189's mixing decisions. Candidate pairs come from the
+    inverted index (equi-join on word), NEVER an all-pairs product;
+    ratios are single integer divisions. Scale: the word join's posting
+    lists are source-cardinality-bounded (≤ #sources per word)."""
+    sw = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(tx.words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .persist()
+    )
+    sz = sw.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    a = sw.select(F.col("source").alias("source_a"), "word")
+    b = sw.select(F.col("source").alias("source_b"), "word")
+    common = (
+        a.join(b, "word")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    return (
+        common.join(
+            sz.select(F.col("source").alias("source_a"), F.col("vsz").alias("za")),
+            "source_a",
+        )
+        .join(
+            sz.select(F.col("source").alias("source_b"), F.col("vsz").alias("zb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            (
+                F.col("common") / (F.col("za") + F.col("zb") - F.col("common"))
+            ).alias("jaccard"),
+            (F.col("common") / F.least(F.col("za"), F.col("zb"))).alias(
+                "overlap_coef"
+            ),
+        )
+    )
+
+
+@register(
+    "q224_overnight_gaps",
+    """
+    WITH barso AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             arg_min(value, ts) AS open, arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT user_id,
+             CAST(floor((open - lag(close) OVER
+               (PARTITION BY user_id ORDER BY day)) * 1000000.0 + 0.5)
+               AS BIGINT) AS gap_micro
+      FROM barso
+    )
+    SELECT user_id, count(gap_micro)::BIGINT AS n_gaps,
+           sum(CASE WHEN gap_micro > 0 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+           sum(CASE WHEN gap_micro < 0 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+           sum(gap_micro)::BIGINT / (1000000.0 * count(gap_micro))
+             AS mean_gap,
+           max(gap_micro)::BIGINT AS max_gap_micro,
+           min(gap_micro)::BIGINT AS min_gap_micro
+    FROM g WHERE gap_micro IS NOT NULL GROUP BY user_id
+    """,
+)
+def q224_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight gap statistics per user (open vs previous close — the
+    session-boundary discontinuity a backtest must model separately from
+    intraday moves). Gaps quantize to micro-units so counts, the mean
+    (integer sum / count), and the extremes are all exact. Scale:
+    the q24 bars agg + one per-user window + one grouped agg."""
+    e = _t(spark, sf_dir, "events")
+    barso = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = barso.select(
+        "user_id",
+        F.floor(
+            (F.col("open") - F.lag("close").over(w)) * 1000000.0 + 0.5
+        )
+        .cast("long")
+        .alias("gap_micro"),
+    ).where(F.col("gap_micro").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_micro").cast("long").alias("n_gaps"),
+        F.sum(F.when(F.col("gap_micro") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("gap_micro") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        (
+            F.sum("gap_micro").cast("long")
+            / (F.lit(1000000.0) * F.count("gap_micro"))
+        ).alias("mean_gap"),
+        F.max("gap_micro").cast("long").alias("max_gap_micro"),
+        F.min("gap_micro").cast("long").alias("min_gap_micro"),
+    )
+
+
+@register(
+    "q225_calendar_heatmap",
+    """
+    WITH c AS (
+      SELECT isodow(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hour,
+             count(*)::BIGINT AS n_events,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_events)::BIGINT AS n FROM c)
+    SELECT c.dow, c.hour, c.n_events,
+           c.n_events / tot.n AS share,
+           c.cents / (100.0 * c.n_events) AS avg_value
+    FROM c, tot
+    """,
+)
+def q225_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap with traffic share and average
+    value — the load-planning view (when to schedule compaction, when the
+    stream peaks). ISO weekday on BOTH engines (Spark weekday()+1 ==
+    DuckDB isodow — plain dayofweek disagrees on the week start); value
+    averages ride exact cents integers. Scale: one grouped count over
+    168 cells."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    tot = c.agg(F.sum("n_events").cast("long").alias("n"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n_events",
+        (F.col("n_events") / F.col("n")).alias("share"),
+        (F.col("cents") / (F.lit(100.0) * F.col("n_events"))).alias(
+            "avg_value"
+        ),
+    )
+
+
+# ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
 # Policy: every oracle-backed query first (the ones a cap would silently
@@ -11881,11 +12664,20 @@ _FINAL_ORDER = [
     "q211_ichimoku", "q212_simhash_hot_chunks",
     "q213_minhash_estimate_error", "q214_idf_doc_filter",
     "q215_stratified_kfold",
+    # (r7 backlog q216+ sits AFTER the window — see below)
     # -- slot 50: q11 returns for a fifth green row (rested r5)
     "q11_outer_join_activity",
     # ========== 50-slot driver window ends here ==========
-    # R7 NOTE: the second-row queue continues from here — q38 (r2-only
-    # green), then the once-green-r2 block q04..q26, then q27..q36.
+    # -- r7 backlog: authored in r6, parity-green locally, never
+    # driver-checked — FIRST in line for the r7 window (append r7
+    # additions here)
+    "q216_vocab_coverage_curve", "q217_js_divergence",
+    "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
+    "q221_acf", "q222_conditional_entropy", "q223_source_vocab_overlap",
+    "q224_overnight_gaps", "q225_calendar_heatmap",
+    # R7 NOTE: after the backlog, the second-row queue continues — q38
+    # (r2-only green), then the once-green-r2 block q04..q26, then
+    # q27..q36.
     "q38_sessionization",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
