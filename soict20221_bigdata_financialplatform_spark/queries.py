@@ -12003,10 +12003,12 @@ def q217_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vr AS (
       SELECT user_id, value, t,
-             rank() OVER (PARTITION BY user_id ORDER BY value) AS mn
+             coalesce(sum(t) OVER (PARTITION BY user_id ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cless
       FROM vt
     ),
-    y AS (SELECT user_id, value, (2 * mn + t - 1)::BIGINT AS b FROM vr),
+    y AS (SELECT user_id, value,
+                 (2 * (cless + 1) + t - 1)::BIGINT AS b FROM vr),
     j AS (
       SELECT x.user_id, x.a::BIGINT AS a, y.b
       FROM x JOIN y ON x.user_id = y.user_id AND x.value = y.value
@@ -12044,11 +12046,24 @@ def q218_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt = e.groupBy("user_id", "value").agg(
         F.count(F.lit(1)).cast("long").alias("t")
     )
-    wv = Window.partitionBy("user_id").orderBy("value")
+    # events-below count (NOT rank() on the distinct-value frame — that
+    # counts distinct smaller VALUES, not smaller EVENTS; caught by the
+    # pure-numpy third-path test in tests/test_stat_queries.py)
+    wv = (
+        Window.partitionBy("user_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     y = vt.select(
         "user_id",
         "value",
-        (2 * F.rank().over(wv) + F.col("t") - 1).cast("long").alias("b"),
+        (
+            2 * (F.coalesce(F.sum("t").over(wv), F.lit(0)) + 1)
+            + F.col("t")
+            - 1
+        )
+        .cast("long")
+        .alias("b"),
     )
     j = x.join(y, ["user_id", "value"])
     s = j.groupBy("user_id").agg(
