@@ -1121,7 +1121,9 @@ def bpe_learn_merges(
       a round referencing the previous round twice doubles the plan).
 
     Returns one row per merge round: (bpe_round, sym1, sym2, merged,
-    pair_weight).
+    pair_weight). If the vocabulary exhausts (a round finds no adjacent
+    pair), the loop stops early and the output holds fewer than
+    ``rounds`` rows — it never silently empties the vocab.
     """
     wc = (
         docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
@@ -1159,6 +1161,13 @@ def bpe_learn_merges(
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        if best.isEmpty():
+            # Vocabulary exhausted (every word a single symbol): a further
+            # crossJoin with the empty winner would silently EMPTY the
+            # vocab and yield zero-row rounds with no signal — stop
+            # instead. Output then has fewer than ``rounds`` rows (see
+            # docstring). isEmpty on the checkpointed 1-row limit is free.
+            break
         rules.append(best.withColumn("bpe_round", F.lit(r).cast("long")))
         enc = (
             enc.crossJoin(F.broadcast(best))
@@ -1171,6 +1180,15 @@ def bpe_learn_merges(
                 "cnt",
             )
             .localCheckpoint(eager=True)
+        )
+    if not rules:
+        # No adjacent pair anywhere even in round 1 — empty result with
+        # the contract schema.
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [],
+            "bpe_round long, sym1 string, sym2 string, "
+            "merged string, pair_weight long",
         )
     out = rules[0]
     for r in rules[1:]:

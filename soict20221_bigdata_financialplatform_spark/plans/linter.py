@@ -18,6 +18,11 @@ query registry (tests/test_plans.py), packaged for user queries:
                                   spec: every row through ONE task. Use a
                                   per-key window or orderBy().limit()
                                   (= TakeOrderedAndProject).
+  error   constant-partition-     pmod(col, 1) single-partition ordered
+          window                  window over a NON-aggregate frame — the
+                                  global window in disguise. Licensed only
+                                  for one-row-per-group offset chains
+                                  (the q195/q208 prefix-sum rank).
   warning row-python-udf          BatchEvalPython: row-at-a-time Python
                                   UDF in the plan (10-100× slower than
                                   Arrow). Use native exprs or pandas_udf.
@@ -72,6 +77,64 @@ def unpartitioned_ordered_window_count(df: DataFrame) -> int:
     return bad
 
 
+def constant_partition_window_over_raw_frame_count(df: DataFrame) -> int:
+    """Window nodes partitioned by the deliberate-single-partition idiom
+    ``pmod(col, 1)`` (invariant 16a: a data-derived constant that Catalyst
+    cannot fold away) whose INPUT subtree shows no aggregate — i.e. the
+    one-task window runs over a RAW row-cardinality frame instead of the
+    bounded one-row-per-group offset frame the idiom is licensed for
+    (the q195/q208 prefix-sum chain shape). A pmod(...,1) window over an
+    un-aggregated frame is the banned global ordered window in disguise.
+
+    Note: a lineage-truncating localCheckpoint between the aggregate and
+    the window hides the aggregate from the plan; keep the groupBy on the
+    window side of any checkpoint (q208 does)."""
+    plan = executed_plan(df)
+    lines = plan.splitlines()
+    # the planner projects the partition expr into a _wN alias below the
+    # Window node — resolve which attribute ids are pmod(..., 1)
+    const_ids = set(re.findall(r"pmod\([^,()]+, 1\) AS (\w+#\d+L?)", plan))
+    bad = 0
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+            if depth > 0:
+                cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    cur = ""
+        if len(groups) < 3:
+            continue
+        part = groups[1]
+        if not (
+            re.search(r"pmod\([^,()]+, 1\)", part)
+            or any(cid in part for cid in const_ids)
+        ):
+            continue
+        col = line.index("Window")
+        j = i + 1
+        while j < len(lines):
+            prefix = lines[j][:col]
+            if len(lines[j]) <= col or prefix.strip(" :") != "":
+                break
+            j += 1
+        subtree = "\n".join(lines[i + 1 : j])
+        if not re.search(
+            r"HashAggregate|SortAggregate|ObjectHashAggregate"
+            r"|TakeOrderedAndProject",
+            subtree,
+        ):
+            bad += 1
+    return bad
+
+
 def scale_lint(df: DataFrame) -> list[dict]:
     """Structured findings ``[{rule, level, detail}, ...]`` for the plan
     shapes that do not survive a 100× scale-up; empty list = clean."""
@@ -105,6 +168,19 @@ def scale_lint(df: DataFrame) -> list[dict]:
                 "detail": f"{w} ordered window(s) with no PARTITION BY: "
                 "every row flows through one task; partition the window "
                 "or use orderBy().limit() for top-k",
+            }
+        )
+    c = constant_partition_window_over_raw_frame_count(df)
+    if c:
+        findings.append(
+            {
+                "rule": "constant-partition-window",
+                "level": "error",
+                "detail": f"{c} pmod(col,1) constant-partition ordered "
+                "window(s) over a non-aggregate frame: one task sees every "
+                "input row. The idiom is licensed only for one-row-per-"
+                "group offset chains (prefix-sum rank); aggregate first "
+                "or use the bucketed prefix sum",
             }
         )
     if "BatchEvalPython" in plan:

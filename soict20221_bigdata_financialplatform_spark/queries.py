@@ -10287,6 +10287,23 @@ def q196_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     SFs (t ≤ distinct-value multiplicity ≪ 2^21)."""
     cum, n = _twosample_cum(spark, sf_dir)
     t = F.col("c1") + F.col("c2")
+    # Overflow budget (SCALE.md): t³ must stay < 2^63 and the overflow
+    # failure mode is asymmetric (Spark ANSI throws, DuckDB silently
+    # widens to HUGEINT — the q145/q178 trap), so fail LOUDLY with a
+    # diagnosable message before the cube can overflow. t < 2^21 keeps
+    # every term < 2^63 and the sum ≤ t_max²·(n1+n2) safe through ~4M
+    # events per tied value.
+    tg = F.when(
+        t >= F.lit(1 << 21),
+        F.raise_error(
+            F.concat(
+                F.lit("q196: tie multiplicity t="),
+                t.cast("string"),
+                F.lit(" >= 2^21 — t^3 exceeds the BIGINT budget; "
+                      "rescale or pre-bucket values"),
+            )
+        ),
+    ).otherwise(t)
     r = cum.agg(
         F.sum(
             F.col("c1")
@@ -10294,7 +10311,7 @@ def q196_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("r1_2x"),
-        F.sum(t * t * t - t).cast("long").alias("tie_sum"),
+        F.sum(tg * tg * tg - tg).cast("long").alias("tie_sum"),
     )
     u1_2x = F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)
     nn = F.col("n1") + F.col("n2")
@@ -11177,9 +11194,12 @@ def q208_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     as BIGINT micro-units between rounds (edge products and sums are exact
     integers), each normalization is one identical double division +
     half-up quantize — the q117 unrolled-iteration parity machinery with
-    zero float accumulation. Rank ties break on user_id. Scale: join+agg
-    per round over the (user, type) edge frame; the authority frame is
-    type-cardinality-sized and broadcast."""
+    zero float accumulation. Rank ties break on user_id, and the global
+    rank rides the q195 bucketed prefix sum (buckets = distinct micro-unit
+    scores, ≤1e6+1 by construction) — no single-partition ordered window
+    over the user-cardinality hub frame. Scale: join+agg per round over
+    the (user, type) edge frame; the authority frame is type-cardinality-
+    sized and broadcast."""
     e = _t(spark, sf_dir, "events")
     edges = (
         e.groupBy(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
@@ -11229,15 +11249,31 @@ def q208_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    # rank over the user-count-sized hub frame; partition by the constant
-    # pmod(u, 1) so the window is not the banned unpartitioned shape
-    rw = Window.partitionBy(F.pmod(F.col("u"), F.lit(1))).orderBy(
-        F.desc("hm"), "u"
+    # Distributed rank over (hm DESC, u ASC) — the q195 bucketed
+    # prefix-sum shape, NOT a single-partition ordered window (r6 VERDICT
+    # watch item: the hub frame is user-cardinality-sized and grows with
+    # the corpus). Bucket by the negated score so ascending bucket order
+    # IS the global order; bucket cardinality is bounded at 1e6+1 by the
+    # micro-unit quantization regardless of user count, so the one-row-
+    # per-bucket offset chain stays broadcastable.
+    hb = h.withColumn("nb", (-F.col("hm")).cast("long"))
+    loc = hb.withColumn(
+        "lr",
+        F.row_number().over(Window.partitionBy("nb").orderBy("u")).cast("long"),
     )
-    return h.withColumn("rank", F.row_number().over(rw)).select(
+    btot = hb.groupBy("nb").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wchain = (
+        Window.partitionBy(F.pmod(F.col("nb"), F.lit(1)))
+        .orderBy("nb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "nb", F.coalesce(F.sum("t").over(wchain), F.lit(0)).alias("o")
+    )
+    return loc.join(F.broadcast(off), "nb").select(
         F.col("u").alias("user_id"),
         (F.col("hm") / 1000000.0).alias("hub_score"),
-        "rank",
+        (F.col("o") + F.col("lr")).alias("rank"),
     )
 
 
@@ -11903,8 +11939,8 @@ def q216_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q217_js_divergence",
     """
     WITH mid AS (
-      SELECT CAST((min(epoch_us(cast(ts AS TIMESTAMP)))
-                   + max(epoch_us(cast(ts AS TIMESTAMP)))) / 2 AS BIGINT)
+      SELECT CAST(floor((min(epoch_us(cast(ts AS TIMESTAMP)))
+                   + max(epoch_us(cast(ts AS TIMESTAMP)))) / 2.0) AS BIGINT)
                AS m
       FROM events
     ),
@@ -12073,6 +12109,25 @@ def q218_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
         F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
         F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    # Overflow budget (SCALE.md): sa ≈ n², so sa·sa ≈ n⁴ and n·saa ≈
+    # (4/3)n⁴ — both must stay < 2^63, i.e. n ≤ 46,000 events per user.
+    # Spark ANSI would throw an undiagnosable ARITHMETIC_OVERFLOW while
+    # DuckDB silently widens to HUGEINT (q145/q178 trap); fail loudly
+    # with the group named instead.
+    s = s.withColumn(
+        "n",
+        F.when(
+            F.col("n") > F.lit(46000),
+            F.raise_error(
+                F.concat(
+                    F.lit("q218: user group n="),
+                    F.col("n").cast("string"),
+                    F.lit(" exceeds the BIGINT rank-moment budget "
+                          "(n<=46000); shard the group or demean ranks"),
+                )
+            ),
+        ).otherwise(F.col("n")),
     )
     va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
     vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")

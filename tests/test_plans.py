@@ -431,6 +431,42 @@ def test_scale_lint_flags_and_passes(spark, sf_dir):
     assert [f for f in lint if f["level"] == "error"] == []
     assert any(f["rule"] == "arrow-python-crossing" for f in lint)
 
+    # pmod(col,1) constant-partition window over a RAW frame = the global
+    # ordered window in disguise (invariant 16a misuse) -> error; the
+    # same idiom over a one-row-per-group offset frame (q195/q208 chain)
+    # is the licensed shape -> clean.
+    raw = spark.range(100).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy(F.pmod(F.col("id"), F.lit(1))).orderBy("id")
+        ),
+    )
+    assert any(
+        f["rule"] == "constant-partition-window" and f["level"] == "error"
+        for f in scale_lint(raw)
+    )
+    with pytest.raises(ValueError, match="constant-partition-window"):
+        assert_scalable(raw)
+    agged = (
+        spark.range(100)
+        .groupBy(F.pmod("id", F.lit(7)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .withColumn(
+            "o",
+            F.sum("t").over(
+                Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+    )
+    assert [f for f in scale_lint(agged) if f["level"] == "error"] == []
+
+    # the registry's own constant-partition users stay licensed
+    for qname in ("q195_ks_test", "q208_hits_scores", "q219_kaplan_meier"):
+        q = QUERIES[qname](spark, sf_dir)
+        assert [f for f in scale_lint(q) if f["level"] == "error"] == [], qname
+
 
 def test_driver_window_schemas_are_hasher_safe(spark, sf_dir):
     """The driver's value hasher canonicalizes results via pandas

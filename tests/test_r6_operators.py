@@ -39,6 +39,23 @@ def test_bpe_merge_is_leftmost_nonoverlapping(spark):
     assert (out[1].sym1, out[1].sym2, out[1].pair_weight) == ("aa", "a", 2)
 
 
+def test_bpe_vocab_exhaustion_stops_early(spark):
+    """When a round finds no adjacent pair the loop must STOP (fewer rows
+    than requested), not crossJoin an empty winner and silently empty the
+    vocab (r6 ADVICE). 'ab' exhausts after one merge; asking for 4 rounds
+    returns exactly 1 rule."""
+    docs = spark.createDataFrame([Row(text="ab ab")])
+    out = cp.bpe_learn_merges(docs, rounds=4).collect()
+    assert [(r.bpe_round, r.merged, r.pair_weight) for r in out] == [
+        (1, "ab", 2)
+    ]
+    # all-single-symbol vocabulary from the start: empty result, right schema
+    docs1 = spark.createDataFrame([Row(text="a b c")])
+    out1 = cp.bpe_learn_merges(docs1, rounds=2)
+    assert out1.columns == ["bpe_round", "sym1", "sym2", "merged", "pair_weight"]
+    assert out1.count() == 0
+
+
 def test_paragraph_dedup_first_occurrence_wins(spark):
     docs = spark.createDataFrame(
         [
