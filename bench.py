@@ -101,6 +101,26 @@ HEADLINE = [
     "q198_llr_collocations",
     "q208_hits_scores",
     "q213_minhash_estimate_error",
+    # round-7 window entrants (VERDICT r6 task 6: every query entering the
+    # driver window gets a perf baseline the round it first appears) —
+    # the r7 backlog q216-q225 and the r7 additions q226-q232
+    "q216_vocab_coverage_curve",
+    "q217_js_divergence",
+    "q218_spearman_trend",
+    "q219_kaplan_meier",
+    "q220_wasserstein",
+    "q221_acf",
+    "q222_conditional_entropy",
+    "q223_source_vocab_overlap",
+    "q224_overnight_gaps",
+    "q225_calendar_heatmap",
+    "q226_domain_bpb",
+    "q227_memorization_spans",
+    "q228_hll_partition_union",
+    "q229_source_overlap_attribution",
+    "q230_minhash_hot_bands",
+    "q231_tfidf_cosine_pairs",
+    "q232_weekly_bars",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

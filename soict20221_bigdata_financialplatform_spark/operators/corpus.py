@@ -11,7 +11,7 @@ shuffle of digests), then MinHash LSH only over the survivors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from soict20221_bigdata_financialplatform_spark.functions.text import quality_score
@@ -688,6 +688,101 @@ def decontaminate(
         docs, eval_docs, n=n, text_col=text_col, id_col=id_col
     ).select(id_col)
     return docs.join(flagged, id_col, "left_anti")
+
+
+def span_contamination_report(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 5,
+    min_span: int = 8,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Span-LEVEL memorization/contamination report (Lee et al. 2022;
+    the decontamination companion of :func:`ngram_contamination`): for
+    each eval document, the longest VERBATIM token span it shares with
+    ANY training document, plus how many training documents carry such a
+    span. Where :func:`ngram_contamination` answers "does any eval gram
+    leak?" (a set test), this answers "HOW MUCH of the eval doc is
+    memorizable verbatim?" — the metric a contamination audit reports
+    per benchmark.
+
+    Same relational suffix-array substitute as
+    ``dedup.longest_common_run_pairs``: gram-explode BOTH sides with
+    positions, EQUI-join on the gram (eval grams ⋈ train grams — never
+    an all-pairs product), runs of consecutive eval positions per match
+    diagonal via the islands trick; a k-run of matching g-grams is a
+    k+g−1-token verbatim span, exact. ``max_gram_df`` drops boilerplate
+    grams from the TRAIN index (their spans still surface through rarer
+    grams unless the whole span is boilerplate).
+
+    Scale: the join is inverted-index-shaped (posting lists per gram);
+    island windows partition by (eval, train, diag) — many tiny groups;
+    at 100 TB the train gram index is the precomputed store, eval side
+    is benchmark-sized. Returns (id_col, longest_train_span,
+    n_train_partners) for eval docs with a span ≥ min_span."""
+    assert min_span >= gram
+    npart = eval_docs.sparkSession.sparkContext.defaultParallelism
+
+    def _grams(df: DataFrame, out_id: str, out_pos: str) -> DataFrame:
+        toks = df.repartition(npart, id_col).select(
+            F.col(id_col).alias(out_id),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+        )
+        return (
+            toks.where(F.size("t") >= gram)
+            .select(
+                out_id,
+                F.explode(
+                    F.sequence(F.lit(1), F.size("t") - (gram - 1))
+                ).alias(out_pos),
+                "t",
+            )
+            .select(
+                out_id,
+                out_pos,
+                F.array_join(F.slice("t", F.col(out_pos), gram), " ").alias(
+                    "g"
+                ),
+            )
+        )
+
+    ge = _grams(eval_docs, "eval_id", "pe")
+    gt = _grams(train_docs, "train_id", "pt")
+    if max_gram_df is not None:
+        hot = (
+            gt.groupBy("g")
+            .agg(F.count_distinct("train_id").alias("__df"))
+            .where(F.col("__df") > max_gram_df)
+            .select("g")
+        )
+        gt = gt.join(hot, "g", "left_anti")
+    m = ge.join(gt, "g").select(
+        "eval_id",
+        "train_id",
+        "pe",
+        (F.col("pe") - F.col("pt")).alias("diag"),
+    )
+    w_isl = Window.partitionBy("eval_id", "train_id", "diag").orderBy("pe")
+    runs = (
+        m.withColumn("isl", F.col("pe") - F.row_number().over(w_isl))
+        .groupBy("eval_id", "train_id", "diag", "isl")
+        .agg((F.count(F.lit(1)) + (gram - 1)).alias("run_len"))
+    )
+    pair = (
+        runs.groupBy("eval_id", "train_id")
+        .agg(F.max("run_len").cast("long").alias("span"))
+        .where(F.col("span") >= min_span)
+    )
+    return (
+        pair.groupBy("eval_id")
+        .agg(
+            F.max("span").cast("long").alias("longest_train_span"),
+            F.count(F.lit(1)).cast("long").alias("n_train_partners"),
+        )
+        .withColumnRenamed("eval_id", id_col)
+    )
 
 
 def dsir_scores(

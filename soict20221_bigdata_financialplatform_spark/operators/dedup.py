@@ -132,7 +132,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
     hot_bucket_salt: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
@@ -142,11 +142,15 @@ def minhash_near_dup_pairs(
     with exact shingle-set Jaccard (array_intersect/array_union on only the
     candidate pairs).
 
-    ``max_bucket_size`` caps a band bucket's posting list: a boilerplate
-    bucket with 10⁶ docs would otherwise yield 10¹² candidate pairs from ONE
-    reducer (the classic LSH blow-up). Oversized buckets are dropped — their
-    members are near-identical boilerplate that the remaining 15 bands still
-    pair up with overwhelming probability. None disables the cap.
+    ``max_bucket_size`` (OPT-IN, default None — no silent recall caps) caps
+    a band bucket's posting list: a boilerplate bucket with 10⁶ docs would
+    otherwise yield 10¹² candidate pairs from ONE reducer (the classic LSH
+    blow-up). Oversized buckets are dropped — their members are
+    near-identical boilerplate that the remaining 15 bands still pair up
+    with overwhelming probability. Before choosing a cap, run
+    ``minhash_hot_band_report`` at the intended (num_hashes, bands,
+    shingle_n): every reported bucket above the cap is one the capped join
+    will drop, so recall loss is measured, never silent.
 
     ``hot_bucket_salt``: buckets UNDER the cap can still be hot — one
     10⁴-doc bucket makes one reducer emit 10⁸ candidate pairs. Setting a
@@ -245,6 +249,92 @@ def minhash_near_dup_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
     )
     return out
+
+
+def minhash_hot_band_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_bucket_size: int = 2,
+) -> DataFrame:
+    """Observability twin of ``minhash_near_dup_pairs(max_bucket_size=...)``
+    — the minhash-band mirror of ``simhash_hot_chunk_report`` (r6 VERDICT
+    symmetry item): per-(band, band_key) posting-list sizes, largest first.
+    Run it at the (num_hashes, bands, shingle_n) you intend to pass — every
+    returned row with ``bucket_size`` above a candidate cap is a bucket the
+    capped join would drop, so recall loss is measured, never silent, and
+    the square of the top sizes forecasts the per-reducer pair load
+    (bucket_size² / 2 candidate pairs) for `hot_bucket_salt` sizing. One
+    grouped count over the same banded posexplode the pair join uses; no
+    pair blow-up anywhere."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sigs = minhash_signature(
+        df.repartition(npart, id_col), text_col, id_col, num_hashes, shingle_n
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col("signature")[b * r + j] for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select(F.posexplode(band_arr).alias("band", "band_key"))
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") >= min_bucket_size)
+        .orderBy(F.desc("bucket_size"), "band", "band_key")
+    )
+
+
+def minhash_md5_hot_band_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_bucket_size: int = 2,
+) -> DataFrame:
+    """``minhash_hot_band_report`` with the CROSS-ENGINE md5 hash family —
+    identical signature/band expressions to ``minhash_md5_pairs``, so the
+    sizes it reports are exactly the posting lists that pair join will
+    walk (and a DuckDB oracle can rebuild every row — q230). Returns
+    (band, band_key, bucket_size), largest first."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(npart, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    )
+
+    def _family(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform("sh", _family(i))) for i in range(num_hashes)]
+    )
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sh.select(sig.alias("sig"))
+        .select(F.posexplode(band_arr).alias("band", "band_key"))
+        .groupBy(F.col("band").cast("long").alias("band"), "band_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
+        .where(F.col("bucket_size") >= min_bucket_size)
+        .orderBy(F.desc("bucket_size"), "band", "band_key")
+    )
 
 
 def minhash_md5_pairs(
@@ -497,12 +587,43 @@ def simhash(
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def suggest_simhash_cap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_pairs_per_bucket: int = 500_000,
+    min_cap: int = 64,
+) -> int | None:
+    """Pre-flight cap suggestion for ``simhash_near_dup_pairs``'s
+    hot-bucket guard (the r6 SCALE.md work item: simhash banding went
+    α=1.55 on a homogeneous corpus because chunk posting lists grow with
+    corpus size). The cap is a per-reducer WORK BUDGET: the largest
+    bucket size whose pair cost size²/2 stays under
+    ``max_pairs_per_bucket`` — i.e. no bucket the capped join keeps may
+    cost more than that many candidate evaluations. (A "shed X% of
+    total work" knee is the wrong shape here: on a homogeneous corpus
+    MOST buckets are hot, so a fractional trim leaves the join
+    near-quadratic — measured the hard way in r7.) Runs the
+    ``simhash_hot_chunk_report`` once (one grouped count, one tiny
+    max-aggregate collect) and returns None when no bucket exceeds the
+    budgeted cap — a healthy corpus gets NO cap, so a pipeline can pass
+    the result straight through as ``max_bucket_size``."""
+    import math
+
+    cap = max(min_cap, math.isqrt(2 * max_pairs_per_bucket))
+    rep = simhash_hot_chunk_report(df, text_col, id_col, min_bucket_size=2)
+    mx = rep.agg(F.max("bucket_size").alias("mx")).collect()[0].mx
+    if mx is None or mx <= cap:
+        return None
+    return cap
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -519,8 +640,14 @@ def simhash_near_dup_pairs(
     buckets are dropped; their members still pair through their other 3
     chunks unless they agree on ALL hot chunks — i.e. unless they are the
     boilerplate itself. The cap is OPT-IN (default None = exact result, no
-    silent recall loss); pass e.g. 10_000 at cluster scale, and pair it with
-    ``simhash_hot_chunk_report`` to make the dropped buckets observable."""
+    silent recall loss); pass e.g. 10_000 at cluster scale, pass ``"auto"``
+    to run the ``suggest_simhash_cap`` pre-flight (one cheap grouped-count
+    job; cap = the per-reducer work budget — no kept bucket may cost more
+    than ~500k candidate pairs — or no cap at all on a healthy corpus),
+    and pair any cap with ``simhash_hot_chunk_report`` to make the dropped
+    buckets observable."""
+    if max_bucket_size == "auto":
+        max_bucket_size = suggest_simhash_cap(df, text_col, id_col)
     sigs = simhash(df, text_col, id_col)
     chunks = sigs.select(
         F.col(id_col),

@@ -338,6 +338,62 @@ def hll_md5_estimate(regs: DataFrame, m: int = 16) -> DataFrame:
     return s.select(est.alias("hll_est"), "n_zero_regs")
 
 
+def hll_md5_registers_by(
+    df: DataFrame, col: str, part_col: str, m: int = 16
+) -> DataFrame:
+    """Per-partition HLL register state — ``hll_md5_registers`` keyed by
+    ``part_col`` (a day, a shard, a source): one DENSE m-row register frame
+    per partition value, the shape an incremental pipeline stores per
+    ingest batch and later MAX-merges with ``hll_union``. Returns
+    (part, register, m_reg). Scale: grouped MAX with map-side combine —
+    each executor partition collapses to ≤ m rows per part before the
+    shuffle; the densify join runs on the (parts × m) frame, bounded by
+    partition-key cardinality, never the data."""
+    assert m == 16, "register-index arithmetic is pinned to m=16 (4 bits)"
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.select(F.col(part_col).alias("part"), h.alias("__h")).select(
+        "part",
+        F.pmod(F.col("__h"), F.lit(m)).alias("register"),
+        F.shiftright(F.col("__h"), 4).alias("__rest"),
+    )
+    rho = F.when(
+        F.col("__rest") > 0,
+        F.lit(_HLL_REST_BITS) - F.length(F.bin("__rest")) + F.lit(1),
+    ).otherwise(F.lit(_HLL_REST_BITS + 1))
+    present = (
+        hashed.select("part", "register", rho.alias("__rho"))
+        .groupBy("part", "register")
+        .agg(F.max("__rho").alias("__mx"))
+    )
+    spark = df.sparkSession
+    allregs = (
+        df.select(F.col(part_col).alias("part"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(m).select(F.col("id").alias("register")))
+        )
+    )
+    return allregs.join(present, ["part", "register"], "left").select(
+        "part",
+        "register",
+        F.coalesce(F.col("__mx"), F.lit(0)).cast("long").alias("m_reg"),
+    )
+
+
+def hll_union(regs: DataFrame) -> DataFrame:
+    """MAX-merge a stack of HLL register frames (any rows carrying
+    (register, m_reg) — e.g. ``hll_md5_registers_by`` output across days)
+    into ONE register frame, the mergeable-summary property that makes HLL
+    a distributed sketch at all: union-of-sketches == sketch-of-union,
+    exactly, because each register is a max. Feed the result to
+    ``hll_md5_estimate``. Scale: one m-row grouped MAX."""
+    return regs.groupBy("register").agg(
+        F.max("m_reg").cast("long").alias("m_reg")
+    )
+
+
 def md5_bernoulli_sample(
     df: DataFrame, key_cols: list[str] | tuple, denom: int = 16
 ) -> DataFrame:

@@ -12688,6 +12688,511 @@ def q225_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q226_domain_bpb",
+    "WITH" + _PPLX_CTES + """,
+    j AS (
+      SELECT d.source, ppl.n_bigrams, ppl.sm, d.n_chars
+      FROM ppl JOIN documents d ON ppl.doc_id = d.doc_id
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_bigrams)::BIGINT AS n_bigrams,
+           sum(n_chars)::BIGINT AS n_chars,
+           -(sum(sm)::BIGINT) / (1000000.0 * sum(n_bigrams)) AS ppl_proxy,
+           ((-(sum(sm)::BIGINT) / 1000000.0) / 0.6931471805599453)
+             / sum(n_chars) AS bits_per_byte
+    FROM j GROUP BY source
+    """,
+)
+def q226_domain_bpb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bits-per-byte per source domain under the q128 bigram LM — the
+    standard cross-domain LM quality metric (perplexity normalized by
+    BYTES, so domains with different tokenization density compare fairly;
+    the number data-mixing papers report per corpus slice). Composes
+    ``lm_perplexity_scores``' integer micro-unit machinery: per-source
+    nats are an exact BIGINT sum; the nats→bits conversion divides by the
+    LITERAL double nearest ln 2 (0.6931471805599453 — computing ln(2) at
+    runtime is libm-dependent, the literal is bit-portable); byte counts
+    ride the existing n_chars. Scale: the LM train is q128's plan
+    unchanged; the report adds one source-keyed agg."""
+    d = _t(spark, sf_dir, "documents")
+    s = cp.lm_perplexity_scores(d, include_micro=True)
+    j = d.select("doc_id", "source", "n_chars").join(s, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("logprob_micro").cast("long").alias("__sm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "n_chars",
+            (-F.col("__sm") / (1000000.0 * F.col("n_bigrams"))).alias(
+                "ppl_proxy"
+            ),
+            (
+                ((-F.col("__sm") / F.lit(1000000.0))
+                 / F.lit(0.6931471805599453))
+                / F.col("n_chars")
+            ).alias("bits_per_byte"),
+        )
+    )
+
+
+@register(
+    "q227_memorization_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+4], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+      WHERE len(t) >= 5
+    ), m AS (
+      SELECT e.doc_id AS eval_id, r.doc_id AS train_id, e.pos AS pe,
+             e.pos - r.pos AS diag
+      FROM g e JOIN g r ON e.g = r.g
+      WHERE e.doc_id % 2 <> 0 AND r.doc_id % 2 = 0
+    ), runs AS (
+      SELECT eval_id, train_id, count(*) + 4 AS run_len
+      FROM (SELECT eval_id, train_id, diag, pe,
+                   pe - row_number() OVER (
+                     PARTITION BY eval_id, train_id, diag ORDER BY pe) AS isl
+            FROM m)
+      GROUP BY eval_id, train_id, diag, isl
+    ), pair AS (
+      SELECT eval_id, train_id, max(run_len)::BIGINT AS span
+      FROM runs GROUP BY eval_id, train_id
+      HAVING max(run_len) >= 8
+    )
+    SELECT eval_id AS doc_id, max(span)::BIGINT AS longest_train_span,
+           count(*)::BIGINT AS n_train_partners
+    FROM pair GROUP BY eval_id
+    """,
+)
+def q227_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level memorization/contamination report (Lee et al. 2022):
+    for each EVAL document (odd doc_ids — q181's split convention), the
+    longest VERBATIM token span shared with ANY train document (even ids)
+    and how many train docs carry such a span — "how much of this
+    benchmark is memorizable" where q113/q181 only answer "does a gram
+    leak". The q184 island machinery cross-frame:
+    ``corpus.span_contamination_report``. All counts exact integers.
+    Scale: inverted-index gram join; island windows are per-(eval, train,
+    diag) tiny groups; the train gram index is the precomputable side."""
+    d = _t(spark, sf_dir, "documents")
+    return cp.span_contamination_report(
+        d.where(F.col("doc_id") % 2 != 0),
+        d.where(F.col("doc_id") % 2 == 0),
+        gram=5,
+        min_span=8,
+    )
+
+
+@register(
+    "q228_hll_partition_union",
+    """
+    WITH du AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             user_id
+      FROM events
+    ), t AS (
+      SELECT day,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+               AS h
+      FROM du
+    ), r AS (
+      SELECT day, h % 16 AS register,
+             CASE WHEN (h >> 4) > 0
+                  THEN 56 - length(bin(h >> 4)) + 1 ELSE 57 END AS rho
+      FROM t
+    ), pd AS (
+      SELECT day, register, max(rho) AS mx FROM r GROUP BY day, register
+    ), merged AS (
+      SELECT u.j AS register, coalesce(max(p.mx), 0)::BIGINT AS m_reg
+      FROM UNNEST(range(0, 16)) AS u(j)
+      LEFT JOIN pd p ON p.register = u.j
+      GROUP BY u.j
+    ), s AS (
+      SELECT sum(1::BIGINT << (48 - least(m_reg, 48)::INT))::BIGINT AS ssum,
+             sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+      FROM merged
+    ), est AS (
+      SELECT CASE WHEN (4.84947607875255e16 / ssum) <= 40.0 AND v > 0
+                  THEN 16.0 * round(ln(16.0 / v), 6)
+                  ELSE 4.84947607875255e16 / ssum END AS hll_est,
+             v AS n_zero_regs
+      FROM s
+    ), d AS (
+      SELECT count(DISTINCT user_id)::BIGINT AS n_distinct FROM events
+    ), nd AS (
+      SELECT count(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                 AS DATE))::BIGINT AS n_days
+      FROM events
+    )
+    SELECT merged.register, merged.m_reg, e.hll_est, e.n_zero_regs,
+           d.n_distinct, nd.n_days
+    FROM merged, est e, d, nd
+    """,
+)
+def q228_hll_partition_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch union — q186's mergeability pytest promoted to a
+    full oracle row: per-DAY HLL register states over the distinct-user
+    stream (``sketch.hll_md5_registers_by`` — what an ingest pipeline
+    stores per batch), MAX-merged across days (``hll_union``) and
+    estimated; the oracle rebuilds the per-day states, the merge and the
+    estimate bit-identically, proving union-of-sketches ==
+    sketch-of-union. Exact distinct count and day count ride along for
+    the error-bound pytest. Scale: per-day register state is 16 integers
+    per day regardless of event count; the merge is a 16-row MAX."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    du = e.select(day.alias("day"), "user_id")
+    perday = sk.hll_md5_registers_by(du, "user_id", "day")
+    merged = sk.hll_union(perday)
+    est = F.broadcast(sk.hll_md5_estimate(merged))
+    nd = F.broadcast(
+        e.agg(F.count_distinct("user_id").cast("long").alias("n_distinct"))
+    )
+    ndays = F.broadcast(
+        du.agg(F.count_distinct("day").cast("long").alias("n_days"))
+    )
+    return (
+        merged.crossJoin(est)
+        .crossJoin(nd)
+        .crossJoin(ndays)
+        .select(
+            "register", "m_reg", "hll_est", "n_zero_regs",
+            "n_distinct", "n_days",
+        )
+    )
+
+
+@register(
+    "q229_source_overlap_attribution",
+    """
+    WITH t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), seg AS (
+      SELECT source,
+             md5(array_to_string(w[u.i * 12 + 1:u.i * 12 + 12], ' ')) AS dg
+      FROM t, UNNEST(range(0, len(w) // 12)) AS u(i)
+      WHERE len(w) >= 12
+    ), sd AS (
+      SELECT source, dg, count(*)::BIGINT AS n FROM seg GROUP BY source, dg
+    ), tot AS (
+      SELECT source, count(*)::BIGINT AS n_segs FROM seg GROUP BY source
+    ), p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*)::BIGINT AS shared_segments,
+             sum(a.n)::BIGINT AS seg_occ_a, sum(b.n)::BIGINT AS seg_occ_b
+      FROM sd a JOIN sd b ON a.dg = b.dg AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.shared_segments,
+           p.seg_occ_a, p.seg_occ_b,
+           p.seg_occ_a / ta.n_segs AS share_a,
+           p.seg_occ_b / tb.n_segs AS share_b
+    FROM p JOIN tot ta ON p.source_a = ta.source
+           JOIN tot tb ON p.source_b = tb.source
+    """,
+)
+def q229_source_overlap_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplicate-mass attribution at SEGMENT grain (the q190
+    paragraph-dedup grain — doc-level digests find nothing here because
+    whole-document dups never cross sources, shared boilerplate does):
+    for each source pair, how many distinct 12-word segments they share
+    and what fraction of each source's segment stream that overlap
+    occupies — the report that tells a crawl operator which feeds
+    re-syndicate each other before dedup budgets are spent. Segments
+    travel as md5 digests (16-byte shuffle keys, never text — the q184
+    digest-key discipline); shares are exact integer divisions. Scale:
+    one segment explode + two grouped counts + an equi-join on the
+    digest whose posting lists are per-segment source lists (≤ sources),
+    never document pairs."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = d.select(
+        "source", tx.words(F.col("text")).alias("w")
+    ).where(F.size("w") >= 12)
+    seg = t.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.floor(F.size("w") / 12).cast("int") - 1)
+        ).alias("i"),
+        "w",
+    ).select(
+        "source",
+        F.md5(
+            F.array_join(F.slice("w", F.col("i") * 12 + 1, 12), " ")
+        ).alias("dg"),
+    )
+    sd = seg.groupBy("source", "dg").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
+    tot = sd.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_segs")
+    )
+    a = sd.select(
+        F.col("source").alias("source_a"), "dg", F.col("n").alias("na")
+    )
+    b = sd.select(
+        F.col("source").alias("source_b"), "dg", F.col("n").alias("nb")
+    )
+    p = (
+        a.join(b, "dg")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_segments"),
+            F.sum("na").cast("long").alias("seg_occ_a"),
+            F.sum("nb").cast("long").alias("seg_occ_b"),
+        )
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_segs").alias("__ta")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_segs").alias("__tb")
+    )
+    return (
+        p.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_segments",
+            "seg_occ_a",
+            "seg_occ_b",
+            (F.col("seg_occ_a") / F.col("__ta")).alias("share_a"),
+            (F.col("seg_occ_b") / F.col("__tb")).alias("share_b"),
+        )
+    )
+
+
+def _minhash_band_report_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """q230 oracle: q57's proven md5 signature/band CTEs, ending in the
+    grouped posting-list count instead of the pair join."""
+    r = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}' || '|' || s)))"
+        for i in range(num_hashes)
+    )
+    keys = ",\n             ".join(
+        "md5("
+        + " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r))
+        + f") AS k{b}"
+        for b in range(bands)
+    )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {b} AS band, k{b} AS band_key FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), shing AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id, [{sig_items}] AS sig FROM shing
+    ), banded AS (
+      SELECT doc_id, {keys}
+      FROM sigs
+    ), ex AS (
+      {unions}
+    )
+    SELECT band::BIGINT AS band, band_key, count(*)::BIGINT AS bucket_size
+    FROM ex GROUP BY band, band_key
+    """
+
+
+@register("q230_minhash_hot_bands", _minhash_band_report_sql())
+def q230_minhash_hot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash hot-BAND observability — q212's simhash report symmetrized
+    (the r6 VERDICT item): posting-list size of every (band, band_key)
+    bucket of the q57 md5-family LSH, the exact per-reducer load the
+    candidate join will walk (bucket_size²/2 pairs). Run at the intended
+    (num_hashes, bands) before choosing ``max_bucket_size`` /
+    ``hot_bucket_salt`` — every row above a candidate cap is measured
+    recall loss, never silent. ``dedup.minhash_md5_hot_band_report``;
+    the xxhash64 twin (``minhash_hot_band_report``) is the production
+    path. Reports EVERY posting list (min_bucket_size=1): the testdata
+    corpus has no high-Jaccard text pairs, so an all-singletons report
+    is the healthy-corpus evidence, not a vacuous pass. Scale: one
+    grouped count over the banded posexplode — the report costs a scan,
+    the blow-up it predicts is never paid."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_md5_hot_band_report(
+        d, num_hashes=32, bands=8, min_bucket_size=1
+    )
+
+
+@register(
+    "q231_tfidf_cosine_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*)::BIGINT AS tf
+      FROM tok WHERE word <> '' GROUP BY doc_id, word
+    ), dfr AS (
+      SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word
+    ), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.word,
+             CAST(floor(tf.tf * round(ln(n.n / dfr.df), 6) * 1000.0 + 0.5)
+                  AS BIGINT) AS wq
+      FROM tf JOIN dfr USING (word), n
+      WHERE dfr.df <= 50
+    ), nrm AS (
+      SELECT doc_id, sum(wq * wq)::BIGINT AS nq FROM w GROUP BY doc_id
+    ), dot AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(a.wq * b.wq)::BIGINT AS dq
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.id_a, d.id_b,
+           d.dq / (sqrt(na.nq) * sqrt(nb.nq)) AS cosine
+    FROM dot d JOIN nrm na ON d.id_a = na.doc_id
+               JOIN nrm nb ON d.id_b = nb.doc_id
+    WHERE d.dq / (sqrt(na.nq) * sqrt(nb.nq)) >= 0.5
+    """,
+)
+def q231_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs — the LEXICAL-vector sibling of
+    the embedding cosine paths (q36/q64) and the blocking-free entity-
+    resolution scorer: document pairs whose rare-term tf·idf profiles
+    align (cosine ≥ 0.5). Rare-term pruning (df ≤ 50) is the standard
+    posting-list cap: high-df terms carry ~zero idf weight AND quadratic
+    join cost, so the inverted-index join touches only discriminative
+    postings (≤ 50²/2 pairs per term). Float policy: tf·idf weights are
+    quantized to BIGINT milli-units AT the (6dp-rounded) ln — dots and
+    norms are exact integer sums (wq ≤ tf·15·10³, so wq²·terms sits far
+    under 2^63 at any realistic tf), and cosine is one division over two
+    IEEE-exact sqrts, never rounded. Scale: inverted-index equi-join on
+    the word; the df screen bounds every posting list."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(
+        "doc_id", F.explode(tx.words(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    tf = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        tf.join(dfr, "word")
+        .where(F.col("df") <= 50)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.floor(
+                F.col("tf")
+                * F.round(F.log(F.col("n") / F.col("df")), 6)
+                * 1000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+        .persist()
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).cast("long").alias("nq")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "word", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "word", F.col("wq").alias("wb"))
+    dot = (
+        a.join(b, "word")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dq"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nq").alias("__na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nq").alias("__nb"))
+    cos = F.col("dq") / (F.sqrt("__na") * F.sqrt("__nb"))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.5)
+    )
+
+
+@register(
+    "q232_weekly_bars",
+    """
+    WITH wk AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+             arg_min(value, ts) AS open, max(value) AS high,
+             min(value) AS low, arg_max(value, ts) AS close,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, week, open, high, low, close, n_events,
+           CASE WHEN open <> 0 THEN (close - open) / open END AS week_return,
+           CASE WHEN open <> 0 THEN (high - low) / open END AS week_range
+    FROM wk
+    """,
+)
+def q232_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-timeframe OHLC resample: weekly bars straight from the event
+    stream (ISO-Monday week — Spark and DuckDB date_trunc agree), the
+    coarser sibling of q24's daily bars that every charting/backtest API
+    serves alongside them (reference app serves OHLC at one grain;
+    a real platform resamples). open/close are arg-min/max by timestamp
+    (Spark min_by/max_by ≡ DuckDB arg_min/arg_max — the proven q24
+    pairing); weekly return and range are single-op division chains on
+    raw doubles, never rounded, ANSI-guarded. Scale: one grouped agg,
+    map-side combined; grain change is free at any size."""
+    e = _t(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return wk.select(
+        "user_id",
+        "week",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        F.when(
+            F.col("open") != 0,
+            (F.col("close") - F.col("open")) / F.col("open"),
+        ).alias("week_return"),
+        F.when(
+            F.col("open") != 0,
+            (F.col("high") - F.col("low")) / F.col("open"),
+        ).alias("week_range"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -12698,29 +13203,56 @@ def q225_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-6 rotation. The driver caps CORRECTNESS rows at the first 50
-    # registry entries (r1-r5 confirmed), so placement decides which oracle
-    # queries get a driver-green row. Slots 1-9: the standing sentinels.
-    # Slots 10-21: the r6 backlog q176-q187 (parity-green locally at
-    # sf0.001+sf0.01+sf0.1, never driver-checked). Then the new r6
-    # additions (q188+), then fillers earning SECOND rows: q11 returns
-    # (rested r5 on 4 green rows), q38 sessionization (green only in r2),
-    # then the once-green-r2 block in order. q109 earned its green row in
-    # r5 and drops into the r4 block. R7 ROTATION PLAN: keep sentinels;
-    # any r7 additions first; then continue second rows for the r2-only
-    # block from where the r6 fillers stopped. Run `parity_check --audit`
-    # + test_driver_window_schemas_are_hasher_safe before ANY rotation.
-    # -- sentinels (driver-green r1+r2+r3+r4+r5)
+    # -- Round-7 rotation (recipe from CLAUDE.md invariant 10 / r6
+    # VERDICT task 1). The driver caps CORRECTNESS rows at the first 50
+    # registry entries (r1-r6 confirmed), so placement decides which
+    # oracle queries get a driver-green row. Slots 1-9: the standing
+    # sentinels. Slots 10-19: the r7 backlog q216-q225 (authored r6,
+    # parity-green at sf0.001+0.01+0.1, never driver-checked). Slots
+    # 20-26: the new r7 additions q226-q232. Slots 27-50: the
+    # second-row queue — q38 (its only green row is r2), then the
+    # once-green-r2 block q04..q26, then q27..q40. q188-q215 drop
+    # behind with their r6 rows. R8 ROTATION PLAN: keep sentinels; any
+    # r8 additions first; then the rest of the second-row queue
+    # (q05_summary_stats, q31_ngram_jaccard_pairs,
+    # q36_embedding_near_dup, then q41+ r2/r3 singles). Run
+    # `parity_check --audit` + test_driver_window_schemas_are_hasher_safe
+    # before ANY rotation, and update test_oracle_types' rotation pin.
+    # -- sentinels (driver-green r1..r6)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
     "q22_rsi", "q23_ema", "q30_exact_dedup",
     "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- r6 backlog: never driver-checked, promoted into slots 10-21
+    # -- r7 backlog: never driver-checked, promoted into slots 10-19
+    "q216_vocab_coverage_curve", "q217_js_divergence",
+    "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
+    "q221_acf", "q222_conditional_entropy", "q223_source_vocab_overlap",
+    "q224_overnight_gaps", "q225_calendar_heatmap",
+    # -- new r7 additions (slots 20-26)
+    "q226_domain_bpb", "q227_memorization_spans",
+    "q228_hll_partition_union", "q229_source_overlap_attribution",
+    "q230_minhash_hot_bands", "q231_tfidf_cosine_pairs",
+    "q232_weekly_bars",
+    # -- second-row queue (slots 27-50): oldest single-row greens
+    "q38_sessionization",
+    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
+    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
+    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
+    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
+    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
+    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
+    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
+    "q40_window_grabbag",
+    # ========== 50-slot driver window ends here ==========
+    # -- rest of the second-row queue (r8 fillers)
+    "q05_summary_stats", "q31_ngram_jaccard_pairs",
+    "q36_embedding_near_dup",
+    # -- q11 rests again (5 green rows r1-r4 + r6)
+    "q11_outer_join_activity",
+    # -- driver-green r6 (q176-q187 backlog rows + q188-q215 additions)
     "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
     "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
     "q182_kl_drift", "q183_corpus_clean_lsh", "q184_longest_common_run",
     "q185_ivf_cell_balance", "q186_hll_md5", "q187_sampled_quantiles",
-    # -- new r6 additions (insert q188+ here as they land, displacing
-    # fillers off the end of the 50-slot window back to their home blocks)
     "q188_bpe_merges", "q189_domain_mixture", "q190_paragraph_dedup",
     "q191_repetition_filters", "q192_ccnet_buckets",
     "q193_soft_dedup_weights", "q194_quantile_normalize",
@@ -12734,30 +13266,6 @@ _FINAL_ORDER = [
     "q211_ichimoku", "q212_simhash_hot_chunks",
     "q213_minhash_estimate_error", "q214_idf_doc_filter",
     "q215_stratified_kfold",
-    # (r7 backlog q216+ sits AFTER the window — see below)
-    # -- slot 50: q11 returns for a fifth green row (rested r5)
-    "q11_outer_join_activity",
-    # ========== 50-slot driver window ends here ==========
-    # -- r7 backlog: authored in r6, parity-green locally, never
-    # driver-checked — FIRST in line for the r7 window (append r7
-    # additions here)
-    "q216_vocab_coverage_curve", "q217_js_divergence",
-    "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
-    "q221_acf", "q222_conditional_entropy", "q223_source_vocab_overlap",
-    "q224_overnight_gaps", "q225_calendar_heatmap",
-    # R7 NOTE: after the backlog, the second-row queue continues — q38
-    # (r2-only green), then the once-green-r2 block q04..q26, then
-    # q27..q36.
-    "q38_sessionization",
-    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
-    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
-    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
-    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
-    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
-    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
-    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
-    "q40_window_grabbag", "q05_summary_stats", "q31_ngram_jaccard_pairs",
-    "q36_embedding_near_dup",
     # -- driver-green r5 (q136-q175 earned their rows in the r5 window)
     "q136_negative_sampling", "q137_clustering_coeff",
     "q138_atr", "q139_stochastic", "q140_obv",

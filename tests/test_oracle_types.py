@@ -21,12 +21,13 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r6_rotation():
-    """The driver checks the FIRST 50 registry entries. Pin the round-6
-    window: 9 sentinels up front, the 12-query r6 backlog q176-q187 in
-    slots 10-21, then only new r6 additions (q188+) or known second-row
-    fillers, every window entry oracle-backed, the rows-only six dead
-    last, and the full registry covered exactly once."""
+def test_final_order_window_r7_rotation():
+    """The driver checks the FIRST 50 registry entries. Pin the round-7
+    window: 9 sentinels up front, the 10-query r7 backlog q216-q225 in
+    slots 10-19, the new r7 additions q226-q232 in slots 20-26, then
+    only second-row fillers (driver-green in an earlier round), every
+    window entry oracle-backed, the rows-only six dead last, and the
+    full registry covered exactly once."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -40,14 +41,14 @@ def test_final_order_window_r6_rotation():
     ]
     assert _FINAL_ORDER[:9] == sentinels
     window = _FINAL_ORDER[:50]
-    assert [w.split("_")[0] for w in window[9:21]] == [
-        f"q{n}" for n in range(176, 188)
+    assert [w.split("_")[0] for w in window[9:26]] == [
+        f"q{n}" for n in range(216, 233)
     ]
-    # Slots 22-50: new r6 additions (numbered q188+) or second-row fillers
-    # (driver-green in an earlier round) — never a rows-only entry.
-    for name in window[21:]:
+    # Slots 27-50: second-row fillers (driver-green in an earlier round,
+    # all numbered <= q40) — never a rows-only entry.
+    for name in window[26:]:
         num = int(name.split("_")[0][1:])
-        assert num >= 188 or num <= 175, name
+        assert num <= 40, name
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]

@@ -119,3 +119,61 @@ def test_simhash_hot_chunk_report_counts_boilerplate(spark):
     rows = dd.simhash_hot_chunk_report(docs).collect()
     assert len(rows) == 4
     assert all(r.bucket_size == 8 for r in rows)
+
+
+def test_minhash_hot_band_report_counts_boilerplate(spark):
+    """Minhash-band twin of the simhash report (r6 VERDICT symmetry item):
+    6 identical docs agree on every band, so all 16 band buckets must show
+    size 6 — the load a max_bucket_size<6 cap would drop, measured."""
+    docs = spark.createDataFrame([Row(doc_id=i, text=BASE) for i in range(6)])
+    rows = dd.minhash_hot_band_report(docs, num_hashes=64, bands=16).collect()
+    assert len(rows) == 16
+    assert all(r.bucket_size == 6 for r in rows)
+    assert [r.bucket_size for r in rows] == sorted(
+        (r.bucket_size for r in rows), reverse=True
+    )
+
+
+def test_suggest_simhash_cap_budget_and_healthy(spark):
+    """Work-budget pre-flight: a boilerplate-heavy corpus (100 identical
+    docs) with a 2048-pair-per-bucket budget must suggest the budgeted
+    cap (isqrt(2*2048) = 64) BELOW the hot-bucket size; a small
+    all-distinct corpus must suggest None (no silent cap on healthy
+    data); and max_bucket_size='auto' on the healthy corpus must equal
+    the uncapped pair set exactly."""
+    hot = spark.createDataFrame(
+        [Row(doc_id=i, text=BASE) for i in range(100)]
+        + [
+            Row(
+                doc_id=100 + i,
+                text=f"unique document number {i} with its own words "
+                f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}",
+            )
+            for i in range(5)
+        ]
+    )
+    cap = dd.suggest_simhash_cap(hot, max_pairs_per_bucket=2048)
+    assert cap == 64
+
+    healthy = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=f"distinct text {i} alpha{i} beta{i} gamma{i} "
+                f"delta{i} epsilon{i} zeta{i}",
+            )
+            for i in range(20)
+        ]
+    )
+    assert dd.suggest_simhash_cap(healthy) is None
+    auto = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.simhash_near_dup_pairs(
+            healthy, max_bucket_size="auto"
+        ).collect()
+    )
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.simhash_near_dup_pairs(healthy).collect()
+    )
+    assert auto == exact

@@ -131,6 +131,16 @@ def op_suite(spark, d: str) -> dict:
         "simhash_pairs": lambda: dd.simhash_near_dup_pairs(
             docs, max_hamming=3, max_bucket_size=10_000
         ).count(),
+        # budget-capped configuration (r6 SCALE.md work item): the
+        # suggest_simhash_cap pre-flight bounds every kept bucket's pair
+        # cost (~500k candidate pairs per reducer) — this row records the
+        # MITIGATED exponent next to the fixed-cap one above. (A "shed a
+        # fraction of total work" knee was tried first and left the join
+        # near-quadratic on this homogeneous corpus — most buckets are
+        # hot, so only a hard per-bucket budget bounds the reducer.)
+        "simhash_pairs_capped_auto": lambda: dd.simhash_near_dup_pairs(
+            docs, max_hamming=3, max_bucket_size="auto"
+        ).count(),
         "quality_filter": lambda: cp.quality_filter(docs, min_quality=0.5).count(),
         "lsh_ann_topk": lambda: sim.lsh_topk(
             emb,
