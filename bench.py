@@ -121,6 +121,16 @@ HEADLINE = [
     "q230_minhash_hot_bands",
     "q231_tfidf_cosine_pairs",
     "q232_weekly_bars",
+    # r8 backlog (authored r7): baseline them the round they are written
+    # so their first driver round has a perf history
+    "q233_cms_partition_union",
+    "q234_good_turing",
+    "q235_vocab_growth",
+    "q236_candle_patterns",
+    "q237_amihud_illiquidity",
+    "q238_source_unigram_kl",
+    "q239_burrows_delta",
+    "q240_interarrival_percentiles",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

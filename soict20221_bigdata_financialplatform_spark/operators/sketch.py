@@ -181,6 +181,37 @@ def cms_matrix(
     )
 
 
+def cms_matrix_by(
+    df: DataFrame, col: str, part_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Per-partition CM counter matrices — :func:`cms_matrix` keyed by
+    ``part_col`` (a source, a day, an ingest shard): ≤ depth×width rows
+    PER partition value, the state an incremental pipeline stores per
+    batch and later sums with :func:`cms_union`. Returns
+    (part, __s, __b, __c)."""
+    rows = F.array(*[F.lit(s) for s in range(depth)])
+    return (
+        df.select(F.col(part_col).alias("part"), col)
+        .select("part", col, F.explode(rows).alias("__s"))
+        .select("part", "__s", _cms_bucket(col, width).alias("__b"))
+        .groupBy("part", "__s", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def cms_union(matrices: DataFrame) -> DataFrame:
+    """Sum a STACK of per-partition CM matrices (the
+    :func:`cms_matrix_by` output, any number of parts) into one matrix:
+    counter addition is exactly the sketch of the unioned stream —
+    sketch(∪ᵢ Aᵢ) == Σᵢ sketch(Aᵢ), the additive-mergeable property the
+    q233 oracle checks cell-by-cell. One ≤ depth×width-row grouped
+    SUM."""
+    return (
+        matrices.groupBy("__s", "__b")
+        .agg(F.sum("__c").cast("long").alias("__c"))
+    )
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two CM matrices (same depth/width/hash family): key-wise
     counter addition — sketch(A ∪ B) == merge(sketch(A), sketch(B))

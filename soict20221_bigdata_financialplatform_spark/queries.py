@@ -13193,6 +13193,682 @@ def q232_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q233_cms_partition_union",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    tc AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY word),
+    top AS (
+      SELECT word, true_cnt FROM tc ORDER BY true_cnt DESC, word LIMIT 20
+    ),
+    pm AS (
+      SELECT source, t.s,
+             ('0x' || substr(md5('cms' || t.s::VARCHAR || '|' || word),
+                1, 15))::UBIGINT % 64 AS b,
+             count(*)::BIGINT AS c
+      FROM tok, UNNEST(range(0, 4)) AS t(s)
+      GROUP BY source, t.s, b
+    ),
+    m AS (SELECT s, b, sum(c)::BIGINT AS c FROM pm GROUP BY s, b),
+    probes AS (
+      SELECT top.word, t.s,
+             ('0x' || substr(md5('cms' || t.s::VARCHAR || '|' || top.word),
+                1, 15))::UBIGINT % 64 AS b
+      FROM top, UNNEST(range(0, 4)) AS t(s)
+    ),
+    est AS (
+      SELECT p.word, min(m.c)::BIGINT AS cms_est
+      FROM probes p JOIN m ON m.s = p.s AND m.b = p.b GROUP BY p.word
+    ),
+    np AS (SELECT count(DISTINCT source)::BIGINT AS n_parts FROM documents)
+    SELECT top.word, top.true_cnt, est.cms_est, np.n_parts
+    FROM top JOIN est USING (word), np
+    """,
+)
+def q233_cms_partition_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Count-Min union — q228's HLL-union pattern for the
+    ADDITIVE sketch: per-SOURCE CM matrices (``sketch.cms_matrix_by`` —
+    what an ingest pipeline stores per shard) summed cell-by-cell
+    (``cms_union``) and point-queried for the global top-20 words; the
+    oracle rebuilds the per-shard matrices, the sum and the min-read
+    bit-identically, proving sketch(∪ᵢAᵢ) == Σᵢsketch(Aᵢ). Scale:
+    per-shard state is ≤ 4×64 counters regardless of shard size; the
+    union is one tiny grouped SUM."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("source", F.explode(tx.words("text")).alias("word")).persist()
+    tc = tok.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    top = tc.orderBy(F.desc("true_cnt"), "word").limit(20)
+    m = sk.cms_union(sk.cms_matrix_by(tok, "word", "source", depth=4, width=64))
+    est = sk.cms_query(m, top.select("word"), "word", depth=4, width=64)
+    np_ = F.broadcast(
+        d.agg(F.count_distinct("source").cast("long").alias("n_parts"))
+    )
+    return (
+        top.join(est, "word")
+        .crossJoin(np_)
+        .select("word", "true_cnt", F.col("cms_est").cast("long").alias("cms_est"), "n_parts")
+    )
+
+
+@register(
+    "q234_good_turing",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ),
+    tc AS (
+      SELECT word, count(*)::BIGINT AS c FROM tok WHERE word <> ''
+      GROUP BY word
+    ),
+    nn AS (SELECT c AS r, count(*)::BIGINT AS n_r FROM tc GROUP BY c),
+    tot AS (
+      SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types FROM tc
+    )
+    SELECT a.r, a.n_r, b.n_r AS n_r1,
+           ((a.r + 1) * b.n_r) / a.n_r AS r_star,
+           (a.n_r * a.r) / tot.n_tokens AS mass_r,
+           CASE WHEN a.r = 1 THEN a.n_r / tot.n_tokens END AS p0_unseen
+    FROM nn a LEFT JOIN nn b ON b.r = a.r + 1, tot
+    ORDER BY a.r LIMIT 15
+    """,
+)
+def q234_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Gale & Sampson 1995
+    "simple GT" inputs): N_r for the 15 lowest observed frequencies
+    (a fixed low-r cutoff is vacuous on this corpus — its zipf template
+    keeps every type's count high), the adjusted count
+    r* = (r+1)·N_{r+1}/N_r, each r's probability mass, and the unseen
+    mass P₀ = N₁/N — the smoothing statistics every LM estimator starts
+    from (and the Kneser-Ney q199's classical ancestor). Everything is
+    exact integers and single divisions — zero float accumulation. Scale:
+    one word count + one count-of-counts agg; the N_r frame is
+    max-frequency-bounded, the self-join trivial."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tc = (
+        d.select(F.explode(tx.words("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nn = tc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    tot = tc.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    b = nn.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        nn.join(F.broadcast(b), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .orderBy("r")
+        .limit(15)
+        .select(
+            "r",
+            "n_r",
+            "n_r1",
+            (((F.col("r") + 1) * F.col("n_r1")) / F.col("n_r")).alias(
+                "r_star"
+            ),
+            ((F.col("n_r") * F.col("r")) / F.col("n_tokens")).alias("mass_r"),
+            F.when(
+                F.col("r") == 1, F.col("n_r") / F.col("n_tokens")
+            ).alias("p0_unseen"),
+        )
+    )
+
+
+@register(
+    "q235_vocab_growth",
+    """
+    WITH w AS (
+      SELECT doc_id // 100 AS batch,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    wf AS (SELECT batch, word FROM w WHERE word <> ''),
+    fw AS (
+      SELECT word, min(batch)::BIGINT AS first_batch FROM wf GROUP BY word
+    ),
+    nb AS (
+      SELECT first_batch AS batch, count(*)::BIGINT AS new_types
+      FROM fw GROUP BY first_batch
+    ),
+    tb AS (
+      SELECT batch, count(*)::BIGINT AS n_tokens FROM wf GROUP BY batch
+    )
+    SELECT tb.batch, tb.n_tokens,
+           coalesce(nb.new_types, 0)::BIGINT AS new_types,
+           sum(coalesce(nb.new_types, 0)) OVER (ORDER BY tb.batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum_types,
+           sum(tb.n_tokens) OVER (ORDER BY tb.batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum_tokens
+    FROM tb LEFT JOIN nb ON nb.batch = tb.batch
+    """,
+)
+def q235_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve over ingest order (Heaps' law IN TIME —
+    q179 fits the exponent, this emits the curve a crawl monitor alarms
+    on: a new-types-per-batch spike is a scrape-source change): docs in
+    batches of 100 by doc_id, each word attributed to its FIRST batch
+    (one grouped MIN — the classic distributed first-occurrence shape),
+    cumulative types/tokens via the constant-key chain window over the
+    one-row-per-batch aggregate frame (invariant 16a's licensed use).
+    All exact integers. Scale: word-grain shuffles only for the
+    min/count aggs; the window frame is batch-count-bounded."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wf = (
+        d.select(
+            F.floor(F.col("doc_id") / 100).cast("long").alias("batch"),
+            F.explode(tx.words("text")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .persist()
+    )
+    fw = wf.groupBy("word").agg(F.min("batch").cast("long").alias("first_batch"))
+    nb = fw.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    tb = wf.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    j = tb.join(F.broadcast(nb), "batch", "left").select(
+        "batch",
+        "n_tokens",
+        F.coalesce(F.col("new_types"), F.lit(0)).cast("long").alias("new_types"),
+    )
+    wchain = (
+        Window.partitionBy(F.pmod(F.col("batch"), F.lit(1)))
+        .orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "batch",
+        "n_tokens",
+        "new_types",
+        F.sum("new_types").over(wchain).cast("long").alias("cum_types"),
+        F.sum("n_tokens").over(wchain).cast("long").alias("cum_tokens"),
+    )
+
+
+@register(
+    "q236_candle_patterns",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             arg_min(value, ts) AS open, max(value) AS high,
+             min(value) AS low, arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT user_id, day, open, high, low, close,
+             abs(close - open) AS body,
+             greatest(open, close) AS btop, least(open, close) AS bbot,
+             lag(open) OVER w AS po, lag(close) OVER w AS pc
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, count(*)::BIGINT AS n_days,
+           sum(CASE WHEN body <= 0.1 * (high - low) THEN 1 ELSE 0 END)
+             ::BIGINT AS n_doji,
+           sum(CASE WHEN (bbot - low) >= 2 * body
+                     AND (high - btop) <= body THEN 1 ELSE 0 END)
+             ::BIGINT AS n_hammer,
+           sum(CASE WHEN pc IS NOT NULL AND close > open AND pc < po
+                     AND open <= pc AND close >= po THEN 1 ELSE 0 END)
+             ::BIGINT AS n_bull_engulf
+    FROM c GROUP BY user_id
+    """,
+)
+def q236_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern screen over daily bars: doji (body ≤ 10% of
+    range), hammer (lower shadow ≥ 2×body, upper shadow ≤ body) and
+    bullish engulfing (up candle whose body engulfs the previous down
+    body) counted per user — the technical-signal family member beside
+    q123's V-shapes. Every classifier is a boolean over single-op IEEE
+    arithmetic on identical inputs (multiplication comparisons, never a
+    division — no zero-range guard needed), so the counts are exact.
+    Scale: one grouped-bar agg + per-user lag window + one count agg."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    body = F.abs(F.col("close") - F.col("open"))
+    btop = F.greatest("open", "close")
+    bbot = F.least("open", "close")
+    c = b.select(
+        "user_id",
+        "day",
+        "open",
+        "high",
+        "low",
+        "close",
+        body.alias("body"),
+        btop.alias("btop"),
+        bbot.alias("bbot"),
+        F.lag("open").over(w).alias("po"),
+        F.lag("close").over(w).alias("pc"),
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("body") <= 0.1 * (F.col("high") - F.col("low")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_doji"),
+        F.sum(
+            F.when(
+                ((F.col("bbot") - F.col("low")) >= 2 * F.col("body"))
+                & ((F.col("high") - F.col("btop")) <= F.col("body")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hammer"),
+        F.sum(
+            F.when(
+                F.col("pc").isNotNull()
+                & (F.col("close") > F.col("open"))
+                & (F.col("pc") < F.col("po"))
+                & (F.col("open") <= F.col("pc"))
+                & (F.col("close") >= F.col("po")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bull_engulf"),
+    )
+
+
+@register(
+    "q237_amihud_illiquidity",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             arg_max(value, ts) AS close, count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, day, n_events,
+             CASE WHEN lag(close) OVER w <> 0
+                  THEN (close - lag(close) OVER w) / lag(close) OVER w
+             END AS ret
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    q AS (
+      SELECT user_id,
+             CAST(floor(abs(ret) / n_events * 1000000.0 + 0.5) AS BIGINT)
+               AS illiq_micro
+      FROM r WHERE ret IS NOT NULL
+    )
+    SELECT user_id, count(*)::BIGINT AS n_days,
+           sum(illiq_micro)::BIGINT / (1000000.0 * count(*)) AS amihud_illiq
+    FROM q GROUP BY user_id
+    """,
+)
+def q237_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity: mean over days of |daily return| /
+    activity volume (event count as the volume proxy) — the standard
+    price-impact measure, the microstructure sibling of q207's Roll
+    spread. Per-day terms are single-op IEEE chains (guarded lag
+    division, abs, one division by the integer volume) quantized to
+    micro-units AT the term; the per-user mean re-aggregates exact
+    BIGINTs (budget: |ret|/vol ≤ ~10³ → 10⁹ µu/day, years of days sit
+    far under 2^63). Scale: bars agg + per-user lag window + one agg."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pc = F.lag("close").over(w)
+    r = b.select(
+        "user_id",
+        "n_events",
+        F.when(pc != 0, (F.col("close") - pc) / pc).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    q = r.select(
+        "user_id",
+        F.floor(F.abs(F.col("ret")) / F.col("n_events") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("illiq_micro"),
+    )
+    return q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum("illiq_micro").cast("long")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("amihud_illiq"),
+    )
+
+
+@register(
+    "q238_source_unigram_kl",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, word, count(*)::BIGINT AS c FROM tok
+      WHERE word <> '' GROUP BY source, word
+    ),
+    vocab AS (SELECT DISTINCT word FROM tc),
+    v AS (SELECT count(*)::BIGINT AS v FROM vocab),
+    ns AS (SELECT source, sum(c)::BIGINT AS n FROM tc GROUP BY source),
+    dense AS (
+      SELECT ns.source, vocab.word, coalesce(tc.c, 0)::BIGINT AS c, ns.n
+      FROM ns CROSS JOIN vocab
+      LEFT JOIN tc ON tc.source = ns.source AND tc.word = vocab.word
+    ),
+    p AS (
+      SELECT source, word, (c + 1) / (n + v.v) AS pw FROM dense, v
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(floor(a.pw * round(ln(a.pw / b.pw), 6) * 1000000000.0
+                  + 0.5) AS BIGINT) AS t
+      FROM p a JOIN p b ON a.word = b.word AND a.source <> b.source
+    )
+    SELECT source_a, source_b,
+           sum(t)::BIGINT / 1000000000.0 AS kl_nats
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def q238_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed KL divergence between every pair of per-source add-one
+    unigram LMs — the distribution-level source-similarity matrix for
+    mixture design (q223 compares vocab SETS; this weighs the actual
+    token mass, the signal CCNet-style mixture balancing uses).
+    Probabilities are exact integer-ratio divisions over the shared
+    global vocabulary (dense via a broadcast sources × vocab frame); each
+    term is one product with the 6dp-rounded ln, quantized to NANO-units
+    (terms ~p·ln p are small — 10⁻⁹ grain keeps 4 significant digits on
+    the smallest terms; Σ|t| ≤ 0.15·10⁹·|vocab| sits far under 2^63) and
+    integer-summed. Scale: shuffles are word-keyed; the dense frame is
+    sources × vocab, the pair join fan-out sources² per word — both
+    bounded by vocab and source cardinality, never documents."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tc = (
+        d.select("source", F.explode(tx.words("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    vocab = tc.select("word").distinct()
+    v = tc.select("word").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    ns = tc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    dense = (
+        vocab.crossJoin(F.broadcast(ns))
+        .join(tc, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n",
+        )
+    )
+    p = dense.crossJoin(F.broadcast(v)).select(
+        "source",
+        "word",
+        ((F.col("c") + 1) / (F.col("n") + F.col("v"))).alias("pw"),
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "word", F.col("pw").alias("pa")
+    )
+    bb = p.select(
+        F.col("source").alias("source_b"), "word", F.col("pw").alias("pb")
+    )
+    pairs = (
+        a.join(bb, "word")
+        .where(F.col("source_a") != F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(
+                F.col("pa")
+                * F.round(F.log(F.col("pa") / F.col("pb")), 6)
+                * 1000000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        (F.sum("t").cast("long") / F.lit(1000000000.0)).alias("kl_nats")
+    )
+
+
+@register(
+    "q239_burrows_delta",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, word, count(*)::BIGINT AS c FROM tok
+      WHERE word <> '' GROUP BY source, word
+    ),
+    gw AS (SELECT word, sum(c)::BIGINT AS g FROM tc GROUP BY word),
+    top AS (SELECT word FROM gw ORDER BY g DESC, word LIMIT 30),
+    ns AS (SELECT source, sum(c)::BIGINT AS n FROM tc GROUP BY source),
+    f AS (
+      SELECT ns.source, top.word,
+             CAST(floor(coalesce(tc.c, 0) / ns.n * 1000000000.0 + 0.5)
+                  AS BIGINT) AS fq
+      FROM ns CROSS JOIN top
+      LEFT JOIN tc ON tc.source = ns.source AND tc.word = top.word
+    ),
+    st AS (
+      SELECT word, count(*)::BIGINT AS k, sum(fq)::BIGINT AS sf,
+             round(stddev_samp(fq), 6) AS sd
+      FROM f GROUP BY word
+    ),
+    z AS (
+      SELECT f.source, f.word,
+             CASE WHEN st.sd > 0 THEN (f.fq - st.sf / st.k) / st.sd END AS z
+      FROM f JOIN st USING (word)
+    ),
+    pd AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(floor(abs(a.z - b.z) * 1000000.0 + 0.5) AS BIGINT) AS t
+      FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+      WHERE a.z IS NOT NULL AND b.z IS NOT NULL
+    )
+    SELECT source_a, source_b, count(*)::BIGINT AS n_terms,
+           sum(t)::BIGINT / (1000000.0 * count(*)) AS burrows_delta
+    FROM pd GROUP BY source_a, source_b
+    """,
+)
+def q239_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) between source pairs — the classic
+    stylometric authorship/register distance: z-scores of the top-30
+    function-word relative frequencies, averaged |Δz| per pair. The
+    source-fingerprinting member of the drift family (q182 KL is
+    distribution mass, q239 is STYLE). Float policy: relative
+    frequencies quantize to nano-units at the division (exact BIGINTs
+    thereafter), per-word means are exact integer-sum/count divisions,
+    only stddev (a true multi-value accumulation) rounds at 6dp, z is a
+    fixed IEEE chain, and the pair mean re-aggregates micro-unit
+    quantized |Δz| integers. Scale: everything after the word count is
+    30 words × sources rows."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tc = (
+        d.select("source", F.explode(tx.words("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    top = (
+        tc.groupBy("word")
+        .agg(F.sum("c").cast("long").alias("g"))
+        .orderBy(F.desc("g"), "word")
+        .limit(30)
+        .select("word")
+    )
+    ns = tc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    f = (
+        top.crossJoin(F.broadcast(ns))
+        .join(tc, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0)) / F.col("n") * 1000000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("fq"),
+        )
+    )
+    st = f.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("fq").cast("long").alias("sf"),
+        F.round(F.stddev_samp("fq"), 6).alias("sd"),
+    )
+    z = f.join(F.broadcast(st), "word").select(
+        "source",
+        "word",
+        F.when(
+            F.col("sd") > 0,
+            (F.col("fq") - F.col("sf") / F.col("k")) / F.col("sd"),
+        ).alias("z"),
+    )
+    a = z.select(F.col("source").alias("source_a"), "word", F.col("z").alias("za"))
+    bz = z.select(F.col("source").alias("source_b"), "word", F.col("z").alias("zb"))
+    pd = (
+        a.join(bz, "word")
+        .where(
+            (F.col("source_a") < F.col("source_b"))
+            & F.col("za").isNotNull()
+            & F.col("zb").isNotNull()
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(F.abs(F.col("za") - F.col("zb")) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return pd.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        (
+            F.sum("t").cast("long")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("burrows_delta"),
+    )
+
+
+@register(
+    "q240_interarrival_percentiles",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(cast(ts AS TIMESTAMP)) AS t, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             (t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id))
+               AS gap
+      FROM e
+    ),
+    s AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+    r AS (
+      SELECT user_id, gap,
+             row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn
+      FROM s
+    ),
+    c AS (
+      SELECT user_id, count(*)::BIGINT AS n_gaps, max(gap)::BIGINT AS max_us
+      FROM s GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_gaps,
+           p50.gap::BIGINT AS p50_us, p90.gap::BIGINT AS p90_us, c.max_us
+    FROM c
+    JOIN r p50 ON p50.user_id = c.user_id
+              AND p50.rn = (c.n_gaps + 1) // 2
+    JOIN r p90 ON p90.user_id = c.user_id
+              AND p90.rn = (9 * c.n_gaps + 9) // 10
+    """,
+)
+def q240_interarrival_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user inter-arrival-time DISCRETE percentiles (p50/p90/max as
+    exact BIGINT µs) — the latency-distribution view of the activity
+    stream (q178's burstiness reports mean/CV; tail percentiles are what
+    capacity planning reads). Deliberately type-exact, not interpolated:
+    µs-grain gaps divided to seconds carry exactly 6 decimals, so an
+    interpolated midpoint lands ON the 6dp round boundary and the
+    engines' half-way rounding split (invariant 2) — measured, not
+    hypothetical (1/150 users at sf0.01). The discrete pick (rank
+    ceil(p·n) via integer division) touches no float at all: ranks,
+    picks and max are all BIGINTs. Scale: per-user lag window + rank
+    window + two self-equi-joins on (user, rank), all user-keyed."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    rw = Window.partitionBy("user_id").orderBy("gap")
+    r = g.select(
+        "user_id",
+        "gap",
+        F.row_number().over(rw).cast("long").alias("rn"),
+    )
+    c = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_us"),
+    )
+    p50 = r.select(
+        "user_id", F.col("gap").alias("p50_us"), F.col("rn").alias("__r50")
+    )
+    p90 = r.select(
+        "user_id", F.col("gap").alias("p90_us"), F.col("rn").alias("__r90")
+    )
+    return (
+        c.join(p50, "user_id")
+        .where(F.col("__r50") == F.expr("(n_gaps + 1) div 2"))
+        .join(p90, "user_id")
+        .where(F.col("__r90") == F.expr("(9 * n_gaps + 9) div 10"))
+        .select("user_id", "n_gaps", "p50_us", "p90_us", "max_us")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -13243,7 +13919,14 @@ _FINAL_ORDER = [
     "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
     "q40_window_grabbag",
     # ========== 50-slot driver window ends here ==========
-    # -- rest of the second-row queue (r8 fillers)
+    # -- r8 backlog: authored in r7, parity-green locally, never
+    # driver-checked — FIRST in line for the r8 window (append r8
+    # additions here)
+    "q233_cms_partition_union", "q234_good_turing", "q235_vocab_growth",
+    "q236_candle_patterns", "q237_amihud_illiquidity",
+    "q238_source_unigram_kl", "q239_burrows_delta",
+    "q240_interarrival_percentiles",
+    # -- rest of the second-row queue (r8 fillers, after the backlog)
     "q05_summary_stats", "q31_ngram_jaccard_pairs",
     "q36_embedding_near_dup",
     # -- q11 rests again (5 green rows r1-r4 + r6)

@@ -105,3 +105,19 @@ def test_tfidf_cosine_identical_docs_is_one(spark):
         out = QUERIES["q231_tfidf_cosine_pairs"](spark, d).collect()
         assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
         assert abs(out[0].cosine - 1.0) < 1e-12
+
+
+def test_cms_union_equals_global_matrix(spark):
+    """Σᵢ sketch(Aᵢ) must equal sketch(∪ᵢ Aᵢ) cell-by-cell — the additive
+    mergeability q233 oracles (cms_matrix_by + cms_union vs cms_matrix)."""
+    rows = [
+        Row(part=p, word=f"w{(i * 7 + p) % 40}")
+        for p in range(4)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    merged = sk.cms_union(sk.cms_matrix_by(df, "word", "part"))
+    direct = sk.cms_matrix(df, "word")
+    got = {(r["__s"], r["__b"]): r["__c"] for r in merged.collect()}
+    want = {(r["__s"], r["__b"]): r["__c"] for r in direct.collect()}
+    assert got == want and sum(got.values()) == 4 * 200 * 4  # depth=4
