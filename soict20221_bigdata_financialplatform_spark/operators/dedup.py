@@ -132,7 +132,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     hot_bucket_salt: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
@@ -150,7 +150,10 @@ def minhash_near_dup_pairs(
     with overwhelming probability. Before choosing a cap, run
     ``minhash_hot_band_report`` at the intended (num_hashes, bands,
     shingle_n): every reported bucket above the cap is one the capped join
-    will drop, so recall loss is measured, never silent.
+    will drop, so recall loss is measured, never silent. Pass ``"auto"``
+    to run the ``suggest_minhash_cap`` work-budget pre-flight (cap bounds
+    every kept bucket at ~500k candidate pairs; None on a healthy
+    corpus).
 
     ``hot_bucket_salt``: buckets UNDER the cap can still be hot — one
     10⁴-doc bucket makes one reducer emit 10⁸ candidate pairs. Setting a
@@ -158,6 +161,10 @@ def minhash_near_dup_pairs(
     cells (``skew.salted_self_pairs``) — EXACTLY the same candidate set
     (equivalence tested), quadratic work spread across the cluster."""
     assert num_hashes % bands == 0
+    if max_bucket_size == "auto":
+        max_bucket_size = suggest_minhash_cap(
+            df, text_col, id_col, num_hashes, bands, shingle_n
+        )
     r = num_hashes // bands
     # CPU-bound per-row work: spread the corpus over all cores first (a
     # single small input file otherwise pins the whole hash pipeline to one
@@ -249,6 +256,33 @@ def minhash_near_dup_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
     )
     return out
+
+
+def suggest_minhash_cap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_pairs_per_bucket: int = 500_000,
+    min_cap: int = 64,
+) -> int | None:
+    """MinHash twin of ``suggest_simhash_cap`` — the per-reducer work
+    budget from the ``minhash_hot_band_report``: the largest band-bucket
+    size whose pair cost size²/2 stays under ``max_pairs_per_bucket``,
+    or None when no bucket exceeds it (healthy corpus — no cap). Run at
+    the exact (num_hashes, bands, shingle_n) the pair join will use."""
+    import math
+
+    cap = max(min_cap, math.isqrt(2 * max_pairs_per_bucket))
+    rep = minhash_hot_band_report(
+        df, text_col, id_col, num_hashes, bands, shingle_n, min_bucket_size=2
+    )
+    mx = rep.agg(F.max("bucket_size").alias("mx")).collect()[0].mx
+    if mx is None or mx <= cap:
+        return None
+    return cap
 
 
 def minhash_hot_band_report(

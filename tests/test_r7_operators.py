@@ -121,3 +121,41 @@ def test_cms_union_equals_global_matrix(spark):
     got = {(r["__s"], r["__b"]): r["__c"] for r in merged.collect()}
     want = {(r["__s"], r["__b"]): r["__c"] for r in direct.collect()}
     assert got == want and sum(got.values()) == 4 * 200 * 4  # depth=4
+
+
+def test_suggest_minhash_cap_budget_and_auto(spark):
+    """MinHash twin of the simhash work-budget pre-flight: boilerplate
+    corpus + small budget -> the budgeted cap; healthy corpus -> None,
+    and max_bucket_size='auto' equals the uncapped pair set exactly."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill tonight"
+    )
+    hot = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(100)]
+    )
+    assert dd.suggest_minhash_cap(hot, max_pairs_per_bucket=2048) == 64
+    healthy = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=f"distinct text {i} alpha{i} beta{i} gamma{i} "
+                f"delta{i} epsilon{i} zeta{i}",
+            )
+            for i in range(20)
+        ]
+    )
+    assert dd.suggest_minhash_cap(healthy) is None
+    auto = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.minhash_near_dup_pairs(
+            healthy, max_bucket_size="auto", jaccard_threshold=0.5
+        ).collect()
+    )
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.minhash_near_dup_pairs(
+            healthy, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert auto == exact
