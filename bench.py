@@ -131,6 +131,12 @@ HEADLINE = [
     "q238_source_unigram_kl",
     "q239_burrows_delta",
     "q240_interarrival_percentiles",
+    "q241_daily_dup_rate",
+    "q242_ann_ranking_metrics",
+    "q243_flow_imbalance",
+    "q244_seasonal_naive_backtest",
+    "q245_changepoint",
+    "q246_ship_lag_percentiles",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -13869,6 +13869,528 @@ def q240_interarrival_percentiles(
     )
 
 
+@register(
+    "q241_daily_dup_rate",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             user_id, event_type, value
+      FROM events
+    ),
+    d AS (
+      SELECT day, count(*)::BIGINT AS n_events,
+             count(DISTINCT (user_id, event_type, value))::BIGINT AS n_distinct
+      FROM e GROUP BY day
+    )
+    SELECT day, n_events, n_distinct,
+           (n_events - n_distinct)::BIGINT AS n_dups,
+           (n_events - n_distinct) / n_events AS dup_rate
+    FROM d
+    """,
+)
+def q241_daily_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-QA duplicate-rate curve: per day, how many events repeat an
+    identical (user, type, value) triple — the re-emission/replay monitor
+    an ingest pipeline alarms on (a dup-rate spike is an upstream
+    producer retrying, caught before dedup budgets are spent; the
+    temporal sibling of q30's corpus-wide exact dedup). Exact integers +
+    one division. Scale: one grouped count + one grouped distinct-count,
+    both day-keyed (the distinct is itself a two-level partial agg)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    d = e.select(
+        day.alias("day"), "user_id", "event_type", "value"
+    ).groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id", "event_type", "value")
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    return d.select(
+        "day",
+        "n_events",
+        "n_distinct",
+        (F.col("n_events") - F.col("n_distinct")).cast("long").alias("n_dups"),
+        (
+            (F.col("n_events") - F.col("n_distinct")) / F.col("n_events")
+        ).alias("dup_rate"),
+    )
+
+
+def _dcg_weights_micro(k: int = 10) -> list[int]:
+    """Half-up micro-unit DCG weights 1/log2(rank+1) for ranks 1..k,
+    precomputed in Python so BOTH engines consume identical integer
+    literals — no runtime transcendental anywhere."""
+    import math
+
+    return [
+        int(math.floor(1.0 / math.log2(r + 1) * 1e6 + 0.5))
+        for r in range(1, k + 1)
+    ]
+
+
+def _q242_oracle() -> str:
+    w = _dcg_weights_micro(10)
+    idcg = sum(w)
+    wlist = "[" + ", ".join(str(x) for x in w) + "]"
+    return f"""
+    WITH lsh AS ({_lsh_oracle_sql()}),
+    bf AS ({_ANN_ORACLE}),
+    hits AS (
+      SELECT lsh.query_id, lsh.rank
+      FROM lsh JOIN bf ON lsh.query_id = bf.query_id
+                      AND lsh.vec_id = bf.vec_id
+    ),
+    per_q AS (
+      SELECT query_id, count(*)::BIGINT AS n_hits,
+             min(rank)::BIGINT AS first_hit_rank,
+             sum(({wlist})[rank])::BIGINT AS dcg_micro
+      FROM hits GROUP BY query_id
+    ),
+    q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+    full_q AS (
+      SELECT q.query_id, coalesce(p.n_hits, 0)::BIGINT AS n_hits,
+             p.first_hit_rank,
+             coalesce(p.dcg_micro, 0)::BIGINT AS dcg_micro
+      FROM q LEFT JOIN per_q p ON p.query_id = q.query_id
+    ),
+    tot AS (
+      SELECT sum(CASE WHEN first_hit_rank IS NOT NULL
+                      THEN CAST(floor(1000000.0 / first_hit_rank + 0.5)
+                                AS BIGINT) ELSE 0 END)::BIGINT AS mrr_micro,
+             sum(dcg_micro)::BIGINT AS sdcg, count(*)::BIGINT AS nq
+      FROM full_q
+    )
+    SELECT f.query_id, f.n_hits, f.first_hit_rank,
+           f.n_hits / 10 AS precision_at_10,
+           CASE WHEN f.first_hit_rank IS NOT NULL
+                THEN 1 / f.first_hit_rank END AS rr,
+           f.dcg_micro / {idcg}.0 AS ndcg_at_10,
+           t.mrr_micro / (1000000.0 * t.nq) AS mean_rr,
+           t.sdcg / ({idcg}.0 * t.nq) AS mean_ndcg
+    FROM full_q f, tot t
+    """
+
+
+@register("q242_ann_ranking_metrics", _q242_oracle())
+def q242_ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full retrieval-metric suite for the sign-LSH ANN path against the
+    brute-force ground truth: precision@10, reciprocal rank and nDCG@10
+    per query plus corpus MRR / mean-nDCG — what an index operator reads
+    beyond q209's recall before promoting an ANN configuration. The DCG
+    weight table 1/log2(rank+1) is precomputed as micro-unit INTEGER
+    literals shared by both engines (no runtime transcendental), so DCG
+    sums are exact; RR is one integer division; corpus means
+    re-aggregate quantized integers. Scale: both inputs are the existing
+    ANN plans; the eval adds one top-k-row equi-join and two tiny aggs."""
+    w = _dcg_weights_micro(10)
+    idcg = sum(w)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = sim.lsh_topk(
+        emb, queries, k=10, n_planes=6, dim=64, multi_probe=1
+    ).select("query_id", "vec_id", "rank")
+    bf = sim.brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    warr = F.array(*[F.lit(x).cast("long") for x in w])
+    hits = lsh.join(bf, ["query_id", "vec_id"])
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("rank").cast("long").alias("first_hit_rank"),
+        F.sum(F.element_at(warr, F.col("rank").cast("int")))
+        .cast("long")
+        .alias("dcg_micro"),
+    )
+    full_q = (
+        queries.select("query_id")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            "first_hit_rank",
+            F.coalesce(F.col("dcg_micro"), F.lit(0))
+            .cast("long")
+            .alias("dcg_micro"),
+        )
+    )
+    tot = full_q.agg(
+        F.sum(
+            F.when(
+                F.col("first_hit_rank").isNotNull(),
+                F.floor(1000000.0 / F.col("first_hit_rank") + 0.5).cast(
+                    "long"
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("mrr_micro"),
+        F.sum("dcg_micro").cast("long").alias("sdcg"),
+        F.count(F.lit(1)).cast("long").alias("nq"),
+    )
+    return full_q.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        "n_hits",
+        "first_hit_rank",
+        (F.col("n_hits") / F.lit(10)).alias("precision_at_10"),
+        F.when(
+            F.col("first_hit_rank").isNotNull(),
+            F.lit(1) / F.col("first_hit_rank"),
+        ).alias("rr"),
+        (F.col("dcg_micro") / F.lit(float(idcg))).alias("ndcg_at_10"),
+        (F.col("mrr_micro") / (F.lit(1000000.0) * F.col("nq"))).alias(
+            "mean_rr"
+        ),
+        (F.col("sdcg") / (F.lit(float(idcg)) * F.col("nq"))).alias(
+            "mean_ndcg"
+        ),
+    )
+
+
+@register(
+    "q243_flow_imbalance",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS buys,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               ::BIGINT AS views
+      FROM events GROUP BY 1, 2
+    ),
+    im AS (
+      SELECT user_id, day, buys, views,
+             CASE WHEN buys + views > 0
+                  THEN CAST(floor((buys - views) / (buys + views)
+                       * 1000000.0 + 0.5) AS BIGINT) END AS imb_micro
+      FROM d
+    )
+    SELECT user_id, day, buys, views,
+           imb_micro / 1000000.0 AS imbalance,
+           sum(imb_micro) OVER w / (1000000.0 * count(imb_micro) OVER w)
+             AS imbalance_7d
+    FROM im
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q243_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-flow imbalance per user-day — (buys − views)/(buys + views),
+    the demand-pressure signal microstructure monitors track (VPIN's
+    bucketed ancestor), with its 7-day rolling mean. The per-day ratio is
+    guarded and micro-unit quantized AT the term, so the rolling mean
+    re-aggregates exact BIGINTs over the window (float-sum-free — the
+    q141 lesson applied to a rolling frame). Scale: one grouped count +
+    one user-keyed bounded window."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("buys"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("views"),
+    )
+    tot = F.col("buys") + F.col("views")
+    im = d.withColumn(
+        "imb_micro",
+        F.when(
+            tot > 0,
+            F.floor(
+                (F.col("buys") - F.col("views")) / tot * 1000000.0 + 0.5
+            ).cast("long"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return im.select(
+        "user_id",
+        "day",
+        "buys",
+        "views",
+        (F.col("imb_micro") / 1000000.0).alias("imbalance"),
+        (
+            F.sum("imb_micro").over(w)
+            / (F.lit(1000000.0) * F.count("imb_micro").over(w))
+        ).alias("imbalance_7d"),
+    )
+
+
+@register(
+    "q244_seasonal_naive_backtest",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT user_id, day, close,
+             lag(close, 7) OVER (PARTITION BY user_id ORDER BY day) AS fc
+      FROM b
+    ),
+    t AS (
+      SELECT user_id,
+             CAST(floor(abs(close - fc) * 1000000.0 + 0.5) AS BIGINT)
+               AS ae_micro,
+             CASE WHEN abs(fc) + abs(close) > 0
+                  THEN CAST(floor(2.0 * abs(close - fc)
+                       / (abs(fc) + abs(close)) * 1000000.0 + 0.5) AS BIGINT)
+             END AS smape_micro
+      FROM f WHERE fc IS NOT NULL
+    )
+    SELECT user_id, count(*)::BIGINT AS n_days,
+           sum(ae_micro)::BIGINT / (1000000.0 * count(*)) AS mae,
+           sum(smape_micro)::BIGINT / (1000000.0 * count(smape_micro))
+             AS smape
+    FROM t GROUP BY user_id
+    """,
+)
+def q244_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest (forecast = the close 7 rows
+    back, the standard baseline every forecasting eval starts from —
+    Hyndman's textbook benchmark; q110's Holt model should beat this or
+    it isn't earning its keep): per-user MAE and sMAPE over the
+    backtestable days. Per-day errors are single-op IEEE chains
+    micro-quantized at the term; the means re-aggregate exact BIGINTs.
+    Scale: bars agg + per-user lag window + one grouped agg."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    f = b.select(
+        "user_id", "close", F.lag("close", 7).over(w).alias("fc")
+    ).where(F.col("fc").isNotNull())
+    den = F.abs(F.col("fc")) + F.abs(F.col("close"))
+    t = f.select(
+        "user_id",
+        F.floor(F.abs(F.col("close") - F.col("fc")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("ae_micro"),
+        F.when(
+            den > 0,
+            F.floor(
+                F.lit(2.0)
+                * F.abs(F.col("close") - F.col("fc"))
+                / den
+                * 1000000.0
+                + 0.5
+            ).cast("long"),
+        ).alias("smape_micro"),
+    )
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum("ae_micro").cast("long")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("mae"),
+        (
+            F.sum("smape_micro").cast("long")
+            / (F.lit(1000000.0) * F.count("smape_micro"))
+        ).alias("smape"),
+    )
+
+
+@register(
+    "q245_changepoint",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(arg_max(value, ts) * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, day, c,
+             row_number() OVER w AS i,
+             sum(c) OVER w AS s, sum(c * c) OVER w AS sq
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT user_id, max(i)::BIGINT AS n, max(s)::BIGINT AS st,
+             max(sq)::BIGINT AS sqt
+      FROM p GROUP BY user_id
+    ),
+    cand AS (
+      SELECT p.user_id, p.day, p.i, t.n,
+             (p.sq - p.s * p.s / p.i)
+               + ((t.sqt - p.sq) - (t.st - p.s) * (t.st - p.s) / (t.n - p.i))
+               AS sse_split,
+             t.sqt - t.st * t.st / t.n AS sse_total
+      FROM p JOIN tot t ON p.user_id = t.user_id
+      WHERE p.i < t.n
+    ),
+    best AS (
+      SELECT user_id, day AS split_day, sse_split, sse_total,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY sse_split, day) AS rk
+      FROM cand
+    )
+    SELECT user_id, split_day,
+           sse_total / 10000.0 AS sse_before,
+           sse_split / 10000.0 AS sse_after,
+           CASE WHEN sse_total > 0
+                THEN 1 - sse_split / sse_total END AS sse_drop
+    FROM best WHERE rk = 1
+    """,
+)
+def q245_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint per user (binary-segmentation step, the CUSUM
+    family's offline sibling next to q150): the split day minimizing
+    SSE_left + SSE_right over daily closes, with the variance-drop
+    ratio. Closes quantize to integer cents, prefix sums S/SQ ride the
+    per-user cumulative window as exact BIGINTs (budget: cents² × days
+    ≪ 2^63), each candidate's SSE is a fixed IEEE chain on those
+    integers — identical doubles both engines, so the (sse, day)
+    argmin ranking is deterministic cross-engine. Scale: per-user
+    windows + one rank; candidates are one row per user-day."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.floor(F.max_by("value", "ts") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c")
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = b.select(
+        "user_id",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("day"))
+        .cast("long")
+        .alias("i"),
+        F.sum("c").over(wcum).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(wcum).cast("long").alias("sq"),
+    )
+    tot = p.groupBy("user_id").agg(
+        F.max("i").cast("long").alias("n"),
+        F.max("s").cast("long").alias("st"),
+        F.max("sq").cast("long").alias("sqt"),
+    )
+    sse_split = (
+        F.col("sq") - F.col("s") * F.col("s") / F.col("i")
+    ) + (
+        (F.col("sqt") - F.col("sq"))
+        - (F.col("st") - F.col("s"))
+        * (F.col("st") - F.col("s"))
+        / (F.col("n") - F.col("i"))
+    )
+    cand = (
+        p.join(tot, "user_id")
+        .where(F.col("i") < F.col("n"))
+        .select(
+            "user_id",
+            "day",
+            sse_split.alias("sse_split"),
+            (
+                F.col("sqt") - F.col("st") * F.col("st") / F.col("n")
+            ).alias("sse_total"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("sse_split", "day")
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("day").alias("split_day"),
+            (F.col("sse_total") / 10000.0).alias("sse_before"),
+            (F.col("sse_split") / 10000.0).alias("sse_after"),
+            F.when(
+                F.col("sse_total") > 0,
+                F.lit(1) - F.col("sse_split") / F.col("sse_total"),
+            ).alias("sse_drop"),
+        )
+    )
+
+
+@register(
+    "q246_ship_lag_percentiles",
+    """
+    WITH l AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, li.l_shipdate)::BIGINT AS lag_d
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+      SELECT priority, lag_d,
+             row_number() OVER (PARTITION BY priority ORDER BY lag_d) AS rn
+      FROM l
+    ),
+    c AS (
+      SELECT priority, count(*)::BIGINT AS n, max(lag_d)::BIGINT AS max_d
+      FROM l GROUP BY priority
+    )
+    SELECT c.priority, c.n,
+           p50.lag_d::BIGINT AS p50_days, p90.lag_d::BIGINT AS p90_days,
+           c.max_d
+    FROM c
+    JOIN r p50 ON p50.priority = c.priority AND p50.rn = (c.n + 1) // 2
+    JOIN r p90 ON p90.priority = c.priority AND p90.rn = (9 * c.n + 9) // 10
+    """,
+)
+def q246_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per order priority (p50/p90/max in
+    whole days) — the fulfilment-SLA view of the TPC-H side, using q240's
+    DISCRETE rank-pick percentiles (integer day lags, integer ranks —
+    zero floats, no interpolation half-way risk). Scale: one
+    orders⋈lineitem equi-join (orders side projected to two columns),
+    then priority-keyed rank windows over a 5-group frame + two rank
+    equi-joins."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag_d"),
+    )
+    r = l.select(
+        "priority",
+        "lag_d",
+        F.row_number()
+        .over(Window.partitionBy("priority").orderBy("lag_d"))
+        .cast("long")
+        .alias("rn"),
+    )
+    c = l.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("lag_d").cast("long").alias("max_d"),
+    )
+    p50 = r.select(
+        "priority", F.col("lag_d").alias("p50_days"), F.col("rn").alias("__r50")
+    )
+    p90 = r.select(
+        "priority", F.col("lag_d").alias("p90_days"), F.col("rn").alias("__r90")
+    )
+    return (
+        c.join(p50, "priority")
+        .where(F.col("__r50") == F.expr("(n + 1) div 2"))
+        .join(p90, "priority")
+        .where(F.col("__r90") == F.expr("(9 * n + 9) div 10"))
+        .select("priority", "n", "p50_days", "p90_days", "max_d")
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -13926,6 +14448,9 @@ _FINAL_ORDER = [
     "q236_candle_patterns", "q237_amihud_illiquidity",
     "q238_source_unigram_kl", "q239_burrows_delta",
     "q240_interarrival_percentiles",
+    "q241_daily_dup_rate", "q242_ann_ranking_metrics",
+    "q243_flow_imbalance", "q244_seasonal_naive_backtest",
+    "q245_changepoint", "q246_ship_lag_percentiles",
     # -- rest of the second-row queue (r8 fillers, after the backlog)
     "q05_summary_stats", "q31_ngram_jaccard_pairs",
     "q36_embedding_near_dup",
