@@ -267,6 +267,25 @@ def test_no_registry_query_plans_conditional_nested_loop(spark, sf_dir):
     assert not offenders, f"conditional BNLJ plans in: {offenders}"
 
 
+def test_no_registry_query_misuses_constant_partition_window(spark, sf_dir):
+    """The pmod(col,1) deliberate-single-partition idiom (invariant 16a)
+    is licensed ONLY over one-row-per-group aggregate frames (prefix-sum
+    offset chains / bounded ranks). A registry query using it over a raw
+    row-cardinality frame is the banned global window in disguise — the
+    r6-q208 class, now swept registry-wide via the r7 linter rule."""
+    from soict20221_bigdata_financialplatform_spark.plans.linter import (
+        constant_partition_window_over_raw_frame_count,
+    )
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        n = constant_partition_window_over_raw_frame_count(fn(spark, sf_dir))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"constant-partition windows over raw frames: {offenders}"
+
+
 def test_q36_all_pairs_baseline_is_size_guarded(spark, sf_dir, tmp_path):
     """The registry's one O(n²) opt-in must refuse oversized corpora."""
     import soict20221_bigdata_financialplatform_spark.queries as q
