@@ -282,6 +282,39 @@ def cms_store_matrix(spark, store_path: str) -> DataFrame:
     )
 
 
+def hll_store_update(
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    col: str,
+    m: int = 16,
+) -> None:
+    """foreachBatch body for INCREMENTAL HLL maintenance over a stream —
+    the MAX-mergeable twin of :func:`cms_store_update` (additive): write
+    this micro-batch's 16-register state under its ``batch_id`` partition
+    with dynamic partition overwrite, so a replayed batch overwrites its
+    own partition (idempotent; and unlike a counter sketch, HLL's MAX
+    merge would even tolerate double-counting — max is idempotent — the
+    overwrite just keeps the store canonical). Read back with
+    :func:`hll_store_registers` → :func:`hll_md5_estimate`. On-disk
+    state is ≤ batches·m tiny rows."""
+    regs = hll_md5_registers(batch, col, m=m).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
+    (
+        regs.write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(store_path)
+    )
+
+
+def hll_store_registers(spark, store_path: str) -> DataFrame:
+    """The current global HLL register state: key-wise MAX of every
+    per-batch state in the store (:func:`hll_union`)."""
+    return hll_union(spark.read.parquet(store_path))
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog with the md5-prefix hash family — the SECOND oracle-able sketch
 # ---------------------------------------------------------------------------

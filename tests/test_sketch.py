@@ -252,3 +252,28 @@ def test_sampled_quantiles_rank_error_bound(spark):
     samp = sk.md5_bernoulli_sample(rows, ("k",), 16)
     got = samp.agg(F.expr("percentile(v, 0.5)").alias("p50")).collect()[0].p50
     assert 20000 * 0.40 <= got <= 20000 * 0.60
+
+
+def test_hll_store_update_replay_idempotent(spark, tmp_path):
+    """MAX-mergeable twin of the CMS store: per-batch register states
+    under batch_id partitions, global state = key-wise MAX, replaying a
+    batch changes nothing, and the merged state equals the one-shot
+    sketch of the unioned stream."""
+    from pyspark.sql import Row
+    from soict20221_bigdata_financialplatform_spark.operators.sketch import (
+        hll_md5_registers, hll_store_registers, hll_store_update,
+    )
+
+    store = str(tmp_path / "hll_store")
+    b0 = spark.createDataFrame([Row(item=f"u{i}") for i in range(80)])
+    b1 = spark.createDataFrame([Row(item=f"u{i}") for i in range(40, 120)])
+    hll_store_update(b0, 0, store, "item")
+    hll_store_update(b1, 1, store, "item")
+
+    def snap(df):
+        return {r.register: r.m_reg for r in df.collect()}
+
+    want = snap(hll_md5_registers(b0.unionByName(b1), "item"))
+    assert snap(hll_store_registers(spark, store)) == want
+    hll_store_update(b1, 1, store, "item")  # replay
+    assert snap(hll_store_registers(spark, store)) == want
