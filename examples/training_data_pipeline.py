@@ -124,6 +124,42 @@ def main() -> None:
     kw = corpus.rake_keywords(sampled, top_k=1)
     print(f"[12] RAKE keywords extracted for {kw.count()} sampled docs")
 
+    # 13. span-level memorization audit (round-7): beyond the gram-set
+    # gate of stage 1, HOW MUCH of each eval doc is verbatim-memorizable
+    # from the training pool (Lee 2022 contamination report)
+    spans = corpus.span_contamination_report(
+        evals, train_pool, gram=5, min_span=8
+    )
+    worst = spans.orderBy(
+        F.col("longest_train_span").desc(), "doc_id"
+    ).limit(3).collect()
+    print(f"[13] memorization spans: {spans.count()} eval docs carry a "
+          f">=8-token verbatim train span; worst "
+          f"{[(r.doc_id, r.longest_train_span) for r in worst]}")
+
+    # 14. incremental distinct-user telemetry: per-batch HLL register
+    # states MAX-merged at read (union-of-sketches == sketch-of-union)
+    from soict20221_bigdata_financialplatform_spark.operators import sketch as sk
+
+    ev = load_table(spark, SF_DIR, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    merged = sk.hll_union(
+        sk.hll_md5_registers_by(
+            ev.select(day.alias("day"), "user_id"), "user_id", "day"
+        )
+    )
+    est = sk.hll_md5_estimate(merged).collect()[0]
+    exact = ev.select("user_id").distinct().count()
+    print(f"[14] HLL union across days: est={est.hll_est:.1f} "
+          f"exact={exact} (state: 16 ints/day)")
+
+    # 15. per-domain bits-per-byte under the stage-10 LM — the quality
+    # axis mixture design reads (registry form, micro-unit nats)
+    bpb = QUERIES["q226_domain_bpb"](spark, SF_DIR)
+    lo = bpb.orderBy("bits_per_byte").limit(2).collect()
+    print(f"[15] lowest-BPB domains: "
+          f"{[(r.source, round(r.bits_per_byte, 4)) for r in lo]}")
+
     spark.stop()
 
 
