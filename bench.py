@@ -137,6 +137,10 @@ HEADLINE = [
     "q244_seasonal_naive_backtest",
     "q245_changepoint",
     "q246_ship_lag_percentiles",
+    "q247_bloom_fpr",
+    "q248_bootstrap_ci",
+    "q249_lsh_threshold_sweep",
+    "q250_psi_drift",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -14391,6 +14391,603 @@ def q246_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q247_bloom_fpr",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(text) AS dg, doc_id % 2 = 0 AS is_train
+      FROM documents
+    ),
+    tb AS (
+      SELECT DISTINCT
+             t.j,
+             ('0x' || substr(md5('b' || t.j::VARCHAR || '|' || dg), 1, 15))
+               ::UBIGINT % 4096 AS bit
+      FROM d, UNNEST(range(0, 3)) AS t(j) WHERE is_train
+    ),
+    ev AS (
+      SELECT d.dg FROM d
+      WHERE NOT is_train
+        AND dg NOT IN (SELECT dg FROM d WHERE is_train)
+    ),
+    probe AS (
+      SELECT ev.dg, t.j,
+             ('0x' || substr(md5('b' || t.j::VARCHAR || '|' || ev.dg), 1, 15))
+               ::UBIGINT % 4096 AS bit
+      FROM ev, UNNEST(range(0, 3)) AS t(j)
+    ),
+    hit AS (
+      SELECT p.dg, count(tb.bit)::BIGINT AS n_hit
+      FROM probe p LEFT JOIN tb ON tb.j = p.j AND tb.bit = p.bit
+      GROUP BY p.dg
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n_eval,
+             sum(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END)::BIGINT AS n_fp
+      FROM hit
+    ),
+    nt AS (SELECT count(*)::BIGINT AS n_train FROM d WHERE is_train),
+    bs AS (SELECT count(DISTINCT (j, bit))::BIGINT AS bits_set FROM tb),
+    th AS (
+      SELECT round(exp(-(3.0 * nt.n_train) / 4096.0), 6) AS e FROM nt
+    )
+    SELECT 4096::BIGINT AS m_bits, 3::BIGINT AS k_hashes,
+           nt.n_train, bs.bits_set, s.n_eval, s.n_fp,
+           s.n_fp / s.n_eval AS observed_fpr,
+           (1 - th.e) * (1 - th.e) * (1 - th.e) AS theoretical_fpr
+    FROM s, nt, bs, th
+    """,
+)
+def q247_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive calibration — the FOURTH fully
+    oracle-checked sketch (after CMS q134, HLL q186, sampled quantiles
+    q187): a k=3, m=4096 Bloom set of the train-half document digests
+    (per-hash-family partitioned bit space via the md5-prefix family),
+    probed with the disjoint eval half; every positive is a false
+    positive, measured against the standard (1−e^{−kn/m})^k prediction
+    (exp rounded at the transcendental; the cube written as explicit
+    multiplications — pow is not bit-portable). Membership state is
+    ≤ k·m bit rows regardless of corpus size; probes are an equi-join
+    on (family, bit). Scale: two digest scans + one m-bounded join."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("dg"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+    ).persist()
+
+    def bit(j: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{j}|"), col)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 4096
+        )
+
+    train = d.where(F.col("is_train"))
+    tb = (
+        train.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("long").alias("j"),
+                            bit(j, F.col("dg")).alias("bit"),
+                        )
+                        for j in range(3)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.j", "p.bit")
+        .distinct()
+        .withColumn("__set", F.lit(True))
+    )
+    ev = d.where(~F.col("is_train")).join(
+        train.select("dg"), "dg", "left_anti"
+    )
+    probe = ev.select(
+        "dg",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        bit(j, F.col("dg")).alias("bit"),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("p"),
+    ).select("dg", "p.j", "p.bit")
+    hit = (
+        probe.join(F.broadcast(tb), ["j", "bit"], "left")
+        .groupBy("dg")
+        .agg(F.count_if(F.col("__set").isNotNull()).alias("n_hit"))
+    )
+    s = hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("n_hit") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fp"),
+    )
+    nt = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    bs = tb.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    e = F.round(F.exp(-(F.lit(3.0) * F.col("n_train")) / F.lit(4096.0)), 6)
+    return (
+        s.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(bs))
+        .select(
+            F.lit(4096).cast("long").alias("m_bits"),
+            F.lit(3).cast("long").alias("k_hashes"),
+            "n_train",
+            "bits_set",
+            "n_eval",
+            "n_fp",
+            (F.col("n_fp") / F.col("n_eval")).alias("observed_fpr"),
+            ((1 - e) * (1 - e) * (1 - e)).alias("theoretical_fpr"),
+        )
+    )
+
+
+def _q248_oracle() -> str:
+    import math
+
+    cdf = [sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1))
+           for k in range(5)]
+    ths = [int(math.floor(c * (1 << 60))) for c in cdf]
+    w_expr = " + ".join(
+        f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in ths
+    )
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    rep AS (
+      SELECT b.b, o.cents,
+             ('0x' || substr(md5('boot' || b.b::VARCHAR || '|'
+                                 || o.o_orderkey::VARCHAR), 1, 15))
+               ::UBIGINT::BIGINT AS h
+      FROM o, UNNEST(range(0, 32)) AS b(b)
+    ),
+    w AS (SELECT b, cents, ({w_expr})::BIGINT AS w FROM rep),
+    bm AS (
+      SELECT b, sum(w * cents)::BIGINT AS sc, sum(w)::BIGINT AS sw
+      FROM w GROUP BY b
+    ),
+    means AS (
+      SELECT b, sc / (100.0 * sw) AS mean_b,
+             row_number() OVER (ORDER BY sc / (100.0 * sw), b) AS rk
+      FROM bm WHERE sw > 0
+    ),
+    pt AS (
+      SELECT count(*)::BIGINT AS n_orders,
+             sum(cents)::BIGINT / (100.0 * count(*)) AS mean_price
+      FROM o
+    )
+    SELECT pt.n_orders, pt.mean_price,
+           lo.mean_b AS ci_lo, hi.mean_b AS ci_hi,
+           32::BIGINT AS n_replicates
+    FROM pt, (SELECT mean_b FROM means WHERE rk = 2) lo,
+             (SELECT mean_b FROM means WHERE rk = 31) hi
+    """
+
+
+@register("q248_bootstrap_ci", _q248_oracle())
+def q248_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC Poisson bootstrap confidence interval for the mean
+    order price — the distributed bootstrap (Poisson(1) weights
+    approximate multinomial resampling, the standard trick when n is
+    unknown per partition) made fully reproducible AND oracle-checkable:
+    replicate b gives row r the weight F⁻¹_Poisson(u) where u is the
+    60-bit md5 of (b, order key) compared against PRECOMPUTED INTEGER
+    CDF thresholds (floor(cdf·2⁶⁰) — pure integer comparisons, no float
+    RNG anywhere). Replicate means are exact-integer-sum divisions; the
+    ~94% CI picks replicate ranks 2 and 31 of 32 (discrete — the q240
+    rule). Scale: a 32× row explode feeding one grouped sum — partial
+    aggregation collapses it map-side; B·2 cells of state."""
+    import math
+
+    cdf = [sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1))
+           for k in range(5)]
+    ths = [int(math.floor(c * (1 << 60))) for c in cdf]
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.array(*[F.lit(b) for b in range(32)])).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = rep.select(
+        "b",
+        "cents",
+        sum(
+            [
+                F.when(F.col("h") >= F.lit(t), 1).otherwise(0)
+                for t in ths
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    bm = w.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("sc"),
+        F.sum("w").cast("long").alias("sw"),
+    )
+    mean_b = F.col("sc") / (F.lit(100.0) * F.col("sw"))
+    means = (
+        bm.where(F.col("sw") > 0)
+        .select("b", mean_b.alias("mean_b"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.pmod(F.col("b"), F.lit(1))).orderBy(
+                    "mean_b", "b"
+                )
+            ),
+        )
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum("cents").cast("long") / (F.lit(100.0) * F.count(F.lit(1))))
+        .alias("mean_price"),
+    )
+    lo = means.where(F.col("rk") == 2).select(
+        F.col("mean_b").alias("ci_lo")
+    )
+    hi = means.where(F.col("rk") == 31).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            "mean_price",
+            "ci_lo",
+            "ci_hi",
+            F.lit(32).cast("long").alias("n_replicates"),
+        )
+    )
+
+
+@register(
+    "q249_lsh_threshold_sweep",
+    "WITH" + _minhash_sig_ctes() + """,
+    scored AS (
+      SELECT id_a, id_b,
+             list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+               ::BIGINT AS n_agree,
+             len(list_intersect(sh_a, sh_b))::BIGINT AS inter,
+             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+               ::BIGINT AS uni
+      FROM cand
+    ),
+    grid AS (SELECT unnest(range(1, 10)) AS t10),
+    cls AS (
+      SELECT g.t10,
+             sum(CASE WHEN s.n_agree * 10 >= g.t10 * 32
+                       AND 2 * s.inter >= s.uni THEN 1 ELSE 0 END)
+               ::BIGINT AS tp,
+             sum(CASE WHEN s.n_agree * 10 >= g.t10 * 32
+                       AND 2 * s.inter < s.uni THEN 1 ELSE 0 END)
+               ::BIGINT AS fp,
+             sum(CASE WHEN s.n_agree * 10 < g.t10 * 32
+                       AND 2 * s.inter >= s.uni THEN 1 ELSE 0 END)
+               ::BIGINT AS fn
+      FROM scored s, grid g GROUP BY g.t10
+    )
+    SELECT t10::BIGINT AS t10, t10 / 10.0 AS threshold, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS prec,
+           CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS recall
+    FROM cls
+    """,
+)
+def q249_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall sweep of the MinHash signature estimate as a
+    near-dup classifier (est ≥ T for T in 0.1..0.9, ground truth = exact
+    Jaccard ≥ 0.5) over the LSH candidates — q213's calibration table
+    turned into the operating-characteristic CURVE an operator picks a
+    threshold from. Every comparison is INTEGER algebra (n_agree·10 ≥
+    T·32; 2·inter ≥ uni), so the confusion counts carry zero float risk;
+    precision/recall are guarded single divisions. Scale: q57's
+    signature+band plan + a 9-row broadcast grid over candidates."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = d.select("doc_id", dd.word_shingles("text", 3).alias("sh")).persist()
+
+    def _family(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform("sh", _family(i))) for i in range(32)]
+    )
+    sigs = sh.select("doc_id", "sh", sig.alias("sig"))
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col("sig")[b * 4 + j] for j in range(4)])
+            )
+            for b in range(8)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "sh", "sig", F.posexplode(band_arr).alias("band", "key")
+    ).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    n_agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    scored = cand.select(
+        n_agree.alias("n_agree"),
+        inter.alias("inter"),
+        (F.size("sh_a") + F.size("sh_b") - inter).cast("long").alias("uni"),
+    )
+    grid = spark.range(1, 10).select(F.col("id").cast("long").alias("t10"))
+    pos = F.col("n_agree") * 10 >= F.col("t10") * 32
+    true_ = 2 * F.col("inter") >= F.col("uni")
+    cls = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("t10")
+        .agg(
+            F.sum(F.when(pos & true_, 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(pos & ~true_, 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~pos & true_, 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return cls.select(
+        "t10",
+        (F.col("t10") / 10.0).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp") / (F.col("tp") + F.col("fp")),
+        ).alias("prec"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp") / (F.col("tp") + F.col("fn")),
+        ).alias("recall"),
+    )
+
+
+@register(
+    "q250_psi_drift",
+    """
+    WITH us AS (
+      SELECT event_id, value, epoch_us(cast(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    mid AS (
+      SELECT CAST(floor((min(t) + max(t)) / 2.0) AS BIGINT) AS m FROM us
+    ),
+    h AS (
+      SELECT event_id, value, t < mid.m AS first_half FROM us, mid
+    ),
+    f1 AS (
+      SELECT event_id, value, floor(value)::BIGINT AS bucket
+      FROM h WHERE first_half
+    ),
+    n1 AS (SELECT count(*)::BIGINT AS n FROM f1),
+    loc AS (
+      SELECT value, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY value, event_id) AS lr
+      FROM f1
+    ),
+    btot AS (SELECT bucket, count(*)::BIGINT AS t FROM f1 GROUP BY bucket),
+    off AS (
+      SELECT bucket,
+             coalesce(sum(t) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM btot
+    ),
+    r1 AS (
+      SELECT loc.value, (off.o + loc.lr)::BIGINT AS rn
+      FROM loc JOIN off USING (bucket)
+    ),
+    edges AS (
+      SELECT r1.value AS edge
+      FROM r1, n1, UNNEST(range(1, 10)) AS g(i)
+      WHERE r1.rn = (g.i * n1.n) // 10
+    ),
+    binned AS (
+      SELECT h.event_id, h.first_half,
+             sum(CASE WHEN h.value > e.edge THEN 1 ELSE 0 END)::BIGINT
+               AS bin
+      FROM h CROSS JOIN edges e GROUP BY h.event_id, h.first_half
+    ),
+    bc AS (
+      SELECT bin,
+             sum(CASE WHEN first_half THEN 1 ELSE 0 END)::BIGINT AS c1,
+             sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END)::BIGINT AS c2
+      FROM binned GROUP BY bin
+    ),
+    n AS (
+      SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM bc
+    ),
+    terms AS (
+      SELECT bc.bin, bc.c1, bc.c2,
+             (bc.c1 + 1) / (n.n1 + 10) AS pa,
+             (bc.c2 + 1) / (n.n2 + 10) AS pb,
+             CAST(floor((((bc.c1 + 1) / (n.n1 + 10))
+                         - ((bc.c2 + 1) / (n.n2 + 10)))
+                  * round(ln(((bc.c1 + 1) / (n.n1 + 10))
+                             / ((bc.c2 + 1) / (n.n2 + 10))), 6)
+                  * 1000000.0 + 0.5) AS BIGINT) AS tmicro
+      FROM bc, n
+    ),
+    tot AS (SELECT sum(tmicro)::BIGINT AS s FROM terms)
+    SELECT t.bin, t.c1, t.c2, t.pa, t.pb,
+           t.tmicro / 1000000.0 AS psi_term,
+           tot.s / 1000000.0 AS psi_total
+    FROM terms t, tot
+    """,
+)
+def q250_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of the value distribution — the industry-standard drift score
+    (PSI < 0.1 stable, > 0.25 shifted) beside q182's KL and q195's KS:
+    decile bins come from DISCRETE rank-picked edges on the first half
+    (the q240 rule — no interpolation), bin assignment is 9 exact value
+    comparisons, Laplace-smoothed shares are exact integer-ratio
+    divisions, and each (pa−pb)·ln(pa/pb) term is micro-unit quantized
+    at the 6dp-rounded ln then integer-summed. Scale: the edge pick is
+    one rank window (half-keyed) + a 9-row broadcast; binning is a
+    broadcast join; everything after is 10-bin algebra."""
+    e = _t(spark, sf_dir, "events")
+    us = e.select(
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    mid = us.agg(
+        F.floor((F.min("t") + F.max("t")) / 2.0).cast("long").alias("m")
+    )
+    h = us.crossJoin(F.broadcast(mid)).select(
+        "event_id", "value", (F.col("t") < F.col("m")).alias("first_half")
+    )
+    f1 = h.where(F.col("first_half")).select(
+        "event_id", "value", F.floor("value").cast("long").alias("bucket")
+    )
+    n1 = f1.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # distributed global rank: bucket-local row_number + chained one-row-
+    # per-bucket offsets (the q195 prefix-sum shape — a pmod(col,1)
+    # window over the raw event frame would be the banned global sort)
+    loc = f1.select(
+        "value",
+        "bucket",
+        F.row_number()
+        .over(Window.partitionBy("bucket").orderBy("value", "event_id"))
+        .cast("long")
+        .alias("lr"),
+    )
+    btot = f1.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wchain = (
+        Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "bucket", F.coalesce(F.sum("t").over(wchain), F.lit(0)).alias("o")
+    )
+    r1 = loc.join(F.broadcast(off), "bucket").select(
+        "value", (F.col("o") + F.col("lr")).cast("long").alias("rn")
+    )
+    grid = spark.range(1, 10).select(F.col("id").cast("long").alias("i"))
+    edges = (
+        r1.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(n1))
+        .where(F.col("rn") == F.expr("(i * n) div 10"))
+        .select(F.col("value").alias("edge"))
+    )
+    binned = (
+        h.crossJoin(F.broadcast(edges))
+        .groupBy("event_id", "first_half")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("edge"), 1).otherwise(0))
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    bc = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    n = bc.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    pa = (F.col("c1") + 1) / (F.col("n1") + 10)
+    pb = (F.col("c2") + 1) / (F.col("n2") + 10)
+    terms = bc.crossJoin(F.broadcast(n)).select(
+        "bin",
+        "c1",
+        "c2",
+        pa.alias("pa"),
+        pb.alias("pb"),
+        F.floor((pa - pb) * F.round(F.log(pa / pb), 6) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("tmicro"),
+    )
+    tot = terms.agg(F.sum("tmicro").cast("long").alias("s"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "c1",
+        "c2",
+        "pa",
+        "pb",
+        (F.col("tmicro") / 1000000.0).alias("psi_term"),
+        (F.col("s") / 1000000.0).alias("psi_total"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -14451,6 +15048,8 @@ _FINAL_ORDER = [
     "q241_daily_dup_rate", "q242_ann_ranking_metrics",
     "q243_flow_imbalance", "q244_seasonal_naive_backtest",
     "q245_changepoint", "q246_ship_lag_percentiles",
+    "q247_bloom_fpr", "q248_bootstrap_ci",
+    "q249_lsh_threshold_sweep", "q250_psi_drift",
     # -- rest of the second-row queue (r8 fillers, after the backlog)
     "q05_summary_stats", "q31_ngram_jaccard_pairs",
     "q36_embedding_near_dup",
