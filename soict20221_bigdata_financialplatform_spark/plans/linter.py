@@ -23,6 +23,20 @@ query registry (tests/test_plans.py), packaged for user queries:
                                   global window in disguise. Licensed only
                                   for one-row-per-group offset chains
                                   (the q195/q208 prefix-sum rank).
+                                  NOTE: matches the pmod(col, 1) spelling
+                                  ONLY — another data-derived-constant
+                                  idiom (col*0, pmod(col, lit) via an
+                                  alias chain, crc32(x)%1, ...) bypasses
+                                  it silently. If you introduce a new
+                                  constant-key idiom, extend the regex in
+                                  constant_partition_window_over_raw_
+                                  frame_count in the same commit.
+  warning low-cardinality-        ordered window partitioned ONLY by
+          partition-window        catalog-cardinality enum columns
+                                  (priority/segment/status/...) over a
+                                  raw frame: one task per enum value —
+                                  bounded parallelism (the r7 q246
+                                  shape). Name-heuristic.
   warning row-python-udf          BatchEvalPython: row-at-a-time Python
                                   UDF in the plan (10-100× slower than
                                   Arrow). Use native exprs or pandas_udf.
@@ -135,6 +149,80 @@ def constant_partition_window_over_raw_frame_count(df: DataFrame) -> int:
     return bad
 
 
+# Catalog-cardinality column names: keys whose distinct-value count is a
+# small constant fixed by the data model (TPC-H enum-ish attributes plus
+# the testdata's categorical columns), NOT proportional to data volume.
+# An ordered rank window partitioned ONLY by these gives one task per
+# enum value — bounded parallelism, the r7 q246 shape.
+LOW_CARDINALITY_COLS = frozenset(
+    {
+        "priority", "o_orderpriority", "orderpriority",
+        "segment", "mktsegment", "c_mktsegment",
+        "status", "orderstatus", "o_orderstatus",
+        "linestatus", "l_linestatus", "returnflag", "l_returnflag",
+        "shipmode", "l_shipmode", "shipinstruct", "l_shipinstruct",
+        "region", "r_name", "r_regionkey",
+        "event_type", "source", "lang",
+    }
+)
+
+
+def low_cardinality_partition_window_count(
+    df: DataFrame, low_card_cols: frozenset = LOW_CARDINALITY_COLS
+) -> int:
+    """Ordered Window nodes whose partition expressions reference ONLY
+    catalog-cardinality columns (5-25 distinct values fixed by the data
+    model — see ``LOW_CARDINALITY_COLS``) and whose input subtree shows
+    no aggregate: one task per enum value sorts its whole slice of the
+    raw frame, a bounded-parallelism sort at 100 TB (same class as the
+    banned global window, just ×|enum|). The constant-partition linter
+    cannot see this (the key is data, not a folded constant); this is
+    the name-heuristic sibling. Windows over AGGREGATE frames are exempt
+    (a ≤|enum|·|grain| bucket frame is the licensed prefix-sum shape —
+    the rebuilt q246). Name-based, so a renamed alias bypasses it; it is
+    a guardrail, not a proof."""
+    plan = executed_plan(df)
+    lines = plan.splitlines()
+    bad = 0
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+            if depth > 0:
+                cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    cur = ""
+        if len(groups) < 3:
+            continue  # unpartitioned: the global-window rule's territory
+        if not re.search(r" (ASC|DESC)[ ,\]]", groups[2]):
+            continue
+        part_cols = {c.lower() for c in re.findall(r"(\w+)#\d+", groups[1])}
+        if not part_cols or not part_cols <= low_card_cols:
+            continue
+        col = line.index("Window")
+        j = i + 1
+        while j < len(lines):
+            prefix = lines[j][:col]
+            if len(lines[j]) <= col or prefix.strip(" :") != "":
+                break
+            j += 1
+        subtree = "\n".join(lines[i + 1 : j])
+        if not re.search(
+            r"HashAggregate|SortAggregate|ObjectHashAggregate"
+            r"|TakeOrderedAndProject",
+            subtree,
+        ):
+            bad += 1
+    return bad
+
+
 def scale_lint(df: DataFrame) -> list[dict]:
     """Structured findings ``[{rule, level, detail}, ...]`` for the plan
     shapes that do not survive a 100× scale-up; empty list = clean."""
@@ -181,6 +269,19 @@ def scale_lint(df: DataFrame) -> list[dict]:
                 "input row. The idiom is licensed only for one-row-per-"
                 "group offset chains (prefix-sum rank); aggregate first "
                 "or use the bucketed prefix sum",
+            }
+        )
+    lc = low_cardinality_partition_window_count(df)
+    if lc:
+        findings.append(
+            {
+                "rule": "low-cardinality-partition-window",
+                "level": "warning",
+                "detail": f"{lc} ordered window(s) partitioned only by "
+                "catalog-cardinality (enum) columns over a raw frame: one "
+                "task per enum value sorts its whole slice. Bucket to "
+                "(enum, grain) counts and rank via the prefix sum instead "
+                "(name-heuristic; see LOW_CARDINALITY_COLS)",
             }
         )
     if "BatchEvalPython" in plan:

@@ -4241,13 +4241,17 @@ def q104_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (concatenate-and-chunk): assign every doc
     its starting position in a stream of fixed 2048-token training blocks,
     packed per source shard in doc_id order — the pretraining-dataloader
-    layout step. One window cumsum per shard (the shard key is what a real
-    pipeline would carry as its file/shard id, so parallelism scales with
-    the corpus, never a global order); seq_id/offset are pure integer
-    arithmetic on the running total — cross-engine exact, no float policy
-    needed. Engine-added (driver brief: LLM-pipeline ops); cumsum types
-    pinned BIGINT both sides (DuckDB window sums of BIGINT emit HUGEINT —
-    the q38 hasher lesson)."""
+    layout step. The per-shard running total rides the DISTRIBUTED
+    prefix sum (r8 rebuild — source is a catalog-cardinality key, so a
+    plain per-source cumsum window sorts each shard's whole slice in one
+    task): local cumsum within (source, doc_id div 1024) blocks, block
+    totals → a per-source offset chain over the ONE-ROW-PER-BLOCK
+    aggregate frame (the licensed q195 idiom), start = offset + local −
+    own. Pure BIGINT arithmetic — bit-identical to the single-window
+    form, parallelism now corpus-proportional. seq_id/offset are integer
+    ops on the running total; cumsum types pinned BIGINT both sides
+    (DuckDB window sums of BIGINT emit HUGEINT — the q38 hasher
+    lesson)."""
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents").repartition(
@@ -4257,14 +4261,31 @@ def q104_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         tx.token_count("text").cast("long").alias("n_tokens"),
+        F.expr("doc_id div 1024").alias("__blk"),
     )
-    w = (
-        Window.partitionBy("source")
+    wloc = (
+        Window.partitionBy("source", "__blk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
-    return t.select(
+    loc = t.withColumn("__lc", F.sum("n_tokens").over(wloc).cast("long"))
+    btot = t.groupBy("source", "__blk").agg(
+        F.sum("n_tokens").cast("long").alias("__bt")
+    )
+    wchain = (
+        Window.partitionBy("source")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "source",
+        "__blk",
+        F.coalesce(F.sum("__bt").over(wchain), F.lit(0))
+        .cast("long")
+        .alias("__ofs"),
+    )
+    start = (F.col("__ofs") + F.col("__lc") - F.col("n_tokens")).cast("long")
+    return loc.join(off, ["source", "__blk"]).select(
         "source",
         "doc_id",
         "n_tokens",
@@ -4657,9 +4678,16 @@ def q111_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`corpus.stratified_sample`) can't pin. Key-stable: a doc keeps its
     sample membership across runs and corpus versions UNLESS higher-priority
     docs arrive — the deterministic equivalent of uniform-without-
-    replacement. One partitioned window per stratum (never global); the
-    md5 sample key is computed in the scan projection. Engine-added
-    (corpus family alongside q48/q54/q60)."""
+    replacement. TWO-PHASE top-k (r8 rebuild — lang is a
+    catalog-cardinality key, so a per-lang rank window sorts each
+    stratum's whole slice in one task): phase 1 takes the local top-40
+    within (lang, doc_id mod 32) sub-buckets — a high-parallelism
+    window — phase 2 merges the ≤ 32·40 candidates per lang with one
+    bounded collect_list + array_sort + slice aggregate (no raw-frame
+    enum window anywhere; struct sort order (sk, doc_id) = the rank
+    order). Selection-only, so the result is identical to the global
+    per-lang top-40. Engine-added (corpus family alongside
+    q48/q54/q60)."""
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents").select(
@@ -4670,13 +4698,26 @@ def q111_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("s42|"), F.col("doc_id").cast("string"))).alias(
             "sk"
         ),
+        F.pmod(F.col("doc_id"), F.lit(32)).alias("__sb"),
     )
-    w = Window.partitionBy("lang").orderBy("sk", "doc_id")
-    return (
-        d.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 40)
-        .select("doc_id", "lang", "source", "n_chars")
+    w1 = Window.partitionBy("lang", "__sb").orderBy("sk", "doc_id")
+    cand = d.withColumn("__rk", F.row_number().over(w1)).where(
+        F.col("__rk") <= 40
     )
+    top = cand.groupBy("lang").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("sk", "doc_id", "source", "n_chars")
+                )
+            ),
+            1,
+            40,
+        ).alias("__top")
+    )
+    return top.select(
+        "lang", F.explode("__top").alias("__t")
+    ).select("__t.doc_id", "lang", "__t.source", "__t.n_chars")
 
 
 @register(
@@ -4699,15 +4740,66 @@ def q112_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket holds ~n/10 rows; boundaries adapt to the distribution).
     ntile is rank-based, so bucket edges are exact VALUE PICKS (no
     interpolation, no float policy concerns); the (value, event_id) order
-    pins ties deterministically cross-engine. One partitioned window and
-    a grouped agg share the event_type exchange. At 100 TB swap ntile for
-    `approx_percentile` boundaries (mergeable) — same output shape,
-    documented error bound."""
+    pins ties deterministically cross-engine.
+
+    r8 rebuild: event_type is a catalog-cardinality key, so a per-type
+    ntile window sorts each type's whole slice in one task. The exact
+    global rank is recomputed DISTRIBUTED instead: coarse floor(value)
+    range buckets → per-(type,bucket) counts → per-type offset chain
+    over the ONE-ROW-PER-BUCKET aggregate frame (the licensed q195
+    ECDF idiom) → local (value, event_id) rank window within the
+    high-cardinality (type, bucket) composite → rank = offset + local.
+    The ntile bucket then falls out of the standard integer formula
+    (first n%10 tiles get ⌈n/10⌉ rows): bit-identical assignment to the
+    single-window form, parallelism now value-range × type."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    t = _t(spark, sf_dir, "events").select(
-        "event_type", "value", F.ntile(10).over(w).alias("bucket")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.floor("value").cast("long").alias("__vb"),
+    )
+    cb = ev.groupBy("event_type", "__vb").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wchain = (
+        Window.partitionBy("event_type")
+        .orderBy("__vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cb.select(
+        "event_type",
+        "__vb",
+        F.coalesce(F.sum("__c").over(wchain), F.lit(0))
+        .cast("long")
+        .alias("__ofs"),
+    )
+    wloc = Window.partitionBy("event_type", "__vb").orderBy(
+        "value", "event_id"
+    )
+    ranked = (
+        ev.withColumn("__rn", F.row_number().over(wloc).cast("long"))
+        .join(F.broadcast(off), ["event_type", "__vb"])
+        .withColumn("__r", F.col("__ofs") + F.col("__rn"))
+    )
+    nt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    q = F.expr("__n div 10")
+    m = F.expr("__n % 10")
+    bucket = F.when(
+        F.col("__r") <= m * (q + 1),
+        F.expr("(__r - 1) div ((__n div 10) + 1) + 1"),
+    ).otherwise(
+        m
+        + F.expr(
+            "(__r - (__n % 10) * ((__n div 10) + 1) - 1)"
+            " div greatest(__n div 10, 1) + 1"
+        )
+    )
+    t = ranked.join(F.broadcast(nt), "event_type").select(
+        "event_type", "value", bucket.cast("int").alias("bucket")
     )
     return t.groupBy("event_type", "bucket").agg(
         F.min("value").alias("lo"),
@@ -7274,11 +7366,18 @@ def q153_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator: fill each language's token quota, not a row quota): docs
     ordered by a seeded md5 hash (key-stable — a corpus rebuild picks the
     same docs, q111's property), running token cumsum per language,
-    kept while under that language's budget. The cumsum is an exact
-    INTEGER window (no float anywhere); budgets ride as a broadcast
-    literal frame. Per-stratum windows only — never global. A doc
-    straddling the boundary is dropped (strict under-budget semantics,
-    deterministic both engines)."""
+    kept while under that language's budget. The per-language running
+    cumsum rides the DISTRIBUTED prefix sum (r8 rebuild — lang is a
+    catalog-cardinality key, so a plain per-lang cumsum window sorts
+    each stratum's whole slice in one task): the md5 order key's first
+    two hex chars are an ORDERED 256-way sub-bucket (lexicographic hex
+    prefix ⟂ consistent with the (__h, doc_id) order), local cumsum
+    within (lang, prefix), bucket totals → per-lang offset chain over
+    the ≤256-ROW-PER-LANG aggregate frame (the licensed q195 idiom).
+    Exact BIGINT arithmetic — bit-identical to the single-window form.
+    Budgets ride as a broadcast literal frame; a doc straddling the
+    boundary is dropped (strict under-budget semantics, deterministic
+    both engines)."""
     d = _t(spark, sf_dir, "documents")
     budgets = spark.createDataFrame(
         [("en", 6000), ("zh", 3000), ("de", 2000), ("fr", 2000), ("es", 1000)],
@@ -7291,15 +7390,34 @@ def q153_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("mix42|"), F.col("doc_id").cast("string"))).alias(
             "__h"
         ),
-    )
-    win = (
-        Window.partitionBy("lang")
+    ).withColumn("__hb", F.substring("__h", 1, 2))
+    wloc = (
+        Window.partitionBy("lang", "__hb")
         .orderBy("__h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    loc = w.withColumn("__lc", F.sum("n_tokens").over(wloc).cast("long"))
+    btot = w.groupBy("lang", "__hb").agg(
+        F.sum("n_tokens").cast("long").alias("__bt")
+    )
+    wchain = (
+        Window.partitionBy("lang")
+        .orderBy("__hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "lang",
+        "__hb",
+        F.coalesce(F.sum("__bt").over(wchain), F.lit(0))
+        .cast("long")
+        .alias("__ofs"),
+    )
     return (
-        w.join(F.broadcast(budgets), "lang")
-        .withColumn("cum_tokens", F.sum("n_tokens").over(win).cast("long"))
+        loc.join(F.broadcast(off), ["lang", "__hb"])
+        .join(F.broadcast(budgets), "lang")
+        .withColumn(
+            "cum_tokens", (F.col("__ofs") + F.col("__lc")).cast("long")
+        )
         .where(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
@@ -14352,10 +14470,19 @@ def q246_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship lag distribution per order priority (p50/p90/max in
     whole days) — the fulfilment-SLA view of the TPC-H side, using q240's
     DISCRETE rank-pick percentiles (integer day lags, integer ranks —
-    zero floats, no interpolation half-way risk). Scale: one
-    orders⋈lineitem equi-join (orders side projected to two columns),
-    then priority-keyed rank windows over a 5-group frame + two rank
-    equi-joins."""
+    zero floats, no interpolation half-way risk). Unlike q240 (whose
+    rank window is user-keyed, i.e. high-cardinality), the natural rank
+    window here would partition by the FIVE-value priority key — one
+    task per priority sorting ~1/5 of all lineitem, a bounded-parallelism
+    sort at scale. So the rank rides the bucketed prefix sum instead:
+    lag_d is a small-integer grain (~0-125 days), group to
+    (priority, lag_d) integer counts — a fully distributed agg — then a
+    per-priority cumulative sum over the ≤~130-row-per-priority BUCKET
+    frame (the licensed one-row-per-group aggregate-window idiom) and
+    the discrete pick value-at-rank-r = min lag_d with cum ≥ r.
+    The oracle keeps the plain row_number form — identical values.
+    Scale: one equi-join + one grouped count + a window over the tiny
+    aggregate frame; no task ever sorts raw rows."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -14364,29 +14491,35 @@ def q246_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag_d"),
     )
-    r = l.select(
-        "priority",
-        "lag_d",
-        F.row_number()
-        .over(Window.partitionBy("priority").orderBy("lag_d"))
-        .cast("long")
-        .alias("rn"),
+    b = l.groupBy("priority", "lag_d").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    c = l.groupBy("priority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+    wc = (
+        Window.partitionBy("priority")
+        .orderBy("lag_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.select(
+        "priority", "lag_d", F.sum("cnt").over(wc).cast("long").alias("cum")
+    )
+    c = b.groupBy("priority").agg(
+        F.sum("cnt").cast("long").alias("n"),
         F.max("lag_d").cast("long").alias("max_d"),
     )
-    p50 = r.select(
-        "priority", F.col("lag_d").alias("p50_days"), F.col("rn").alias("__r50")
-    )
-    p90 = r.select(
-        "priority", F.col("lag_d").alias("p90_days"), F.col("rn").alias("__r90")
+    j = cum.join(F.broadcast(c), "priority").select(
+        "priority",
+        "n",
+        "max_d",
+        "lag_d",
+        (F.col("cum") >= F.expr("(n + 1) div 2")).alias("ge50"),
+        (F.col("cum") >= F.expr("(9 * n + 9) div 10")).alias("ge90"),
     )
     return (
-        c.join(p50, "priority")
-        .where(F.col("__r50") == F.expr("(n + 1) div 2"))
-        .join(p90, "priority")
-        .where(F.col("__r90") == F.expr("(9 * n + 9) div 10"))
+        j.groupBy("priority", "n", "max_d")
+        .agg(
+            F.min(F.when(F.col("ge50"), F.col("lag_d"))).alias("p50_days"),
+            F.min(F.when(F.col("ge90"), F.col("lag_d"))).alias("p90_days"),
+        )
         .select("priority", "n", "p50_days", "p90_days", "max_d")
     )
 

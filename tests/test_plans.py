@@ -286,6 +286,28 @@ def test_no_registry_query_misuses_constant_partition_window(spark, sf_dir):
     assert not offenders, f"constant-partition windows over raw frames: {offenders}"
 
 
+def test_no_registry_query_ranks_raw_frames_by_enum_key(spark, sf_dir):
+    """No checked query may plan an ordered window whose ONLY partition
+    keys are catalog-cardinality enum columns (priority/segment/status/…)
+    over a raw, un-aggregated frame: one task per enum value sorts its
+    whole slice — bounded parallelism at 100 TB, the r7-q246 class. The
+    constant-partition linter can't see it (the key is data, not a
+    folded constant); this is its name-heuristic sibling. Windows over
+    aggregate frames (the bucketed prefix-sum shape q246 was rebuilt on)
+    are exempt."""
+    from soict20221_bigdata_financialplatform_spark.plans.linter import (
+        low_cardinality_partition_window_count,
+    )
+    from soict20221_bigdata_financialplatform_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        n = low_cardinality_partition_window_count(fn(spark, sf_dir))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"enum-partitioned rank over raw frames: {offenders}"
+
+
 def test_q36_all_pairs_baseline_is_size_guarded(spark, sf_dir, tmp_path):
     """The registry's one O(n²) opt-in must refuse oversized corpora."""
     import soict20221_bigdata_financialplatform_spark.queries as q
