@@ -15131,49 +15131,27 @@ def q250_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-7 rotation (recipe from CLAUDE.md invariant 10 / r6
-    # VERDICT task 1). The driver caps CORRECTNESS rows at the first 50
-    # registry entries (r1-r6 confirmed), so placement decides which
-    # oracle queries get a driver-green row. Slots 1-9: the standing
-    # sentinels. Slots 10-19: the r7 backlog q216-q225 (authored r6,
-    # parity-green at sf0.001+0.01+0.1, never driver-checked). Slots
-    # 20-26: the new r7 additions q226-q232. Slots 27-50: the
-    # second-row queue — q38 (its only green row is r2), then the
-    # once-green-r2 block q04..q26, then q27..q40. q188-q215 drop
-    # behind with their r6 rows. R8 ROTATION PLAN: keep sentinels; any
-    # r8 additions first; then the rest of the second-row queue
-    # (q05_summary_stats, q31_ngram_jaccard_pairs,
-    # q36_embedding_near_dup, then q41+ r2/r3 singles). Run
+    # -- Round-9 rotation (recipe from CLAUDE.md invariant 10 / r8
+    # VERDICT task 1 — two rounds overdue, executed r9). The driver caps
+    # CORRECTNESS rows at the first 50 registry entries (r1-r8
+    # confirmed), so placement decides which oracle queries get a
+    # driver-green row. Slots 1-9: the standing sentinels. Slots 10-27:
+    # the r8 backlog q233-q250 (authored r7, parity-green at
+    # sf0.001+0.01+0.1, NEVER driver-checked). Slots 28+: new r9
+    # queries (q251+), then the second-row queue — q05/q31/q36 (their
+    # only green rows are r1/r2), then the r2/r3 singles q41+ in
+    # registry order through slot 50. q216-q232 and the r7 filler block
+    # (q38, q04-q40) drop behind with their r7/r8 rows. R10 ROTATION
+    # PLAN: keep sentinels; any r10 additions first; then continue the
+    # second-row queue where the r9 window ends (q63 onward: q63, q65,
+    # q66, q67, q68, q69, ... in registry order). Run
     # `parity_check --audit` + test_driver_window_schemas_are_hasher_safe
     # before ANY rotation, and update test_oracle_types' rotation pin.
-    # -- sentinels (driver-green r1..r6)
+    # -- sentinels (driver-green r1..r8)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
     "q22_rsi", "q23_ema", "q30_exact_dedup",
     "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- r7 backlog: never driver-checked, promoted into slots 10-19
-    "q216_vocab_coverage_curve", "q217_js_divergence",
-    "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
-    "q221_acf", "q222_conditional_entropy", "q223_source_vocab_overlap",
-    "q224_overnight_gaps", "q225_calendar_heatmap",
-    # -- new r7 additions (slots 20-26)
-    "q226_domain_bpb", "q227_memorization_spans",
-    "q228_hll_partition_union", "q229_source_overlap_attribution",
-    "q230_minhash_hot_bands", "q231_tfidf_cosine_pairs",
-    "q232_weekly_bars",
-    # -- second-row queue (slots 27-50): oldest single-row greens
-    "q38_sessionization",
-    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
-    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
-    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
-    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
-    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
-    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
-    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
-    "q40_window_grabbag",
-    # ========== 50-slot driver window ends here ==========
-    # -- r8 backlog: authored in r7, parity-green locally, never
-    # driver-checked — FIRST in line for the r8 window (append r8
-    # additions here)
+    # -- r8 backlog: never driver-checked, promoted into slots 10-27
     "q233_cms_partition_union", "q234_good_turing", "q235_vocab_growth",
     "q236_candle_patterns", "q237_amihud_illiquidity",
     "q238_source_unigram_kl", "q239_burrows_delta",
@@ -15183,9 +15161,39 @@ _FINAL_ORDER = [
     "q245_changepoint", "q246_ship_lag_percentiles",
     "q247_bloom_fpr", "q248_bootstrap_ci",
     "q249_lsh_threshold_sweep", "q250_psi_drift",
-    # -- rest of the second-row queue (r8 fillers, after the backlog)
+    # -- new r9 additions insert HERE as authored (each pushes one
+    # filler below out of the window)
+    # -- second-row queue (through slot 50): oldest single-row greens
     "q05_summary_stats", "q31_ngram_jaccard_pairs",
     "q36_embedding_near_dup",
+    "q41_cube", "q42_scalar_subquery",
+    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
+    "q46_range_join", "q47_union_all", "q48_corpus_survivors",
+    "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",
+    "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
+    "q60_corpus_clean_exact", "q63_semantic_neighbors",
+    "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
+    "q68_small_qty_revenue",
+    # ========== 50-slot driver window ends here ==========
+    # -- r7 window drops behind (driver-green r7 + r8)
+    "q216_vocab_coverage_curve", "q217_js_divergence",
+    "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
+    "q221_acf", "q222_conditional_entropy", "q223_source_vocab_overlap",
+    "q224_overnight_gaps", "q225_calendar_heatmap",
+    "q226_domain_bpb", "q227_memorization_spans",
+    "q228_hll_partition_union", "q229_source_overlap_attribution",
+    "q230_minhash_hot_bands", "q231_tfidf_cosine_pairs",
+    "q232_weekly_bars",
+    # -- r7/r8 window fillers drop behind (driver-green r7 + r8)
+    "q38_sessionization",
+    "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
+    "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
+    "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
+    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
+    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
+    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
+    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
+    "q40_window_grabbag",
     # -- q11 rests again (5 green rows r1-r4 + r6)
     "q11_outer_join_activity",
     # -- driver-green r6 (q176-q187 backlog rows + q188-q215 additions)
@@ -15241,16 +15249,10 @@ _FINAL_ORDER = [
     "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
     "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
     "q135_rake_keywords",
-    # -- driver-green in r2 and/or r3 (entries earning r6 second rows have
-    # moved up into the filler window; the rest queue here)
-    "q41_cube", "q42_scalar_subquery",
-    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
-    "q46_range_join", "q47_union_all", "q48_corpus_survivors",
-    "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",
-    "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
-    "q60_corpus_clean_exact", "q63_semantic_neighbors",
-    "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
-    "q68_small_qty_revenue", "q69_dormant_rich_customers",
+    # -- driver-green in r2 and/or r3 (entries earning r6 second rows,
+    # and the q41-q68 slice promoted into the r9 window, have moved up;
+    # the rest queue here)
+    "q69_dormant_rich_customers",
     "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
     "q73_order_priority_exists", "q74_nation_trade_volume",
     "q75_market_share", "q76_product_profit", "q77_important_parts",

@@ -21,13 +21,14 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r7_rotation():
-    """The driver checks the FIRST 50 registry entries. Pin the round-7
-    window: 9 sentinels up front, the 10-query r7 backlog q216-q225 in
-    slots 10-19, the new r7 additions q226-q232 in slots 20-26, then
-    only second-row fillers (driver-green in an earlier round), every
-    window entry oracle-backed, the rows-only six dead last, and the
-    full registry covered exactly once."""
+def test_final_order_window_r9_rotation():
+    """The driver checks the FIRST 50 registry entries. Pin the round-9
+    window: 9 sentinels up front, the 18-query r8 backlog q233-q250 in
+    slots 10-27 (never driver-checked before r9), then new r9 queries
+    (q251+) and/or second-row fillers (driver-green in an earlier
+    round, all numbered <= q68), every window entry oracle-backed, the
+    rows-only six dead last, and the full registry covered exactly
+    once."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -41,14 +42,15 @@ def test_final_order_window_r7_rotation():
     ]
     assert _FINAL_ORDER[:9] == sentinels
     window = _FINAL_ORDER[:50]
-    assert [w.split("_")[0] for w in window[9:26]] == [
-        f"q{n}" for n in range(216, 233)
+    assert [w.split("_")[0] for w in window[9:27]] == [
+        f"q{n}" for n in range(233, 251)
     ]
-    # Slots 27-50: second-row fillers (driver-green in an earlier round,
-    # all numbered <= q40) — never a rows-only entry.
-    for name in window[26:]:
+    # Slots 28-50: new r9 queries (q251+) or second-row fillers
+    # (driver-green in an earlier round, numbered <= q68) — never a
+    # rows-only entry.
+    for name in window[27:]:
         num = int(name.split("_")[0][1:])
-        assert num <= 40, name
+        assert num <= 68 or num >= 251, name
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]

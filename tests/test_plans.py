@@ -321,14 +321,32 @@ def test_q36_all_pairs_baseline_is_size_guarded(spark, sf_dir, tmp_path):
         q._Q36_ALL_PAIRS_CAP = orig
 
 
-def test_sequence_packing_one_partitioned_window(spark, sf_dir):
-    """q104: one PARTITIONED window (per source shard) over one exchange —
-    the cumsum never funnels through a single partition."""
+def test_sequence_packing_block_local_windows(spark, sf_dir):
+    """q104 (r8 rebuild contract): the per-source running total rides the
+    DISTRIBUTED prefix sum — a block-local cumsum window partitioned by
+    (source, __blk) over the raw frame, plus an offset-chain window over
+    the ONE-ROW-PER-BLOCK aggregate. No global ordered window, and no
+    ordered window partitioned only by the enum-cardinality ``source``
+    column over raw rows: parallelism is corpus-proportional, not
+    |sources|-bounded."""
+    import re
+
+    from soict20221_bigdata_financialplatform_spark.plans.linter import (
+        low_cardinality_partition_window_count,
+    )
+
     q = QUERIES["q104_sequence_packing"](spark, sf_dir)
     plan = checks.executed_plan(q)
-    assert plan.count("Exchange hashpartitioning(source") == 1
-    assert plan.count("Window") == 1
+    # exactly two Window nodes: local cumsum + block offset chain
+    assert plan.count("Window [") == 2
+    # the cumsum window partitions by BOTH source and the block key
+    assert re.search(
+        r"Window \[[^\n]*\], \[source#\d+, __blk#\d+L?\]", plan
+    ), plan
     assert _unpartitioned_ordered_windows(q) == 0
+    # the source-only window rides the aggregate frame, so the enum-key
+    # linter rule must count zero raw-frame offenders
+    assert low_cardinality_partition_window_count(q) == 0
 
 
 def test_vocab_coverage_topk_is_take_ordered(spark, sf_dir):
