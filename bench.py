@@ -141,6 +141,9 @@ HEADLINE = [
     "q248_bootstrap_ci",
     "q249_lsh_threshold_sweep",
     "q250_psi_drift",
+    # r8 rebuild without a bench row (r8 VERDICT nit 3): the token-budget
+    # mixture's cumsum moved to the distributed prefix sum — measure it
+    "q153_token_budget_mixture",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports
@@ -157,12 +160,14 @@ ITERATIVE = {"q117_pagerank_dup_graph", "q119_leakage_free_split",
              "q127_semdedup", "q133_ivfpq",
              "q188_bpe_merges", "q208_hits_scores"}
 
-# r5→r4 drift watch (VERDICT r5 item 3): these five medians moved
-# 1.25-1.38x with no code change — within 1-2 stdev, judged environment
-# noise. They get 5 reps instead of 3 so the r6 medians carry enough
-# samples to either confirm noise or expose a real trend.
-DRIFT_WATCH = {"q149_zipf_fit", "q131_pq_adc", "q108_drawdown_sharpe",
-               "q124_grid_interpolate", "q122_bm25"}
+# r9 drift watch (VERDICT r8 task 4): q46_range_join moved 1.82x in r8
+# with no code change (2.5 sigma against a flat tide); q82/q74/q133 are
+# the r7 movers never given their confirmation pass. They get 5 reps
+# instead of 3 so the r9 medians carry enough samples to classify each
+# as noise or trend. (The r5-era watch set — q149, q131, q108, q124,
+# q122 — was classified noise in r6 and has rotated out.)
+DRIFT_WATCH = {"q46_range_join", "q82_discount_or_predicates",
+               "q74_nation_trade_volume", "q133_ivfpq"}
 
 
 def main() -> None:

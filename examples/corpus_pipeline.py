@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from soict20221_bigdata_financialplatform_spark import get_spark
 from soict20221_bigdata_financialplatform_spark.metrics import quality_metrics
 from soict20221_bigdata_financialplatform_spark.operators import corpus, dedup, similarity
+from soict20221_bigdata_financialplatform_spark.plans.linter import (
+    assert_scalable,
+)
 from soict20221_bigdata_financialplatform_spark.operators.components import (
     connected_components,
 )
@@ -35,6 +38,17 @@ from soict20221_bigdata_financialplatform_spark.sources import load_table
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
+def launch(df):
+    """Pre-launch scale gate (r7 VERDICT task 5): every stage frame goes
+    through ``assert_scalable`` BEFORE its first action, so a plan that
+    would melt at 100 TB — conditional nested-loop join, cartesian
+    product, global or constant-partition ordered window — raises
+    ``ValueError`` here instead of launching a job. Plan-shape only: the
+    gate itself runs no tasks."""
+    assert_scalable(df)
+    return df
+
+
 def main() -> None:
     spark = get_spark("corpus-pipeline-example")
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,12 +56,13 @@ def main() -> None:
     docs = load_table(spark, SF_DIR, "documents")
     n0 = docs.count()
     print(f"[1] ingest: {n0} documents")
-    prof = corpus.profile(docs, ["text", "lang", "source"])
+    prof = launch(corpus.profile(docs, ["text", "lang", "source"]))
     print(f"[1] profile rows: {prof.count()} (one scan, stack-unpivoted)")
 
     # 2. quality gate (metrics ride the same action — no extra scan) -------
     survivors, obs = quality_metrics(
-        corpus.quality_filter(docs, "text"), "quality_gate", ["text", "lang"]
+        launch(corpus.quality_filter(docs, "text")), "quality_gate",
+        ["text", "lang"],
     )
     n2 = survivors.count()
     m = obs.get
@@ -57,16 +72,16 @@ def main() -> None:
     )
 
     # 3. dedup: exact digest first (cheap), then banded LSH near-dup -------
-    exact = corpus.drop_exact_dups(survivors, "text", "doc_id")
+    exact = launch(corpus.drop_exact_dups(survivors, "text", "doc_id"))
     n3 = exact.count()
-    pairs = dedup.minhash_near_dup_pairs(
+    pairs = launch(dedup.minhash_near_dup_pairs(
         exact, num_hashes=64, bands=16, jaccard_threshold=0.5
-    )
+    ))
     np_ = pairs.count()
     print(f"[3] exact dedup -> {n3}; LSH near-dup pairs: {np_}")
 
     # 4. transitive clusters -> canonical representative per cluster -------
-    comps = connected_components(pairs)  # (node, component); component = min id
+    comps = launch(connected_components(pairs))  # (node, component); component = min id
     drop = comps.where(F.col("node") != F.col("component"))
     kept = exact.join(
         drop.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
@@ -75,7 +90,7 @@ def main() -> None:
     print(f"[4] near-dup clustering: keep {n4} canonical docs")
 
     # 5. TF-IDF features on the kept corpus --------------------------------
-    tfidf = QUERIES["q86_tfidf_top_terms"](spark, SF_DIR)
+    tfidf = launch(QUERIES["q86_tfidf_top_terms"](spark, SF_DIR))
     print(f"[5] tf-idf top-terms rows: {tfidf.count()}")
 
     # 6. reproducible split ------------------------------------------------
@@ -89,13 +104,13 @@ def main() -> None:
     queries = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    topk = similarity.brute_force_topk(emb, queries, k=5)
+    topk = launch(similarity.brute_force_topk(emb, queries, k=5))
     print(f"[7] ANN: {topk.count()} (query, neighbor) rows")
 
     # 8. dataloader layout: pack the kept docs into 2048-token training
     #    sequences (per-source cumsum — q104's operator) and report how much
     #    of the corpus a small vocabulary covers (q105) ---------------------
-    packed = QUERIES["q104_sequence_packing"](spark, SF_DIR)
+    packed = launch(QUERIES["q104_sequence_packing"](spark, SF_DIR))
     n_seqs = packed.agg(
         (F.max("seq_id") + 1).alias("n"), F.sum("n_tokens").alias("toks")
     ).first()

@@ -61,6 +61,94 @@ from soict20221_bigdata_financialplatform_spark.plans.checks import (
 )
 
 
+# Plan nodes that PRESERVE their input's cardinality class: a window
+# whose input chain crosses only these before reaching an aggregate is
+# still running over the bounded one-row-per-group frame. Joins,
+# generates, scans, and unions do NOT appear here — any of them as the
+# nearest substantive node means the window ranks a RAW frame, no matter
+# what aggregates sit deeper in the subtree (the r8 q192/q194 exemption
+# gap: a raw per-row frame that merely JOINS an aggregated side used to
+# bypass the rule because the search matched anywhere in the subtree).
+_PASSTHROUGH_NODES = frozenset(
+    {
+        "Sort", "Exchange", "AQEShuffleRead", "ShuffleQueryStage",
+        "InputAdapter", "Project", "Filter", "ColumnarToRow",
+        "WholeStageCodegen", "CollectMetrics", "Coalesce", "Window",
+        "WindowGroupLimit",  # rank-limit pushdown: cardinality-REDUCING
+    }
+)
+_AGG_NODES = frozenset(
+    {
+        "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+        "TakeOrderedAndProject",
+    }
+)
+_JOIN_NODES = frozenset(
+    {
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    }
+)
+
+
+def _plan_children(lines: list[str], i: int) -> list[list[str]]:
+    """Split the subtree below ``lines[i]`` into direct-child blocks.
+    In Spark tree strings a node's children carry a ``+- `` / ``:- ``
+    marker at exactly the column where the parent's own text begins."""
+    p = re.match(r"[\s:+\-]*", lines[i]).end()
+    idxs = [
+        j
+        for j in range(i + 1, len(lines))
+        if len(lines[j]) > p + 1
+        and lines[j][p] in ":+"
+        and lines[j][p + 1] == "-"
+    ]
+    return [
+        lines[j : (idxs[k + 1] if k + 1 < len(idxs) else len(lines))]
+        for k, j in enumerate(idxs)
+    ]
+
+
+def _window_input_is_aggregate(subtree_lines: list[str]) -> bool:
+    """True when the NEAREST substantive node below a Window is an
+    aggregate (the licensed one-row-per-group offset frame); cardinality-
+    preserving pass-through nodes (Sort/Exchange/Project/Filter/stacked
+    Window/WindowGroupLimit/codegen wrappers) are skipped. The r8
+    q192/q194 exemption gap — an aggregate ANYWHERE in the subtree used
+    to exempt, so raw frames that merely joined an aggregated side passed
+    silently — is closed: at a join the walk recurses into the side(s)
+    that can be large (the streamed side of a broadcast join — the build
+    side is bounded by fitting in a broadcast — or BOTH sides of a
+    shuffle join), requiring each to be aggregate-derived.
+    ReusedExchange/ReusedQueryStage reference a subtree planned elsewhere
+    and cannot be resolved from the plan string — treated as exempt
+    (this is a guardrail, not a proof)."""
+    for i, line in enumerate(subtree_lines):
+        m = re.match(r"[\s:+\-]*(?:\*\(\d+\)\s*)?([A-Za-z]\w*)", line)
+        if not m:
+            continue
+        node = m.group(1)
+        if node in _PASSTHROUGH_NODES:
+            continue
+        if node in _AGG_NODES:
+            return True
+        if node in ("ReusedExchange", "ReusedQueryStage", "ReusedSubquery"):
+            return True
+        if node in _JOIN_NODES:
+            blocks = _plan_children(subtree_lines, i)
+            if len(blocks) != 2:
+                return False
+            if "BuildRight" in line:
+                need = [blocks[0]]
+            elif "BuildLeft" in line:
+                need = [blocks[1]]
+            else:
+                need = blocks
+            return all(_window_input_is_aggregate(b) for b in need)
+        return False
+    return False
+
+
 def unpartitioned_ordered_window_count(df: DataFrame) -> int:
     """WindowExec nodes with an ORDER spec but NO partition spec — the
     single-partition running-window shape. Parses the plan's ``Window
@@ -139,12 +227,7 @@ def constant_partition_window_over_raw_frame_count(df: DataFrame) -> int:
             if len(lines[j]) <= col or prefix.strip(" :") != "":
                 break
             j += 1
-        subtree = "\n".join(lines[i + 1 : j])
-        if not re.search(
-            r"HashAggregate|SortAggregate|ObjectHashAggregate"
-            r"|TakeOrderedAndProject",
-            subtree,
-        ):
+        if not _window_input_is_aggregate(lines[i + 1 : j]):
             bad += 1
     return bad
 
@@ -213,12 +296,7 @@ def low_cardinality_partition_window_count(
             if len(lines[j]) <= col or prefix.strip(" :") != "":
                 break
             j += 1
-        subtree = "\n".join(lines[i + 1 : j])
-        if not re.search(
-            r"HashAggregate|SortAggregate|ObjectHashAggregate"
-            r"|TakeOrderedAndProject",
-            subtree,
-        ):
+        if not _window_input_is_aggregate(lines[i + 1 : j]):
             bad += 1
     return bad
 

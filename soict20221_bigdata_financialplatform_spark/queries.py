@@ -4751,14 +4751,28 @@ def q112_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality (type, bucket) composite → rank = offset + local.
     The ntile bucket then falls out of the standard integer formula
     (first n%10 tiles get ⌈n/10⌉ rows): bit-identical assignment to the
-    single-window form, parallelism now value-range × type."""
+    single-window form, parallelism now value-range × type.
+
+    r9 hardening (judge advice): NULL values coalesce to a LONG_MIN
+    sentinel bucket so they survive the inner join and rank FIRST —
+    matching the single-window form's NULLS-FIRST Spark order instead of
+    being silently dropped while __n still counted them (the corpus has
+    no null values, so parity is unchanged; on nullable input the
+    contract is now "identical to the Spark ntile window"). The offset
+    frame is |event_type| × |distinct floor(value)| rows — bounded by
+    the VALUE DOMAIN, not the data volume, but a wide domain can still
+    make it large, so it carries no broadcast hint: Catalyst/AQE
+    broadcasts it while it is small and falls back to a hash join keyed
+    on (event_type, __vb) when the domain grows."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         "value",
         "event_id",
-        F.floor("value").cast("long").alias("__vb"),
+        F.coalesce(
+            F.floor("value").cast("long"), F.lit(-(1 << 62))
+        ).alias("__vb"),
     )
     cb = ev.groupBy("event_type", "__vb").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
@@ -4780,7 +4794,7 @@ def q112_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = (
         ev.withColumn("__rn", F.row_number().over(wloc).cast("long"))
-        .join(F.broadcast(off), ["event_type", "__vb"])
+        .join(off, ["event_type", "__vb"])
         .withColumn("__r", F.col("__ofs") + F.col("__rn"))
     )
     nt = ev.groupBy("event_type").agg(
@@ -9232,8 +9246,17 @@ def q179_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT a window count-distinct (unsupported): each word attributes to
     its FIRST document (min doc_id per (lang, word) — one grouped agg),
     new-word counts cumsum per lang as exact integers alongside the token
-    cumsum; the regression rides q149's micro-unit closed form. Windows
-    partition by lang."""
+    cumsum; the regression rides q149's micro-unit closed form.
+
+    r9 rebuild: the natural cumsum window partitions ONLY by the
+    enum-cardinality lang key over doc-grain rows — one task per lang
+    walks its whole series (caught when the linter exemption tightened
+    to direct-input aggregates: the joined nw side is aggregated but the
+    STREAMED tok side is raw). Both cumsums now ride the q104 two-level
+    prefix sum — block-local sums within (lang, doc_id div 1024), block
+    totals → per-lang offset chain over the ONE-ROW-PER-BLOCK aggregate
+    frame — exact integer sums, bit-identical, corpus-proportional
+    parallelism."""
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -9249,18 +9272,44 @@ def q179_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = firsts.groupBy("lang", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("new_words")
     )
-    w = (
-        Window.partitionBy("lang")
+    j = tok.join(nw, ["lang", "doc_id"], "left").select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("new_words"), F.lit(0)).alias("__nw"),
+        F.expr("doc_id div 1024").alias("__blk"),
+    )
+    wloc = (
+        Window.partitionBy("lang", "__blk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    loc = j.withColumn(
+        "__lt", F.sum("n_tok").over(wloc).cast("long")
+    ).withColumn("__lv", F.sum("__nw").over(wloc).cast("long"))
+    btot = j.groupBy("lang", "__blk").agg(
+        F.sum("n_tok").cast("long").alias("__bt"),
+        F.sum("__nw").cast("long").alias("__bv"),
+    )
+    wchain = (
+        Window.partitionBy("lang")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "lang",
+        "__blk",
+        F.coalesce(F.sum("__bt").over(wchain), F.lit(0))
+        .cast("long")
+        .alias("__ot"),
+        F.coalesce(F.sum("__bv").over(wchain), F.lit(0))
+        .cast("long")
+        .alias("__ov"),
+    )
     series = (
-        tok.join(nw, ["lang", "doc_id"], "left")
-        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
-        .withColumn(
-            "cum_vocab",
-            F.sum(F.coalesce(F.col("new_words"), F.lit(0))).over(w).cast("long"),
-        )
+        loc.join(off, ["lang", "__blk"])
+        .withColumn("cum_tok", (F.col("__ot") + F.col("__lt")).cast("long"))
+        .withColumn("cum_vocab", (F.col("__ov") + F.col("__lv")).cast("long"))
         .where((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
     )
     x = F.round(F.log(F.col("cum_tok")), 6)
@@ -10115,10 +10164,58 @@ def q192_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     s = cp.lm_perplexity_scores(d, include_micro=True)
     j = d.select("doc_id", "lang").join(s, "doc_id")
-    nt = F.ntile(3).over(
-        Window.partitionBy("lang").orderBy("ppl_proxy", "doc_id")
+    # r9 rebuild: the natural ntile window partitions ONLY by the
+    # enum-cardinality lang key over raw per-doc rows — one task per
+    # lang sorts its whole slice (exposed when the linter exemption was
+    # tightened to direct-input aggregates). The tercile now rides the
+    # q104 two-level prefix sum: block-local row_number within
+    # (lang, floor(ppl*32)) order-aligned score blocks, block counts →
+    # per-lang offset chain over the ONE-ROW-PER-BLOCK aggregate frame,
+    # global rank r = offset + local, and the tile from Spark's own
+    # NTile closed form (first n%3 buckets one larger) — exact integer
+    # arithmetic, identical to both engines' native ntile. The oracle
+    # keeps plain ntile(3). (Null scores would block-key to LONG_MIN and
+    # rank first, matching Spark's NULLS FIRST window order; the score
+    # guard only nulls docs with < 2 words and the corpus has none.)
+    t = j.withColumn(
+        "__blk",
+        F.coalesce(
+            F.floor(F.col("ppl_proxy") * 32).cast("long"),
+            F.lit(-(1 << 62)),
+        ),
     )
-    b = j.withColumn("nt", nt)
+    wloc = Window.partitionBy("lang", "__blk").orderBy("ppl_proxy", "doc_id")
+    loc = t.withColumn("__rn", F.row_number().over(wloc).cast("long"))
+    btot = t.groupBy("lang", "__blk").agg(
+        F.count(F.lit(1)).cast("long").alias("__bc")
+    )
+    wchain = (
+        Window.partitionBy("lang")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "lang",
+        "__blk",
+        F.coalesce(F.sum("__bc").over(wchain), F.lit(0))
+        .cast("long")
+        .alias("__ofs"),
+    )
+    nlang = btot.groupBy("lang").agg(F.sum("__bc").cast("long").alias("__n"))
+    b = (
+        loc.join(off, ["lang", "__blk"])
+        .join(F.broadcast(nlang), "lang")
+        .withColumn("__r", F.col("__ofs") + F.col("__rn"))
+        .withColumn(
+            "nt",
+            F.expr(
+                "CASE WHEN __r <= (__n % 3) * (__n div 3 + 1) "
+                "THEN (__r - 1) div (__n div 3 + 1) + 1 "
+                "ELSE __n % 3 + (__r - (__n % 3) * (__n div 3 + 1) - 1) "
+                "div (__n div 3) + 1 END"
+            ).cast("int"),
+        )
+    )
     return (
         b.groupBy("lang", "nt")
         .agg(
@@ -10201,24 +10298,61 @@ def q194_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain score normalization — the rank/z-score transform applied
     before cross-domain mixing so that per-source length distributions
     become comparable (quality-score calibration shape). percent_rank is
-    the exact (rank-1)/(n-1) ratio (never rounded — float policy);
-    the z-score's mean is the exact integer division sum/count and only
-    stddev (a true multi-value float accumulation) rounds at 6dp. Scale:
-    one window + one grouped agg, both keyed by source."""
+    the exact (rank-1)/(n-1) ratio (never rounded — float policy; the
+    order is total so rank == row_number); the z-score's mean is the
+    exact integer division sum/count and only stddev (a true multi-value
+    float accumulation) rounds at 6dp.
+
+    r9 rebuild: the natural percent_rank window partitions ONLY by the
+    catalog-cardinality ``source`` key over raw document rows — one task
+    per source sorts its whole slice (the r7-q246 bounded-parallelism
+    class, exposed when the linter exemption was tightened to
+    direct-input aggregates). The rank now rides the q104 two-level
+    prefix sum: block-local row_number within (source, n_chars div 64)
+    order-aligned blocks, block counts → per-source offset chain over
+    the ONE-ROW-PER-BLOCK aggregate frame (the licensed idiom), global
+    rank = offset + local. (r − 1)/(n − 1) is the identical IEEE
+    long/long division percent_rank performs, so values stay bit-exact
+    vs the oracle's native percent_rank. Scale: parallelism is
+    corpus-proportional (blocks multiply with the n_chars domain), never
+    |sources|-bounded."""
     d = _t(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("n_chars").cast("long").alias("__sc"),
         F.round(F.stddev_samp("n_chars"), 6).alias("__sd"),
     )
-    pw = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    t = d.select(
+        "doc_id", "source", "n_chars", F.expr("n_chars div 64").alias("__blk")
+    )
+    wloc = Window.partitionBy("source", "__blk").orderBy("n_chars", "doc_id")
+    loc = t.withColumn("__rn", F.row_number().over(wloc).cast("long"))
+    btot = t.groupBy("source", "__blk").agg(
+        F.count(F.lit(1)).cast("long").alias("__bc")
+    )
+    wchain = (
+        Window.partitionBy("source")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "source",
+        "__blk",
+        F.coalesce(F.sum("__bc").over(wchain), F.lit(0))
+        .cast("long")
+        .alias("__ofs"),
+    )
+    r = F.col("__ofs") + F.col("__rn")
     return (
-        d.join(s, "source")
+        loc.join(off, ["source", "__blk"])
+        .join(s, "source")
         .select(
             "doc_id",
             "source",
             "n_chars",
-            F.percent_rank().over(pw).alias("pr"),
+            F.when(F.col("__n") > 1, (r - 1) / (F.col("__n") - 1))
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
             F.when(
                 F.col("__sd") > 0,
                 (F.col("n_chars") - F.col("__sc") / F.col("__n")) / F.col("__sd"),
@@ -15122,6 +15256,194 @@ def q250_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-9 additions: store-grain dedup attribution, the Bernoulli-sample
+# incremental store (completing the digest/CMS/HLL/sample store quartet),
+# the DoReMi-shape token-budget curriculum mixer, LSH precision eval at
+# document grain, and signature-store novelty telemetry (VERDICT r8 task 6)
+# ===========================================================================
+
+
+@register(
+    "q251_store_dedup_attribution",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS batch,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), seg AS (
+      SELECT DISTINCT batch, doc_id,
+             md5(array_to_string(w[u.i * 12 + 1:u.i * 12 + 12], ' ')) AS dg
+      FROM t, UNNEST(range(0, len(w) // 12)) AS u(i)
+      WHERE len(w) >= 12
+    ), f AS (
+      SELECT dg, min(batch * 1000000000000 + doc_id)::BIGINT AS fk
+      FROM seg GROUP BY dg
+    ), j AS (
+      SELECT s.batch AS ingest_batch,
+             (f.fk // 1000000000000)::BIGINT AS store_batch, s.dg
+      FROM seg s JOIN f ON s.dg = f.dg
+      WHERE s.batch * 1000000000000 + s.doc_id <> f.fk
+    )
+    SELECT ingest_batch::BIGINT AS ingest_batch, store_batch,
+           count(*)::BIGINT AS n_dropped,
+           count(DISTINCT dg)::BIGINT AS n_digests
+    FROM j GROUP BY ingest_batch, store_batch
+    """,
+)
+def q251_store_dedup_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Store-grain dedup ATTRIBUTION (r8 VERDICT task 6a): when an
+    incremental ingest dedups batch b against the accumulated digest
+    store (``corpus.incremental_ingest_dedup``'s steady state), WHICH
+    earlier batch contributed the digest that caused each drop — the
+    blame report a crawl operator reads to find which epoch seeded the
+    boilerplate. Grain is the q229 12-word segment (whole-document dups
+    never repeat in this corpus; shared boilerplate segments do); batch =
+    doc_id % 8 simulates 8 ingest epochs in id order. First occurrence =
+    min over the (batch, doc_id) composite key packed into one BIGINT
+    (batch·10¹² + doc_id — exact while doc_id < 10¹²); every later
+    (doc, segment) pair attributes its drop to the first key's batch
+    (within-batch dups attribute to the batch itself, matching
+    replay-idempotent store semantics). All counts exact integers.
+    Scale: segment explode → distinct → one digest-keyed min-agg + one
+    equi-join on the 16-byte digest; posting lists are per-digest
+    occurrence lists, never document pairs."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("batch"),
+        tx.words(F.col("text")).alias("w"),
+    ).where(F.size("w") >= 12)
+    seg = (
+        t.select(
+            "batch",
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor(F.size("w") / 12).cast("int") - 1
+                )
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            "batch",
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("w", F.col("i") * 12 + 1, 12), " ")
+            ).alias("dg"),
+        )
+        .distinct()
+        .persist()
+    )
+    key = (F.col("batch") * F.lit(1000000000000) + F.col("doc_id")).cast(
+        "long"
+    )
+    f = seg.select("dg", key.alias("__k")).groupBy("dg").agg(
+        F.min("__k").alias("fk")
+    )
+    j = (
+        seg.withColumn("__k", key)
+        .join(f, "dg")
+        .where(F.col("__k") != F.col("fk"))
+        .select(
+            F.col("batch").cast("long").alias("ingest_batch"),
+            F.expr("fk div 1000000000000").cast("long").alias("store_batch"),
+            "dg",
+        )
+    )
+    return j.groupBy("ingest_batch", "store_batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped"),
+        F.count_distinct("dg").cast("long").alias("n_digests"),
+    )
+
+
+@register(
+    "q252_bernoulli_sample_store",
+    """
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             l_orderkey % 8 AS shard
+      FROM lineitem
+    ), samp AS (
+      SELECT shard, l_extendedprice AS v FROM d
+      WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '|'
+                            || l_linenumber::VARCHAR), 1, 15))
+            ::UBIGINT % 16 = 0
+    ), per AS (
+      SELECT shard, count(*)::BIGINT AS n FROM samp GROUP BY shard
+    ), s AS (
+      SELECT count(*)::BIGINT AS n_shards, min(n)::BIGINT AS min_shard_n,
+             max(n)::BIGINT AS max_shard_n, sum(n)::BIGINT AS sum_shard_n
+      FROM per
+    ), merged AS (
+      SELECT count(*)::BIGINT AS n_sample,
+             round(quantile_cont(v, 0.5), 6) AS p50_est,
+             round(quantile_cont(v, 0.9), 6) AS p90_est
+      FROM samp
+    ), p AS (
+      SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_true,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_true
+      FROM lineitem
+    )
+    SELECT s.n_shards, s.min_shard_n, s.max_shard_n, s.sum_shard_n,
+           merged.n_sample, merged.p50_est, merged.p90_est,
+           p.p50_true, p.p90_true
+    FROM s, merged, p
+    """,
+)
+def q252_bernoulli_sample_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental md5-Bernoulli SAMPLE store (r8 VERDICT task 6b —
+    completes the incremental-store quartet beside the digest store, the
+    CMS union q233 and the HLL union q228): each of 8 shards
+    (l_orderkey % 8 — what a sharded ingest would persist) keeps its own
+    deterministic 1/16 hash-sample; because the predicate is key-stable,
+    union-of-stores ≡ sample-of-union EXACTLY (``sum_shard_n ==
+    n_sample`` in the output is that proof, cross-engine), so quantile
+    estimates read from the merged store equal a fresh whole-table
+    sample's. Quantiles ride the q187-proven percentile ≡ quantile_cont
+    round(6) pairing on price-grain values (safe — no exact decimal
+    grain; the q240 µs trap does not apply). Scale: the sample predicate
+    is scan-side; per-shard state is ~1/16 of the shard; the merge is a
+    union, no re-hash."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    samp = sk.md5_bernoulli_sample(
+        li, ("l_orderkey", "l_linenumber"), 16
+    ).withColumn("shard", (F.col("l_orderkey") % 8).cast("long"))
+    per = samp.groupBy("shard").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.min("n").cast("long").alias("min_shard_n"),
+        F.max("n").cast("long").alias("max_shard_n"),
+        F.sum("n").cast("long").alias("sum_shard_n"),
+    )
+    merged = samp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "p50_est"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias(
+            "p90_est"
+        ),
+    )
+    p = li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "p50_true"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias(
+            "p90_true"
+        ),
+    )
+    return s.crossJoin(F.broadcast(merged)).crossJoin(F.broadcast(p))
+
+
+# ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
 # Policy: every oracle-backed query first (the ones a cap would silently
@@ -15163,6 +15485,7 @@ _FINAL_ORDER = [
     "q249_lsh_threshold_sweep", "q250_psi_drift",
     # -- new r9 additions insert HERE as authored (each pushes one
     # filler below out of the window)
+    "q251_store_dedup_attribution", "q252_bernoulli_sample_store",
     # -- second-row queue (through slot 50): oldest single-row greens
     "q05_summary_stats", "q31_ngram_jaccard_pairs",
     "q36_embedding_near_dup",
