@@ -144,6 +144,16 @@ HEADLINE = [
     # r8 rebuild without a bench row (r8 VERDICT nit 3): the token-budget
     # mixture's cumsum moved to the distributed prefix sum — measure it
     "q153_token_budget_mixture",
+    # r9 additions: baseline them the round they enter the driver window
+    "q251_store_dedup_attribution",
+    "q252_bernoulli_sample_store",
+    "q253_doremi_curriculum_mixer",
+    "q254_neardup_precision_eval",
+    "q255_minhash_store_novelty",
+    # r9 rebuilds (tightened enum-window linter): re-baseline
+    "q179_heaps_fit",
+    "q192_ccnet_buckets",
+    "q194_quantile_normalize",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -15443,6 +15443,384 @@ def q252_bernoulli_sample_store(
     return s.crossJoin(F.broadcast(merged)).crossJoin(F.broadcast(p))
 
 
+@register(
+    "q253_doremi_curriculum_mixer",
+    "WITH" + _PPLX_CTES + """,
+    tokc AS (
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+             sum(len(regexp_split_to_array(trim(d.text), '\\s+')))::BIGINT
+               AS n_tokens,
+             sum(ppl.sm)::BIGINT AS sm,
+             sum(d.n_chars)::BIGINT AS nc
+      FROM ppl JOIN documents d ON ppl.doc_id = d.doc_id
+      GROUP BY d.source
+    ), bq AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor((((-(sm) / 1000000.0) / 0.6931471805599453) / nc)
+                        * 1000000.0 + 0.5) AS BIGINT) AS bpbq
+      FROM tokc
+    ), mn AS (SELECT min(bpbq)::BIGINT AS mb FROM bq),
+    wq AS (
+      SELECT source, n_docs, n_tokens, bpbq,
+             (bpbq - mn.mb + 1000000)::BIGINT AS w
+      FROM bq, mn
+    ),
+    tot AS (SELECT sum(w)::BIGINT AS sw, sum(n_tokens)::BIGINT AS st FROM wq)
+    SELECT source, n_docs, n_tokens,
+           bpbq / 1000000.0 AS bits_per_byte,
+           w AS weight_micro,
+           w / tot.sw AS weight_share,
+           ((tot.st // 4) * w) // tot.sw AS alloc_tokens
+    FROM wq, tot
+    """,
+)
+def q253_doremi_curriculum_mixer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget curriculum mixer, DoReMi-shape (r8 VERDICT task 6c;
+    Xie et al. 2023 upweight hard domains by excess loss — this is the
+    static single-pass proxy): per-source bits-per-byte under the q128
+    bigram LM (the q226 metric, quantized HALF-UP to BIGINT micro-bits
+    at the final double — both engines floor the identical IEEE chain),
+    domain weight = micro-BPB excess over the easiest domain + 1
+    (integer — the hardest-to-model domains get the most budget), and
+    each domain's allocation of a 25 %-of-corpus token budget by exact
+    integer proration ``(B·w) div Σw``. weight_share and bits_per_byte
+    are single divisions of exact integers (never rounded — float
+    policy). Overflow budget: B·w < 2^63 needs B < 9·10¹²/|w|; with
+    micro-unit weights ≤ ~10⁷ that holds to ~10¹¹-token corpora — at
+    100 TB divide B to mega-token units first (the q145 asymmetric-
+    overflow lesson). Scale: the LM train is q128's plan unchanged; the
+    mixer adds one source-keyed agg + two one-row broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    s = cp.lm_perplexity_scores(d, include_micro=True)
+    j = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        tx.token_count("text").cast("long").alias("__nt"),
+    ).join(s, "doc_id")
+    tokc = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.sum("logprob_micro").cast("long").alias("__sm"),
+        F.sum("n_chars").cast("long").alias("__nc"),
+    )
+    bpb = (
+        (-F.col("__sm") / F.lit(1000000.0)) / F.lit(0.6931471805599453)
+    ) / F.col("__nc")
+    bq = tokc.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(bpb * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("bpbq"),
+    )
+    mn = bq.agg(F.min("bpbq").cast("long").alias("__mb"))
+    wq = bq.crossJoin(F.broadcast(mn)).withColumn(
+        "w", (F.col("bpbq") - F.col("__mb") + F.lit(1000000)).cast("long")
+    )
+    tot = wq.agg(
+        F.sum("w").cast("long").alias("__sw"),
+        F.sum("n_tokens").cast("long").alias("__st"),
+    )
+    return wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("bpbq") / F.lit(1000000.0)).alias("bits_per_byte"),
+        F.col("w").alias("weight_micro"),
+        (F.col("w") / F.col("__sw")).alias("weight_share"),
+        F.expr("((__st div 4) * w) div __sw").cast("long").alias(
+            "alloc_tokens"
+        ),
+    )
+
+
+def _minhash_md5_banded_ctes(num_hashes: int = 32, bands: int = 8) -> str:
+    """Generated DuckDB CTE prefix ending in ``banded`` — the q57 md5
+    minhash family (lexicographic min over index-prefixed md5 hex,
+    identical in both engines), carrying shingle sets, signature arrays,
+    and per-band keys k0..k{bands-1}. Regex backslashes are written
+    ``\\s`` in this f-string so the rendered SQL carries a single
+    backslash (the r7 q230 lesson)."""
+    r = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}' || '|' || s)))"
+        for i in range(num_hashes)
+    )
+    band_items = ",\n             ".join(
+        "md5("
+        + " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r))
+        + f") AS k{b}"
+        for b in range(bands)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), shing AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id, sh, [{sig_items}] AS sig FROM shing
+    ), banded AS (
+      SELECT doc_id, sh, sig,
+             {band_items}
+      FROM sigs
+    )"""
+
+
+def _minhash_md5_cand_ctes(num_hashes: int = 32, bands: int = 8) -> str:
+    """``_minhash_md5_banded_ctes`` + the candidate-pair CTE (pairs
+    sharing ANY band key; the Spark twin uses the posexplode equi-join
+    per invariant 13 — values identical)."""
+    or_cond = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
+    return _minhash_md5_banded_ctes(num_hashes, bands) + f""", cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id AND ({or_cond})
+    )"""
+
+
+@register(
+    "q254_neardup_precision_eval",
+    "WITH" + _minhash_md5_cand_ctes() + """,
+    m AS (
+      SELECT id_a, id_b,
+             len(list_filter(range(1, 33),
+                             i -> sig_a[i] = sig_b[i]))::BIGINT AS n_match,
+             len(list_intersect(sh_a, sh_b))::BIGINT AS inter,
+             len(sh_a)::BIGINT AS sa, len(sh_b)::BIGINT AS sb
+      FROM cand
+    ), e AS (
+      SELECT least(n_match // 8, 3)::BIGINT AS est_bucket,
+             n_match / 32.0 AS est_j,
+             inter / (sa + sb - inter) AS ex_j
+      FROM m
+    )
+    SELECT est_bucket, count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN ex_j >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_true,
+           sum(CASE WHEN ex_j >= 0.5 THEN 1 ELSE 0 END) / count(*)
+             AS prec_05,
+           sum(CAST(floor(abs(est_j - ex_j) * 1000000.0 + 0.5) AS BIGINT))
+             ::BIGINT AS mae_micro_sum,
+           sum(CAST(floor(abs(est_j - ex_j) * 1000000.0 + 0.5) AS BIGINT))
+             / (1000000.0 * count(*)) AS mae
+    FROM e GROUP BY est_bucket
+    """,
+)
+def q254_neardup_precision_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH candidate-quality eval at DOCUMENT grain (r8 VERDICT task 6d
+    — the near-dup sibling of the ANN eval suite q209/q242/q249): every
+    md5-minhash LSH candidate pair (the q57 family, NO Jaccard filter)
+    compared against its EXACT shingle Jaccard, reported per estimated-
+    similarity quartile (signature agreement n_match/32): how many
+    candidates the bucket produced, how many are true ≥0.5 near-dups
+    (precision of the candidate stage), and the mean |estimate − exact|
+    calibration error. est_j = n_match/32 is an EXACT binary division;
+    ex_j is the single per-row division (never rounded); the MAE sums
+    per-pair half-up micro-unit quantizations of the identical IEEE
+    |est−exact| — exact BIGINT accumulation, one final division (the
+    q126 machinery). Scale: candidates via posexplode → (band, key)
+    EQUI-join → distinct (invariant 13 — the oracle keeps the OR form,
+    values identical); signature compare is a 32-element zip per
+    candidate, never per corpus pair."""
+    npart = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").repartition(npart, "doc_id")
+    sh = d.select(
+        "doc_id", dd.word_shingles("text", 3).alias("sh")
+    ).persist()
+
+    def _fam(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform("sh", _fam(i))) for i in range(32)]
+    )
+    sigs = sh.select("doc_id", "sh", sig.alias("sig")).persist()
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col("sig")[b * 4 + j] for j in range(4)])
+            )
+            for b in range(8)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    pr = cand.join(
+        sigs.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "id_a",
+    ).join(
+        sigs.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "id_b",
+    )
+    m = pr.select(
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+        .cast("long")
+        .alias("n_match"),
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+        F.size("sh_a").cast("long").alias("sa"),
+        F.size("sh_b").cast("long").alias("sb"),
+    )
+    e = m.select(
+        F.least(F.expr("n_match div 8"), F.lit(3)).cast("long").alias(
+            "est_bucket"
+        ),
+        (F.col("n_match") / F.lit(32.0)).alias("est_j"),
+        (F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))).alias(
+            "ex_j"
+        ),
+    )
+    errq = F.floor(
+        F.abs(F.col("est_j") - F.col("ex_j")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        e.groupBy("est_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("ex_j") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            F.sum(errq).cast("long").alias("mae_micro_sum"),
+        )
+        .select(
+            "est_bucket",
+            "n_pairs",
+            "n_true",
+            (F.col("n_true") / F.col("n_pairs")).alias("prec_05"),
+            "mae_micro_sum",
+            (F.col("mae_micro_sum") / (F.lit(1000000.0) * F.col("n_pairs")))
+            .alias("mae"),
+        )
+    )
+
+
+@register(
+    "q255_minhash_store_novelty",
+    "WITH" + _minhash_md5_banded_ctes() + """,
+    lg AS (
+      SELECT doc_id, doc_id % 4 AS epoch,
+             unnest(["""
+    + ", ".join(f"'{b}|' || k{b}" for b in range(8))
+    + """]) AS bk
+      FROM banded
+    ), hit AS (
+      SELECT DISTINCT b.doc_id, b.epoch
+      FROM lg a JOIN lg b ON a.bk = b.bk AND a.epoch < b.epoch
+    ), per AS (
+      SELECT doc_id % 4 AS epoch, count(*)::BIGINT AS n_docs
+      FROM documents GROUP BY 1
+    ), h AS (
+      SELECT epoch, count(*)::BIGINT AS n_collided FROM hit GROUP BY epoch
+    )
+    SELECT per.epoch::BIGINT AS epoch, per.n_docs,
+           coalesce(h.n_collided, 0)::BIGINT AS n_collided,
+           (per.n_docs - coalesce(h.n_collided, 0)) / per.n_docs AS novelty
+    FROM per LEFT JOIN h ON per.epoch = h.epoch
+    """,
+)
+def q255_minhash_store_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signature-STORE novelty telemetry: an incremental minhash store
+    keeps each epoch's (band, key) rows (doc_id % 4 simulates 4 ingest
+    epochs); a new epoch's novelty = the fraction of its docs with NO
+    band collision against the union of all PRIOR epochs' stores — the
+    per-epoch "how much of this crawl is new" line a dataset build
+    monitors before spending exact-Jaccard verification budget (the
+    store-side sibling of q230's hot-band report). Collisions ride the
+    (band|key) EQUI-join on the stored band rows with an epoch-order
+    predicate; counts exact integers, novelty one division. Scale:
+    per-epoch store is |docs|·bands rows of 16-byte keys; the join is
+    hash-partitionable on the band key (hot-band caps per q230 apply)."""
+    npart = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").repartition(npart, "doc_id")
+    sh = d.select("doc_id", dd.word_shingles("text", 3).alias("sh"))
+
+    def _fam(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform("sh", _fam(i))) for i in range(32)]
+    )
+    sigs = sh.select("doc_id", sig.alias("sig"))
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col("sig")[b * 4 + j] for j in range(4)])
+            )
+            for b in range(8)
+        ]
+    )
+    lg = sigs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("epoch"),
+        F.posexplode(band_arr).alias("band", "key"),
+    ).select(
+        "doc_id",
+        "epoch",
+        F.concat(F.col("band").cast("string"), F.lit("|"), F.col("key")).alias(
+            "bk"
+        ),
+    ).persist()
+    a = lg.select("bk", F.col("epoch").alias("__ea"))
+    b = lg.select("bk", "epoch", "doc_id")
+    hit = (
+        a.join(b, "bk")
+        .where(F.col("__ea") < F.col("epoch"))
+        .select("doc_id", "epoch")
+        .distinct()
+    )
+    h = hit.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_collided")
+    )
+    per = d.groupBy((F.col("doc_id") % 4).alias("epoch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        per.join(h, "epoch", "left")
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "n_docs",
+            F.coalesce(F.col("n_collided"), F.lit(0))
+            .cast("long")
+            .alias("n_collided"),
+            (
+                (F.col("n_docs") - F.coalesce(F.col("n_collided"), F.lit(0)))
+                / F.col("n_docs")
+            ).alias("novelty"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -15486,6 +15864,8 @@ _FINAL_ORDER = [
     # -- new r9 additions insert HERE as authored (each pushes one
     # filler below out of the window)
     "q251_store_dedup_attribution", "q252_bernoulli_sample_store",
+    "q253_doremi_curriculum_mixer", "q254_neardup_precision_eval",
+    "q255_minhash_store_novelty",
     # -- second-row queue (through slot 50): oldest single-row greens
     "q05_summary_stats", "q31_ngram_jaccard_pairs",
     "q36_embedding_near_dup",
@@ -15494,10 +15874,13 @@ _FINAL_ORDER = [
     "q46_range_join", "q47_union_all", "q48_corpus_survivors",
     "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",
     "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
-    "q60_corpus_clean_exact", "q63_semantic_neighbors",
+    "q60_corpus_clean_exact",
+    # ========== 50-slot driver window ends here ==========
+    # -- continuation of the second-row queue (first in line for the
+    # r10 window after any r10 additions)
+    "q63_semantic_neighbors",
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue",
-    # ========== 50-slot driver window ends here ==========
     # -- r7 window drops behind (driver-green r7 + r8)
     "q216_vocab_coverage_curve", "q217_js_divergence",
     "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
