@@ -154,6 +154,14 @@ HEADLINE = [
     "q179_heaps_fit",
     "q192_ccnet_buckets",
     "q194_quantile_normalize",
+    # r10 backlog authored r9: baseline on entry so the r10 window
+    # promotion ships with a perf history
+    "q256_kmv_distinct",
+    "q257_flesch_readability",
+    "q258_parkinson_volatility",
+    "q259_kyle_lambda",
+    "q260_drawdown_duration",
+    "q261_charclass_drift",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

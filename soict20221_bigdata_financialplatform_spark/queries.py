@@ -15822,6 +15822,957 @@ def q255_minhash_store_novelty(
 
 
 # ===========================================================================
+# Round-10 backlog (authored r9, after the r9 window was finalized):
+# KMV distinct sketch, Flesch readability, Parkinson volatility, Kyle
+# lambda, drawdown duration / Ulcer index, char-class drift. Parity-green
+# locally; first in line for the r10 driver window.
+# ===========================================================================
+
+
+@register(
+    "q256_kmv_distinct",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), dh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(word), 1, 15))::UBIGINT::BIGINT AS hv
+      FROM tok WHERE word <> ''
+    ), store AS (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM dh
+      ) WHERE rn <= 64
+    ), merged AS (
+      SELECT hv FROM (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT hv FROM store)
+      ) WHERE rn <= 64
+    ), kth AS (
+      SELECT max(hv)::BIGINT AS kv, count(*)::BIGINT AS m FROM merged
+    ),
+    tv AS (
+      SELECT count(DISTINCT word)::BIGINT AS true_distinct
+      FROM tok WHERE word <> ''
+    ),
+    ns AS (SELECT count(DISTINCT source)::BIGINT AS n_stores FROM dh)
+    SELECT ns.n_stores, 64::BIGINT AS k, kth.kv AS kth_hv,
+           tv.true_distinct,
+           CASE WHEN kth.m < 64 THEN CAST(kth.m AS DOUBLE)
+                ELSE 63.0 / (kth.kv / 1152921504606846976.0) END AS kmv_est
+    FROM ns, kth, tv
+    """,
+)
+def q256_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch with per-source
+    STORES and a merge — the FIFTH fully-oracled sketch (after CMS q134,
+    HLL q186, sampled quantiles q187, Bloom q247), and the classical
+    Θ-sketch ancestor (Bar-Yossef et al. 2002): each source keeps its 64
+    smallest 60-bit word hashes (the q186 md5→UBIGINT pairing, Spark
+    ``conv(substr(md5,...),16,10)`` ≡ DuckDB ``('0x'||...)::UBIGINT``);
+    the global k smallest of the UNION of stores equal the k smallest of
+    the whole corpus (global minima are a subset of per-store minima —
+    the mergeability proof), and the estimate (k−1)/x₍k₎ divides by the
+    EXACTLY-representable normalization kv/2⁶⁰ (power-of-two division,
+    then one more division — both single IEEE ops, never rounded).
+    When the merged store holds fewer than k values it IS the distinct
+    set, so the estimate switches to the exact count (the standard KMV
+    small-cardinality branch).
+    Scale: per-store state is 64 BIGINTs regardless of source size; the
+    per-source top-k plans WindowGroupLimit (partial top-k before the
+    shuffle), so no task sorts a full vocabulary slice."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(
+        "source", F.explode(tx.words("text")).alias("word")
+    ).where(F.col("word") != "").persist()
+    dh = tok.select(
+        "source",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    wsrc = Window.partitionBy("source").orderBy("hv")
+    store = (
+        dh.withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") <= 64)
+        .select("source", "hv")
+    )
+    # merged top-k rides a 1-partition sort of ≤ 64·|sources| rows
+    wall = Window.partitionBy(F.pmod(F.col("hv"), F.lit(1))).orderBy("hv")
+    merged = (
+        store.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wall))
+        .where(F.col("rn") <= 64)
+    )
+    kth = merged.agg(
+        F.max("hv").cast("long").alias("kv"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    tv = tok.agg(F.count_distinct("word").cast("long").alias("true_distinct"))
+    ns = dh.agg(F.count_distinct("source").cast("long").alias("n_stores"))
+    return (
+        ns.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "n_stores",
+            F.lit(64).cast("long").alias("k"),
+            F.col("kv").alias("kth_hv"),
+            "true_distinct",
+            # m < k ⇒ the sketch holds the ENTIRE distinct set — exact
+            F.when(F.col("m") < 64, F.col("m").cast("double"))
+            .otherwise(
+                F.lit(63.0)
+                / (F.col("kv") / F.lit(1152921504606846976.0))
+            )
+            .alias("kmv_est"),
+        )
+    )
+
+
+@register(
+    "q257_flesch_readability",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+               AS sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+               AS sylls
+      FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(words)::BIGINT AS words,
+           sum(sents)::BIGINT AS sentences,
+           sum(sylls)::BIGINT AS syllables,
+           206.835 - 1.015 * (sum(words) / sum(sents))
+                   - 84.6 * (sum(sylls) / sum(words)) AS flesch
+    FROM d GROUP BY source
+    """,
+)
+def q257_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (Flesch 1948; the readability
+    signal quality-filter stacks report beside Gopher rules q65):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    syllables approximated by vowel-group runs ``[aeiouy]+`` and
+    sentences by terminal-punctuation runs (both deterministic regex
+    counts — identical in both engines, unlike dictionary syllabifiers).
+    All inputs are exact integer sums; the score is a fixed IEEE chain
+    of two exact-integer divisions and literal coefficients — bit-exact
+    with no rounding (the PMI-family argument). Scale: one projection +
+    one source-keyed agg, map-side combined."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = d.select(
+        "source",
+        tx.token_count("text").cast("long").alias("__w"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        )
+        .cast("long")
+        .alias("__s"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long")
+        .alias("__y"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("words"),
+            F.sum("__s").cast("long").alias("sentences"),
+            F.sum("__y").cast("long").alias("syllables"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "words",
+            "sentences",
+            "syllables",
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("words") / F.col("sentences"))
+                - F.lit(84.6) * (F.col("syllables") / F.col("words"))
+            ).alias("flesch"),
+        )
+    )
+
+
+@register(
+    "q258_parkinson_volatility",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             max(value) AS hi, min(value) AS lo
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id,
+             CAST(floor(round(ln(hi / lo), 6) * round(ln(hi / lo), 6)
+                        * 1000000.0 + 0.5) AS BIGINT) AS rq
+      FROM d WHERE lo > 0
+    )
+    SELECT user_id, count(*)::BIGINT AS n_days,
+           sum(rq)::BIGINT / (2.772588722239781e6 * count(*))
+             AS parkinson_var
+    FROM r GROUP BY user_id
+    """,
+)
+def q258_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson range-based volatility per user (Parkinson 1980):
+    σ² = mean(ln(hi/lo)²) / (4 ln 2) over daily high/low extremes — the
+    estimator that extracts ~5× more information per day than
+    close-to-close returns, the realized-vol sibling of q206. Daily
+    hi/lo are exact (max/min of raw doubles, no accumulation); each
+    ln(hi/lo) rounds at the transcendental (6dp, both engines), the
+    square is the identical product of that rounded double, HALF-UP
+    micro-quantized to BIGINT and integer-summed (exact,
+    order-independent); the 4·ln2·10⁶ denominator ships as ONE
+    pre-folded double literal (runtime ln(2) is libm-dependent, and
+    chained decimal literals run in DuckDB DECIMAL arithmetic).
+    Overflow budget: ln(490/0.01)² ≈ 117 → ≤1.2·10⁸
+    µ-units/day, ~10¹¹ per 1000-day user — 7 orders under 2⁶³. Scale:
+    one (user, day) agg + one user-keyed agg, both map-side combined;
+    no windows at all."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    d = ev.groupBy("user_id", day.alias("day")).agg(
+        F.max("value").alias("hi"), F.min("value").alias("lo")
+    )
+    r6 = F.round(F.log(F.col("hi") / F.col("lo")), 6)
+    rq = F.floor(r6 * r6 * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    r = d.where(F.col("lo") > 0).select("user_id", rq.alias("rq"))
+    # 2.772588722239781e6 == fold(4.0 * ln2_literal * 1e6); a SINGLE
+    # double literal both sides — chained DECIMAL literals in DuckDB
+    # (4.0 * 0.6931...) run in decimal arithmetic and split the last ulp.
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum("rq").cast("long")
+            / (F.lit(2772588.722239781) * F.count(F.lit(1)))
+        ).alias("parkinson_var"),
+    )
+
+
+@register(
+    "q259_kyle_lambda",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CASE event_type WHEN 'purchase' THEN 1
+                             WHEN 'view' THEN -1 ELSE 0 END AS sgn,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), d AS (
+      SELECT user_id, day, sum(sgn)::BIGINT AS x,
+             sum(sgn * vq)::BIGINT AS y
+      FROM e GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, n AS n_days, sx AS net_flow, sy AS net_value_cents,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+             AS lambda_cents
+    FROM s
+    """,
+)
+def q259_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle-lambda-shape price-impact regression per user (Kyle 1985's
+    λ, as the micro-unit OLS this event stream supports): daily signed
+    value flow y (purchase − view, half-up CENT-quantized per event so
+    the daily sums are exact BIGINTs) regressed on daily net order flow
+    x (signed event count); λ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — the
+    q179 integer closed form, one final division, NULL when a user's
+    flow never varies (ANSI-guarded). Overflow budget: |y| ≤ 5·10⁴
+    cents/event · events/day; x·y ≤ ~10¹⁰/day and n·Σxy ≤ ~10¹⁴ at
+    sf0.1 — 4 orders under 2⁶³ (dollar-quantize beyond ~10⁶ events/user
+    — the q145 lesson). Scale: two grouped aggs, map-side combined, no
+    windows; the regression state is 5 BIGINTs per user."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    sgn = F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+    vq = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = (
+        ev.select(
+            "user_id", day.alias("day"), sgn.alias("sgn"), vq.alias("vq")
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("sgn").cast("long").alias("x"),
+            F.sum(F.col("sgn") * F.col("vq")).cast("long").alias("y"),
+        )
+    )
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_days"),
+        F.col("sx").alias("net_flow"),
+        F.col("sy").alias("net_value_cents"),
+        F.when(
+            den != 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+        ).alias("lambda_cents"),
+    )
+
+
+@register(
+    "q260_drawdown_duration",
+    """
+    WITH c AS (
+      SELECT user_id, day, value AS close FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), p AS (
+      SELECT user_id, day, close,
+             max(close) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS peak,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM c
+    ), dd AS (
+      SELECT user_id, rn, (close - peak) / peak AS ddf, close < peak AS uw
+      FROM p
+    ), isl AS (
+      SELECT user_id,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS g
+      FROM dd WHERE uw
+    ), runs AS (
+      SELECT user_id, count(*)::BIGINT AS len FROM isl GROUP BY user_id, g
+    ), mx AS (
+      SELECT user_id, max(len)::BIGINT AS max_underwater_days
+      FROM runs GROUP BY user_id
+    ), agg AS (
+      SELECT user_id, count(*)::BIGINT AS n_days, min(ddf) AS max_drawdown,
+             sqrt(sum(CAST(floor(ddf * ddf * 1000000.0 + 0.5) AS BIGINT))
+                  / (1000000.0 * count(*))) AS ulcer
+      FROM dd GROUP BY user_id
+    )
+    SELECT agg.user_id, agg.n_days, agg.max_drawdown,
+           coalesce(mx.max_underwater_days, 0)::BIGINT
+             AS max_underwater_days,
+           agg.ulcer
+    FROM agg LEFT JOIN mx USING (user_id)
+    """,
+)
+def q260_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown DURATION + Ulcer index per user — the time dimension
+    q108's max-drawdown/Sharpe report lacks (how LONG underwater, and
+    Martin & McCann's 1989 Ulcer index = rms drawdown): daily close =
+    value at the latest (ts, event_id) (Spark ``max_by`` over a struct
+    key; the oracle picks the same row via a DESC row_number — DuckDB's
+    arg_max rejects struct ordering keys), running peak via a
+    user-keyed prefix-max window (user_id is data-cardinality, no
+    enum-window rebuild needed), drawdown the single per-row division,
+    longest underwater run via gaps-and-islands on the day rank, and
+    the Ulcer rms from HALF-UP micro-quantized dd² integer sums under
+    an IEEE-exact sqrt. Scale: (user, day) agg → per-user windows over
+    day-grain rows → two user-keyed aggs; everything user-partitioned."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    c = ev.groupBy("user_id", day.alias("day")).agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("close")
+    )
+    wpk = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wrn = Window.partitionBy("user_id").orderBy("day")
+    p = c.select(
+        "user_id",
+        "close",
+        F.max("close").over(wpk).alias("peak"),
+        F.row_number().over(wrn).alias("rn"),
+    )
+    dd = p.select(
+        "user_id",
+        "rn",
+        ((F.col("close") - F.col("peak")) / F.col("peak")).alias("ddf"),
+        (F.col("close") < F.col("peak")).alias("uw"),
+    )
+    wuw = Window.partitionBy("user_id").orderBy("rn")
+    isl = dd.where("uw").select(
+        "user_id", (F.col("rn") - F.row_number().over(wuw)).alias("g")
+    )
+    mx = (
+        isl.groupBy("user_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").cast("long").alias("max_underwater_days"))
+    )
+    uq = F.floor(
+        F.col("ddf") * F.col("ddf") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    agg = dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.min("ddf").alias("max_drawdown"),
+        F.sqrt(
+            F.sum(uq) / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("ulcer"),
+    )
+    return agg.join(mx, "user_id", "left").select(
+        "user_id",
+        "n_days",
+        "max_drawdown",
+        F.coalesce(F.col("max_underwater_days"), F.lit(0))
+        .cast("long")
+        .alias("max_underwater_days"),
+        "ulcer",
+    )
+
+
+@register(
+    "q261_charclass_drift",
+    """
+    WITH c AS (
+      SELECT source,
+             sum(length(text))::BIGINT AS n,
+             sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))::BIGINT
+               AS a,
+             sum(length(regexp_replace(text, '[^0-9]', '', 'g')))::BIGINT
+               AS dg,
+             sum(length(regexp_replace(text, '[^ ]', '', 'g')))::BIGINT
+               AS sp
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n)::BIGINT AS n, sum(a)::BIGINT AS a,
+             sum(dg)::BIGINT AS dg, sum(sp)::BIGINT AS sp
+      FROM c
+    )
+    SELECT c.source, c.n AS n_chars,
+           c.a / c.n AS alpha_share,
+           c.dg / c.n AS digit_share,
+           c.sp / c.n AS space_share,
+           (c.n - c.a - c.dg - c.sp) / c.n AS other_share,
+           abs(c.a / c.n - tot.a / tot.n)
+             + abs(c.dg / c.n - tot.dg / tot.n)
+             + abs(c.sp / c.n - tot.sp / tot.n)
+             + abs((c.n - c.a - c.dg - c.sp) / c.n
+                   - (tot.n - tot.a - tot.dg - tot.sp) / tot.n) AS l1_drift
+    FROM c, tot
+    """,
+)
+def q261_charclass_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile drift per source: each domain's
+    alpha/digit/space/other byte-share vs the corpus baseline, and the
+    L1 distance between the two profiles — the cheapest encoding-junk /
+    scraped-table / base64-blob detector a crawl triage runs before any
+    tokenization (the byte-level sibling of q238's unigram KL). Counts
+    are exact integer sums of regex-stripped lengths (regexp_replace is
+    global in both engines); every share is a single exact-integer
+    division and the L1 is a FIXED four-term chain of |single-op|
+    differences — identical expression tree, no rounding anywhere.
+    Scale: one projection + one source-keyed agg + a one-row broadcast
+    baseline."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    c = d.groupBy("source").agg(
+        F.sum(F.length("text")).cast("long").alias("n"),
+        F.sum(F.length(F.regexp_replace("text", "[^A-Za-z]", "")))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.length(F.regexp_replace("text", "[^0-9]", "")))
+        .cast("long")
+        .alias("dg"),
+        F.sum(F.length(F.regexp_replace("text", "[^ ]", "")))
+        .cast("long")
+        .alias("sp"),
+    )
+    tot = c.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("dg").cast("long").alias("tdg"),
+        F.sum("sp").cast("long").alias("tsp"),
+    )
+    oth = (F.col("n") - F.col("a") - F.col("dg") - F.col("sp")) / F.col("n")
+    toth = (
+        F.col("tn") - F.col("ta") - F.col("tdg") - F.col("tsp")
+    ) / F.col("tn")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").alias("n_chars"),
+        (F.col("a") / F.col("n")).alias("alpha_share"),
+        (F.col("dg") / F.col("n")).alias("digit_share"),
+        (F.col("sp") / F.col("n")).alias("space_share"),
+        oth.alias("other_share"),
+        (
+            F.abs(F.col("a") / F.col("n") - F.col("ta") / F.col("tn"))
+            + F.abs(F.col("dg") / F.col("n") - F.col("tdg") / F.col("tn"))
+            + F.abs(F.col("sp") / F.col("n") - F.col("tsp") / F.col("tn"))
+            + F.abs(oth - toth)
+        ).alias("l1_drift"),
+    )
+
+
+@register(
+    "q262_garman_klass",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             value,
+             row_number() OVER (
+               PARTITION BY user_id,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               ORDER BY ts, event_id) AS rno,
+             row_number() OVER (
+               PARTITION BY user_id,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rnc
+      FROM events
+    ), d AS (
+      SELECT user_id, day, max(value) AS hi, min(value) AS lo,
+             max(CASE WHEN rno = 1 THEN value END) AS op,
+             max(CASE WHEN rnc = 1 THEN value END) AS cl
+      FROM b GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id,
+             CAST(floor((0.5 * round(ln(hi / lo), 6) * round(ln(hi / lo), 6)
+                   - 0.3862943611198906 * round(ln(cl / op), 6)
+                     * round(ln(cl / op), 6)) * 1e6 + 0.5) AS BIGINT) AS gq,
+             CAST(floor((round(ln(hi / op), 6)
+                     * (round(ln(hi / op), 6) - round(ln(cl / op), 6))
+                   + round(ln(lo / op), 6)
+                     * (round(ln(lo / op), 6) - round(ln(cl / op), 6)))
+                   * 1e6 + 0.5) AS BIGINT) AS rq
+      FROM d WHERE lo > 0
+    )
+    SELECT user_id, count(*)::BIGINT AS n_days,
+           sum(gq)::BIGINT / (1.0e6 * count(*)) AS gk_var,
+           sum(rq)::BIGINT / (1.0e6 * count(*)) AS rs_var
+    FROM t GROUP BY user_id
+    """,
+)
+def q262_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass AND Rogers-Satchell range volatility per user from
+    daily OHLC — the drift-robust siblings of Parkinson q258 (GK 1980:
+    0.5·ln(H/L)² − (2ln2−1)·ln(C/O)²; RS 1991: ln(H/O)(ln(H/O)−ln(C/O))
+    + ln(L/O)(ln(L/O)−ln(C/O)), valid under nonzero drift). OHLC comes
+    from ONE (user, day) agg — hi/lo as plain extremes, open/close via
+    ``min_by``/``max_by`` over the (ts, event_id) struct (the oracle
+    picks the same rows with two row_numbers — DuckDB arg_min/arg_max
+    reject struct keys, the q260 note). Every ln rounds 6dp at the
+    transcendental; each day's term is a FIXED IEEE chain on those
+    rounded doubles (2ln2−1 ships pre-folded — chained decimal literals
+    run in DuckDB DECIMAL arithmetic, the q258 lesson), HALF-UP
+    micro-quantized and INTEGER-summed. Overflow: |term| ≤ 117 →
+    ≤1.2·10⁸ µ-units/day, 7 orders under 2⁶³ at any day count. Scale:
+    one (user, day) agg + one user agg, both map-side combined; the
+    intra-day row_number pair lives in the oracle only — Spark's
+    min_by/max_by never materializes a window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    key = F.struct("ts", "event_id")
+    d = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(
+            F.max("value").alias("hi"),
+            F.min("value").alias("lo"),
+            F.min_by("value", key).alias("op"),
+            F.max_by("value", key).alias("cl"),
+        )
+        .where(F.col("lo") > 0)
+    )
+    u = F.round(F.log(F.col("hi") / F.col("lo")), 6)
+    c = F.round(F.log(F.col("cl") / F.col("op")), 6)
+    uh = F.round(F.log(F.col("hi") / F.col("op")), 6)
+    ul = F.round(F.log(F.col("lo") / F.col("op")), 6)
+    gk = F.lit(0.5) * u * u - F.lit(0.3862943611198906) * c * c
+    rs = uh * (uh - c) + ul * (ul - c)
+    t = d.select(
+        "user_id",
+        F.floor(gk * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("gq"),
+        F.floor(rs * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("rq"),
+    )
+    n = F.count(F.lit(1))
+    return t.groupBy("user_id").agg(
+        n.cast("long").alias("n_days"),
+        (F.sum("gq").cast("long") / (F.lit(1000000.0) * n)).alias("gk_var"),
+        (F.sum("rq").cast("long") / (F.lit(1000000.0) * n)).alias("rs_var"),
+    )
+
+
+@register(
+    "q263_variance_ratio",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), r AS (
+      SELECT user_id,
+             CAST(floor(round(ln(cl / lag(cl) OVER w), 6) * 1e6 + 0.5)
+                  AS BIGINT) AS rq,
+             row_number() OVER w AS rn
+      FROM b WHERE cl > 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), rr AS (SELECT user_id, rq, rn FROM r WHERE rq IS NOT NULL),
+    f AS (
+      SELECT user_id, rq, rn,
+             sum(rq) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS rq5,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn) AS k
+      FROM rr
+    ), s1 AS (
+      SELECT user_id, count(*)::BIGINT AS n1, sum(rq)::BIGINT AS sa,
+             sum(rq * rq)::BIGINT AS qa
+      FROM rr GROUP BY user_id
+    ), s5 AS (
+      SELECT user_id, count(*)::BIGINT AS n5, sum(rq5)::BIGINT AS sb,
+             sum(rq5 * rq5)::BIGINT AS qb
+      FROM f WHERE k >= 5 GROUP BY user_id
+    )
+    SELECT s1.user_id, s1.n1 AS n_returns,
+           (qa - (sa * sa) / s1.n1) / s1.n1 AS var1_micro2,
+           (qb - (sb * sb) / s5.n5) / s5.n5 AS var5_micro2,
+           CASE WHEN qa * s1.n1 > sa * sa THEN
+             ((qb - (sb * sb) / s5.n5) / s5.n5)
+               / (5.0 * ((qa - (sa * sa) / s1.n1) / s1.n1))
+           END AS vr5
+    FROM s1 JOIN s5 USING (user_id)
+    """,
+)
+def q263_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test statistic VR(5) per user
+    (Lo & MacKinlay 1988): the variance of overlapping 5-day log-return
+    sums over 5× the 1-day variance — 1 under a random walk, >1
+    trending, <1 mean-reverting. Daily closes are the q260 latest-
+    (ts, event_id) pick; each 1-day log return rounds 6dp at the
+    transcendental and micro-quantizes to BIGINT, so the 5-day sums are
+    EXACT integer window sums and both variance states are exact
+    (n, Σx, Σx²) BIGINT triples. The variances and the ratio are fixed
+    IEEE chains on those integers — (Q − S²/n)/n, never n·Q products
+    (Σrq² telescope-bounded: Σrq ≈ ln(Cₙ/C₀)·10⁶ stays tiny, rq² ≤
+    1.2·10¹⁴ → Q ≤ 1.2·10¹⁸ at 10⁴ days, inside 2⁶³). The positivity
+    guard qa·n > sa² is pure-integer. Scale: per-user day-grain windows
+    (data-cardinality key) + two grouped aggs; window frames are 5 rows.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = b.select(
+        "user_id",
+        F.floor(
+            F.round(F.log(F.col("cl") / F.lag("cl").over(w)), 6)
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rq"),
+        F.row_number().over(w).alias("rn"),
+    )
+    rr = r.where(F.col("rq").isNotNull())
+    w5 = (
+        Window.partitionBy("user_id").orderBy("rn").rowsBetween(-4, 0)
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    f = rr.select(
+        "user_id",
+        "rq",
+        F.sum("rq").over(w5).alias("rq5"),
+        F.row_number().over(wk).alias("k"),
+    )
+    s1 = rr.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("rq").cast("long").alias("sa"),
+        F.sum(F.col("rq") * F.col("rq")).cast("long").alias("qa"),
+    )
+    s5 = (
+        f.where(F.col("k") >= 5)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n5"),
+            F.sum("rq5").cast("long").alias("sb"),
+            F.sum(F.col("rq5") * F.col("rq5")).cast("long").alias("qb"),
+        )
+    )
+    var1 = (
+        F.col("qa") - (F.col("sa") * F.col("sa")) / F.col("n1")
+    ) / F.col("n1")
+    var5 = (
+        F.col("qb") - (F.col("sb") * F.col("sb")) / F.col("n5")
+    ) / F.col("n5")
+    return s1.join(s5, "user_id").select(
+        "user_id",
+        F.col("n1").alias("n_returns"),
+        var1.alias("var1_micro2"),
+        var5.alias("var5_micro2"),
+        F.when(
+            F.col("qa") * F.col("n1") > F.col("sa") * F.col("sa"),
+            var5 / (F.lit(5.0) * var1),
+        ).alias("vr5"),
+    )
+
+
+@register(
+    "q264_downside_risk",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), p AS (
+      SELECT user_id, cl,
+             max(cl) OVER (PARTITION BY user_id ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS peak,
+             CAST(floor(round(ln(cl / lag(cl) OVER
+                 (PARTITION BY user_id ORDER BY day)), 6) * 1e6 + 0.5)
+               AS BIGINT) AS rq
+      FROM b WHERE cl > 0
+    ), dd AS (
+      SELECT user_id, min((cl - peak) / peak) AS maxdd
+      FROM p GROUP BY user_id
+    ), s AS (
+      SELECT user_id, count(rq)::BIGINT AS n, sum(rq)::BIGINT AS sr,
+             sum(CASE WHEN rq > 0 THEN rq ELSE 0 END)::BIGINT AS gains,
+             sum(CASE WHEN rq < 0 THEN -rq ELSE 0 END)::BIGINT AS losses,
+             sum(CASE WHEN rq < 0 THEN rq * rq ELSE 0 END)::BIGINT AS dq2
+      FROM p WHERE rq IS NOT NULL GROUP BY user_id
+    )
+    SELECT s.user_id, s.n AS n_returns, dd.maxdd AS max_drawdown,
+           CASE WHEN s.losses > 0 THEN s.gains / (1.0 * s.losses) END
+             AS omega,
+           sqrt(s.dq2 / (1.0e12 * s.n)) AS downside_dev,
+           CASE WHEN s.dq2 > 0 THEN
+             (s.sr / (1.0e6 * s.n)) / sqrt(s.dq2 / (1.0e12 * s.n))
+           END AS sortino,
+           CASE WHEN dd.maxdd < 0 THEN
+             (s.sr / (1.0e6 * s.n)) / (-dd.maxdd)
+           END AS calmar
+    FROM s JOIN dd USING (user_id)
+    """,
+)
+def q264_downside_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downside-risk ratio suite per user — Sortino (mean return over
+    downside deviation, Sortino & Price 1994), Omega at threshold 0
+    (Σgains/Σ|losses|, Keating & Shadwick 2002 — PURE INTEGERS up to
+    one division), and Calmar (mean return over |max drawdown|) — the
+    asymmetric-risk complements of q108's Sharpe. Daily closes = the
+    q260 latest-(ts, event_id) pick; log returns round 6dp at the
+    transcendental and micro-quantize, so gains/losses/Σdq² are exact
+    BIGINT states; downside deviation is an IEEE-exact sqrt over an
+    exact-integer mean (1e12 = micro²); max drawdown rides the q260
+    prefix-max window with the per-row division left RAW. Guards:
+    omega needs losses>0, sortino dq²>0, calmar maxdd<0 (all ANSI-safe
+    integer/exact predicates). Scale: (user, day) agg → two user-keyed
+    windows over day-grain rows → one user agg + broadcast-size join.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wpk = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlag = Window.partitionBy("user_id").orderBy("day")
+    p = b.select(
+        "user_id",
+        "cl",
+        F.max("cl").over(wpk).alias("peak"),
+        F.floor(
+            F.round(F.log(F.col("cl") / F.lag("cl").over(wlag)), 6)
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    dd = p.groupBy("user_id").agg(
+        F.min((F.col("cl") - F.col("peak")) / F.col("peak")).alias("maxdd")
+    )
+    rq = F.col("rq")
+    s = (
+        p.where(rq.isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("rq").cast("long").alias("n"),
+            F.sum("rq").cast("long").alias("sr"),
+            F.sum(F.when(rq > 0, rq).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("gains"),
+            F.sum(F.when(rq < 0, -rq).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("losses"),
+            F.sum(F.when(rq < 0, rq * rq).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dq2"),
+        )
+    )
+    mean = F.col("sr") / (F.lit(1000000.0) * F.col("n"))
+    ddev = F.sqrt(F.col("dq2") / (F.lit(1.0e12) * F.col("n")))
+    return s.join(dd, "user_id").select(
+        "user_id",
+        F.col("n").alias("n_returns"),
+        F.col("maxdd").alias("max_drawdown"),
+        F.when(
+            F.col("losses") > 0, F.col("gains") / (F.lit(1.0) * F.col("losses"))
+        ).alias("omega"),
+        ddev.alias("downside_dev"),
+        F.when(F.col("dq2") > 0, mean / ddev).alias("sortino"),
+        F.when(F.col("maxdd") < 0, mean / -F.col("maxdd")).alias("calmar"),
+    )
+
+
+@register(
+    "q265_centroid_drift",
+    """
+    WITH x AS (
+      SELECT e.label, t.i - 1 AS pos,
+             CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings e,
+           UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+    ), cl AS (
+      SELECT label, pos,
+             CAST(floor(sum(q)::BIGINT / (1.0 * count(*)) + 0.5) AS BIGINT)
+               AS cq,
+             count(*)::BIGINT AS n
+      FROM x GROUP BY label, pos
+    ), cg AS (
+      SELECT pos,
+             CAST(floor(sum(q)::BIGINT / (1.0 * count(*)) + 0.5) AS BIGINT)
+               AS gq
+      FROM x GROUP BY pos
+    ), j AS (
+      SELECT cl.label, max(cl.n)::BIGINT AS n_vecs,
+             sum(cl.cq * cg.gq)::BIGINT AS dot,
+             sum(cl.cq * cl.cq)::BIGINT AS na,
+             sum(cg.gq * cg.gq)::BIGINT AS nb,
+             sum((cl.cq - cg.gq) * (cl.cq - cg.gq))::BIGINT AS d2
+      FROM cl JOIN cg USING (pos) GROUP BY cl.label
+    )
+    SELECT label::BIGINT AS label, n_vecs,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             dot / (sqrt(na) * sqrt(nb)) END AS cos_to_global,
+           sqrt(d2) / 1.0e6 AS eucl_dist
+    FROM j
+    """,
+)
+def q265_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding-centroid drift vs the corpus centroid —
+    cosine and euclidean distance of each label's mean vector to the
+    global mean, the cheapest embedding-space health monitor a training
+    pipeline runs per ingest batch (class collapse, encoder drift,
+    mislabeled-batch detection; the vector sibling of q238's unigram
+    KL). Elements HALF-UP micro-quantize (float→double cast is exact),
+    per-(label, dim) sums are exact BIGINTs, and each centroid
+    coordinate re-quantizes to one integer via floor(S/n + 0.5) — so
+    dot, norms, and the difference-square sum are ALL exact 64-dim
+    integer sums (≤64·2.5·10¹¹, far under 2⁶³ at any corpus size
+    because centroid magnitude does not grow with n). The cosine is
+    dot/(√na·√nb) — sqrt is IEEE-exact on exact-integer doubles, then
+    one multiply and one division. Scale: one posexplode projection,
+    two (key, dim) aggs (map-side combined), a 64-row broadcast join;
+    per-class state is 64 integers regardless of corpus size."""
+    e = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    cq = F.floor(
+        F.sum("q").cast("long") / (F.lit(1.0) * F.count(F.lit(1))) + F.lit(0.5)
+    ).cast("long")
+    cl = x.groupBy("label", "pos").agg(
+        cq.alias("cq"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cg = x.groupBy("pos").agg(cq.alias("gq"))
+    j = (
+        cl.join(F.broadcast(cg), "pos")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.sum(F.col("cq") * F.col("gq")).cast("long").alias("dot"),
+            F.sum(F.col("cq") * F.col("cq")).cast("long").alias("na"),
+            F.sum(F.col("gq") * F.col("gq")).cast("long").alias("nb"),
+            F.sum((F.col("cq") - F.col("gq")) * (F.col("cq") - F.col("gq")))
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+    return j.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.col("dot") / (F.sqrt("na") * F.sqrt("nb")),
+        ).alias("cos_to_global"),
+        (F.sqrt("d2") / F.lit(1.0e6)).alias("eucl_dist"),
+    )
+
+
+# ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
 # Policy: every oracle-backed query first (the ones a cap would silently
@@ -15876,8 +16827,16 @@ _FINAL_ORDER = [
     "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
     "q60_corpus_clean_exact",
     # ========== 50-slot driver window ends here ==========
-    # -- continuation of the second-row queue (first in line for the
-    # r10 window after any r10 additions)
+    # -- r10 backlog: authored in r9, parity-green locally, never
+    # driver-checked — FIRST in line for the r10 window (append r10
+    # additions here)
+    "q256_kmv_distinct", "q257_flesch_readability",
+    "q258_parkinson_volatility", "q259_kyle_lambda",
+    "q260_drawdown_duration", "q261_charclass_drift",
+    "q262_garman_klass", "q263_variance_ratio",
+    "q264_downside_risk", "q265_centroid_drift",
+    # -- continuation of the second-row queue (next in line after the
+    # r10 backlog)
     "q63_semantic_neighbors",
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue",

