@@ -162,6 +162,12 @@ HEADLINE = [
     "q259_kyle_lambda",
     "q260_drawdown_duration",
     "q261_charclass_drift",
+    "q262_garman_klass",
+    "q263_variance_ratio",
+    "q264_downside_risk",
+    "q265_centroid_drift",
+    "q266_leadlag_market",
+    "q267_hill_diversity",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

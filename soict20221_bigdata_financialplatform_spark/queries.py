@@ -16772,6 +16772,198 @@ def q265_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q266_leadlag_market",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rq FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e6 + 0.5)
+                 AS BIGINT) AS rq
+        FROM b WHERE cl > 0
+      ) WHERE rq IS NOT NULL
+    ), m AS (
+      SELECT day,
+             CAST(floor(sum(rq)::BIGINT / (1.0 * count(*)) + 0.5) AS BIGINT)
+               AS ym
+      FROM rr GROUP BY day
+    ), s AS (
+      SELECT rr.user_id, k.k, count(*)::BIGINT AS n,
+             sum(rr.rq)::BIGINT AS sx, sum(m.ym)::BIGINT AS sy,
+             sum(rr.rq * m.ym)::BIGINT AS sxy,
+             sum(rr.rq * rr.rq)::BIGINT AS sxx,
+             sum(m.ym * m.ym)::BIGINT AS syy
+      FROM rr
+      CROSS JOIN (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS k(k)
+      JOIN m ON m.day = rr.day + k.k
+      GROUP BY 1, 2
+    )
+    SELECT user_id, k::BIGINT AS k, n AS n_days,
+           CASE WHEN (sxx - (sx * sx) / n) > 0
+                 AND (syy - (sy * sy) / n) > 0 THEN
+             (sxy - (sx * sy) / n)
+               / (sqrt(sxx - (sx * sx) / n) * sqrt(syy - (sy * sy) / n))
+           END AS corr
+    FROM s
+    """,
+)
+def q266_leadlag_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation of each user's daily log returns
+    against the equal-weighted MARKET return at calendar shifts
+    k ∈ [−3, 3] — the lead-lag screen (does this user lead or follow
+    the aggregate?) that sits beside contemporaneous beta (q168) and
+    rolling autocorrelation (q164). Daily closes are the q260 pick;
+    returns micro-quantize after the 6dp-rounded ln; the market return
+    re-quantizes its per-day mean to ONE integer (floor(S/n + 0.5)), so
+    every correlation state (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    BIGINT six-tuple and Pearson r is a fixed IEEE chain on exact
+    integers with pure (Q − S²/n) > 0 guards (products Σx·Σy telescope-
+    bounded, the q263 argument). Calendar-date shifts join user days to
+    the broadcast-size market frame — no global day-rank window, no
+    alignment state. Scale: the market frame is one row per day
+    (broadcast); the shift explode is ×7; the OLS agg is map-side
+    combined per (user, k)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    rr = b.select(
+        "user_id",
+        "day",
+        F.floor(
+            F.round(F.log(F.col("cl") / F.lag("cl").over(w)), 6)
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rq"),
+    ).where(F.col("rq").isNotNull())
+    m = rr.groupBy("day").agg(
+        F.floor(
+            F.sum("rq").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ym")
+    )
+    shifted = rr.withColumn(
+        "k", F.explode(F.array(*[F.lit(i) for i in range(-3, 4)]))
+    ).join(
+        F.broadcast(m.withColumnRenamed("day", "mday")),
+        F.col("mday") == F.date_add(F.col("day"), F.col("k")),
+    )
+    s = shifted.groupBy("user_id", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rq").cast("long").alias("sx"),
+        F.sum("ym").cast("long").alias("sy"),
+        F.sum(F.col("rq") * F.col("ym")).cast("long").alias("sxy"),
+        F.sum(F.col("rq") * F.col("rq")).cast("long").alias("sxx"),
+        F.sum(F.col("ym") * F.col("ym")).cast("long").alias("syy"),
+    )
+    vx = F.col("sxx") - (F.col("sx") * F.col("sx")) / F.col("n")
+    vy = F.col("syy") - (F.col("sy") * F.col("sy")) / F.col("n")
+    num = F.col("sxy") - (F.col("sx") * F.col("sy")) / F.col("n")
+    return s.select(
+        "user_id",
+        F.col("k").cast("long").alias("k"),
+        F.col("n").alias("n_days"),
+        F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        ).alias("corr"),
+    )
+
+
+@register(
+    "q267_hill_diversity",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), c AS (
+      SELECT source, word, count(*)::BIGINT AS c
+      FROM tok WHERE word <> '' GROUP BY source, word
+    ), s AS (
+      SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS v,
+             sum(c * c)::BIGINT AS s2,
+             sum(c * CAST(floor(round(ln(c), 6) * 1e6 + 0.5) AS BIGINT)
+                 )::BIGINT AS sl
+      FROM c GROUP BY source
+    )
+    SELECT source, n AS n_tokens, v AS richness,
+           round(ln(n), 6) - sl / (1.0e6 * n) AS shannon_h,
+           round(exp(round(ln(n), 6) - sl / (1.0e6 * n)), 6) AS hill1,
+           (n * n) / (1.0 * s2) AS hill2
+    FROM s
+    """,
+)
+def q267_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill diversity-number profile of each source's token
+    distribution (Hill 1973): q=0 richness (vocab size), q=1
+    exp(Shannon H) = effective vocabulary, q=2 inverse-Simpson
+    1/Σp² = N²/Σc² — the diversity spectrum corpus reports print
+    beside Zipf (q149) and entropy (q175); a collapsing generator or a
+    template-flooded crawl drops Hill-1/Hill-2 long before richness
+    moves. H uses the identity ln N − (Σc·ln c)/N: each ln rounds 6dp
+    AT the transcendental, c·ln(c) micro-terms are exact BIGINT
+    products, and the division is one IEEE op; Hill-1 rounds exp's
+    OUTPUT at 6dp (the q247 pairing — exp is not bit-portable raw).
+    Hill-2 is exact integers up to one division. Overflow: n² needs
+    n < 3·10⁹ tokens per source — document-scale corpora hit that
+    only past ~10 TB per source; re-unit to (n/10³)² then (the q145
+    rule). Scale: one token explode + two grouped aggs, map-side
+    combined; no windows, no joins."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    c = (
+        d.select("source", F.explode(tx.words("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lnc = F.floor(
+        F.round(F.log("c"), 6) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.sum(F.col("c") * lnc).cast("long").alias("sl"),
+    )
+    h = F.round(F.log("n"), 6) - F.col("sl") / (
+        F.lit(1.0e6) * F.col("n")
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("richness"),
+        h.alias("shannon_h"),
+        F.round(F.exp(h), 6).alias("hill1"),
+        ((F.col("n") * F.col("n")) / (F.lit(1.0) * F.col("s2"))).alias(
+            "hill2"
+        ),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -16835,6 +17027,7 @@ _FINAL_ORDER = [
     "q260_drawdown_duration", "q261_charclass_drift",
     "q262_garman_klass", "q263_variance_ratio",
     "q264_downside_risk", "q265_centroid_drift",
+    "q266_leadlag_market", "q267_hill_diversity",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

@@ -246,3 +246,26 @@ def test_q265_centroid_drift_matches_numpy(spark, sf_dir):
         cos = float(c @ g / (np.linalg.norm(c) * np.linalg.norm(g)))
         assert abs(r.cos_to_global - cos) < 1e-3
         assert abs(r.eucl_dist - float(np.linalg.norm(c - g))) < 1e-4
+
+
+def test_q266_leadlag_bounds_and_zero_shift_present(spark, sf_dir):
+    rows = QUERIES["q266_leadlag_market"](spark, sf_dir).collect()
+    assert rows
+    ks = {r.k for r in rows}
+    assert ks <= set(range(-3, 4)) and 0 in ks
+    for r in rows:
+        if r.corr is not None:
+            assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+
+
+def test_q267_hill_numbers_monotone(spark, sf_dir):
+    """Hill numbers are non-increasing in their order q:
+    richness (q=0) >= exp(H) (q=1) >= inverse-Simpson (q=2)."""
+    rows = QUERIES["q267_hill_diversity"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r.richness <= r.n_tokens
+        assert r.shannon_h >= 0.0
+        assert r.hill1 <= r.richness + 1e-3
+        assert r.hill2 <= r.hill1 + 1e-3
+        assert r.hill2 >= 1.0 - 1e-9
