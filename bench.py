@@ -168,6 +168,8 @@ HEADLINE = [
     "q265_centroid_drift",
     "q266_leadlag_market",
     "q267_hill_diversity",
+    "q268_vpin",
+    "q269_rfm_migration",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

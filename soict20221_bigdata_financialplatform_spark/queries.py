@@ -15409,7 +15409,11 @@ def q252_bernoulli_sample_store(
     round(6) pairing on price-grain values (safe — no exact decimal
     grain; the q240 µs trap does not apply). Scale: the sample predicate
     is scan-side; per-shard state is ~1/16 of the shard; the merge is a
-    union, no re-hash."""
+    union, no re-hash. The p50/p90_TRUE columns are a small-SF
+    calibration check only — exact ``percentile`` buffers all values in
+    one reducer; at production scale the truth side comes from the q240
+    distributed rank-pick or is simply dropped (the store IS the
+    estimate)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
@@ -16964,6 +16968,223 @@ def q267_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q268_vpin",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'purchase' THEN 1 ELSE -1 END AS sgn,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value > 0
+    ), c AS (
+      SELECT user_id, sgn, vq,
+             sum(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - vq AS cumx
+      FROM e
+    ), t AS (
+      SELECT user_id, sum(vq)::BIGINT AS tot FROM e GROUP BY user_id
+    ), b AS (
+      SELECT c.user_id, c.cumx // ((t.tot + 19) // 20) AS bucket,
+             c.sgn, c.vq
+      FROM c JOIN t USING (user_id) WHERE t.tot > 0
+    ), g AS (
+      SELECT user_id, bucket, sum(vq)::BIGINT AS vol,
+             abs(sum(sgn * vq))::BIGINT AS imb
+      FROM b GROUP BY 1, 2
+    ), m AS (
+      SELECT user_id, count(*)::BIGINT AS n_buckets,
+             sum((imb * 1000000) // vol)::BIGINT AS st
+      FROM g WHERE vol > 0 GROUP BY user_id
+    )
+    SELECT user_id, n_buckets, st / (1.0e6 * n_buckets) AS vpin
+    FROM m
+    """,
+)
+def q268_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN-shape flow toxicity per user (Easley, López de Prado &
+    O'Hara 2012): partition each user's signed cent-volume stream into
+    ~20 EQUAL-VOLUME buckets (volume time, not clock time — the
+    defining move vs q243's calendar imbalance), per-bucket toxicity =
+    |buy−sell|/volume, VPIN = mean over buckets. INTEGER end to end:
+    cents half-up per event, the bucket id from an exclusive prefix sum
+    over exact ints (cum − vq) floor-divided by ceil(total/20), the
+    per-bucket ratio as the exact integer division (imb·10⁶) div vol,
+    and the mean one final division — zero float accumulation anywhere.
+    Scale: the prefix sum is a user-keyed window over event rows
+    (data-cardinality key, the q97 running-VWAP shape); everything else
+    is grouped aggs, map-side combined."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view") & (F.col("value") > 0)
+    )
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(-1)
+        .alias("sgn"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = e.select(
+        "user_id",
+        "sgn",
+        "vq",
+        (F.sum("vq").over(w) - F.col("vq")).alias("cumx"),
+    )
+    t = e.groupBy("user_id").agg(F.sum("vq").cast("long").alias("tot"))
+    b = (
+        c.join(t, "user_id")
+        .where(F.col("tot") > 0)
+        .select(
+            "user_id",
+            F.expr("cumx div ((tot + 19) div 20)").alias("bucket"),
+            "sgn",
+            "vq",
+        )
+    )
+    g = b.groupBy("user_id", "bucket").agg(
+        F.sum("vq").cast("long").alias("vol"),
+        F.abs(F.sum(F.col("sgn") * F.col("vq"))).cast("long").alias("imb"),
+    )
+    m = (
+        g.where(F.col("vol") > 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.expr("(imb * 1000000) div vol"))
+            .cast("long")
+            .alias("st"),
+        )
+    )
+    return m.select(
+        "user_id",
+        "n_buckets",
+        (F.col("st") / (F.lit(1.0e6) * F.col("n_buckets"))).alias("vpin"),
+    )
+
+
+@register(
+    "q269_rfm_migration",
+    """
+    WITH span AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             max(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ), o2 AS (
+      SELECT o_custkey, o_totalprice,
+             CASE WHEN CAST(o_orderdate AS DATE)
+                       <= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+                  THEN 1 ELSE 2 END AS half
+      FROM orders, span
+    ), cust AS (
+      SELECT half, o_custkey, count(*)::BIGINT AS f,
+             round(sum(o_totalprice), 2) AS m
+      FROM o2 GROUP BY 1, 2
+    ), cuts AS (
+      SELECT half,
+             round(quantile_cont(f, 0.25), 6) AS f1,
+             round(quantile_cont(f, 0.50), 6) AS f2,
+             round(quantile_cont(f, 0.75), 6) AS f3,
+             round(quantile_cont(m, 0.25), 6) AS m1,
+             round(quantile_cont(m, 0.50), 6) AS m2,
+             round(quantile_cont(m, 0.75), 6) AS m3
+      FROM cust GROUP BY half
+    ), scored AS (
+      SELECT c.half, c.o_custkey,
+             (1 + (c.f > k.f1)::INT + (c.f > k.f2)::INT
+                + (c.f > k.f3)::INT)::BIGINT AS fs,
+             (1 + (c.m > k.m1)::INT + (c.m > k.m2)::INT
+                + (c.m > k.m3)::INT)::BIGINT AS ms
+      FROM cust c JOIN cuts k USING (half)
+    )
+    SELECT a.fs AS f_before, a.ms AS m_before,
+           b.fs AS f_after, b.ms AS m_after,
+           count(*)::BIGINT AS n_customers
+    FROM scored a JOIN scored b ON a.o_custkey = b.o_custkey
+    WHERE a.half = 1 AND b.half = 2
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q269_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment MIGRATION matrix — how customers move between
+    frequency×monetary quartile segments from the first to the second
+    half of the order history (the churn/upsell transition view CRM
+    stacks build on top of q142's static segmentation). Each half gets
+    its own quartile cut-points via the q142 recipe: ONE broadcast row
+    of percentile≡quantile_cont round(6) cut-points per half (exact on
+    integer frequencies — interpolation fractions are powers of two —
+    and proven on 2dp money by eight rounds of q142 parity), scores as
+    integer threshold comparisons, never a global rank window. The
+    matrix is the self-join of before/after scores at customer grain —
+    ≤256 output rows of exact counts. Scale: two grouped aggs + a
+    2-row broadcast + a customer-keyed equi-join; no windows at all."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    span = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    o2 = o.crossJoin(F.broadcast(span)).select(
+        "o_custkey",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderdate")
+            <= F.date_add(
+                F.col("d0"),
+                F.expr("datediff(d1, d0) div 2").cast("int"),
+            ),
+            1,
+        )
+        .otherwise(2)
+        .alias("half"),
+    )
+    cust = o2.groupBy("half", "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.round(F.sum("o_totalprice"), 2).alias("m"),
+    )
+    cuts = cust.groupBy("half").agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {q})"), 6).alias(f"{c}{i}")
+            for c in ("f", "m")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(c: str) -> F.Column:
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}1")).cast("int")
+            + (F.col(c) > F.col(f"{c}2")).cast("int")
+            + (F.col(c) > F.col(f"{c}3")).cast("int")
+        ).cast("long")
+
+    scored = cust.join(F.broadcast(cuts), "half").select(
+        "half",
+        "o_custkey",
+        score("f").alias("fs"),
+        score("m").alias("ms"),
+    )
+    a = scored.where(F.col("half") == 1).select(
+        "o_custkey", F.col("fs").alias("f_before"), F.col("ms").alias("m_before")
+    )
+    bb = scored.where(F.col("half") == 2).select(
+        "o_custkey", F.col("fs").alias("f_after"), F.col("ms").alias("m_after")
+    )
+    return (
+        a.join(bb, "o_custkey")
+        .groupBy("f_before", "m_before", "f_after", "m_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -17028,6 +17249,7 @@ _FINAL_ORDER = [
     "q262_garman_klass", "q263_variance_ratio",
     "q264_downside_risk", "q265_centroid_drift",
     "q266_leadlag_market", "q267_hill_diversity",
+    "q268_vpin", "q269_rfm_migration",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

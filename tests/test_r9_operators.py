@@ -269,3 +269,24 @@ def test_q267_hill_numbers_monotone(spark, sf_dir):
         assert r.hill1 <= r.richness + 1e-3
         assert r.hill2 <= r.hill1 + 1e-3
         assert r.hill2 >= 1.0 - 1e-9
+
+
+def test_q268_vpin_bounds(spark, sf_dir):
+    """VPIN is a mean of per-bucket |imbalance|/volume ratios, so it
+    lives in [0, 1]; the equal-volume split makes at most 20 buckets."""
+    rows = QUERIES["q268_vpin"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_buckets <= 20
+        assert 0.0 <= r.vpin <= 1.0
+
+
+def test_q269_migration_matrix_accounting(spark, sf_dir):
+    """Scores are quartile labels in 1..4 and the matrix total equals
+    the number of customers active in BOTH halves."""
+    rows = QUERIES["q269_rfm_migration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.f_before <= 4 and 1 <= r.m_before <= 4
+        assert 1 <= r.f_after <= 4 and 1 <= r.m_after <= 4
+        assert r.n_customers >= 1
