@@ -170,6 +170,8 @@ HEADLINE = [
     "q267_hill_diversity",
     "q268_vpin",
     "q269_rfm_migration",
+    "q270_loo_source_value",
+    "q271_weighted_reservoir",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

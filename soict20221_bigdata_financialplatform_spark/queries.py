@@ -17185,6 +17185,134 @@ def q269_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q270_loo_source_value",
+    "WITH" + _PPLX_CTES + """,
+    j AS (
+      SELECT d.source, ppl.sm, d.n_chars
+      FROM ppl JOIN documents d ON ppl.doc_id = d.doc_id
+    ), s AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(sm)::BIGINT AS sm,
+             sum(n_chars)::BIGINT AS nc
+      FROM j GROUP BY source
+    ), g AS (
+      SELECT sum(sm)::BIGINT AS gsm, sum(nc)::BIGINT AS gnc FROM s
+    )
+    SELECT s.source, s.n_docs,
+           ((-s.sm / 1000000.0) / 0.6931471805599453) / s.nc
+             AS bpb_source,
+           ((-(g.gsm - s.sm) / 1000000.0) / 0.6931471805599453)
+             / (g.gnc - s.nc) AS bpb_loo,
+           ((-(g.gsm - s.sm) / 1000000.0) / 0.6931471805599453)
+             / (g.gnc - s.nc)
+           - ((-g.gsm / 1000000.0) / 0.6931471805599453) / g.gnc
+             AS delta_bpb
+    FROM s, g WHERE g.gnc > s.nc
+    """,
+)
+def q270_loo_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out DATA VALUATION per source: the marginal effect of
+    removing each domain on corpus-level bits-per-byte under a FIXED
+    scorer (the q128 bigram LM trained once on the full corpus) — the
+    cheap O(|sources|) member of the data-valuation family (true
+    Shapley/LOO retrains per coalition; fixed-scorer LOO is the
+    screening pass data-mixing pipelines actually run, cf. the DoReMi
+    proxy q253). delta_bpb > 0 means the corpus gets HARDER without the
+    source (the source was easy filler); < 0 means the source was
+    raising average difficulty. All aggregates are exact BIGINT
+    micro-nat/byte sums, so the LOO numbers are pure subtractions of
+    integers under the q226 bits conversion (ln 2 as the bit-portable
+    literal) — no per-coalition recompute, no float accumulation.
+    Scale: q128's LM plan + one source agg + a one-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    sc = cp.lm_perplexity_scores(d, include_micro=True)
+    j = d.select("doc_id", "source", "n_chars").join(sc, "doc_id")
+    s = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("logprob_micro").cast("long").alias("sm"),
+        F.sum("n_chars").cast("long").alias("nc"),
+    )
+    g = s.agg(
+        F.sum("sm").cast("long").alias("gsm"),
+        F.sum("nc").cast("long").alias("gnc"),
+    )
+    ln2 = F.lit(0.6931471805599453)
+    bpb_src = ((-F.col("sm") / F.lit(1000000.0)) / ln2) / F.col("nc")
+    bpb_loo = (
+        (-(F.col("gsm") - F.col("sm")) / F.lit(1000000.0)) / ln2
+    ) / (F.col("gnc") - F.col("nc"))
+    bpb_all = ((-F.col("gsm") / F.lit(1000000.0)) / ln2) / F.col("gnc")
+    return (
+        s.crossJoin(F.broadcast(g))
+        .where(F.col("gnc") > F.col("nc"))
+        .select(
+            "source",
+            "n_docs",
+            bpb_src.alias("bpb_source"),
+            bpb_loo.alias("bpb_loo"),
+            (bpb_loo - bpb_all).alias("delta_bpb"),
+        )
+    )
+
+
+@register(
+    "q271_weighted_reservoir",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':res'), 1, 15))
+               ::UBIGINT::BIGINT AS hv
+      FROM documents WHERE n_chars > 0
+    ), k AS (
+      SELECT doc_id, n_chars,
+             round(ln((hv + 1) / 1152921504606846976.0), 6) / n_chars
+               AS score
+      FROM h
+    )
+    SELECT doc_id, n_chars, score FROM (
+      SELECT doc_id, n_chars, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM k
+    ) WHERE rn <= 64
+    """,
+)
+def q271_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample of 64 documents, Efraimidis-Spirakis
+    A-ES (2006): each doc gets key u^(1/w) for uniform u and weight
+    w = n_chars; the k largest keys ARE a weighted-without-replacement
+    sample — the one-pass, mergeable algorithm behind every distributed
+    weighted sampler (vs q118's PPS with replacement). Deterministic u
+    from the md5→UBIGINT pairing, u = (h+1)/2⁶⁰ ∈ (0,1]; compare in log
+    space — score = ln(u)/w with ln rounded 6dp AT the transcendental,
+    then ONE exact division (monotone transform of the key, so top-k is
+    identical); ties (impossible under distinct hashes) break on
+    doc_id. Spark plans TakeOrderedAndProject — per-partition partial
+    top-64 then a 64·P merge, never a global sort; the oracle keeps the
+    plain row_number form. Scale: one projection + distributed top-k;
+    reservoir state is 64 rows per partition."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.round(
+                F.log((hv + F.lit(1)) / F.lit(1152921504606846976.0)), 6
+            )
+            / F.col("n_chars")
+        ).alias("score"),
+    )
+    return k.orderBy(F.col("score").desc(), "doc_id").limit(64)
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -17250,6 +17378,7 @@ _FINAL_ORDER = [
     "q264_downside_risk", "q265_centroid_drift",
     "q266_leadlag_market", "q267_hill_diversity",
     "q268_vpin", "q269_rfm_migration",
+    "q270_loo_source_value", "q271_weighted_reservoir",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

@@ -290,3 +290,36 @@ def test_q269_migration_matrix_accounting(spark, sf_dir):
         assert 1 <= r.f_before <= 4 and 1 <= r.m_before <= 4
         assert 1 <= r.f_after <= 4 and 1 <= r.m_after <= 4
         assert r.n_customers >= 1
+
+
+def test_q270_loo_sign_consistency(spark, sf_dir):
+    """Removing a below-average-BPB source must RAISE corpus BPB and
+    vice versa: sign(delta_bpb) == sign(bpb_all - bpb_source), where
+    bpb_all is the byte-weighted mean reconstructed from the rows."""
+    rows = QUERIES["q270_loo_source_value"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    # reconstruct global bpb from the per-source decomposition
+    from soict20221_bigdata_financialplatform_spark.operators import corpus as cp
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = cp.lm_perplexity_scores(d, include_micro=True)
+    j = d.select("doc_id", "n_chars").join(sc, "doc_id")
+    gsm, gnc = j.agg(F.sum("logprob_micro"), F.sum("n_chars")).first()
+    bpb_all = ((-gsm / 1e6) / 0.6931471805599453) / gnc
+    for r in rows:
+        assert r.bpb_source > 0 and r.bpb_loo > 0
+        if r.bpb_source < bpb_all:
+            assert r.delta_bpb > 0
+        elif r.bpb_source > bpb_all:
+            assert r.delta_bpb < 0
+
+
+def test_q271_reservoir_deterministic_topk_plan(spark, sf_dir):
+    q = QUERIES["q271_weighted_reservoir"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert "TakeOrderedAndProject" in plan  # partial top-k, no global sort
+    a = q.collect()
+    b = QUERIES["q271_weighted_reservoir"](spark, sf_dir).collect()
+    assert a == b and len(a) == 64
+    assert all(r.score <= 0.0 and r.n_chars > 0 for r in a)
