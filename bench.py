@@ -172,6 +172,23 @@ HEADLINE = [
     "q269_rfm_migration",
     "q270_loo_source_value",
     "q271_weighted_reservoir",
+    "q272_triple_barrier",
+    "q273_purged_kfold",
+    "q274_label_uniqueness",
+    "q275_runs_test",
+    "q276_corwin_schultz",
+    "q277_cointegration_hedge",
+    "q278_embedding_shift",
+    "q279_word_burstiness",
+    "q280_woe_iv",
+    "q281_hurst_rs",
+    "q282_event_study_car",
+    "q283_hard_negatives",
+    "q284_momentum_deciles",
+    "q285_embedding_anisotropy",
+    "q286_activity_gini",
+    "q287_tail_index",
+    "q288_kanonymity_audit",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

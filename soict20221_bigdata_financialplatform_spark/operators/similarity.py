@@ -1084,3 +1084,74 @@ def kmeans_lloyd_det_stacked(
         F.col("cid").alias(cent_id_col),
         F.col("cv").alias(vec_col),
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    lo: float,
+    hi: float,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k corpus vectors whose cosine falls in the band [lo, hi) just
+    BELOW the positive threshold — similar enough to be informative,
+    dissimilar enough to be true negatives (the standard pair-mining
+    step for embedding-model training, e.g. SBERT/DPR recipes).
+
+    Same scale shape as :func:`brute_force_topk` (anchors broadcast,
+    corpus scanned once, the one shuffle keyed by anchor carrying only
+    (anchor, id, score) triples). The band + self-pair exclusion rides
+    a NULL-banded score rather than a WHERE on the join output: a plain
+    filter would be pushed INTO the broadcast join's condition, turning
+    the (legitimate, anchor-bounded) unconditional BNLJ into the
+    conditional-BNLJ shape the registry linter bans (invariant 13); the
+    null band sorts last under the rank and is dropped ABOVE the
+    window - same result, same plan family as q34.
+    Self-pairs are nulled explicitly (an anchor scores 1.0
+    against itself — outside any sane band, but the guard documents
+    the contract). Ties break on the candidate id."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qnorm"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__cnorm")
+        )
+        .join(q)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                _dot(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__cnorm") * F.col("__qnorm"))
+            ).alias("__raw"),
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.when(
+                (F.col(id_col) != F.col(query_id_col))
+                & (F.col("__raw") >= F.lit(lo))
+                & (F.col("__raw") < F.lit(hi)),
+                F.col("__raw"),
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("score").isNotNull() & (F.col("rank") <= k))
+        .select(query_id_col, id_col, "score", "rank")
+    )

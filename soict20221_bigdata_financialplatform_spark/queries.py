@@ -17313,6 +17313,2009 @@ def q271_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.orderBy(F.col("score").desc(), "doc_id").limit(64)
 
 
+@register(
+    "q272_triple_barrier",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rq AS (
+      SELECT user_id, day,
+             coalesce(CAST(floor(round(ln(cl / lag(cl) OVER w), 6)
+                                 * 1e6 + 0.5) AS BIGINT), 0) AS r
+      FROM b WHERE cl > 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), r AS (
+      SELECT user_id, day,
+             sum(r) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rq
+    ), l AS (
+      SELECT user_id,
+             lead(cum, 1) OVER w - cum AS d1,
+             lead(cum, 2) OVER w - cum AS d2,
+             lead(cum, 3) OVER w - cum AS d3,
+             lead(cum, 4) OVER w - cum AS d4,
+             lead(cum, 5) OVER w - cum AS d5
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), lab AS (
+      SELECT user_id,
+             CASE
+               WHEN d1 >= 50000 THEN 1 WHEN d1 <= -50000 THEN -1
+               WHEN d2 >= 50000 THEN 1 WHEN d2 <= -50000 THEN -1
+               WHEN d3 >= 50000 THEN 1 WHEN d3 <= -50000 THEN -1
+               WHEN d4 >= 50000 THEN 1 WHEN d4 <= -50000 THEN -1
+               WHEN d5 >= 50000 THEN 1 WHEN d5 <= -50000 THEN -1
+               ELSE 0 END AS label,
+             CASE
+               WHEN abs(d1) >= 50000 THEN 1
+               WHEN abs(d2) >= 50000 THEN 2
+               WHEN abs(d3) >= 50000 THEN 3
+               WHEN abs(d4) >= 50000 THEN 4
+               WHEN abs(d5) >= 50000 THEN 5
+               END AS hit_day
+      FROM l WHERE d1 IS NOT NULL
+    )
+    SELECT user_id, count(*)::BIGINT AS n_labeled,
+           sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+           sum(CASE WHEN label = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+           sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n_timeout,
+           CASE WHEN count(hit_day) > 0 THEN
+             sum(hit_day)::BIGINT / (1.0 * count(hit_day)) END
+             AS avg_days_to_hit
+    FROM lab GROUP BY user_id
+    """,
+)
+def q272_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier label distribution per user (López de Prado 2018,
+    *Advances in Financial ML* ch. 3 — the standard supervised-label
+    generator for financial ML training sets): from each day, the first
+    of the next 5 days whose CUMULATIVE log return crosses +5%
+    (≥ 50000 µ) labels +1, −5% labels −1, neither inside the horizon
+    labels 0 (the vertical barrier). The cumulative path is an exact
+    BIGINT cumsum of micro-quantized returns, so every barrier test is
+    a pure INTEGER comparison and first-touch is a fixed CASE cascade
+    over 5 lead columns — no path floats, no half-way risk anywhere;
+    the only division is the final mean days-to-hit. Rows need ≥1
+    forward day (d1 NOT NULL); the vertical barrier tightens to the
+    available horizon at the series tail, the standard convention.
+    Scale: user-keyed windows over day-grain rows (lag + cumsum +
+    5 leads share one partition spec) + one user agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    rq = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(w)), 6)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    r = b.select(
+        "user_id", "day", F.coalesce(rq, F.lit(0)).alias("r")
+    ).select("user_id", "day", F.sum("r").over(wc).alias("cum"))
+    diffs = [
+        (F.lead("cum", i).over(w) - F.col("cum")).alias(f"d{i}")
+        for i in range(1, 6)
+    ]
+    l = r.select("user_id", *diffs)
+    tau = 50000
+    # first-touch cascade: when-chains compose left-to-right, so the
+    # earliest day wins — matching the oracle's CASE order exactly
+    lbl = (
+        F.when(F.col("d1") >= tau, 1)
+        .when(F.col("d1") <= -tau, -1)
+        .when(F.col("d2") >= tau, 1)
+        .when(F.col("d2") <= -tau, -1)
+        .when(F.col("d3") >= tau, 1)
+        .when(F.col("d3") <= -tau, -1)
+        .when(F.col("d4") >= tau, 1)
+        .when(F.col("d4") <= -tau, -1)
+        .when(F.col("d5") >= tau, 1)
+        .when(F.col("d5") <= -tau, -1)
+        .otherwise(0)
+    )
+    hitc = (
+        F.when(F.abs(F.col("d1")) >= tau, 1)
+        .when(F.abs(F.col("d2")) >= tau, 2)
+        .when(F.abs(F.col("d3")) >= tau, 3)
+        .when(F.abs(F.col("d4")) >= tau, 4)
+        .when(F.abs(F.col("d5")) >= tau, 5)
+    )
+    lab = l.where(F.col("d1").isNotNull()).select(
+        "user_id", lbl.alias("label"), hitc.alias("hit_day")
+    )
+    return lab.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_labeled"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("label") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_timeout"),
+        F.when(
+            F.count("hit_day") > 0,
+            F.sum("hit_day").cast("long") / (F.lit(1.0) * F.count("hit_day")),
+        ).alias("avg_days_to_hit"),
+    )
+
+
+@register(
+    "q273_purged_kfold",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                           AS DATE) AS day
+      FROM events
+    ), idx AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS rn,
+             count(*) OVER () AS n
+      FROM days
+    ), f AS (
+      SELECT day, rn, n, ((rn - 1) * 5) // n AS fold FROM idx
+    ), bounds AS (
+      SELECT fold, min(rn) AS lo, max(rn) AS hi,
+             count(*)::BIGINT AS n_test_days,
+             min(day) AS test_start, max(day) AS test_end
+      FROM f GROUP BY fold
+    )
+    SELECT b.fold::BIGINT AS fold, b.test_start, b.test_end,
+           b.n_test_days,
+           sum(CASE WHEN f.fold <> b.fold
+                     AND f.rn >= b.lo - 3 AND f.rn <= b.hi + 3
+                    THEN 1 ELSE 0 END)::BIGINT AS n_purged_days,
+           sum(CASE WHEN f.fold <> b.fold
+                     AND (f.rn < b.lo - 3 OR f.rn > b.hi + 3)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_train_days
+    FROM bounds b CROSS JOIN f
+    GROUP BY b.fold, b.test_start, b.test_end, b.n_test_days
+    """,
+)
+def q273_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold time-series CV plan (López de Prado 2018 ch. 7 —
+    the split q215's record-grain stratified k-fold must NOT be used
+    for on overlapping financial labels): 5 CONTIGUOUS chronological
+    day blocks; for each test fold, training days inside a 3-day
+    embargo of the fold boundary are PURGED (they share forward-return
+    windows with test labels — the leakage the q272 5-day barrier
+    horizon creates), the rest train. Everything is integer day-rank
+    arithmetic on the distinct-day frame — fold = ((rn−1)·5) div n is
+    the exact NTile closed form (q192), purge membership two integer
+    comparisons. Scale: the day frame is tiny (one row per calendar
+    day — broadcast both sides); its global rank rides the licensed
+    one-row-per-group aggregate-frame window (q256's merged-store
+    idiom); event-grain fan-out never happens — the plan emits the
+    5-row fold PLAN, not row assignments."""
+    ev = _t(spark, sf_dir, "events").select("ts")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    days = ev.select(day.alias("day")).distinct()
+    wall = Window.partitionBy(
+        F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")), 1)
+    ).orderBy("day")
+    idx = days.select(
+        "day",
+        F.row_number().over(wall).alias("rn"),
+    )
+    n_total = idx.agg(F.count(F.lit(1)).alias("n"))
+    f = idx.crossJoin(F.broadcast(n_total)).select(
+        "day",
+        "rn",
+        F.expr("((rn - 1) * 5) div n").alias("fold"),
+    )
+    bounds = f.groupBy("fold").agg(
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_test_days"),
+        F.min("day").alias("test_start"),
+        F.max("day").alias("test_end"),
+    )
+    j = F.broadcast(bounds).crossJoin(f.select(F.col("fold").alias("ff"), "rn"))
+    inside = (F.col("rn") >= F.col("lo") - 3) & (
+        F.col("rn") <= F.col("hi") + 3
+    )
+    other = F.col("ff") != F.col("fold")
+    return j.groupBy(
+        "fold", "test_start", "test_end", "n_test_days"
+    ).agg(
+        F.sum(F.when(other & inside, 1).otherwise(0))
+        .cast("long")
+        .alias("n_purged_days"),
+        F.sum(F.when(other & ~inside, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_days"),
+    ).select(
+        F.col("fold").cast("long").alias("fold"),
+        "test_start",
+        "test_end",
+        "n_test_days",
+        "n_purged_days",
+        "n_train_days",
+    )
+
+
+@register(
+    "q274_label_uniqueness",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), f AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(floor(round(ln(cl / lag(cl) OVER w), 6)
+                        * 1e6 + 0.5) AS BIGINT) AS rmu
+      FROM b WHERE cl > 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), rr AS (
+      SELECT user_id, rn, n, abs(rmu) AS absr,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(rmu), rn) AS arank,
+             count(*) OVER (PARTITION BY user_id) AS m
+      FROM f WHERE rmu IS NOT NULL
+    ), lab AS (
+      SELECT user_id, rn, n FROM rr
+      WHERE arank > (3 * m) // 4 AND rn < n
+    ), win AS (
+      SELECT l.user_id, l.rn AS lab_rn, l.rn + t.off AS s
+      FROM lab l, UNNEST([1, 2, 3, 4, 5]) AS t(off)
+      WHERE l.rn + t.off <= l.n
+    ), conc AS (
+      SELECT user_id, s, count(*)::BIGINT AS c
+      FROM win GROUP BY user_id, s
+    ), u AS (
+      SELECT w.user_id, w.lab_rn,
+             CAST(floor(
+               sum(CAST(floor(1000000.0 / c.c + 0.5) AS BIGINT))
+                 / (1.0 * count(*)) + 0.5) AS BIGINT) AS uq_mu,
+             max(c.c) AS cmax
+      FROM win w JOIN conc c ON w.user_id = c.user_id AND w.s = c.s
+      GROUP BY w.user_id, w.lab_rn
+    )
+    SELECT user_id, count(*)::BIGINT AS n_labels,
+           CAST(sum(uq_mu) AS DOUBLE) / (1e6 * count(*))
+             AS avg_uniqueness,
+           max(cmax)::BIGINT AS max_concurrency
+    FROM u GROUP BY user_id
+    """,
+)
+def q274_label_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sampled label uniqueness weights (Lopez de Prado 2018,
+    *Advances in Financial ML* ch. 2 + ch. 4 — the sample-weight
+    machinery that pairs with q272's triple-barrier labels): label
+    start days are the EVENT-sampled top quartile of |daily log
+    return| per user (ch. 2's move-triggered sampling, expressed as a
+    discrete rank cut ``arank > (3m) div 4`` — no float threshold);
+    each label's forward window is the next <=5 day-grain rows (q272's
+    horizon); a day's CONCURRENCY c_s is how many label windows cover
+    it, and a label's average uniqueness is mean(1/c_s) over its
+    window — the weight that de-biases overlapping-outcome training
+    sets. Float policy: 1/c terms are half-up micro-unit integers
+    (c in 1..5 by construction), the per-label mean is one exact
+    BIGINT/BIGINT division re-quantized half-up, and the per-user mean
+    is an integer sum with ONE final division. Scale: day-grain frames
+    keyed by user_id (data cardinality); the window explode is a fixed
+    x5 fan-out of LABEL rows only; concurrency is a (user, day-rank)
+    grouped count and the window->concurrency join an equi-join on the
+    same key — no global window, no cross join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wu = Window.partitionBy("user_id")
+    rmu = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(w)), 6)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    f = b.select(
+        "user_id",
+        "day",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+        rmu.alias("rmu"),
+    )
+    rr = f.where(F.col("rmu").isNotNull()).select(
+        "user_id",
+        "rn",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.abs("rmu"), "rn"))
+        .alias("arank"),
+        F.count(F.lit(1)).over(wu).alias("m"),
+    )
+    lab = rr.where(
+        (F.col("arank") > F.expr("(3 * m) div 4")) & (F.col("rn") < F.col("n"))
+    ).select("user_id", "rn", "n")
+    win = (
+        lab.select(
+            "user_id",
+            F.col("rn").alias("lab_rn"),
+            F.explode(F.array(*[F.lit(i) for i in range(1, 6)])).alias("off"),
+            "n",
+        )
+        .where(F.col("lab_rn") + F.col("off") <= F.col("n"))
+        .select(
+            "user_id", "lab_rn", (F.col("lab_rn") + F.col("off")).alias("s")
+        )
+    )
+    conc = win.groupBy("user_id", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    term = F.floor(F.lit(1000000.0) / F.col("c") + F.lit(0.5)).cast("long")
+    u = (
+        win.join(conc, ["user_id", "s"])
+        .groupBy("user_id", "lab_rn")
+        .agg(
+            F.floor(
+                F.sum(term) / (F.lit(1.0) * F.count(F.lit(1))) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("uq_mu"),
+            F.max("c").alias("cmax"),
+        )
+    )
+    return u.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        (
+            F.sum("uq_mu").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("avg_uniqueness"),
+        F.max("cmax").cast("long").alias("max_concurrency"),
+    )
+
+
+@register(
+    "q275_runs_test",
+    """
+    WITH c AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT user_id, day,
+             CAST(floor(cl * 100.0 + 0.5) AS BIGINT) AS cc
+      FROM c WHERE cl > 0
+    ), d AS (
+      SELECT user_id, day, cc - lag(cc) OVER w AS dd
+      FROM q WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), sg AS (
+      SELECT user_id, day,
+             CASE WHEN dd > 0 THEN 1 ELSE -1 END AS s
+      FROM d WHERE dd IS NOT NULL AND dd <> 0
+    ), fl AS (
+      SELECT user_id, s,
+             CASE WHEN lag(s) OVER w IS NOT NULL
+                   AND s <> lag(s) OVER w THEN 1 ELSE 0 END AS flip
+      FROM sg WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), st AS (
+      SELECT user_id,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             (1 + sum(flip))::BIGINT AS runs
+      FROM fl GROUP BY user_id
+    ), k AS (
+      SELECT user_id, n, n1, n2, runs,
+             1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS expected_runs,
+             CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+                   AND 2 * n1 * n2 > n THEN
+               CAST(2 * n1 * n2 * (2 * n1 * n2 - n) AS DOUBLE)
+                 / CAST(n * n * (n - 1) AS DOUBLE) END AS var_runs
+      FROM st
+    )
+    SELECT user_id, n AS n_signs, n1 AS n_up, n2 AS n_down, runs AS n_runs,
+           expected_runs,
+           CASE WHEN var_runs IS NOT NULL AND var_runs > 0 THEN
+             (CAST(runs AS DOUBLE) - expected_runs) / sqrt(var_runs)
+             END AS z_score
+    FROM k
+    """,
+)
+def q275_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per user on daily close-change signs —
+    the classic nonparametric randomness test (weak-form efficiency
+    check: too few runs = trending, too many = mean-reverting),
+    extending the engine's statistical-test family (KS q195, MW-U
+    q196, chi-square q166, Spearman q218, variance-ratio q263) with a
+    sign-sequence member. Float policy: signs come from exact BIGINT
+    cent diffs (zero changes dropped, the standard convention), the
+    run count is 1 + an integer flip sum, and E[R] = 1 + 2*n1*n2/n and
+    Var[R] = 2*n1*n2*(2*n1*n2-n) / (n^2*(n-1)) are single divisions of
+    exactly-derived BIGINT products (<= ~2e13 at calendar-bounded day
+    counts — no overflow at any SF); z is one subtraction, one IEEE
+    sqrt, one division — bit-exact with ZERO rounding calls. ANSI
+    guards: variance emitted only when positive, z only on positive
+    variance. Scale: one (user, day) agg, two user-keyed lags on one
+    partition spec, one user agg — day-grain frames, no global
+    window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    cc = F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("day")
+    d = b.select("user_id", "day", cc.alias("cc")).select(
+        "user_id", "day", (F.col("cc") - F.lag("cc").over(w)).alias("dd")
+    )
+    sg = d.where(F.col("dd").isNotNull() & (F.col("dd") != 0)).select(
+        "user_id", "day", F.when(F.col("dd") > 0, 1).otherwise(-1).alias("s")
+    )
+    ps = F.lag("s").over(w)
+    fl = sg.select(
+        "user_id",
+        "s",
+        F.when(ps.isNotNull() & (F.col("s") != ps), 1).otherwise(0).alias(
+            "flip"
+        ),
+    )
+    st = fl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        (F.lit(1) + F.sum("flip")).cast("long").alias("runs"),
+    )
+    tp = F.lit(2) * F.col("n1") * F.col("n2")
+    er = F.lit(1.0) + tp.cast("double") / F.col("n").cast("double")
+    vr = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1)
+        & (tp > F.col("n")),
+        (tp * (tp - F.col("n"))).cast("double")
+        / (F.col("n") * F.col("n") * (F.col("n") - F.lit(1))).cast("double"),
+    )
+    k = st.select(
+        "user_id",
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        er.alias("expected_runs"),
+        vr.alias("var_runs"),
+    )
+    return k.select(
+        F.col("user_id"),
+        F.col("n").alias("n_signs"),
+        F.col("n1").alias("n_up"),
+        F.col("n2").alias("n_down"),
+        F.col("runs").alias("n_runs"),
+        "expected_runs",
+        F.when(
+            F.col("var_runs").isNotNull() & (F.col("var_runs") > 0),
+            (F.col("runs").cast("double") - F.col("expected_runs"))
+            / F.sqrt("var_runs"),
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "q276_corwin_schultz",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             max(value) AS hi, min(value) AS lo
+      FROM events GROUP BY 1, 2
+      HAVING min(value) > 0
+    ), p AS (
+      SELECT user_id, hi, lo,
+             lag(hi) OVER w AS ph, lag(lo) OVER w AS pl
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), t AS (
+      SELECT user_id,
+             round(ln(hi / lo), 6) * round(ln(hi / lo), 6)
+               + round(ln(ph / pl), 6) * round(ln(ph / pl), 6) AS beta,
+             round(ln(greatest(hi, ph) / least(lo, pl)), 6)
+               * round(ln(greatest(hi, ph) / least(lo, pl)), 6) AS gamma
+      FROM p WHERE ph IS NOT NULL
+    ), a AS (
+      SELECT user_id,
+             (sqrt(2.0 * beta) - sqrt(beta)) / 0.1715728752538097
+               - sqrt(gamma / 0.1715728752538097) AS alpha
+      FROM t
+    ), s AS (
+      SELECT user_id,
+             CAST(floor(greatest(
+               2.0 * (round(exp(alpha), 6) - 1.0)
+                 / (1.0 + round(exp(alpha), 6)), 0.0) * 1e6 + 0.5)
+               AS BIGINT) AS sq
+      FROM a
+    )
+    SELECT user_id, count(*)::BIGINT AS n_pairs,
+           CAST(sum(sq) AS DOUBLE) / (1e6 * count(*)) AS cs_spread
+    FROM s GROUP BY user_id
+    """,
+)
+def q276_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz (2012) high-low implied spread per user — the
+    range-based effective-spread estimator that needs only daily
+    highs/lows (the 2-day range overlap separates spread from
+    volatility), completing the microstructure estimator family next
+    to Roll q207 (autocovariance), Kyle q259 (flow regression), Amihud
+    q237 (price impact), and VPIN q268 (flow toxicity). Per day pair:
+    beta = sum of the two squared ln(H/L), gamma = squared ln of the
+    2-day range, alpha = (sqrt(2*beta)-sqrt(beta))/(3-2*sqrt2) -
+    sqrt(gamma/(3-2*sqrt2)), S = 2(e^a-1)/(1+e^a) floored at 0 (the
+    paper's negative-spread convention). Float policy: lns round 6dp
+    at the transcendental; 3-2*sqrt2 ships as ONE pre-folded literal
+    (q258 decimal-literal lesson); sqrt is IEEE-exact; exp is NOT
+    bit-portable so it rounds at the output (q247 pairing); each
+    pair's spread micro-quantizes half-up to a BIGINT and the per-user
+    mean is an integer sum with ONE final division. Scale: one
+    (user, day) agg, two lags on one user-keyed partition spec, one
+    user agg — day-grain frames, no global window."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    d = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max("value").alias("hi"), F.min("value").alias("lo"))
+        .where(F.col("lo") > 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    p = d.select(
+        "user_id",
+        "hi",
+        "lo",
+        F.lag("hi").over(w).alias("ph"),
+        F.lag("lo").over(w).alias("pl"),
+    ).where(F.col("ph").isNotNull())
+    r1 = F.round(F.log(F.col("hi") / F.col("lo")), 6)
+    r0 = F.round(F.log(F.col("ph") / F.col("pl")), 6)
+    g = F.round(
+        F.log(
+            F.greatest(F.col("hi"), F.col("ph"))
+            / F.least(F.col("lo"), F.col("pl"))
+        ),
+        6,
+    )
+    t = p.select(
+        "user_id",
+        (r1 * r1 + r0 * r0).alias("beta"),
+        (g * g).alias("gamma"),
+    )
+    kk = F.lit(0.1715728752538097)
+    alpha = (
+        (F.sqrt(F.lit(2.0) * F.col("beta")) - F.sqrt(F.col("beta"))) / kk
+        - F.sqrt(F.col("gamma") / kk)
+    )
+    a = t.select("user_id", alpha.alias("alpha"))
+    e = F.round(F.exp(F.col("alpha")), 6)
+    sq = F.floor(
+        F.greatest(
+            F.lit(2.0) * (e - F.lit(1.0)) / (F.lit(1.0) + e), F.lit(0.0)
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    s = a.select("user_id", sq.alias("sq"))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.sum("sq").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("cs_spread"),
+    )
+
+
+@register(
+    "q277_cointegration_hedge",
+    """
+    WITH c AS (
+      SELECT user_id, day, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cc
+      FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value > 0
+    ), m AS (
+      SELECT day,
+             CAST(floor(sum(cc)::BIGINT / (1.0 * count(*)) + 0.5) AS BIGINT)
+               AS mq
+      FROM c GROUP BY day
+    ), xy AS (
+      SELECT c.user_id, c.day, c.cc AS y, m.mq AS x
+      FROM c JOIN m ON m.day = c.day
+    ), ols AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM xy GROUP BY user_id
+    ), bz AS (
+      SELECT user_id, n, sx, sy,
+             CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS beta
+      FROM ols
+    ), ab AS (
+      SELECT user_id, n, beta,
+             (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS alpha
+      FROM bz WHERE beta IS NOT NULL
+    ), res AS (
+      SELECT xy.user_id, xy.day,
+             least(greatest(CAST(floor(
+               (CAST(xy.y AS DOUBLE) - ab.alpha
+                  - ab.beta * CAST(xy.x AS DOUBLE)) + 0.5) AS BIGINT),
+               -10000000), 10000000) AS eq
+      FROM xy JOIN ab ON ab.user_id = xy.user_id
+    ), pr AS (
+      SELECT user_id, eq, lag(eq) OVER w AS ep
+      FROM res WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), ar AS (
+      SELECT user_id, count(*)::BIGINT AS m,
+             sum(eq)::BIGINT AS se, sum(ep)::BIGINT AS sp,
+             sum(eq * ep)::BIGINT AS sep, sum(ep * ep)::BIGINT AS spp
+      FROM pr WHERE ep IS NOT NULL GROUP BY user_id
+    )
+    SELECT b.user_id, b.n AS n_days, b.beta AS hedge_beta,
+           a.m AS n_resid_pairs,
+           CASE WHEN a.m >= 3 AND a.m * a.spp - a.sp * a.sp <> 0 THEN
+             CAST(a.m * a.sep - a.se * a.sp AS DOUBLE)
+               / CAST(a.m * a.spp - a.sp * a.sp AS DOUBLE) END AS resid_ar1
+    FROM bz b JOIN ar a ON a.user_id = b.user_id
+    WHERE b.beta IS NOT NULL
+    """,
+)
+def q277_cointegration_hedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger step-1 hedge vs the cross-user market index: per
+    user, OLS of daily close (cents) on the per-day market mean close
+    gives the HEDGE RATIO beta; the residual's lag-1 AR coefficient is
+    the mean-reversion speed proxy (resid_ar1 << 1 = the spread snaps
+    back - a pairs-trade candidate), the statistic the Engle-Granger
+    cointegration test examines. NOT q168's CAPM beta: that regresses
+    daily RETURNS (stationary by construction, no residual question);
+    cointegration lives on price LEVELS, where the hedge ratio only
+    matters if the residual spread mean-reverts - resid_ar1 is the
+    deliverable here. Float policy: closes and the market
+    index are exact BIGINTs (index re-quantized half-up, the q266
+    recipe); the OLS state is five exact BIGINT sums and beta/alpha
+    are single divisions; per-day residuals are fixed IEEE chains on
+    those, quantized half-up to BIGINT cents and winsorized at +/-1e5
+    dollars (documented clamp - keeps every AR product <= 1e14 x
+    calendar-bounded day counts, far under 2^63 at any SF); the AR(1)
+    slope is one division of exact integer products. Scale: one
+    (user, day) agg; the market index is a day-grain agg joined back
+    on day (data-cardinality equi-join); OLS and AR are user aggs; the
+    residual lag rides one user-keyed partition spec - no global
+    window, no cross join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    c = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+        .select(
+            "user_id",
+            "day",
+            F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cc"),
+        )
+    )
+    m = c.groupBy("day").agg(
+        F.floor(
+            F.sum("cc").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    xy = c.join(m, "day").select(
+        "user_id", "day", F.col("cc").alias("y"), F.col("mq").alias("x")
+    )
+    ols = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(
+        (F.col("n") >= 3) & (den != 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / den.cast("double"),
+    )
+    bz = ols.select("user_id", "n", "sx", "sy", beta.alias("beta"))
+    ab = bz.where(F.col("beta").isNotNull()).select(
+        "user_id",
+        "beta",
+        (
+            (F.col("sy").cast("double") - F.col("beta") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("alpha"),
+    )
+    eq = F.least(
+        F.greatest(
+            F.floor(
+                (
+                    F.col("y").cast("double")
+                    - F.col("alpha")
+                    - F.col("beta") * F.col("x").cast("double")
+                )
+                + F.lit(0.5)
+            ).cast("long"),
+            F.lit(-10000000),
+        ),
+        F.lit(10000000),
+    )
+    res = xy.join(ab, "user_id").select("user_id", "day", eq.alias("eq"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    pr = res.select(
+        "user_id", "eq", F.lag("eq").over(w).alias("ep")
+    ).where(F.col("ep").isNotNull())
+    ar = pr.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("eq").cast("long").alias("se"),
+        F.sum("ep").cast("long").alias("sp"),
+        F.sum(F.col("eq") * F.col("ep")).cast("long").alias("sep"),
+        F.sum(F.col("ep") * F.col("ep")).cast("long").alias("spp"),
+    )
+    aden = F.col("m") * F.col("spp") - F.col("sp") * F.col("sp")
+    ar1 = F.when(
+        (F.col("m") >= 3) & (aden != 0),
+        (F.col("m") * F.col("sep") - F.col("se") * F.col("sp")).cast(
+            "double"
+        )
+        / aden.cast("double"),
+    )
+    return (
+        bz.where(F.col("beta").isNotNull())
+        .join(ar, "user_id")
+        .select(
+            "user_id",
+            F.col("n").alias("n_days"),
+            F.col("beta").alias("hedge_beta"),
+            F.col("m").alias("n_resid_pairs"),
+            ar1.alias("resid_ar1"),
+        )
+    )
+
+
+def _q278_oracle_sql(nlist: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of q278: the shared deterministic Lloyd prefix
+    (:func:`_lloyd_cells_ctes`, proven by q51/q127/q131/q133), then
+    per-label vs corpus cell-histogram JS divergence via the q217
+    exact-integer-probability recipe."""
+    ctes = _lloyd_cells_ctes(nlist, iters)
+    ctes.append(
+        "lc AS (SELECT emb.label, c.cell, count(*)::BIGINT AS cl "
+        "FROM cells c JOIN embeddings emb ON emb.vec_id = c.vec_id "
+        "GROUP BY emb.label, c.cell)"
+    )
+    ctes.append(
+        "cc AS (SELECT cell, sum(cl)::BIGINT AS ca FROM lc GROUP BY cell)"
+    )
+    ctes.append("nl AS (SELECT label, sum(cl)::BIGINT AS n FROM lc GROUP BY label)")
+    ctes.append("na AS (SELECT sum(ca)::BIGINT AS n FROM cc)")
+    ctes.append(
+        "terms AS (SELECT lc.label, "
+        "CAST(floor((lc.cl / nl.n) * round(ln((lc.cl / nl.n) "
+        "/ ((lc.cl / nl.n + cc.ca / na.n) / 2.0)), 6) * 1000000.0 + 0.5) "
+        "AS BIGINT) AS tp, "
+        "CAST(floor((cc.ca / na.n) * round(ln((cc.ca / na.n) "
+        "/ ((lc.cl / nl.n + cc.ca / na.n) / 2.0)), 6) * 1000000.0 + 0.5) "
+        "AS BIGINT) AS tq "
+        "FROM lc JOIN cc USING (cell) JOIN nl USING (label), na "
+        "WHERE lc.cl > 0 AND cc.ca > 0)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT label::BIGINT AS label,"
+        " (SELECT n FROM nl x WHERE x.label = terms.label)::BIGINT AS n_vecs,"
+        " sum(tp)::BIGINT / 1000000.0 AS kl_label_mid,"
+        " sum(tq)::BIGINT / 1000000.0 AS kl_corpus_mid,"
+        " (sum(tp)::BIGINT + sum(tq)::BIGINT) / 2000000.0 AS js_divergence"
+        " FROM terms GROUP BY label"
+    )
+
+
+@register("q278_embedding_shift", _q278_oracle_sql())
+def q278_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space distribution shift per label (the MAUVE-style
+    divergence-over-quantized-embeddings recipe, Pillutla et al. 2021:
+    quantize both distributions onto shared k-means cells, compare the
+    cell histograms): deterministic Lloyd cells (q51's trainer, 8
+    lowest-id seeds, 2 rounds) -> per-label vs whole-corpus cell
+    histograms -> Jensen-Shannon divergence per label. Catches
+    embedding-space drift a per-dimension mean (q265 centroid drift)
+    misses: a label can share the corpus centroid while occupying
+    different MODES. Float policy: cell counts are exact integers, so
+    the probabilities are exact divisions; ln rounds 6dp at the
+    transcendental; terms micro-quantize half-up and integer-sum (the
+    q217 JS recipe, shared-support terms by construction since every
+    label cell count > 0). Scale: training is the q51 broadcast-argmin
+    loop (per-round shuffle is nlist x dim rows, corpus-size-free);
+    histograms are one (label, cell) grouped count; everything after
+    is <= nlist x |labels| rows."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    init = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    cents = sim.kmeans_lloyd_det(emb, init, iters=2)
+    cells = sim.assign_cells(emb, cents).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    lc = cells.groupBy("label", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cl")
+    )
+    cc = lc.groupBy("cell").agg(F.sum("cl").cast("long").alias("ca"))
+    nl = lc.groupBy("label").agg(F.sum("cl").cast("long").alias("n"))
+    na = cc.agg(F.sum("ca").cast("long").alias("na"))
+    j = (
+        lc.join(cc, "cell")
+        .join(F.broadcast(nl.withColumnRenamed("n", "nlbl")), "label")
+        .crossJoin(F.broadcast(na))
+    )
+    p = F.col("cl") / F.col("nlbl")
+    q = F.col("ca") / F.col("na")
+    mid = (p + q) / F.lit(2.0)
+    tp = F.floor(
+        p * F.round(F.log(p / mid), 6) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    tq = F.floor(
+        q * F.round(F.log(q / mid), 6) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    terms = j.select("label", "nlbl", tp.alias("tp"), tq.alias("tq"))
+    return terms.groupBy("label").agg(
+        F.max("nlbl").cast("long").alias("n_vecs"),
+        (F.sum("tp").cast("long") / F.lit(1000000.0)).alias("kl_label_mid"),
+        (F.sum("tq").cast("long") / F.lit(1000000.0)).alias("kl_corpus_mid"),
+        (
+            (F.sum("tp").cast("long") + F.sum("tq").cast("long"))
+            / F.lit(2000000.0)
+        ).alias("js_divergence"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        "kl_label_mid",
+        "kl_corpus_mid",
+        "js_divergence",
+    )
+
+
+@register(
+    "q279_word_burstiness",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), dc AS (
+      SELECT word, doc_id, count(*)::BIGINT AS x
+      FROM tok WHERE word <> '' GROUP BY word, doc_id
+    ), nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ws AS (
+      SELECT word, sum(x)::BIGINT AS c, sum(x * x)::BIGINT AS sx2,
+             count(*)::BIGINT AS df
+      FROM dc GROUP BY word
+    )
+    SELECT word, c AS total_count, df AS doc_freq,
+           CAST(nn.n * ws.sx2 - ws.c * ws.c AS DOUBLE)
+             / CAST(nn.n * ws.c AS DOUBLE) AS fano
+    FROM ws, nn
+    ORDER BY c DESC, word LIMIT 50
+    """,
+)
+def q279_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church & Gale 1995) for the top-50 corpus
+    words: the Fano factor var/mean of per-document occurrence counts
+    (zeros over absent docs included). Fano ~= 1 = Poisson scatter
+    (function words); >> 1 = bursty content words that concentrate in
+    few documents - the dispersion diagnostic that separates topical
+    vocabulary from glue, complementing frequency-only views (Zipf
+    q149, TTR q175, Burrows q239). Float policy: per-(word, doc)
+    counts, their squares, and the doc total are exact BIGINTs; Fano =
+    (N*Sx2 - C^2)/(N*C) is ONE division of exactly-derived casts -
+    zero rounding calls (overflow: x^2 <= 1e6 per doc x 1e6 docs x N
+    stays under 2^63 through sf1). Scale: explode -> (word, doc)
+    grouped count -> word agg; the top-50 is a TakeOrderedAndProject
+    on the exact-integer count (per-partition partial top-k, never a
+    global sort), tiebroken on the word itself."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    dc = tok.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ws = dc.groupBy("word").agg(
+        F.sum("x").cast("long").alias("c"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    fano = (
+        (F.col("n") * F.col("sx2") - F.col("c") * F.col("c")).cast("double")
+        / (F.col("n") * F.col("c")).cast("double")
+    )
+    return (
+        ws.crossJoin(F.broadcast(nn))
+        .select(
+            "word",
+            F.col("c").alias("total_count"),
+            F.col("df").alias("doc_freq"),
+            fano.alias("fano"),
+        )
+        .orderBy(F.col("total_count").desc(), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "q280_woe_iv",
+    """
+    WITH c AS (
+      SELECT user_id, day, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cc
+      FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value > 0
+    ), lb AS (
+      SELECT user_id, cc // 5000 AS band,
+             CASE WHEN lead(cc) OVER (PARTITION BY user_id ORDER BY day)
+                       > cc THEN 1 ELSE 0 END AS good,
+             lead(cc) OVER (PARTITION BY user_id ORDER BY day) AS nx
+      FROM c
+    ), bb AS (
+      SELECT band, sum(good)::BIGINT AS g,
+             (count(*) - sum(good))::BIGINT AS b
+      FROM lb WHERE nx IS NOT NULL GROUP BY band
+    ), tot AS (
+      SELECT sum(g)::BIGINT AS gt, sum(b)::BIGINT AS bt FROM bb
+    ), wt AS (
+      SELECT band, g, b,
+             round(ln(CAST(g * tot.bt AS DOUBLE)
+                      / CAST(b * tot.gt AS DOUBLE)), 6) AS woe,
+             tot.gt, tot.bt
+      FROM bb, tot WHERE g > 0 AND b > 0
+    )
+    SELECT band::BIGINT AS value_band, g AS n_good, b AS n_bad, woe,
+           CAST(floor((g / (1.0 * gt) - b / (1.0 * bt)) * woe
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS iv_term
+    FROM wt
+    """,
+)
+def q280_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning (the credit-
+    scoring feature diagnostic, Siddiqi 2006): bin user-days by price
+    band (50.00-unit cents bands), label each by whether the NEXT
+    active day's close is higher, and score each band's separation
+    power - WOE = ln(odds ratio of the band vs the population), IV
+    term = (good share - bad share) x WOE; sum of IV terms is the
+    feature's predictive-power screen. Shared-support bands only
+    (g > 0 AND b > 0, the q217 convention; production adds Laplace
+    smoothing). Float policy: counts are exact integers, the odds
+    ratio g*Bt/(b*Gt) is an exact-integer product ratio inside ONE ln
+    rounded at the transcendental (products < 2^53 - the PMI-family
+    argument q129/q130), shares are exact divisions, and the IV term
+    micro-quantizes half-up. Scale: one (user, day) agg, one
+    user-keyed lead, one grouped count over the <=20-band frame plus a
+    one-row broadcast total - no global window, no cross join beyond
+    one-row frames."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    c = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+        .select(
+            "user_id",
+            "day",
+            F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cc"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    nx = F.lead("cc").over(w)
+    lb = c.select(
+        F.expr("cc div 5000").alias("band"),
+        F.when(nx > F.col("cc"), 1).otherwise(0).alias("good"),
+        nx.alias("nx"),
+    ).where(F.col("nx").isNotNull())
+    bb = lb.groupBy("band").agg(
+        F.sum("good").cast("long").alias("g"),
+        (F.count(F.lit(1)) - F.sum("good")).cast("long").alias("b"),
+    )
+    tot = bb.agg(
+        F.sum("g").cast("long").alias("gt"),
+        F.sum("b").cast("long").alias("bt"),
+    )
+    wt = (
+        bb.crossJoin(F.broadcast(tot))
+        .where((F.col("g") > 0) & (F.col("b") > 0))
+        .select(
+            "band",
+            "g",
+            "b",
+            F.round(
+                F.log(
+                    (F.col("g") * F.col("bt")).cast("double")
+                    / (F.col("b") * F.col("gt")).cast("double")
+                ),
+                6,
+            ).alias("woe"),
+            "gt",
+            "bt",
+        )
+    )
+    iv = (
+        F.floor(
+            (
+                F.col("g") / (F.lit(1.0) * F.col("gt"))
+                - F.col("b") / (F.lit(1.0) * F.col("bt"))
+            )
+            * F.col("woe")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return wt.select(
+        F.col("band").cast("long").alias("value_band"),
+        F.col("g").alias("n_good"),
+        F.col("b").alias("n_bad"),
+        "woe",
+        iv.alias("iv_term"),
+    )
+
+@register(
+    "q281_hurst_rs",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), f AS (
+      SELECT user_id, day, rmu,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn2
+      FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e6 + 0.5)
+                 AS BIGINT) AS rmu
+        FROM b WHERE cl > 0
+      ) WHERE rmu IS NOT NULL
+    ), x AS (
+      SELECT f.user_id, kk.k, (f.rn2 - 1) // kk.k AS blk,
+             (f.rn2 - 1) % kk.k + 1 AS j, f.rmu
+      FROM f, UNNEST([4, 8, 16]) AS kk(k)
+    ), w1 AS (
+      SELECT user_id, k, blk, j, rmu,
+             sum(rmu) OVER (PARTITION BY user_id, k, blk ORDER BY j
+                            ROWS UNBOUNDED PRECEDING) AS pfx,
+             sum(rmu) OVER (PARTITION BY user_id, k, blk) AS s,
+             count(*) OVER (PARTITION BY user_id, k, blk) AS cnt
+      FROM x
+    ), d AS (
+      SELECT user_id, k, blk, rmu, s, k * pfx - j * s AS dj
+      FROM w1 WHERE cnt = k
+    ), g AS (
+      SELECT user_id, k, blk,
+             (max(dj) - min(dj))::BIGINT AS rnum,
+             (k * sum(rmu * rmu) - max(s) * max(s))::BIGINT AS vnum
+      FROM d GROUP BY user_id, k, blk
+    ), y AS (
+      SELECT user_id, k,
+             CAST(floor(round(ln(CAST(rnum AS DOUBLE)
+                    / sqrt(CAST(vnum AS DOUBLE))), 6) * 1e6 + 0.5)
+                  AS BIGINT) AS ym
+      FROM g WHERE vnum > 0 AND rnum > 0
+    ), m AS (
+      SELECT user_id, k, count(*)::BIGINT AS nb,
+             sum(ym)::BIGINT / (1e6 * count(*)) AS ybar
+      FROM y GROUP BY user_id, k
+    ), p AS (
+      SELECT user_id,
+             max(CASE WHEN k = 4 THEN nb END)::BIGINT AS nb4,
+             max(CASE WHEN k = 16 THEN nb END)::BIGINT AS nb16,
+             max(CASE WHEN k = 4 THEN ybar END) AS ln_rs_4,
+             max(CASE WHEN k = 8 THEN ybar END) AS ln_rs_8,
+             max(CASE WHEN k = 16 THEN ybar END) AS ln_rs_16
+      FROM m GROUP BY user_id
+    )
+    SELECT user_id, nb4, nb16, ln_rs_4, ln_rs_8, ln_rs_16,
+           CASE WHEN ln_rs_4 IS NOT NULL AND ln_rs_16 IS NOT NULL THEN
+             (ln_rs_16 - ln_rs_4) / 1.3862943611198906 END AS hurst
+    FROM p
+    """,
+)
+def q281_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per user via rescaled range (Hurst 1951; Lo 1991
+    for the finance framing): long-memory diagnostic H from the growth
+    of R/S across block sizes 4/8/16 days - H > 0.5 trending, < 0.5
+    mean-reverting, the regime view the variance-ratio q263 samples at
+    one horizon. Per block, the cumulative-deviation range is computed
+    on the INTEGER lattice: with prefix sums P_j and block total S
+    exact BIGINTs, d_j = k*P_j - j*S = k*(cumdev_j), so R/S =
+    (max d - min d)/sqrt(k*sum(r^2) - S^2) - the k's cancel and the
+    whole ratio is one division + one IEEE sqrt on exact integers.
+    ln(R/S) rounds at the transcendental, micro-sums per (user, k),
+    and H is the closed-form OLS slope over the ln2-equispaced sizes:
+    (ybar16 - ybar4)/(2 ln 2), the 2-point form that IS the 3-point
+    OLS slope for equispaced x (2 ln 2 pre-folded, q258 lesson).
+    Overflow: |rmu| <= ~1.1e7 -> k*sum(r^2) <= 3e16 at k=16, far under
+    2^63. Scale: day-grain frames; the two block windows share one
+    (user, k, blk) partition spec (data cardinality); the x3 size
+    fan-out is fixed; the pivot is a per-user conditional agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmu = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    f = (
+        b.select("user_id", "day", rmu.alias("rmu"))
+        .where(F.col("rmu").isNotNull())
+        .select(
+            "user_id",
+            "rmu",
+            F.row_number().over(wd).alias("rn2"),
+        )
+    )
+    x = f.select(
+        "user_id",
+        F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("k"),
+        "rn2",
+        "rmu",
+    ).select(
+        "user_id",
+        "k",
+        F.expr("(rn2 - 1) div k").alias("blk"),
+        F.expr("(rn2 - 1) % k + 1").alias("j"),
+        "rmu",
+    )
+    wb = Window.partitionBy("user_id", "k", "blk")
+    wo = wb.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    w1 = x.select(
+        "user_id",
+        "k",
+        "blk",
+        "j",
+        "rmu",
+        F.sum("rmu").over(wo).alias("pfx"),
+        F.sum("rmu").over(wb).alias("s"),
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+    )
+    d = w1.where(F.col("cnt") == F.col("k")).select(
+        "user_id",
+        "k",
+        "blk",
+        "rmu",
+        "s",
+        (F.col("k") * F.col("pfx") - F.col("j") * F.col("s")).alias("dj"),
+    )
+    g = d.groupBy("user_id", "k", "blk").agg(
+        (F.max("dj") - F.min("dj")).cast("long").alias("rnum"),
+        (
+            F.col("k").cast("long") * F.sum(F.col("rmu") * F.col("rmu"))
+            - F.max("s") * F.max("s")
+        )
+        .cast("long")
+        .alias("vnum"),
+    )
+    ym = F.floor(
+        F.round(
+            F.log(
+                F.col("rnum").cast("double")
+                / F.sqrt(F.col("vnum").cast("double"))
+            ),
+            6,
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    y = g.where((F.col("vnum") > 0) & (F.col("rnum") > 0)).select(
+        "user_id", "k", ym.alias("ym")
+    )
+    m = y.groupBy("user_id", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        (
+            F.sum("ym").cast("long")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("ybar"),
+    )
+    p = m.groupBy("user_id").agg(
+        F.max(F.when(F.col("k") == 4, F.col("nb")))
+        .cast("long")
+        .alias("nb4"),
+        F.max(F.when(F.col("k") == 16, F.col("nb")))
+        .cast("long")
+        .alias("nb16"),
+        F.max(F.when(F.col("k") == 4, F.col("ybar"))).alias("ln_rs_4"),
+        F.max(F.when(F.col("k") == 8, F.col("ybar"))).alias("ln_rs_8"),
+        F.max(F.when(F.col("k") == 16, F.col("ybar"))).alias("ln_rs_16"),
+    )
+    hurst = F.when(
+        F.col("ln_rs_4").isNotNull() & F.col("ln_rs_16").isNotNull(),
+        (F.col("ln_rs_16") - F.col("ln_rs_4")) / F.lit(1.3862943611198906),
+    )
+    return p.select(
+        "user_id",
+        "nb4",
+        "nb16",
+        "ln_rs_4",
+        "ln_rs_8",
+        "ln_rs_16",
+        hurst.alias("hurst"),
+    )
+
+
+@register(
+    "q282_event_study_car",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rmu,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn2
+      FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e6 + 0.5)
+                 AS BIGINT) AS rmu
+        FROM b WHERE cl > 0
+      ) WHERE rmu IS NOT NULL
+    ), m AS (
+      SELECT day,
+             CAST(floor(sum(rmu)::BIGINT / (1.0 * count(*)) + 0.5) AS BIGINT)
+               AS mq
+      FROM rr GROUP BY day
+    ), a AS (
+      SELECT rr.user_id, rr.rn2, rr.rmu - m.mq AS ab, abs(rr.rmu) AS absr
+      FROM rr JOIN m USING (day)
+    ), ev AS (
+      SELECT user_id, rn2 AS ern FROM (
+        SELECT user_id, rn2,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY absr, rn2) AS arank,
+               count(*) OVER (PARTITION BY user_id) AS mm
+        FROM a
+      ) WHERE arank > (9 * mm) // 10
+    ), j AS (
+      SELECT t.off, a.ab
+      FROM ev e, UNNEST([-2, -1, 0, 1, 2]) AS t(off)
+      JOIN a ON a.user_id = e.user_id AND a.rn2 = e.ern + t.off
+    ), g AS (
+      SELECT off, count(*)::BIGINT AS n_obs,
+             CAST(floor(sum(ab)::BIGINT / (1.0 * count(*)) + 0.5) AS BIGINT)
+               AS m_mu
+      FROM j GROUP BY off
+    ), c AS (
+      SELECT off, n_obs, m_mu,
+             sum(m_mu) OVER (ORDER BY off ROWS UNBOUNDED PRECEDING) AS car_mu
+      FROM g
+    )
+    SELECT off::BIGINT AS rel_day, n_obs, m_mu / 1e6 AS mean_ar,
+           car_mu / 1e6 AS caar
+    FROM c
+    """,
+)
+def q282_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study abnormal-return curve (MacKinlay 1997's AR/CAR
+    machinery, the workhorse of empirical finance): event days are
+    each user's top-decile |move| days (the q274 discrete rank cut);
+    the abnormal return is the user's micro return minus the same
+    day's market mean (q266's re-quantized integer index, so ab is an
+    exact BIGINT); the output is mean AR and cumulative CAAR by
+    relative day -2..+2 around the event. Float policy: everything is
+    integer until the per-offset mean, which re-quantizes half-up so
+    the CAAR cumsum is again an exact integer sum; two divisions
+    total, both at emit. Scale: day-grain frames keyed by user; event
+    windows are a fixed x5 fan-out of EVENT rows joined back on the
+    (user, day-rank) equi-key; the final cumsum is a 5-row window over
+    the per-offset AGGREGATE frame (the licensed pmod idiom)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmu = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("user_id", "day", rmu.alias("rmu"))
+        .where(F.col("rmu").isNotNull())
+        .select(
+            "user_id",
+            "day",
+            "rmu",
+            F.row_number().over(wd).alias("rn2"),
+        )
+    )
+    m = rr.groupBy("day").agg(
+        F.floor(
+            F.sum("rmu").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    a = rr.join(m, "day").select(
+        "user_id",
+        "rn2",
+        (F.col("rmu") - F.col("mq")).alias("ab"),
+        F.abs("rmu").alias("absr"),
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = a.select(
+        "user_id",
+        "rn2",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("absr", "rn2"))
+        .alias("arank"),
+        F.count(F.lit(1)).over(wu).alias("mm"),
+    )
+    evd = ranked.where(
+        F.col("arank") > F.expr("(9 * mm) div 10")
+    ).select("user_id", F.col("rn2").alias("ern"))
+    win = evd.select(
+        "user_id",
+        "ern",
+        F.explode(
+            F.array(*[F.lit(i) for i in (-2, -1, 0, 1, 2)])
+        ).alias("off"),
+    ).select("user_id", "off", (F.col("ern") + F.col("off")).alias("rn2"))
+    j = win.join(a.select("user_id", "rn2", "ab"), ["user_id", "rn2"])
+    g = j.groupBy("off").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.floor(
+            F.sum("ab").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m_mu"),
+    )
+    wc = (
+        Window.partitionBy(F.pmod(F.col("n_obs"), F.lit(1)))
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "off", "n_obs", "m_mu", F.sum("m_mu").over(wc).alias("car_mu")
+    )
+    return c.select(
+        F.col("off").cast("long").alias("rel_day"),
+        "n_obs",
+        (F.col("m_mu") / F.lit(1000000.0)).alias("mean_ar"),
+        (F.col("car_mu") / F.lit(1000000.0)).alias("caar"),
+    )
+
+
+@register(
+    "q283_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                     x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qe,
+                     x -> x::DOUBLE * x::DOUBLE)))) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), band AS (
+      SELECT * FROM scored WHERE score >= 0.20 AND score < 0.35
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM band
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q283_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    SBERT/DPR pair-mining step): per anchor, the top-5 corpus vectors
+    whose cosine falls in [0.20, 0.35) - just BELOW the q127/q64
+    positive threshold 0.35, so they are informative negatives rather
+    than trivial ones (band placed on the random-vector testdata's
+    right tail, invariant 12; production uses e.g. [0.5, 0.8)). The
+    mining harness completes the similarity family's TRAINING side
+    next to its retrieval side (q34 brute force, q35 LSH, q51 IVF).
+    Scoring is the q34-proven bit-exact cosine (broadcast anchors, HOF
+    fold, raw-score ranking with vec_id tiebreak, round at emit); the
+    band filter drops non-candidates BEFORE the per-anchor shuffle.
+    Library form :func:`similarity.mine_hard_negatives`. Scale:
+    corpus scanned once, never shuffled for scoring; the one exchange
+    keys on anchor id and carries band-population triples only."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.mine_hard_negatives(emb, queries, lo=0.20, hi=0.35, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+@register(
+    "q284_momentum_deciles",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rmu FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e6 + 0.5)
+                 AS BIGINT) AS rmu
+        FROM b WHERE cl > 0
+      ) WHERE rmu IS NOT NULL
+    ), sig AS (
+      SELECT user_id, day, p5, nxt FROM (
+        SELECT user_id, day,
+               sum(rmu) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+                 AS p5,
+               count(*) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+                 AS c5,
+               lead(rmu) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        FROM rr
+      ) WHERE c5 = 5 AND nxt IS NOT NULL
+    ), dd AS (
+      SELECT ((row_number() OVER (PARTITION BY day ORDER BY p5, user_id)
+               - 1) * 10) // (count(*) OVER (PARTITION BY day)) AS dec,
+             p5, nxt
+      FROM sig
+    )
+    SELECT dec::BIGINT AS decile, count(*)::BIGINT AS n_obs,
+           CAST(sum(p5) AS DOUBLE) / (1e6 * count(*)) AS mean_signal,
+           CAST(sum(nxt) AS DOUBLE) / (1e6 * count(*)) AS mean_fwd
+    FROM dd GROUP BY dec
+    """,
+)
+def q284_momentum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum decile table (the Jegadeesh-Titman
+    1993 sort, the standard signal-backtest primitive): each user-day
+    with a FULL 5-day lookback gets a momentum signal (trailing 5-day
+    cumulative micro return, an exact BIGINT window sum) and a forward
+    1-day return; days rank their users cross-sectionally and the
+    exact-NTile closed form ((rank-1)*10) div n buckets them into
+    deciles; the deliverable is mean forward return BY signal decile -
+    the monotonicity (or not) of that column is the signal's entire
+    case. Float policy: signals/returns are exact BIGINTs end-to-end,
+    the decile is integer arithmetic on a unique-tiebroken rank, and
+    the only divisions are the two per-decile means at emit. Scale:
+    day-grain frames; lookback/lead share ONE user-keyed partition
+    spec; the cross-sectional rank partitions by DAY (data
+    cardinality, one row per user-day); final agg is a 10-row frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmu = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = b.select("user_id", "day", rmu.alias("rmu")).where(
+        F.col("rmu").isNotNull()
+    )
+    wl = wd.rowsBetween(-5, -1)
+    sig = rr.select(
+        "user_id",
+        "day",
+        F.sum("rmu").over(wl).alias("p5"),
+        F.count(F.lit(1)).over(wl).alias("c5"),
+        F.lead("rmu").over(wd).alias("nxt"),
+    ).where((F.col("c5") == 5) & F.col("nxt").isNotNull())
+    wr = Window.partitionBy("day").orderBy("p5", "user_id")
+    wn = Window.partitionBy("day")
+    dd = sig.select(
+        "p5",
+        "nxt",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("nd"),
+    ).select(
+        F.expr("((rnk - 1) * 10) div nd").alias("dec"), "p5", "nxt"
+    )
+    return dd.groupBy("dec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (
+            F.sum("p5").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("mean_signal"),
+        (
+            F.sum("nxt").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("mean_fwd"),
+    ).select(
+        F.col("dec").cast("long").alias("decile"),
+        "n_obs",
+        "mean_signal",
+        "mean_fwd",
+    )
+
+
+@register(
+    "q285_embedding_anisotropy",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings
+    ), x AS (
+      SELECT label, t.i AS pos,
+             CAST(floor(e.embedding[t.i]::DOUBLE / nrm * 1e4 + 0.5)
+                  AS BIGINT) AS uq
+      FROM e, UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+      WHERE nrm > 0
+    ), g AS (
+      SELECT label, pos, sum(uq)::BIGINT AS s, sum(uq * uq)::BIGINT AS q
+      FROM x GROUP BY label, pos
+    ), n AS (
+      SELECT label, count(*)::BIGINT AS n FROM e WHERE nrm > 0
+      GROUP BY label
+    ), t AS (
+      SELECT label, sum(s * s - q)::BIGINT AS numer FROM g GROUP BY label
+    )
+    SELECT t.label::BIGINT AS label, n.n AS n_vecs,
+           CAST(t.numer AS DOUBLE) / (n.n * (n.n - 1) * 1e8)
+             AS avg_pairwise_cos
+    FROM t JOIN n USING (label) WHERE n.n >= 2
+    """,
+)
+def q285_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy per label (Ethayarajh 2019: the expected
+    cosine between RANDOM same-class pairs - values near 1 mean the
+    space has collapsed into a narrow cone and contrastive training or
+    whitening is needed; the representation-health check run before
+    any embedding-dedup/ANN stage trusts its cosines). The all-pairs
+    mean collapses to closed form - the ORDERED-pair cosine total is
+    ||sum u||^2 - sum ||u||^2 - so ONE pass computes it with no pair
+    join at all. Float policy: normalized elements (bit-exact
+    division by the q34-proven fold norm) quantize half-up to 1e-4
+    units, so per-(label, dim) sums S_d and square-sums Q_d are exact
+    BIGINTs; the numerator sums 64 exact (S_d^2 - Q_d) terms and ONE
+    division emits the mean (budget: S_d^2 <= 4e14 x 64 dims at sf0.1,
+    and still < 2^63 at sf1's ~2k vectors/label - why 1e-4 units, not
+    micro). Scale: posexplode -> (label, dim) grouped sums - the
+    shuffle carries 64 x |labels| rows regardless of corpus size;
+    NEVER a pair join (n^2 pairs reduced to one linear pass)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    e = emb.select("label", "embedding", nrm.alias("nrm")).where(
+        F.col("nrm") > 0
+    )
+    x = e.select(
+        "label",
+        "nrm",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val") / F.col("nrm") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("uq"),
+    )
+    g = x.groupBy("label", "pos").agg(
+        F.sum("uq").cast("long").alias("s"),
+        F.sum(F.col("uq") * F.col("uq")).cast("long").alias("q"),
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = g.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s") - F.col("q"))
+        .cast("long")
+        .alias("numer")
+    )
+    return (
+        t.join(n, "label")
+        .where(F.col("n") >= 2)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n").alias("n_vecs"),
+            (
+                F.col("numer").cast("double")
+                / (
+                    F.col("n") * (F.col("n") - F.lit(1)) * F.lit(100000000)
+                ).cast("double")
+            ).alias("avg_pairwise_cos"),
+        )
+    )
+
+@register(
+    "q286_activity_gini",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*)::BIGINT AS c
+      FROM events GROUP BY event_type, user_id
+    ), r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c, user_id) AS r
+      FROM c
+    )
+    SELECT event_type, count(*)::BIGINT AS n_users,
+           sum(c)::BIGINT AS n_events,
+           CAST(2 * sum(r * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+             / CAST(count(*) * sum(c) AS DOUBLE) AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def q286_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of user-activity concentration per event type —
+    the classic inequality measure (0 = uniform load, -> 1 = one user
+    generates everything), the skew-monitoring twin of the heavy-hitter
+    sketch q98: Gini trends a SINGLE number per stream that capacity
+    planning and hot-key alarms key on. Uses the sorted closed form
+    G = (2*sum(r*x_r) - (n+1)*sum(x)) / (n*sum(x)) over per-user counts
+    ranked ascending; ties share a value so any tie order yields the
+    same sum(r*x) - deterministic despite the arbitrary-looking
+    tiebreak. Float policy: everything is an exact BIGINT (rank x count
+    products <= n^2 * max_count, ~2e14 at sf1) and the Gini is ONE
+    division of exactly-derived casts - zero rounding calls. Scale: one
+    (type, user) grouped count, then the rank rides the licensed
+    enum-keyed window over the one-row-per-user AGGREGATE frame (the
+    16a license: the raw event frame never sees a window), then a
+    type-grain agg."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    r = c.select("event_type", "c", F.row_number().over(w).alias("r"))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+        (
+            (
+                F.lit(2) * F.sum(F.col("r") * F.col("c"))
+                - (F.count(F.lit(1)) + F.lit(1)) * F.sum("c")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("c")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q287_tail_index",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, abs(rmu) AS absr FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e6 + 0.5)
+                 AS BIGINT) AS rmu
+        FROM b WHERE cl > 0
+      ) WHERE rmu IS NOT NULL AND rmu <> 0
+    ), t AS (
+      SELECT user_id, absr,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY absr DESC, day) AS rk
+      FROM rr
+    ), xk AS (
+      SELECT user_id, absr AS xkv FROM t WHERE rk = 20
+    ), terms AS (
+      SELECT t.user_id,
+             CAST(floor(round(ln(CAST(t.absr AS DOUBLE)
+                    / CAST(xk.xkv AS DOUBLE)), 6) * 1e6 + 0.5) AS BIGINT)
+               AS tm
+      FROM t JOIN xk ON xk.user_id = t.user_id
+      WHERE t.rk <= 19
+    ), h AS (
+      SELECT user_id, count(*)::BIGINT AS k_used,
+             sum(tm)::BIGINT / (1e6 * count(*)) AS hill_mean
+      FROM terms GROUP BY user_id
+    )
+    SELECT user_id, k_used, hill_mean,
+           CASE WHEN hill_mean > 0 THEN 1.0 / hill_mean END AS tail_alpha
+    FROM h
+    """,
+)
+def q287_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill (1975) tail-index estimator per user on |daily log
+    returns|: alpha = 1 / mean(ln(x_(i)/x_(20)), i=1..19) over the top
+    20 order statistics - the standard power-law tail-heaviness
+    measure (alpha < 2 = infinite variance territory), completing the
+    heavy-tail view next to the body-shape tests (runs q275, variance
+    ratio q263, Hurst q281). NOT q267's Hill diversity number - same
+    author, different statistic. Float policy: order stats are exact
+    BIGINT micro returns picked by a unique-tiebroken rank; each
+    ln(x_i/x_k) takes an exact-integer ratio (< 2^53) and rounds at
+    the transcendental; terms micro-sum per user with ONE division,
+    and alpha is one guarded reciprocal. Scale: day-grain frames; the
+    rank rides a user-keyed window (data cardinality); the x_(20)
+    pivot joins back on the user equi-key; users with < 20 nonzero
+    moves drop out (no k-th order stat exists)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmu = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("user_id", "day", rmu.alias("rmu"))
+        .where(F.col("rmu").isNotNull() & (F.col("rmu") != 0))
+        .select("user_id", "day", F.abs("rmu").alias("absr"))
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("absr").desc(), F.col("day")
+    )
+    t = rr.select("user_id", "absr", F.row_number().over(wr).alias("rk"))
+    xk = t.where(F.col("rk") == 20).select(
+        "user_id", F.col("absr").alias("xkv")
+    )
+    tm = F.floor(
+        F.round(
+            F.log(F.col("absr").cast("double") / F.col("xkv").cast("double")),
+            6,
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    terms = (
+        t.where(F.col("rk") <= 19)
+        .join(xk, "user_id")
+        .select("user_id", tm.alias("tm"))
+    )
+    h = terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        (
+            F.sum("tm").cast("long")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("hill_mean"),
+    )
+    return h.select(
+        "user_id",
+        "k_used",
+        "hill_mean",
+        F.when(F.col("hill_mean") > 0, F.lit(1.0) / F.col("hill_mean")).alias(
+            "tail_alpha"
+        ),
+    )
+
+
+@register(
+    "q288_kanonymity_audit",
+    """
+    WITH u AS (
+      SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), '|')
+               AS type_set,
+             count(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                 AS DATE)) // 10 AS day_band
+      FROM events GROUP BY user_id
+    ), fp AS (
+      SELECT type_set, day_band, count(*)::BIGINT AS k
+      FROM u GROUP BY type_set, day_band
+    )
+    SELECT count(*)::BIGINT AS n_fingerprints,
+           sum(k)::BIGINT AS n_users,
+           sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique_fp,
+           sum(CASE WHEN k = 1 THEN k ELSE 0 END)::BIGINT AS n_users_k1,
+           sum(CASE WHEN k BETWEEN 2 AND 4 THEN k ELSE 0 END)::BIGINT
+             AS n_users_k2_4,
+           sum(CASE WHEN k >= 5 THEN k ELSE 0 END)::BIGINT AS n_users_k5p,
+           CAST(sum(CASE WHEN k = 1 THEN k ELSE 0 END) AS DOUBLE)
+             / CAST(sum(k) AS DOUBLE) AS reident_share,
+           min(k)::BIGINT AS k_anonymity
+    FROM fp
+    """,
+)
+def q288_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over behavioral quasi-identifiers (Sweeney
+    2002): fingerprint each user by (sorted distinct event-type set,
+    active-day-count band), then report the re-identification surface
+    - how many users are UNIQUE on their fingerprint (k=1, linkable by
+    an adversary holding the same quasi-identifiers), the k-class
+    distribution, and the dataset's k-anonymity (min class size). The
+    privacy-audit sibling of q85's PII redaction: redaction removes
+    direct identifiers, this measures the indirect ones - the release
+    gate a training-data pipeline runs before publishing user-derived
+    corpora. Float policy: set fingerprints are deterministic sorted
+    strings (DuckDB list_sort(list(DISTINCT .)) == Spark
+    array_sort(collect_set(.)) - both engines sort the same string
+    set), everything else is exact integer counts, ONE division at
+    emit. Scale: one user-grain agg (map-side combined), one
+    fingerprint-grain count, one single-row conditional agg - no
+    windows, no joins."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias(
+            "type_set"
+        ),
+        F.expr("count(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) div 10").alias(
+            "day_band"
+        ),
+    )
+    fp = u.groupBy("type_set", "day_band").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    k = F.col("k")
+    return fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum("k").cast("long").alias("n_users"),
+        F.sum(F.when(k == 1, 1).otherwise(0)).cast("long").alias(
+            "n_unique_fp"
+        ),
+        F.sum(F.when(k == 1, k).otherwise(0)).cast("long").alias(
+            "n_users_k1"
+        ),
+        F.sum(F.when((k >= 2) & (k <= 4), k).otherwise(0))
+        .cast("long")
+        .alias("n_users_k2_4"),
+        F.sum(F.when(k >= 5, k).otherwise(0)).cast("long").alias(
+            "n_users_k5p"
+        ),
+        (
+            F.sum(F.when(k == 1, k).otherwise(0)).cast("double")
+            / F.sum("k").cast("double")
+        ).alias("reident_share"),
+        F.min("k").cast("long").alias("k_anonymity"),
+    )
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -17379,6 +19382,14 @@ _FINAL_ORDER = [
     "q266_leadlag_market", "q267_hill_diversity",
     "q268_vpin", "q269_rfm_migration",
     "q270_loo_source_value", "q271_weighted_reservoir",
+    "q272_triple_barrier", "q273_purged_kfold",
+    "q274_label_uniqueness", "q275_runs_test",
+    "q276_corwin_schultz", "q277_cointegration_hedge",
+    "q278_embedding_shift", "q279_word_burstiness",
+    "q280_woe_iv", "q281_hurst_rs", "q282_event_study_car",
+    "q283_hard_negatives", "q284_momentum_deciles",
+    "q285_embedding_anisotropy", "q286_activity_gini",
+    "q287_tail_index", "q288_kanonymity_audit",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

@@ -323,3 +323,262 @@ def test_q271_reservoir_deterministic_topk_plan(spark, sf_dir):
     b = QUERIES["q271_weighted_reservoir"](spark, sf_dir).collect()
     assert a == b and len(a) == 64
     assert all(r.score <= 0.0 and r.n_chars > 0 for r in a)
+
+
+def test_q272_label_accounting(spark, sf_dir):
+    rows = QUERIES["q272_triple_barrier"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_up + r.n_down + r.n_timeout == r.n_labeled
+        if r.avg_days_to_hit is not None:
+            assert 1.0 <= r.avg_days_to_hit <= 5.0
+        else:
+            assert r.n_up + r.n_down == 0
+
+
+def test_q274_uniqueness_bounds(spark, sf_dir):
+    """Average uniqueness is mean(1/c) over c in 1..5, so it lives in
+    [0.2, 1.0]; max concurrency is capped by the 5-day horizon."""
+    rows = QUERIES["q274_label_uniqueness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_labels >= 1
+        assert 0.2 <= r.avg_uniqueness <= 1.0
+        assert 1 <= r.max_concurrency <= 5
+
+
+def test_q275_runs_accounting(spark, sf_dir):
+    """Run count is bounded by the sign count, n1+n2 == n, and the
+    z-score contract: emitted only on positive variance."""
+    rows = QUERIES["q275_runs_test"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_up + r.n_down == r.n_signs
+        assert 1 <= r.n_runs <= r.n_signs
+        assert r.expected_runs >= 1.0
+        if r.z_score is None:
+            assert min(r.n_up, r.n_down) == 0 or r.n_signs <= 2
+
+
+def test_q273_purged_fold_accounting(spark, sf_dir):
+    """Folds tile the day axis; for every fold, test+train+purged
+    covers every day exactly once, and the embargo purges at most
+    2*3 days (3 each side)."""
+    rows = QUERIES["q273_purged_kfold"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    total_days = rows[0].n_test_days + rows[0].n_train_days + rows[0].n_purged_days
+    for r in rows:
+        assert r.n_test_days + r.n_train_days + r.n_purged_days == total_days
+        assert 0 <= r.n_purged_days <= 6
+        assert r.test_start <= r.test_end
+
+
+def test_q276_spread_nonnegative(spark, sf_dir):
+    rows = QUERIES["q276_corwin_schultz"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs >= 1
+        assert 0.0 <= r.cs_spread <= 2.0
+
+
+def test_q277_hedge_mean_reversion_contract(spark, sf_dir):
+    """Residual AR(1) of a stationary spread must sit inside (-1, 1);
+    the OLS guard keeps degenerate users out entirely."""
+    rows = QUERIES["q277_cointegration_hedge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 3
+        assert r.n_resid_pairs == r.n_days - 1
+        if r.resid_ar1 is not None:
+            assert -1.0 < r.resid_ar1 < 1.0
+
+
+def test_q278_js_bounds(spark, sf_dir):
+    """JS divergence is bounded by ln 2 and labels partition the
+    corpus (sum of n_vecs == corpus size)."""
+    rows = QUERIES["q278_embedding_shift"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_vecs for r in rows)
+    from soict20221_bigdata_financialplatform_spark.sources.readers import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert total == n
+    for r in rows:
+        assert 0.0 <= r.js_divergence <= 0.6932
+
+
+def test_q279_fano_positive(spark, sf_dir):
+    rows = QUERIES["q279_word_burstiness"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 50
+    counts = [r.total_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.doc_freq >= 1
+        assert r.fano >= 0.0
+
+
+def test_q280_woe_sign_consistency(spark, sf_dir):
+    """WOE is positive exactly when the band's good-share beats the
+    population good-share (odds ratio > 1)."""
+    rows = QUERIES["q280_woe_iv"](spark, sf_dir).collect()
+    assert rows
+    gt = sum(r.n_good for r in rows)
+    bt = sum(r.n_bad for r in rows)
+    for r in rows:
+        assert r.n_good > 0 and r.n_bad > 0
+        odds = (r.n_good * bt) / (r.n_bad * gt)
+        assert (r.woe > 0) == (odds > 1.0) or abs(r.woe) < 1e-9
+        assert r.iv_term >= -1e-9
+
+
+def test_q281_hurst_range(spark, sf_dir):
+    """H estimates live in a sane band around (0, 1.2); the block
+    means exist whenever the user has >= one complete block."""
+    rows = QUERIES["q281_hurst_rs"](spark, sf_dir).collect()
+    assert rows
+    got_h = False
+    for r in rows:
+        if r.hurst is not None:
+            got_h = True
+            assert -0.5 < r.hurst < 1.5
+            assert r.nb4 >= 1 and r.nb16 >= 1
+    assert got_h
+
+
+def test_q282_event_curve_shape(spark, sf_dir):
+    """Exactly 5 relative days; CAAR telescopes the per-day means;
+    day 0 (the event day itself) has the largest |mean AR| since
+    events are selected ON extreme moves."""
+    rows = sorted(
+        QUERIES["q282_event_study_car"](spark, sf_dir).collect(),
+        key=lambda r: r.rel_day,
+    )
+    assert [r.rel_day for r in rows] == [-2, -1, 0, 1, 2]
+    car = 0.0
+    for r in rows:
+        car += r.mean_ar
+        assert abs(car - r.caar) < 1e-9
+    # every event contributes its own day-0 row; other offsets can fall
+    # off the series ends — so day 0 carries the max observation count
+    assert max(r.n_obs for r in rows) == rows[2].n_obs
+
+
+def test_q283_band_contract_and_plan(spark, sf_dir):
+    """Every mined negative sits inside the band, never the anchor
+    itself; per-anchor ranks are dense from 1; scoring broadcasts the
+    anchors (no corpus shuffle before the band filter)."""
+    q = QUERIES["q283_hard_negatives"](spark, sf_dir)
+    plan = checks.executed_plan(q)
+    assert "BroadcastExchange" in plan
+    rows = q.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        assert 0.20 <= r.score < 0.35
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_q284_decile_accounting(spark, sf_dir):
+    """Ten deciles, monotone mean signal by construction (the sort
+    key), and every decile populated (the exact-NTile closed form
+    never leaves a bucket empty when nd >= 10)."""
+    rows = sorted(
+        QUERIES["q284_momentum_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    sigs = [r.mean_signal for r in rows]
+    assert sigs == sorted(sigs)
+    assert all(r.n_obs >= 1 for r in rows)
+
+
+def test_q285_anisotropy_matches_bruteforce_pairs(spark, sf_dir):
+    """The closed-form mean equals the brute-force mean of quantized
+    pairwise cosines on one label (exactness of the algebra, not just
+    bounds)."""
+    rows = QUERIES["q285_embedding_anisotropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.avg_pairwise_cos <= 1.0
+    from soict20221_bigdata_financialplatform_spark.sources.readers import load_table
+
+    lab = rows[0].label
+    vecs = [
+        v.uq
+        for v in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") == lab)
+        .select(
+            F.transform(
+                "embedding", lambda x: x.cast("double")
+            ).alias("e")
+        )
+        .select(
+            F.transform(
+                "e",
+                lambda x: F.floor(
+                    x
+                    / F.sqrt(
+                        F.aggregate(
+                            F.col("e"), F.lit(0.0), lambda a, y: a + y * y
+                        )
+                    )
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("uq")
+        )
+        .collect()
+    ]
+    n = len(vecs)
+    tot = 0
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                tot += sum(a * b for a, b in zip(vecs[i], vecs[j]))
+    expect = tot / (n * (n - 1) * 1e8)
+    got = [r.avg_pairwise_cos for r in rows if r.label == lab][0]
+    assert abs(got - expect) < 1e-12
+
+
+def test_q286_gini_bounds_and_plan(spark, sf_dir):
+    """Gini lives in [0, 1); the rank window's direct input is the
+    aggregate frame (the 16a license), never the raw events."""
+    from soict20221_bigdata_financialplatform_spark.plans.linter import (
+        low_cardinality_partition_window_count,
+    )
+
+    q = QUERIES["q286_activity_gini"](spark, sf_dir)
+    assert low_cardinality_partition_window_count(q) == 0
+    rows = q.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_users >= 1 and r.n_events >= r.n_users
+
+
+def test_q287_order_stat_contract(spark, sf_dir):
+    """Exactly 19 terms per emitted user (top-19 over the 20th order
+    stat); every term is >= 0 so the Hill mean is nonnegative and
+    alpha positive whenever emitted."""
+    rows = QUERIES["q287_tail_index"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.k_used == 19
+        assert r.hill_mean >= 0.0
+        if r.tail_alpha is not None:
+            assert r.tail_alpha > 0.0
+
+
+def test_q288_kclass_partition(spark, sf_dir):
+    """The k-classes partition the user base and k-anonymity is the
+    smallest class size."""
+    r = QUERIES["q288_kanonymity_audit"](spark, sf_dir).first()
+    assert r.n_users_k1 + r.n_users_k2_4 + r.n_users_k5p == r.n_users
+    assert r.n_unique_fp <= r.n_fingerprints
+    assert r.k_anonymity >= 1
+    assert 0.0 <= r.reident_share <= 1.0
+    if r.n_unique_fp == 0:
+        assert r.reident_share == 0.0 and r.k_anonymity >= 2
