@@ -28,7 +28,8 @@ def _load(name: str):
 
 
 @pytest.mark.parametrize(
-    "example", ["training_data_pipeline", "corpus_pipeline"]
+    "example",
+    ["training_data_pipeline", "corpus_pipeline", "financial_ml_pipeline"],
 )
 def test_example_launch_gate_trips_on_global_window(spark, example):
     mod = _load(example)
