@@ -189,6 +189,12 @@ HEADLINE = [
     "q286_activity_gini",
     "q287_tail_index",
     "q288_kanonymity_audit",
+    "q289_behavior_markov",
+    "q290_price_staleness",
+    "q291_template_detection",
+    "q292_packing_efficiency",
+    "q293_market_dispersion",
+    "q294_avg_correlation",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -19316,6 +19316,538 @@ def q288_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("k_anonymity"),
     )
 
+@register(
+    "q289_behavior_markov",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), r AS (
+      SELECT prev_type, sum(n)::BIGINT AS row_n FROM t GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS p
+    FROM t JOIN r USING (prev_type)
+    """,
+)
+def q289_behavior_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov transition matrix over event
+    types: for every (prev, next) pair of consecutive events WITHIN a
+    user's stream, the transition count and conditional probability
+    P(next | prev) — the product-analytics primitive behind funnel
+    discovery (q106 checks one known path; this surfaces ALL paths and
+    their strengths) and the event-grain sibling of q222's word-level
+    entropy rate. Float policy: counts are exact BIGINTs and each
+    probability is ONE division of exactly-derived casts — zero
+    rounding calls. Scale: the lag rides a user-keyed window (data
+    cardinality) over the raw stream — the standard sessionization
+    shuffle (q38's key); the matrix is |types|² rows and the row
+    totals join on the enum key AFTER aggregation (broadcast-sized
+    both sides)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = t.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return t.join(F.broadcast(r), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_n").cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+@register(
+    "q290_price_staleness",
+    """
+    WITH c AS (
+      SELECT user_id, day, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cc
+      FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value > 0
+    ), d AS (
+      SELECT user_id, day,
+             CASE WHEN cc = lag(cc) OVER w THEN 1 ELSE 0 END AS flat,
+             row_number() OVER w AS rn2
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY day)
+      QUALIFY lag(cc) OVER w IS NOT NULL
+    ), g AS (
+      SELECT user_id, flat, rn2,
+             rn2 - row_number() OVER (PARTITION BY user_id, flat
+                                      ORDER BY rn2) AS grp
+      FROM d
+    ), runs AS (
+      SELECT user_id, count(*)::BIGINT AS run_len
+      FROM g WHERE flat = 1 GROUP BY user_id, grp
+    ), agg AS (
+      SELECT user_id, count(*)::BIGINT AS n_changes,
+             sum(flat)::BIGINT AS n_flat
+      FROM d GROUP BY user_id
+    ), mx AS (
+      SELECT user_id, max(run_len)::BIGINT AS longest_flat_run
+      FROM runs GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_changes, a.n_flat,
+           CAST(a.n_flat AS DOUBLE) / CAST(a.n_changes AS DOUBLE)
+             AS zero_return_share,
+           coalesce(m.longest_flat_run, 0)::BIGINT AS longest_flat_run
+    FROM agg a LEFT JOIN mx m ON m.user_id = a.user_id
+    """,
+)
+def q290_price_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-return / stale-price liquidity diagnostics per user
+    (Lesmond-Ogden-Trzcinka 1999: the share of zero-return days IS an
+    illiquidity proxy — an asset that does not trade does not move):
+    zero-move share of day-over-day cent changes plus the LONGEST flat
+    run (gaps-and-islands on the flat flag, the q260 idiom), the
+    staleness screen run before any of the microstructure estimators
+    (Roll q207, Amihud q237, Corwin-Schultz q276) whose math assumes
+    prices actually move. Float policy: cents are exact BIGINTs,
+    flat/run counts exact integers, ONE division at emit. Scale: one
+    (user, day) agg; the flat flag, day rank, and islands grouping
+    ride user-keyed windows (data cardinality); runs collapse to one
+    row per island before the max."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    c = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+        .select(
+            "user_id",
+            "day",
+            F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cc"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pc = F.lag("cc").over(w)
+    d = c.select(
+        "user_id",
+        "day",
+        F.when(F.col("cc") == pc, 1).otherwise(0).alias("flat"),
+        F.row_number().over(w).alias("rn2"),
+        pc.alias("pc"),
+    ).where(F.col("pc").isNotNull())
+    wg = Window.partitionBy("user_id", "flat").orderBy("rn2")
+    g = d.select(
+        "user_id",
+        "flat",
+        (F.col("rn2") - F.row_number().over(wg)).alias("grp"),
+    )
+    runs = (
+        g.where(F.col("flat") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.sum("flat").cast("long").alias("n_flat"),
+    )
+    mx = runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_flat_run")
+    )
+    return agg.join(mx, "user_id", "left").select(
+        "user_id",
+        "n_changes",
+        "n_flat",
+        (
+            F.col("n_flat").cast("double")
+            / F.col("n_changes").cast("double")
+        ).alias("zero_return_share"),
+        F.coalesce(F.col("longest_flat_run"), F.lit(0))
+        .cast("long")
+        .alias("longest_flat_run"),
+    )
+
+@register(
+    "q291_template_detection",
+    """
+    WITH w AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS w
+      FROM documents
+    ), p AS (
+      SELECT doc_id, source,
+             md5(array_to_string(w[1:16], ' ')) AS pfx
+      FROM w WHERE len(w) >= 16
+    ), fam AS (
+      SELECT pfx, count(*)::BIGINT AS fam_n FROM p GROUP BY pfx
+    ), j AS (
+      SELECT p.source, p.doc_id, fam.fam_n FROM p JOIN fam USING (pfx)
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN fam_n >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_template_docs,
+           CAST(sum(CASE WHEN fam_n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS template_share,
+           max(fam_n)::BIGINT AS largest_family
+    FROM j GROUP BY source
+    """,
+)
+def q291_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-template detection per source: documents sharing an
+    identical 16-word PREFIX form a template family (auto-generated
+    pages, scrapes of the same form letter, license headers — the
+    single highest-yield boilerplate signature in web-corpus practice,
+    cheaper than MinHash because templates are prefix-anchored). Per
+    source: how many docs sit in a family of >= 2 and the largest
+    family — the triage numbers that decide whether a source needs the
+    full near-dup pass (q32/q57) or a prefix-strip instead. Distinct
+    from q190 (paragraph-grain dedup) and q227 (substring memorization
+    spans): those find SHARED CONTENT anywhere; this keys on the
+    generator signature at position zero. Float policy: exact counts,
+    ONE division. Scale: one projection computes the 16-word prefix
+    digest (no explode — a slice + join of the word array), family
+    sizes are a 16-byte-key grouped count, and the family join is an
+    equi-join on that digest; hot families bound the join fan-out by
+    construction (1 row per doc either side)."""
+    d = _t(spark, sf_dir, "documents").repartition(32)
+    w = d.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), " ").alias("w")
+    )
+    p = w.where(F.size("w") >= 16).select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.slice("w", 1, 16), " ")).alias("pfx"),
+    )
+    fam = p.groupBy("pfx").agg(F.count(F.lit(1)).cast("long").alias("fam_n"))
+    j = p.join(fam, "pfx").select("source", "doc_id", "fam_n")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("fam_n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_template_docs"),
+        (
+            F.sum(F.when(F.col("fam_n") >= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("template_share"),
+        F.max("fam_n").cast("long").alias("largest_family"),
+    )
+
+
+@register(
+    "q292_packing_efficiency",
+    """
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split(trim(text), ' '),
+                             x -> x <> ''))::BIGINT AS tok
+      FROM documents
+    ), x AS (
+      SELECT source, ll.l AS ctx_len, tok,
+             ((tok + ll.l - 1) // ll.l) * ll.l AS slots
+      FROM t, UNNEST([512, 2048, 8192]) AS ll(l)
+      WHERE tok > 0
+    )
+    SELECT source, ctx_len::BIGINT AS ctx_len,
+           count(*)::BIGINT AS n_docs,
+           sum(tok)::BIGINT AS n_tokens,
+           sum(slots)::BIGINT AS n_slots,
+           1.0 - CAST(sum(tok) AS DOUBLE) / CAST(sum(slots) AS DOUBLE)
+             AS pad_waste_share
+    FROM x GROUP BY source, ctx_len
+    """,
+)
+def q292_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing-efficiency audit per (source, context
+    length): if every document were padded into its own ceil(tok/L)
+    windows of L tokens (the no-packing dataloader baseline), what
+    fraction of compute is padding? The number that justifies running
+    q104's sequence packing at all, and the sizing table for choosing
+    L — small sources with short docs waste most at L=8192 (the
+    classic reason pre-training packs). One row per (source, L) for
+    L in {512, 2048, 8192}. Float policy: token counts and slot counts
+    are exact BIGINTs (ceil via integer arithmetic (t+L-1) div L), ONE
+    division at emit. Scale: a per-row projection (word-count fold, no
+    explode), a fixed x3 fan-out, one grouped agg — map-side combined,
+    no windows, no joins."""
+    d = _t(spark, sf_dir, "documents").repartition(32)
+    tok = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), " "), lambda x: x != ""
+        )
+    ).cast("long")
+    t = d.select("source", tok.alias("tok")).where(F.col("tok") > 0)
+    x = t.select(
+        "source",
+        F.explode(
+            F.array(F.lit(512), F.lit(2048), F.lit(8192))
+        ).alias("ctx_len"),
+        "tok",
+    ).select(
+        "source",
+        "ctx_len",
+        "tok",
+        (
+            F.expr("(tok + ctx_len - 1) div ctx_len") * F.col("ctx_len")
+        ).alias("slots"),
+    )
+    return x.groupBy("source", "ctx_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.sum("slots").cast("long").alias("n_slots"),
+        (
+            F.lit(1.0)
+            - F.sum("tok").cast("double") / F.sum("slots").cast("double")
+        ).alias("pad_waste_share"),
+    ).select(
+        "source",
+        F.col("ctx_len").cast("long").alias("ctx_len"),
+        "n_docs",
+        "n_tokens",
+        "n_slots",
+        "pad_waste_share",
+    )
+
+@register(
+    "q293_market_dispersion",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rmu FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e6 + 0.5)
+                 AS BIGINT) AS rmu
+        FROM b WHERE cl > 0
+      ) WHERE rmu IS NOT NULL
+    )
+    SELECT day, count(*)::BIGINT AS n_users,
+           CAST(sum(rmu) AS DOUBLE) / (1e6 * count(*)) AS mean_ret,
+           CASE WHEN count(*) >= 2 THEN
+             sqrt(CAST(count(*) * sum(rmu * rmu) - sum(rmu) * sum(rmu)
+                       AS DOUBLE))
+               / (1e6 * count(*)) END AS dispersion
+    FROM rr GROUP BY day
+    """,
+)
+def q293_market_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional return dispersion per day — the population
+    stdev of the day's returns ACROSS users (the 'stock-picker's
+    opportunity' series: high dispersion = winners separate from
+    losers, the regime gauge dispersion-trading desks and
+    factor-timing models monitor; the cross-sectional complement of
+    the TIME-series vols q258/q262). Float policy: micro returns are
+    exact BIGINTs, the population variance numerator n*S2 - S1^2 is an
+    exact BIGINT (budget: rmu^2 <= 1.2e14 x 2e4 users/day ~ 2.4e18 <
+    2^63 at sf1), sqrt is IEEE-exact, and the two emitted values are
+    single divisions - zero rounding calls after the shared return
+    quantization. Scale: day-grain frames; ONE grouped agg keyed by
+    day (data cardinality, map-side combined) - no second window, no
+    join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmu = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = b.select("user_id", "day", rmu.alias("rmu")).where(
+        F.col("rmu").isNotNull()
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("rmu")
+    s2 = F.sum(F.col("rmu") * F.col("rmu"))
+    return rr.groupBy("day").agg(
+        n.cast("long").alias("n_users"),
+        (s1.cast("double") / (F.lit(1000000.0) * n)).alias("mean_ret"),
+        F.when(
+            n >= 2,
+            F.sqrt((n * s2 - s1 * s1).cast("double"))
+            / (F.lit(1000000.0) * n),
+        ).alias("dispersion"),
+    )
+
+
+@register(
+    "q294_avg_correlation",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rmu FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e6 + 0.5)
+                 AS BIGINT) AS rmu
+        FROM b WHERE cl > 0
+      ) WHERE rmu IS NOT NULL
+    ), m AS (
+      SELECT day,
+             CAST(floor(sum(rmu)::BIGINT / (1.0 * count(*)) + 0.5) AS BIGINT)
+               AS mq
+      FROM rr GROUP BY day
+    ), mv AS (
+      SELECT count(*)::BIGINT AS dn, sum(mq)::BIGINT AS ms,
+             sum(mq * mq)::BIGINT AS ms2
+      FROM m
+    ), uv AS (
+      SELECT user_id,
+             CAST(floor(CAST(count(*) * sum(rmu * rmu) - sum(rmu) * sum(rmu)
+                             AS DOUBLE)
+                        / CAST(count(*) * count(*) AS DOUBLE) + 0.5)
+                  AS BIGINT) AS var_q
+      FROM rr GROUP BY user_id HAVING count(*) >= 2
+    ), sv AS (
+      SELECT count(*)::BIGINT AS nu, sum(var_q)::BIGINT AS vsum FROM uv
+    )
+    SELECT sv.nu AS n_users, mv.dn AS n_days,
+           CAST(mv.dn * mv.ms2 - mv.ms * mv.ms AS DOUBLE)
+             / CAST(mv.dn * mv.dn AS DOUBLE) / 1e12 AS market_var,
+           CAST(sv.vsum AS DOUBLE) / (1e12 * sv.nu) AS mean_user_var,
+           CASE WHEN sv.vsum > 0 AND sv.nu > 1 THEN
+             (CAST(sv.nu AS DOUBLE)
+                * (CAST(mv.dn * mv.ms2 - mv.ms * mv.ms AS DOUBLE)
+                   / CAST(mv.dn * mv.dn AS DOUBLE))
+                / (CAST(sv.vsum AS DOUBLE) / CAST(sv.nu AS DOUBLE)) - 1.0)
+               / (CAST(sv.nu AS DOUBLE) - 1.0) END AS avg_correlation
+    FROM mv, sv
+    """,
+)
+def q294_avg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implied average pairwise correlation of the cross-section — the
+    equicorrelation estimator rho = (n*sigma_m^2/mean(sigma_i^2) - 1)
+    / (n - 1) behind dispersion/correlation trading and the CBOE
+    implied-correlation family: under equal weights and a common
+    pairwise rho, the market variance is sigma_m^2 = sigma^2*(1 +
+    (n-1)*rho)/n, solved for rho. The regime single-number next to
+    q293's per-day dispersion (rho spikes in crises - diversification
+    dies exactly when needed). Float policy: the market series is the
+    q266 re-quantized integer index; its population variance numerator
+    is an exact BIGINT; each user's variance is one exact-integer
+    division half-up re-quantized to a micro^2 BIGINT so the
+    cross-user MEAN is an integer sum + one division; the final rho is
+    a fixed IEEE chain on those three exactly-derived doubles. Scale:
+    two grouped aggs (day-keyed, then user-keyed) + two one-row
+    frames cross-joined - no window beyond the shared return
+    construction, no pair join (the n^2 correlation matrix never
+    materializes; the identity collapses it)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmu = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = b.select("user_id", "day", rmu.alias("rmu")).where(
+        F.col("rmu").isNotNull()
+    )
+    m = rr.groupBy("day").agg(
+        F.floor(
+            F.sum("rmu").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    mv = m.agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum("mq").cast("long").alias("ms"),
+        F.sum(F.col("mq") * F.col("mq")).cast("long").alias("ms2"),
+    )
+    n = F.count(F.lit(1))
+    var_q = F.floor(
+        (n * F.sum(F.col("rmu") * F.col("rmu")) - F.sum("rmu") * F.sum("rmu"))
+        .cast("double")
+        / (n * n).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    uv = (
+        rr.groupBy("user_id")
+        .agg(var_q.alias("var_q"), n.cast("long").alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("user_id", "var_q")
+    )
+    sv = uv.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("var_q").cast("long").alias("vsum"),
+    )
+    mvar = (
+        (F.col("dn") * F.col("ms2") - F.col("ms") * F.col("ms")).cast(
+            "double"
+        )
+        / (F.col("dn") * F.col("dn")).cast("double")
+    )
+    rho = F.when(
+        (F.col("vsum") > 0) & (F.col("nu") > 1),
+        (
+            F.col("nu").cast("double")
+            * mvar
+            / (F.col("vsum").cast("double") / F.col("nu").cast("double"))
+            - F.lit(1.0)
+        )
+        / (F.col("nu").cast("double") - F.lit(1.0)),
+    )
+    return mv.crossJoin(F.broadcast(sv)).select(
+        F.col("nu").alias("n_users"),
+        F.col("dn").alias("n_days"),
+        (mvar / F.lit(1e12)).alias("market_var"),
+        (F.col("vsum").cast("double") / (F.lit(1e12) * F.col("nu"))).alias(
+            "mean_user_var"
+        ),
+        rho.alias("avg_correlation"),
+    )
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -19390,6 +19922,9 @@ _FINAL_ORDER = [
     "q283_hard_negatives", "q284_momentum_deciles",
     "q285_embedding_anisotropy", "q286_activity_gini",
     "q287_tail_index", "q288_kanonymity_audit",
+    "q289_behavior_markov", "q290_price_staleness",
+    "q291_template_detection", "q292_packing_efficiency",
+    "q293_market_dispersion", "q294_avg_correlation",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

@@ -582,3 +582,72 @@ def test_q288_kclass_partition(spark, sf_dir):
     assert 0.0 <= r.reident_share <= 1.0
     if r.n_unique_fp == 0:
         assert r.reident_share == 0.0 and r.k_anonymity >= 2
+
+
+def test_q289_rows_are_distributions(spark, sf_dir):
+    """Each prev_type's outgoing probabilities sum to 1 and the matrix
+    covers every observed type pair's mass exactly once."""
+    rows = QUERIES["q289_behavior_markov"](spark, sf_dir).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        assert r.n >= 1 and 0.0 < r.p <= 1.0
+        by_prev.setdefault(r.prev_type, []).append(r.p)
+    for ps in by_prev.values():
+        assert abs(sum(ps) - 1.0) < 1e-9
+
+
+def test_q290_staleness_bounds(spark, sf_dir):
+    rows = QUERIES["q290_price_staleness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_flat <= r.n_changes
+        assert 0.0 <= r.zero_return_share <= 1.0
+        assert 0 <= r.longest_flat_run <= r.n_flat
+
+
+def test_q291_family_accounting(spark, sf_dir):
+    rows = QUERIES["q291_template_detection"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_template_docs <= r.n_docs
+        assert 0.0 <= r.template_share <= 1.0
+        assert r.largest_family >= 1
+        if r.largest_family == 1:
+            assert r.n_template_docs == 0
+
+
+def test_q292_waste_monotone_in_ctx_len(spark, sf_dir):
+    """For a fixed source, padding waste is monotone nondecreasing in
+    the context length (bigger windows never pad less per doc), and
+    slots are always >= tokens."""
+    rows = QUERIES["q292_packing_efficiency"](spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r.n_slots >= r.n_tokens > 0
+        assert 0.0 <= r.pad_waste_share < 1.0
+        by_src.setdefault(r.source, {})[r.ctx_len] = r.pad_waste_share
+    for d in by_src.values():
+        assert d[512] <= d[2048] <= d[8192]
+
+
+def test_q293_dispersion_nonneg(spark, sf_dir):
+    rows = QUERIES["q293_market_dispersion"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_users >= 1
+        if r.dispersion is not None:
+            assert r.dispersion >= 0.0
+        else:
+            assert r.n_users == 1
+
+
+def test_q294_rho_in_feasible_band(spark, sf_dir):
+    """Equicorrelation is bounded below by -1/(n-1) (PSD constraint)
+    and above by 1; mean user variance must be positive for emission."""
+    r = QUERIES["q294_avg_correlation"](spark, sf_dir).first()
+    assert r.n_users >= 2 and r.n_days >= 1
+    assert r.market_var >= 0.0 and r.mean_user_var > 0.0
+    assert r.avg_correlation is not None
+    assert -1.0 / (r.n_users - 1) - 1e-9 <= r.avg_correlation <= 1.0 + 1e-9
