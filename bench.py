@@ -195,6 +195,8 @@ HEADLINE = [
     "q292_packing_efficiency",
     "q293_market_dispersion",
     "q294_avg_correlation",
+    "q295_intraday_vol_signature",
+    "q296_bigram_oov",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -19848,6 +19848,170 @@ def q294_avg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rho.alias("avg_correlation"),
     )
 
+@register(
+    "q295_intraday_vol_signature",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+               AS hr,
+             value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pv
+      FROM events WHERE value > 0
+    ), r AS (
+      SELECT hr,
+             CAST(floor(round(ln(value / pv), 6) * 1e4 + 0.5) AS BIGINT)
+               AS rq
+      FROM s WHERE pv IS NOT NULL AND pv > 0
+    )
+    SELECT hr AS hour_of_day, count(*)::BIGINT AS n_ticks,
+           CASE WHEN count(*) >= 2 THEN
+             CAST(sum(rq * rq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e8
+               - (CAST(sum(rq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e4)
+                 * (CAST(sum(rq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e4)
+             END AS tick_ret_var
+    FROM r GROUP BY hr
+    """,
+)
+def q295_intraday_vol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday volatility signature: tick-to-tick log-return variance
+    by hour of day, pooled across users — the U-shape diagnostic
+    (open/close hours run hotter than lunch) that execution schedulers
+    and realized-vol samplers calibrate against (Andersen-Bollerslev
+    1997). The engine's first INTRADAY-grain return operator: the
+    daily family (q258/q262/q293) collapses each day to bars first;
+    this one differences consecutive RAW EVENTS inside a user's
+    stream. Float policy: returns quantize half-up to 1e-4 units (not
+    micro — hour buckets pool ~1e5 ticks at sf0.1 and the n*S2
+    closed-form numerator would blow 2^63; at 1e-4 units S2 stays
+    under 8e15 through sf1), sums are exact BIGINTs, and the variance
+    is the fixed chain S2/n − (S1/n)² of exactly-derived divisions —
+    bit-portable because every operand is exact and every step is a
+    single IEEE op, the q275 argument. Scale: one user-keyed ordered
+    lag over the raw stream (q289's shuffle), then a 24-row grouped
+    agg, map-side combined."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.where(F.col("value") > 0).select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hr"),
+        "value",
+        F.lag("value").over(w).alias("pv"),
+    )
+    rq = F.floor(
+        F.round(F.log(F.col("value") / F.col("pv")), 6) * F.lit(10000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    r = s.where(F.col("pv").isNotNull() & (F.col("pv") > 0)).select(
+        "hr", rq.alias("rq")
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("rq")
+    s2 = F.sum(F.col("rq") * F.col("rq"))
+    m = s1.cast("double") / n.cast("double") / F.lit(10000.0)
+    var = s2.cast("double") / n.cast("double") / F.lit(1e8) - m * m
+    return r.groupBy(F.col("hr").alias("hour_of_day")).agg(
+        n.cast("long").alias("n_ticks"),
+        F.when(n >= 2, var).alias("tick_ret_var"),
+    )
+
+
+@register(
+    "q296_bigram_oov",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, source, unnest(
+               CASE WHEN len(w) >= 2 THEN
+                 list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+               ELSE [] END) AS b
+      FROM w
+    ), sp AS (
+      SELECT doc_id, source, b,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+               % 5 AS bucket
+      FROM bg
+    ), train AS (
+      SELECT DISTINCT b FROM sp WHERE bucket <> 0
+    ), test AS (
+      SELECT source, b FROM sp WHERE bucket = 0
+    ), j AS (
+      SELECT t.source,
+             CASE WHEN tr.b IS NULL THEN 1 ELSE 0 END AS oov
+      FROM test t LEFT JOIN train tr ON tr.b = t.b
+    )
+    SELECT source, count(*)::BIGINT AS n_test_bigrams,
+           sum(oov)::BIGINT AS n_oov,
+           CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM j GROUP BY source
+    """,
+)
+def q296_bigram_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram out-of-vocabulary rate per source on a held-out fifth of
+    the corpus (md5-bucket 0 of 5 = test, the rest train; an md5 split
+    because the testdata assigns sources by doc_id modulo, so a plain
+    doc_id mod 5 holdout would cover only 4 of 20 sources — the q187
+    deterministic-Bernoulli recipe) — the
+    BACKOFF-pressure number for n-gram scorers: q216's vocab-coverage
+    curve measures unigram OOV, but the q128/q226 perplexity family
+    conditions on BIGRAMS, and a source whose test bigrams are largely
+    unseen in train gets smoothing-dominated scores regardless of its
+    real quality. This query quantifies that risk per source before
+    trusting the LM's verdicts. Float policy: exact counts, ONE
+    division. Scale: the bigram explode feeds a distinct (train side,
+    digest-sized rows) and a left equi-join on the bigram string —
+    hash-partitionable both sides; counts map-side combine; no
+    windows."""
+    d = _t(spark, sf_dir, "documents").repartition(32)
+    w = d.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.trim(F.col("text")), " "), lambda x: x != ""
+        ).alias("w"),
+    )
+    grams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("w"), i + 1),
+                F.element_at(F.col("w"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = w.select("doc_id", "source", grams.alias("g")).select(
+        "doc_id", "source", F.explode("g").alias("b")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 5
+    )
+    sp = bg.select("source", "b", bucket.alias("bucket"))
+    train = (
+        sp.where(F.col("bucket") != 0).select("b").distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    test = sp.where(F.col("bucket") == 0).select("source", "b")
+    j = test.join(train, "b", "left").select(
+        "source",
+        F.when(F.col("__seen").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_bigrams"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        (
+            F.sum("oov").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -19925,6 +20089,7 @@ _FINAL_ORDER = [
     "q289_behavior_markov", "q290_price_staleness",
     "q291_template_detection", "q292_packing_efficiency",
     "q293_market_dispersion", "q294_avg_correlation",
+    "q295_intraday_vol_signature", "q296_bigram_oov",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

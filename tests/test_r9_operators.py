@@ -651,3 +651,23 @@ def test_q294_rho_in_feasible_band(spark, sf_dir):
     assert r.market_var >= 0.0 and r.mean_user_var > 0.0
     assert r.avg_correlation is not None
     assert -1.0 / (r.n_users - 1) - 1e-9 <= r.avg_correlation <= 1.0 + 1e-9
+
+
+def test_q295_hours_and_nonneg(spark, sf_dir):
+    rows = QUERIES["q295_intraday_vol_signature"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 24
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        assert r.n_ticks >= 1
+        if r.tick_ret_var is not None:
+            assert r.tick_ret_var >= -1e-12
+
+
+def test_q296_oov_bounds_and_source_coverage(spark, sf_dir):
+    """The md5 holdout covers every source (the doc_id-mod split would
+    cover 4 of 20 — the bug the md5 split exists to avoid)."""
+    rows = QUERIES["q296_bigram_oov"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_test_bigrams
+        assert 0.0 <= r.oov_rate <= 1.0
