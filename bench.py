@@ -197,6 +197,16 @@ HEADLINE = [
     "q294_avg_correlation",
     "q295_intraday_vol_signature",
     "q296_bigram_oov",
+    "q297_return_moments",
+    "q298_ams_f2",
+    "q299_degree_assortativity",
+    "q300_adamic_adar",
+    "q301_fracdiff",
+    "q302_brier_calibration",
+    "q303_pca_power_iteration",
+    "q304_mi_lang_source",
+    "q305_ljung_box",
+    "q306_rich_club",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

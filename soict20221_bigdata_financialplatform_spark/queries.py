@@ -20012,6 +20012,1448 @@ def q296_bigram_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("oov_rate"),
     )
 
+@register(
+    "q297_return_moments",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, greatest(-2000, least(2000, rmq)) AS rm FROM (
+        SELECT user_id,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e3 + 0.5)
+                 AS BIGINT) AS rmq
+        FROM b WHERE cl > 0
+      ) WHERE rmq IS NOT NULL
+    ), s AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(rm)::BIGINT AS s1,
+             sum(rm * rm)::BIGINT AS s2,
+             sum(rm * rm * rm)::BIGINT AS s3,
+             sum(rm * rm * rm * rm)::BIGINT AS s4
+      FROM rr GROUP BY user_id HAVING count(*) >= 4
+    ), m AS (
+      SELECT user_id, n, s1,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+             CAST(s3 AS DOUBLE) / n
+               - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) AS m3,
+             CAST(s4 AS DOUBLE) / n
+               - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+               + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s2 AS DOUBLE) / n)
+               - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               AS m4
+      FROM s
+    ), k AS (
+      SELECT user_id, n, s1,
+             CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+             CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS ex_kurtosis
+      FROM m
+    )
+    SELECT user_id, n AS n_rets,
+           CAST(s1 AS DOUBLE) / (1e3 * n) AS mean_ret,
+           skewness, ex_kurtosis,
+           CASE WHEN skewness IS NOT NULL THEN
+             (n / 6.0) * (skewness * skewness
+                          + ex_kurtosis * ex_kurtosis / 4.0)
+           END AS jb_stat
+    FROM k
+    """,
+)
+def q297_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment return profile per user — skewness, excess
+    kurtosis, and the Jarque–Bera normality statistic JB = n/6·(g₁² +
+    g₂²/4) (Jarque & Bera 1980) on daily log returns: the fat-tail /
+    asymmetry screen that decides whether the Gaussian machinery
+    (q108's Sharpe, q294's correlation algebra) is even applicable per
+    series, and the distribution-shape complement of q287's tail index
+    (which sees only the top order statistics). Float policy: returns
+    are winsorized to ±2.0 log units (documented clamp — daily moves
+    beyond e² are data errors at this grain) and quantized to MILLI
+    units so the 4th-power integer sums stay exact: |rm| ≤ 2000 ⇒ rm⁴
+    ≤ 1.6e13, ×5.7e5 days/user under 2⁶³ (the q295 pooled-bucket
+    budget argument, one notch coarser). All four power sums are exact
+    BIGINTs; every downstream moment is a fixed IEEE chain on their
+    deterministic double casts; skew normalizes by m2·sqrt(m2) (sqrt
+    is IEEE-exact — NEVER pow, which is not bit-portable); zero
+    rounding calls after the shared return quantization, so the
+    emitted values are bit-exact. Moments are scale-free, so the milli
+    lattice cancels in g₁/g₂. Scale: ONE user-keyed window (data
+    cardinality) + ONE grouped agg with map-side combine; no joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmq = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("user_id", rmq.alias("rmq"))
+        .where(F.col("rmq").isNotNull())
+        .select(
+            "user_id",
+            F.greatest(
+                F.lit(-2000).cast("long"),
+                F.least(F.lit(2000).cast("long"), F.col("rmq")),
+            ).alias("rm"),
+        )
+    )
+    s = (
+        rr.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rm").cast("long").alias("s1"),
+            F.sum(F.col("rm") * F.col("rm")).cast("long").alias("s2"),
+            F.sum(F.col("rm") * F.col("rm") * F.col("rm"))
+            .cast("long")
+            .alias("s3"),
+            F.sum(F.col("rm") * F.col("rm") * F.col("rm") * F.col("rm"))
+            .cast("long")
+            .alias("s4"),
+        )
+        .where(F.col("n") >= 4)
+    )
+    a1 = F.col("s1").cast("double") / F.col("n")
+    a2 = F.col("s2").cast("double") / F.col("n")
+    a3 = F.col("s3").cast("double") / F.col("n")
+    a4 = F.col("s4").cast("double") / F.col("n")
+    m = s.select(
+        "user_id",
+        "n",
+        "s1",
+        (a2 - a1 * a1).alias("m2"),
+        (a3 - F.lit(3.0) * a1 * a2 + F.lit(2.0) * a1 * a1 * a1).alias("m3"),
+        (
+            a4
+            - F.lit(4.0) * a1 * a3
+            + F.lit(6.0) * a1 * a1 * a2
+            - F.lit(3.0) * a1 * a1 * a1 * a1
+        ).alias("m4"),
+    )
+    k = m.select(
+        "user_id",
+        "n",
+        "s1",
+        F.when(
+            F.col("m2") > 0,
+            F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))),
+        ).alias("skewness"),
+        F.when(
+            F.col("m2") > 0,
+            F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0),
+        ).alias("ex_kurtosis"),
+    )
+    return k.select(
+        "user_id",
+        F.col("n").alias("n_rets"),
+        (F.col("s1").cast("double") / (F.lit(1000.0) * F.col("n"))).alias(
+            "mean_ret"
+        ),
+        "skewness",
+        "ex_kurtosis",
+        F.when(
+            F.col("skewness").isNotNull(),
+            (F.col("n") / F.lit(6.0))
+            * (
+                F.col("skewness") * F.col("skewness")
+                + F.col("ex_kurtosis") * F.col("ex_kurtosis") / F.lit(4.0)
+            ),
+        ).alias("jb_stat"),
+    )
+
+
+@register(
+    "q298_ams_f2",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), t2 AS (SELECT source, word FROM tok WHERE word <> ''),
+    cw AS (
+      SELECT source, word, count(*)::BIGINT AS c
+      FROM t2 GROUP BY source, word
+    ),
+    x AS (
+      SELECT source, j,
+             (1 - 2 * (('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                           || word), 1, 15))
+                       ::UBIGINT::BIGINT % 2)) * c AS contrib
+      FROM cw, UNNEST(range(0, 16)) AS u(j)
+    ),
+    ps AS (
+      SELECT source, j, sum(contrib)::BIGINT AS z
+      FROM x GROUP BY source, j
+    ),
+    mz AS (SELECT j, sum(z)::BIGINT AS z FROM ps GROUP BY j),
+    est AS (
+      SELECT sum(z * z)::BIGINT AS zz, count(*)::BIGINT AS k FROM mz
+    ),
+    gw AS (SELECT word, sum(c)::BIGINT AS cg FROM cw GROUP BY word),
+    tf AS (SELECT sum(cg * cg)::BIGINT AS true_f2 FROM gw),
+    ns AS (SELECT count(DISTINCT source)::BIGINT AS n_stores FROM cw)
+    SELECT ns.n_stores, est.k,
+           CAST(est.zz AS DOUBLE) / est.k AS est_f2,
+           tf.true_f2,
+           (CAST(est.zz AS DOUBLE) / est.k - tf.true_f2) / tf.true_f2
+             AS rel_err
+    FROM ns, est, tf
+    """,
+)
+def q298_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" sketch of the second frequency moment F₂ = Σc_w²
+    (Alon, Matias & Szegedy 1996) over the corpus word stream — the
+    SIXTH fully-oracled sketch (CMS q134, HLL q186, sampled quantiles
+    q187, Bloom q247, KMV q256): 16 counters Z_j = Σ_w s_j(w)·c_w with
+    ±1 signs from the md5 parity bit of (j|word) (the established
+    cross-engine hash family), per-SOURCE partial counters merged by
+    plain vector ADDITION — the linearity that makes the sketch
+    mergeable across partitions/stores, proven cross-engine here —
+    and estimate mean_j(Z_j²). F₂ is the self-join size / repetition
+    energy of the corpus: the one-number duplication pressure feeding
+    dedup budgeting (q30/q57), and the second-moment complement of
+    KMV's F₀. Float policy: signs, counters, squares, and the true F₂
+    are ALL exact BIGINTs (|Z_j| ≤ token count ⇒ Z² ≤ 2.5e13 at sf0.1;
+    Σc_w² bounded by N·c_max — both orders under 2⁶³ at the gate SFs);
+    the estimate and relative error are the only divisions, single
+    IEEE ops at emit. Scale: the ×16 counter fan-out rides the
+    (source, word) COUNT frame (vocabulary-sized), not the token
+    stream; both aggs map-side combine; per-store state is 16 BIGINTs
+    regardless of source size."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(
+        "source", F.explode(tx.words("text")).alias("word")
+    ).where(F.col("word") != "")
+    cw = (
+        tok.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("j").cast("string"), F.lit("|"), F.col("word")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    x = cw.select(
+        "source",
+        "word",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    ).select(
+        "source",
+        "j",
+        ((F.lit(1) - F.lit(2) * (hv % F.lit(2))) * F.col("c")).alias(
+            "contrib"
+        ),
+    )
+    ps = x.groupBy("source", "j").agg(
+        F.sum("contrib").cast("long").alias("z")
+    )
+    mz = ps.groupBy("j").agg(F.sum("z").cast("long").alias("z"))
+    est = mz.agg(
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("zz"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    gw = cw.groupBy("word").agg(F.sum("c").cast("long").alias("cg"))
+    tf = gw.agg(
+        F.sum(F.col("cg") * F.col("cg")).cast("long").alias("true_f2")
+    )
+    ns = cw.agg(F.count_distinct("source").cast("long").alias("n_stores"))
+    return (
+        ns.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tf))
+        .select(
+            "n_stores",
+            "k",
+            (F.col("zz").cast("double") / F.col("k")).alias("est_f2"),
+            "true_f2",
+            (
+                (F.col("zz").cast("double") / F.col("k") - F.col("true_f2"))
+                / F.col("true_f2")
+            ).alias("rel_err"),
+        )
+    )
+
+
+_PMI_GRAPH_CTES = """
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    x AS (SELECT doc_id, unnest(w) AS w FROM w),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ca AS (SELECT w, count(*)::BIGINT AS c FROM x GROUP BY w),
+    p AS (
+      SELECT a.w AS w_a, b.w AS w_b, count(*)::BIGINT AS c_ab
+      FROM x a JOIN x b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    e AS (
+      SELECT p.w_a AS a, p.w_b AS b
+      FROM p JOIN ca ca1 ON p.w_a = ca1.w JOIN ca ca2 ON p.w_b = ca2.w
+      CROSS JOIN n
+      WHERE round(ln((p.c_ab * n.n) / (ca1.c * ca2.c)), 6) > 0
+    ),
+    und AS (
+      SELECT a AS node, b AS nbr FROM e
+      UNION ALL SELECT b AS node, a AS nbr FROM e
+    ),
+    deg AS (SELECT node, count(*)::BIGINT AS deg FROM und GROUP BY node)
+"""
+
+
+def _pmi_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positive-PMI word-association graph shared by q130 (triangles),
+    q299 (assortativity), and q300 (Adamic–Adar): distinct undirected
+    edges (a < b canonical) from q129's doc-co-occurrence pairs."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return (
+        cp.pmi_cooccurrence(d, min_pairs=5)
+        .where(F.col("pmi") > 0)
+        .select(F.col("w_a").alias("a"), F.col("w_b").alias("b"))
+    )
+
+
+@register(
+    "q299_degree_assortativity",
+    _PMI_GRAPH_CTES
+    + """
+    , ej AS (
+      SELECT d1.deg AS da, d2.deg AS db
+      FROM e JOIN deg d1 ON e.a = d1.node JOIN deg d2 ON e.b = d2.node
+    ),
+    st AS (
+      SELECT count(*)::BIGINT AS ne, sum(da + db)::BIGINT AS sx,
+             sum(da * db)::BIGINT AS sxy,
+             sum(da * da + db * db)::BIGINT AS sq
+      FROM ej
+    ),
+    nv AS (SELECT count(*)::BIGINT AS n_vertices FROM deg)
+    SELECT nv.n_vertices, st.ne AS n_edges,
+           CASE WHEN CAST(2 * st.ne AS DOUBLE) * CAST(st.sq AS DOUBLE)
+                     - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE)
+                     <> 0 THEN
+             (CAST(2 * st.ne AS DOUBLE) * CAST(2 * st.sxy AS DOUBLE)
+              - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE))
+             / (CAST(2 * st.ne AS DOUBLE) * CAST(st.sq AS DOUBLE)
+                - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE))
+           END AS assortativity
+    FROM nv, st
+    """,
+)
+def q299_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the positive-PMI word graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over the
+    edge list, computed on BOTH orientations of every undirected edge —
+    with the symmetric doubling the x/y marginals coincide, so r =
+    (M·2Σd_ad_b − S²) / (M·Σ(d_a²+d_b²) − S²) with M = 2|E| and S =
+    Σ(d_a+d_b). Positive r = hub-to-hub wiring (a vocabulary core),
+    negative = hub-and-spoke (boilerplate anchors) — the one-number
+    topology gauge beside q130's triangle counts that says whether the
+    dup-graph's giant component (q53) grows by core densification or
+    by star attachment. Float policy: degrees, edge count, and all
+    five correlation state sums are exact BIGINTs (deg ≤ |V| ⇒ every
+    product and sum orders under 2⁶³ at the gate SFs — budget in the
+    docstring of q279, same shape); the coefficient is ONE fixed IEEE
+    chain on their deterministic double casts, guarded on the exact
+    denominator. Scale: degree agg + two equi-joins on the edge list +
+    one global agg — no windows, no pair explosion beyond the edges
+    themselves."""
+    edges = _pmi_graph_edges(spark, sf_dir).persist()
+    und = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ej = (
+        edges.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
+            "b",
+        )
+        .select("da", "db")
+    )
+    st = ej.agg(
+        F.count(F.lit(1)).cast("long").alias("ne"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        F.sum(F.col("da") * F.col("db")).cast("long").alias("sxy"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("sq"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    m2 = (F.lit(2) * F.col("ne")).cast("double")
+    sxd = F.col("sx").cast("double")
+    denom = m2 * F.col("sq").cast("double") - sxd * sxd
+    num = m2 * (F.lit(2) * F.col("sxy")).cast("double") - sxd * sxd
+    return nv.crossJoin(F.broadcast(st)).select(
+        "n_vertices",
+        F.col("ne").alias("n_edges"),
+        F.when(denom != 0, num / denom).alias("assortativity"),
+    )
+
+
+@register(
+    "q300_adamic_adar",
+    _PMI_GRAPH_CTES
+    + """
+    , undd AS (
+      SELECT u.node, u.nbr FROM und u JOIN deg d ON u.node = d.node
+      WHERE d.deg <= 64
+    ),
+    wedge AS (
+      SELECT u1.node AS z, u1.nbr AS wa, u2.nbr AS wb
+      FROM undd u1 JOIN undd u2
+        ON u1.node = u2.node AND u1.nbr < u2.nbr
+    ),
+    non AS (
+      SELECT w.z, w.wa, w.wb FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.a = w.wa AND e.b = w.wb)
+    ),
+    sc AS (
+      SELECT n2.wa, n2.wb, count(*)::BIGINT AS n_common,
+             sum(CAST(floor(1e6 / round(ln(CAST(d.deg AS DOUBLE)), 6)
+                            + 0.5) AS BIGINT))::BIGINT AS aa_q
+      FROM non n2 JOIN deg d ON n2.z = d.node
+      GROUP BY n2.wa, n2.wb
+    )
+    SELECT wa AS w_a, wb AS w_b, n_common,
+           CAST(aa_q AS DOUBLE) / 1e6 AS aa_score
+    FROM sc ORDER BY aa_score DESC, w_a, w_b LIMIT 100
+    """,
+)
+def q300_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the positive-PMI word graph
+    (Adamic & Adar 2003): for every NON-edge pair sharing at least one
+    neighbor, score Σ_z 1/ln(deg_z) over common neighbors z — rare
+    shared contexts count more than ubiquitous ones — and emit the
+    top-100 predicted associations: the vocabulary-completion /
+    missing-collocation miner next to the observed-edge analytics
+    (q129 PMI, q130 triangles, q299 assortativity). Hub wedges are
+    capped at deg ≤ 64 (part of the operator contract, NOT a silent
+    cap: a hub's 1/ln contribution is minimal while its wedge cost is
+    quadratic — the same budget-vs-recall trade as the minhash band
+    cap, and it bounds the wedge join at Σ_z min(deg,64)² ≤ 64·2|E|).
+    Common neighbors always have deg ≥ 2, so ln(deg) > 0 and the
+    reciprocal needs no guard. Float policy: ln rounds 6dp at the
+    transcendental, the reciprocal is one division HALF-UP micro-
+    quantized to BIGINT, per-pair sums are exact integer adds, and the
+    top-100 sorts on the quantized measure with the (w_a, w_b) unique
+    tiebreak; the emitted score is one division. Scale: all equi-joins
+    (wedge build, edge anti-join, degree join — invariant 13 shape);
+    the final top-k plans TakeOrderedAndProject (partial top-100 per
+    partition, never a global sort)."""
+    edges = _pmi_graph_edges(spark, sf_dir).persist()
+    und = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    undd = (
+        und.join(deg, "node")
+        .where(F.col("deg") <= 64)
+        .select("node", "nbr")
+    )
+    wedge = (
+        undd.select(F.col("node").alias("z"), F.col("nbr").alias("wa"))
+        .join(
+            undd.select(F.col("node").alias("z"), F.col("nbr").alias("wb")),
+            "z",
+        )
+        .where(F.col("wa") < F.col("wb"))
+    )
+    non = wedge.join(
+        edges.select(F.col("a").alias("wa"), F.col("b").alias("wb")),
+        ["wa", "wb"],
+        "left_anti",
+    )
+    term = F.floor(
+        F.lit(1000000.0) / F.round(F.log(F.col("deg").cast("double")), 6)
+        + F.lit(0.5)
+    ).cast("long")
+    sc = (
+        non.join(deg.withColumnRenamed("node", "z"), "z")
+        .select("wa", "wb", term.alias("t"))
+        .groupBy("wa", "wb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("t").cast("long").alias("aa_q"),
+        )
+    )
+    return (
+        sc.select(
+            F.col("wa").alias("w_a"),
+            F.col("wb").alias("w_b"),
+            "n_common",
+            (F.col("aa_q").cast("double") / F.lit(1000000.0)).alias(
+                "aa_score"
+            ),
+        )
+        .orderBy(F.col("aa_score").desc(), "w_a", "w_b")
+        .limit(100)
+    )
+
+
+def _ffd_weights(d: float, window: int) -> list[float]:
+    """Fixed-window fractional-differencing weights: w₀ = 1, w_k =
+    −w_{k−1}·(d − k + 1)/k, truncated at ``window`` terms (López de
+    Prado 2018 ch. 5, the FFD method). Plain Python float recursion —
+    the weights ship as LITERALS into both engines, so the recursion
+    itself never has to be bit-portable."""
+    w = [1.0]
+    for k in range(1, window):
+        w.append(-w[-1] * (d - k + 1) / k)
+    return w
+
+
+_FFD_W = _ffd_weights(0.4, 8)
+# repr() round-trips each double exactly — but ONLY through the VARCHAR
+# cast: DuckDB's DECIMAL→DOUBLE cast is not correctly rounded at ≥17
+# significant digits (one-ulp error measured on w5 = -0.029952…006),
+# while '…'::DOUBLE goes through strtod and lands on the exact bits.
+_FFD_SQL_TERMS = " + ".join(
+    ["'{0!r}'::DOUBLE * cq".format(_FFD_W[0])]
+    + [
+        "'{0!r}'::DOUBLE * l{1}".format(_FFD_W[k], k)
+        for k in range(1, 8)
+    ]
+)
+
+_FFD_SQL = (
+    """
+    WITH b AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value > 0
+    ),
+    base AS (
+      SELECT user_id, day,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cq
+      FROM b
+    ),
+    l AS (
+      SELECT user_id, day, cq,
+             lag(cq, 1) OVER w AS l1, lag(cq, 2) OVER w AS l2,
+             lag(cq, 3) OVER w AS l3, lag(cq, 4) OVER w AS l4,
+             lag(cq, 5) OVER w AS l5, lag(cq, 6) OVER w AS l6,
+             lag(cq, 7) OVER w AS l7
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day, CAST(cq AS DOUBLE) / 100.0 AS close,
+           (__TERMS__) / 100.0 AS ffd
+    FROM l WHERE l7 IS NOT NULL
+    """
+).replace("__TERMS__", _FFD_SQL_TERMS)
+
+
+@register("q301_fracdiff", _FFD_SQL)
+def q301_fracdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window fractionally differenced price series (d = 0.4,
+    window 8 — López de Prado 2018 ch. 5 'FFD'): the ML feature that
+    keeps MEMORY (unlike the fully-differenced returns every other
+    query uses) while being far closer to stationary than raw prices —
+    the standard input to the triple-barrier/meta-labeling stack
+    (q272/q273/q274). The binomial weights w_k = −w_{k−1}(d−k+1)/k are
+    computed once in plain Python and embedded as repr() literals in
+    BOTH engines (the q35 seeded-plane recipe; ::DOUBLE on the DuckDB
+    side keeps the products out of DECIMAL arithmetic — the q258
+    lesson), so ffd_t = Σ_k w_k·P_{t−k} is one fixed left-associated
+    IEEE chain over exact CENT-quantized closes — bit-exact with zero
+    rounding calls, because every addend is a single product of a
+    literal double and an exact integer. Rows need the full 8-day
+    lookback (l7 NOT NULL) — the documented warm-up truncation. Scale:
+    ONE user-keyed ordered window (data-cardinality partitions)
+    produces all 7 lags; per-row emit, no joins, no aggregation."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    cq = F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = b.select("user_id", "day", cq.alias("cq"))
+    wd = Window.partitionBy("user_id").orderBy("day")
+    lagged = base.select(
+        "user_id",
+        "day",
+        "cq",
+        *[F.lag("cq", k).over(wd).alias("l{0}".format(k)) for k in range(1, 8)],
+    )
+    ffd = F.lit(_FFD_W[0]) * F.col("cq")
+    for k in range(1, 8):
+        ffd = ffd + F.lit(_FFD_W[k]) * F.col("l{0}".format(k))
+    return lagged.where(F.col("l7").isNotNull()).select(
+        "user_id",
+        "day",
+        (F.col("cq").cast("double") / F.lit(100.0)).alias("close"),
+        (ffd / F.lit(100.0)).alias("ffd"),
+    )
+
+
+@register(
+    "q302_brier_calibration",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END)::DOUBLE AS nt,
+             len(regexp_extract_all(lower(text), '__ESRE__'))::DOUBLE AS ns
+      FROM documents
+    ), sc AS (
+      SELECT y, CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS s FROM s
+    ), q AS (
+      SELECT y, least(9, CAST(floor(s * 10.0) AS BIGINT)) AS bin,
+             CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS smu,
+             CAST(floor((s - CAST(y AS DOUBLE)) * (s - CAST(y AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS bq
+      FROM sc
+    ), bins AS (
+      SELECT bin, count(*)::BIGINT AS n_docs,
+             sum(smu)::BIGINT AS smu_sum, sum(y)::BIGINT AS y_sum
+      FROM q GROUP BY bin
+    ), g AS (
+      SELECT count(*)::BIGINT AS n_total, sum(bq)::BIGINT AS bq_sum FROM q
+    ),
+    e AS (
+      SELECT sum(CAST(floor(n_docs * abs(CAST(y_sum AS DOUBLE) / n_docs
+                 - CAST(smu_sum AS DOUBLE) / (1e6 * n_docs)) * 1e6 + 0.5)
+                 AS BIGINT))::BIGINT AS ece_q
+      FROM bins
+    )
+    SELECT b.bin, b.n_docs,
+           CAST(b.smu_sum AS DOUBLE) / (1e6 * b.n_docs) AS avg_conf,
+           CAST(b.y_sum AS DOUBLE) / b.n_docs AS emp_acc,
+           CAST(g.bq_sum AS DOUBLE) / (1e6 * g.n_total) AS brier,
+           CAST(e.ece_q AS DOUBLE) / (1e6 * g.n_total) AS ece
+    FROM bins b CROSS JOIN g CROSS JOIN e
+    """.replace("__ESRE__", _EN_STOP_RE),
+)
+def q302_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the lang-ID score as a PROBABILITY: 10-bin
+    reliability table (bin = ⌊10·score⌋ clamped to 9) with per-bin mean
+    confidence vs empirical accuracy, plus the corpus Brier score
+    (Brier 1950) and expected calibration error ECE = Σ n_b/N·|acc_b −
+    conf_b| (Guo et al. 2017) — q167 grades the THRESHOLDED classifier
+    (precision/recall/F1); this grades the raw score's probability
+    calibration, the number that decides whether quality-weighted
+    sampling (q193's soft weights) can consume the score directly or
+    needs recalibration first. Float policy: the score is q167's
+    parity-proven single-division ratio; per-row Brier terms (s−y)²
+    and per-row confidences are HALF-UP micro-quantized to BIGINT and
+    integer-summed (exact, order-independent); per-bin acc/conf are
+    single divisions; the ECE accumulates per-bin n_b·|gap| micro-
+    quantized over ≤10 aggregate rows. The bin id ⌊10s⌋ is one
+    deterministic IEEE product + floor on the identical double. Scale:
+    one scan, one 10-group agg + one global agg, two broadcast one-row
+    cross-joins; no windows, no joins on data-sized frames."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    s = tx.lang_id_en_score("text")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+    q = d.select(
+        y.alias("y"),
+        F.least(
+            F.lit(9).cast("long"), F.floor(s * F.lit(10.0)).cast("long")
+        ).alias("bin"),
+        F.floor(s * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("smu"),
+        F.floor(
+            (s - y.cast("double")) * (s - y.cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("bq"),
+    ).persist()
+    bins = q.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("smu").cast("long").alias("smu_sum"),
+        F.sum("y").cast("long").alias("y_sum"),
+    )
+    g = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("bq").cast("long").alias("bq_sum"),
+    )
+    gap = F.abs(
+        F.col("y_sum").cast("double") / F.col("n_docs")
+        - F.col("smu_sum").cast("double")
+        / (F.lit(1000000.0) * F.col("n_docs"))
+    )
+    e = bins.agg(
+        F.sum(
+            F.floor(F.col("n_docs") * gap * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("ece_q")
+    )
+    return (
+        bins.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(e))
+        .select(
+            "bin",
+            "n_docs",
+            (
+                F.col("smu_sum").cast("double")
+                / (F.lit(1000000.0) * F.col("n_docs"))
+            ).alias("avg_conf"),
+            (F.col("y_sum").cast("double") / F.col("n_docs")).alias(
+                "emp_acc"
+            ),
+            (
+                F.col("bq_sum").cast("double")
+                / (F.lit(1000000.0) * F.col("n_total"))
+            ).alias("brier"),
+            (
+                F.col("ece_q").cast("double")
+                / (F.lit(1000000.0) * F.col("n_total"))
+            ).alias("ece"),
+        )
+    )
+
+
+@register(
+    "q303_pca_power_iteration",
+    """
+    WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    el AS (
+      SELECT vec_id, t.i - 1 AS i,
+             CAST(floor(emb[t.i]::DOUBLE * 1e4 + 0.5) AS BIGINT) AS eq
+      FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
+    ),
+    nv AS (SELECT count(*)::BIGINT AS n FROM e),
+    sd AS (SELECT i, sum(eq)::BIGINT AS si FROM el GROUP BY i),
+    pr AS (
+      SELECT a.i AS i, b.i AS j, sum(a.eq * b.eq)::BIGINT AS sij
+      FROM el a JOIN el b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    cmat AS (
+      SELECT p.i, p.j, (nv.n * p.sij - sa.si * sb.si)::BIGINT AS cq
+      FROM pr p JOIN sd sa ON p.i = sa.i JOIN sd sb ON p.j = sb.i
+      CROSS JOIN nv
+    ),
+    cmx AS (SELECT max(abs(cq))::BIGINT AS m FROM cmat),
+    cn AS (
+      SELECT i, j, CAST(cq AS DOUBLE) / CAST(m AS DOUBLE) AS c
+      FROM cmat CROSS JOIN cmx
+    ),
+    trq AS (
+      SELECT sum(CAST(floor(c * 1e12 + 0.5) AS BIGINT))::BIGINT AS s
+      FROM cn WHERE i = j
+    ),
+    v0 AS (SELECT i, 0.125::DOUBLE AS v FROM sd),
+    r1 AS (
+      SELECT c.i, sum(CAST(floor(c.c * v.v * 1e12 + 0.5)
+                      AS BIGINT))::BIGINT AS rawq
+      FROM cn c JOIN v0 v ON c.j = v.i GROUP BY c.i
+    ),
+    v1 AS (
+      SELECT r.i, CAST(r.rawq AS DOUBLE)
+               / (1e6 * sqrt(CAST(s.s2 AS DOUBLE))) AS v
+      FROM r1 r CROSS JOIN (
+        SELECT sum(rq * rq)::BIGINT AS s2 FROM (
+          SELECT CAST(floor((rawq + 500000) / 1000000.0) AS BIGINT) AS rq
+          FROM r1)) s
+    ),
+    r2 AS (
+      SELECT c.i, sum(CAST(floor(c.c * v.v * 1e12 + 0.5)
+                      AS BIGINT))::BIGINT AS rawq
+      FROM cn c JOIN v1 v ON c.j = v.i GROUP BY c.i
+    ),
+    v2 AS (
+      SELECT r.i, CAST(r.rawq AS DOUBLE)
+               / (1e6 * sqrt(CAST(s.s2 AS DOUBLE))) AS v
+      FROM r2 r CROSS JOIN (
+        SELECT sum(rq * rq)::BIGINT AS s2 FROM (
+          SELECT CAST(floor((rawq + 500000) / 1000000.0) AS BIGINT) AS rq
+          FROM r2)) s
+    ),
+    r3 AS (
+      SELECT c.i, sum(CAST(floor(c.c * v.v * 1e12 + 0.5)
+                      AS BIGINT))::BIGINT AS rawq
+      FROM cn c JOIN v2 v ON c.j = v.i GROUP BY c.i
+    ),
+    v3 AS (
+      SELECT r.i, CAST(r.rawq AS DOUBLE)
+               / (1e6 * sqrt(CAST(s.s2 AS DOUBLE))) AS v
+      FROM r3 r CROSS JOIN (
+        SELECT sum(rq * rq)::BIGINT AS s2 FROM (
+          SELECT CAST(floor((rawq + 500000) / 1000000.0) AS BIGINT) AS rq
+          FROM r3)) s
+    ),
+    r4 AS (
+      SELECT c.i, sum(CAST(floor(c.c * v.v * 1e12 + 0.5)
+                      AS BIGINT))::BIGINT AS rawq
+      FROM cn c JOIN v3 v ON c.j = v.i GROUP BY c.i
+    ),
+    v4 AS (
+      SELECT r.i, CAST(r.rawq AS DOUBLE)
+               / (1e6 * sqrt(CAST(s.s2 AS DOUBLE))) AS v
+      FROM r4 r CROSS JOIN (
+        SELECT sum(rq * rq)::BIGINT AS s2 FROM (
+          SELECT CAST(floor((rawq + 500000) / 1000000.0) AS BIGINT) AS rq
+          FROM r4)) s
+    ),
+    lam AS (
+      SELECT sum(CAST(floor(c.c * va.v * vb.v * 1e12 + 0.5)
+                 AS BIGINT))::BIGINT AS svcv
+      FROM cn c JOIN v4 va ON c.i = va.i JOIN v4 vb ON c.j = vb.i
+    ),
+    vv AS (
+      SELECT sum(CAST(floor(v * v * 1e12 + 0.5) AS BIGINT))::BIGINT AS s
+      FROM v4
+    )
+    SELECT v4.i AS dim, v4.v AS loading,
+           (CAST(lam.svcv AS DOUBLE) / CAST(vv.s AS DOUBLE))
+             / (CAST(trq.s AS DOUBLE) / 1e12) AS explained_share
+    FROM v4 CROSS JOIN lam CROSS JOIN vv CROSS JOIN trq
+    """,
+)
+def q303_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by FOUR unrolled
+    power-iteration rounds on the exact integer covariance, plus its
+    explained-variance share λ₁/tr(C) — the dominant-direction audit
+    behind q285's anisotropy number (Ethayarajh 2019 reports the cone
+    via mean cosine; this names the cone's AXIS and how much variance
+    it eats — the input to common-direction removal à la Mu & Viswanath
+    2018's 'all-but-the-top'). Deterministic pipeline: elements
+    quantize to 1e-4 units (q265 recipe), the covariance NUMERATOR
+    n·Σxᵢxⱼ − SᵢSⱼ is an exact BIGINT per cell (≤2.5e17 at sf0.1 —
+    budget in units of n²), normalized ONCE by its max |cell| (MAX is
+    order-free, unlike a trace SUM which could overflow the worst-case
+    integer budget); each matrix·vector product quantizes the per-cell
+    term to 1e-12 and INTEGER-sums over j (order-free — the float dot
+    product a SQL SUM would reorder is the whole parity risk);
+    normalization divides by an integer-derived sqrt; v₀ = 0.125
+    (=1/√64, exactly representable). λ and tr are Rayleigh quotients of
+    the same quantized-integer form, so the emitted share is a fixed
+    IEEE chain. Scale: the Gram pass is one equi-self-join on vec_id
+    with map-side partial agg into ≤64² cells (state is O(d²), never
+    O(n)); every iteration frame is 64 rows; rounds localCheckpoint to
+    keep the plan linear (invariant 9)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    el = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("i", "val")
+        )
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("val").cast("double") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("eq"),
+        )
+        .persist()
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sd = el.groupBy("i").agg(F.sum("eq").cast("long").alias("si"))
+    a = el.select("vec_id", F.col("i").alias("i"), F.col("eq").alias("ea"))
+    bb = el.select("vec_id", F.col("i").alias("j"), F.col("eq").alias("eb"))
+    pr = (
+        a.join(bb, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ea") * F.col("eb")).cast("long").alias("sij"))
+    )
+    cmat = (
+        pr.join(
+            F.broadcast(sd.select(F.col("i"), F.col("si").alias("sa"))), "i"
+        )
+        .join(
+            F.broadcast(
+                sd.select(F.col("i").alias("j"), F.col("si").alias("sb"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    cmx = cmat.agg(F.max(F.abs(F.col("cq"))).cast("long").alias("m"))
+    cn = (
+        cmat.crossJoin(F.broadcast(cmx))
+        .select(
+            "i",
+            "j",
+            (F.col("cq").cast("double") / F.col("m").cast("double")).alias(
+                "c"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    trq = cn.where(F.col("i") == F.col("j")).agg(
+        F.sum(
+            F.floor(F.col("c") * F.lit(1e12) + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("trs")
+    )
+    v = sd.select("i", F.lit(0.125).alias("v"))
+    for _ in range(4):
+        r = (
+            cn.join(
+                F.broadcast(
+                    v.select(F.col("i").alias("j"), F.col("v"))
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("c") * F.col("v") * F.lit(1e12) + F.lit(0.5)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("rawq")
+            )
+        )
+        s2 = r.select(
+            F.floor((F.col("rawq") + F.lit(500000)) / F.lit(1000000.0))
+            .cast("long")
+            .alias("rq")
+        ).agg(F.sum(F.col("rq") * F.col("rq")).cast("long").alias("s2"))
+        v = (
+            r.crossJoin(F.broadcast(s2))
+            .select(
+                "i",
+                (
+                    F.col("rawq").cast("double")
+                    / (F.lit(1000000.0) * F.sqrt(F.col("s2").cast("double")))
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    lam = (
+        cn.join(F.broadcast(v.select(F.col("i"), F.col("v").alias("va"))), "i")
+        .join(
+            F.broadcast(
+                v.select(F.col("i").alias("j"), F.col("v").alias("vb"))
+            ),
+            "j",
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("c") * F.col("va") * F.col("vb") * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("svcv")
+        )
+    )
+    vv = v.agg(
+        F.sum(
+            F.floor(F.col("v") * F.col("v") * F.lit(1e12) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("vvs")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(vv))
+        .crossJoin(F.broadcast(trq))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v").alias("loading"),
+            (
+                (F.col("svcv").cast("double") / F.col("vvs").cast("double"))
+                / (F.col("trs").cast("double") / F.lit(1e12))
+            ).alias("explained_share"),
+        )
+    )
+
+
+@register(
+    "q304_mi_lang_source",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*)::BIGINT AS nxy
+      FROM documents GROUP BY lang, source
+    ),
+    cx AS (SELECT lang, sum(nxy)::BIGINT AS nx FROM c GROUP BY lang),
+    cy AS (SELECT source, sum(nxy)::BIGINT AS ny FROM c GROUP BY source),
+    nn AS (SELECT sum(nxy)::BIGINT AS n FROM c),
+    mi AS (
+      SELECT sum(CAST(floor(c.nxy * round(ln(CAST(c.nxy * nn.n AS DOUBLE)
+                 / CAST(cx.nx * cy.ny AS DOUBLE)), 6) * 1e6 + 0.5)
+                 AS BIGINT))::BIGINT AS sq
+      FROM c JOIN cx ON c.lang = cx.lang
+             JOIN cy ON c.source = cy.source
+      CROSS JOIN nn
+    ),
+    hx AS (
+      SELECT sum(CAST(floor(nx * round(ln(CAST(nx AS DOUBLE)), 6) * 1e6
+                 + 0.5) AS BIGINT))::BIGINT AS sq
+      FROM cx
+    ),
+    hy AS (
+      SELECT sum(CAST(floor(ny * round(ln(CAST(ny AS DOUBLE)), 6) * 1e6
+                 + 0.5) AS BIGINT))::BIGINT AS sq
+      FROM cy
+    )
+    SELECT nn.n AS n_docs,
+           CAST(mi.sq AS DOUBLE) / (1e6 * nn.n) AS mi_nats,
+           round(ln(CAST(nn.n AS DOUBLE)), 6)
+             - CAST(hx.sq AS DOUBLE) / (1e6 * nn.n) AS h_lang,
+           round(ln(CAST(nn.n AS DOUBLE)), 6)
+             - CAST(hy.sq AS DOUBLE) / (1e6 * nn.n) AS h_source,
+           CASE WHEN round(ln(CAST(nn.n AS DOUBLE)), 6)
+                     - CAST(hx.sq AS DOUBLE) / (1e6 * nn.n) > 0
+                 AND round(ln(CAST(nn.n AS DOUBLE)), 6)
+                     - CAST(hy.sq AS DOUBLE) / (1e6 * nn.n) > 0 THEN
+             (CAST(mi.sq AS DOUBLE) / (1e6 * nn.n))
+             / sqrt((round(ln(CAST(nn.n AS DOUBLE)), 6)
+                     - CAST(hx.sq AS DOUBLE) / (1e6 * nn.n))
+                    * (round(ln(CAST(nn.n AS DOUBLE)), 6)
+                       - CAST(hy.sq AS DOUBLE) / (1e6 * nn.n)))
+           END AS nmi
+    FROM nn, mi, hx, hy
+    """,
+)
+def q304_mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the ``lang`` and ``source`` metadata
+    columns, with marginal entropies and the sqrt-normalized NMI
+    (Strehl & Ghosh 2002) — the information-theoretic twin of q166's
+    chi-square: MI in nats says HOW MANY bits of a document's source
+    its language already leaks, the number that decides whether
+    stratifying splits by one column silently stratifies by the other
+    (exactly the confound the q296 md5-holdout exists to dodge — the
+    testdata assigns BOTH by doc_id arithmetic, so this query is also
+    the honest measurement of that synthetic coupling). Float policy:
+    PMI-family — all counts exact integers, each cell ratio
+    (n_xy·N)/(n_x·n_y) has both products < 2^53 at the gate SFs (one
+    IEEE division), ln rounds 6dp at the transcendental, c·ln terms
+    are HALF-UP micro-quantized BIGIPsums (the q267 H recipe), and
+    H = ln N − Σn·ln(n)/N keeps ln N rounded at its own
+    transcendental. MI/H/NMI are fixed IEEE chains on those exact
+    states. Scale: one (lang, source) grouped count (≤|langs|·|sources|
+    cells) and two marginal aggs — broadcast-sized frames end to end,
+    no windows."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy")
+    )
+    cx = c.groupBy("lang").agg(F.sum("nxy").cast("long").alias("nx"))
+    cy = c.groupBy("source").agg(F.sum("nxy").cast("long").alias("ny"))
+    nn = c.agg(F.sum("nxy").cast("long").alias("n"))
+    mi = (
+        c.join(F.broadcast(cx), "lang")
+        .join(F.broadcast(cy), "source")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("nxy")
+                    * F.round(
+                        F.log(
+                            (F.col("nxy") * F.col("n")).cast("double")
+                            / (F.col("nx") * F.col("ny")).cast("double")
+                        ),
+                        6,
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sq")
+        )
+    )
+    hx = cx.agg(
+        F.sum(
+            F.floor(
+                F.col("nx")
+                * F.round(F.log(F.col("nx").cast("double")), 6)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sqx")
+    )
+    hy = cy.agg(
+        F.sum(
+            F.floor(
+                F.col("ny")
+                * F.round(F.log(F.col("ny").cast("double")), 6)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sqy")
+    )
+    lnn = F.round(F.log(F.col("n").cast("double")), 6)
+    mi_e = F.col("sq").cast("double") / (F.lit(1000000.0) * F.col("n"))
+    hx_e = lnn - F.col("sqx").cast("double") / (
+        F.lit(1000000.0) * F.col("n")
+    )
+    hy_e = lnn - F.col("sqy").cast("double") / (
+        F.lit(1000000.0) * F.col("n")
+    )
+    return (
+        nn.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_docs"),
+            mi_e.alias("mi_nats"),
+            hx_e.alias("h_lang"),
+            hy_e.alias("h_source"),
+            F.when(
+                (hx_e > 0) & (hy_e > 0), mi_e / F.sqrt(hx_e * hy_e)
+            ).alias("nmi"),
+        )
+    )
+
+
+@register(
+    "q305_ljung_box",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rmq AS r FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e3 + 0.5)
+                 AS BIGINT) AS rmq
+        FROM b WHERE cl > 0
+      ) WHERE rmq IS NOT NULL
+    ), l AS (
+      SELECT user_id, r,
+             lag(r, 1) OVER w AS l1, lag(r, 2) OVER w AS l2,
+             lag(r, 3) OVER w AS l3, lag(r, 4) OVER w AS l4,
+             lag(r, 5) OVER w AS l5
+      FROM rr
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), s AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(r)::BIGINT AS s1, sum(r * r)::BIGINT AS s2,
+             sum(r * l1)::BIGINT AS srr1,
+             sum(CASE WHEN l1 IS NOT NULL THEN r END)::BIGINT AS sa1,
+             sum(l1)::BIGINT AS sb1,
+             sum(r * l2)::BIGINT AS srr2,
+             sum(CASE WHEN l2 IS NOT NULL THEN r END)::BIGINT AS sa2,
+             sum(l2)::BIGINT AS sb2,
+             sum(r * l3)::BIGINT AS srr3,
+             sum(CASE WHEN l3 IS NOT NULL THEN r END)::BIGINT AS sa3,
+             sum(l3)::BIGINT AS sb3,
+             sum(r * l4)::BIGINT AS srr4,
+             sum(CASE WHEN l4 IS NOT NULL THEN r END)::BIGINT AS sa4,
+             sum(l4)::BIGINT AS sb4,
+             sum(r * l5)::BIGINT AS srr5,
+             sum(CASE WHEN l5 IS NOT NULL THEN r END)::BIGINT AS sa5,
+             sum(l5)::BIGINT AS sb5
+      FROM l GROUP BY user_id HAVING count(*) >= 10
+    ), rho AS (
+      SELECT user_id, n,
+             CAST(n * n * srr1 - n * s1 * (sa1 + sb1) + (n - 1) * s1 * s1
+                  AS DOUBLE)
+               / CAST(n * n * s2 - n * s1 * s1 AS DOUBLE) AS rho1,
+             CAST(n * n * srr2 - n * s1 * (sa2 + sb2) + (n - 2) * s1 * s1
+                  AS DOUBLE)
+               / CAST(n * n * s2 - n * s1 * s1 AS DOUBLE) AS rho2,
+             CAST(n * n * srr3 - n * s1 * (sa3 + sb3) + (n - 3) * s1 * s1
+                  AS DOUBLE)
+               / CAST(n * n * s2 - n * s1 * s1 AS DOUBLE) AS rho3,
+             CAST(n * n * srr4 - n * s1 * (sa4 + sb4) + (n - 4) * s1 * s1
+                  AS DOUBLE)
+               / CAST(n * n * s2 - n * s1 * s1 AS DOUBLE) AS rho4,
+             CAST(n * n * srr5 - n * s1 * (sa5 + sb5) + (n - 5) * s1 * s1
+                  AS DOUBLE)
+               / CAST(n * n * s2 - n * s1 * s1 AS DOUBLE) AS rho5
+      FROM s WHERE n * n * s2 - n * s1 * s1 <> 0
+    )
+    SELECT user_id, n AS n_rets, rho1, rho2, rho3, rho4, rho5,
+           CAST(n * (n + 2) AS DOUBLE)
+             * (rho1 * rho1 / (n - 1) + rho2 * rho2 / (n - 2)
+                + rho3 * rho3 / (n - 3) + rho4 * rho4 / (n - 4)
+                + rho5 * rho5 / (n - 5)) AS q_stat
+    FROM rho
+    """,
+)
+def q305_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test Q(5) per user on daily log returns —
+    the white-noise gate (Ljung & Box 1978): Q = n(n+2)·Σ_k ρ̂_k²/(n−k)
+    with the properly MEAN-CENTERED sample ACF (q221 publishes the
+    uncentered lag-1..3 values on price CHANGES; this is the test
+    statistic risk models actually consume, and its null rejects
+    exactly when the q275 runs test's IID assumption breaks with
+    serial correlation rather than sign imbalance). Exactness: with
+    r̄ = S1/n, multiplying the centered cross-moment by n² clears all
+    rationals — n²Σrr_k − n·S1·(Σ'r + Σ'r_k) + (n−k)·S1² and
+    n²S2 − n·S1² are EXACT BIGINTs on the milli-return lattice
+    (budget: n²·Σrr ≤ 1.2e17 at 1000 days/user), the edge-correct
+    partial sums Σ' ride the same 5-lag window, positional lag makes
+    the k-lag pair count exactly n−k, and each ρ̂_k is ONE division of
+    their deterministic double casts. Q is a fixed 5-term IEEE chain
+    written out literally (never a SQL SUM over k — that would reorder
+    floats). Scale: ONE user-keyed ordered window yields all five lag
+    columns; one grouped agg (18 exact-integer states) map-side
+    combines; no joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmq = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("user_id", "day", rmq.alias("r"))
+        .where(F.col("r").isNotNull())
+    )
+    lagged = rr.select(
+        "user_id",
+        "r",
+        *[F.lag("r", k).over(wd).alias("l{0}".format(k)) for k in range(1, 6)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+    ]
+    for k in range(1, 6):
+        lk = F.col("l{0}".format(k))
+        aggs += [
+            F.sum(F.col("r") * lk).cast("long").alias("srr{0}".format(k)),
+            F.sum(F.when(lk.isNotNull(), F.col("r")))
+            .cast("long")
+            .alias("sa{0}".format(k)),
+            F.sum(lk).cast("long").alias("sb{0}".format(k)),
+        ]
+    s = lagged.groupBy("user_id").agg(*aggs).where(F.col("n") >= 10)
+    den = (
+        F.col("n") * F.col("n") * F.col("s2")
+        - F.col("n") * F.col("s1") * F.col("s1")
+    )
+
+    def _rho(k: int):
+        return (
+            F.col("n") * F.col("n") * F.col("srr{0}".format(k))
+            - F.col("n")
+            * F.col("s1")
+            * (F.col("sa{0}".format(k)) + F.col("sb{0}".format(k)))
+            + (F.col("n") - F.lit(k)) * F.col("s1") * F.col("s1")
+        ).cast("double") / den.cast("double")
+
+    rho = s.where(den != 0).select(
+        "user_id",
+        "n",
+        *[_rho(k).alias("rho{0}".format(k)) for k in range(1, 6)],
+    )
+    qterm = (
+        F.col("rho1") * F.col("rho1") / (F.col("n") - F.lit(1))
+        + F.col("rho2") * F.col("rho2") / (F.col("n") - F.lit(2))
+        + F.col("rho3") * F.col("rho3") / (F.col("n") - F.lit(3))
+        + F.col("rho4") * F.col("rho4") / (F.col("n") - F.lit(4))
+        + F.col("rho5") * F.col("rho5") / (F.col("n") - F.lit(5))
+    )
+    return rho.select(
+        "user_id",
+        F.col("n").alias("n_rets"),
+        "rho1",
+        "rho2",
+        "rho3",
+        "rho4",
+        "rho5",
+        ((F.col("n") * (F.col("n") + F.lit(2))).cast("double") * qterm).alias(
+            "q_stat"
+        ),
+    )
+
+
+@register(
+    "q306_rich_club",
+    _PMI_GRAPH_CTES
+    + """
+    , ej AS (
+      SELECT d1.deg AS da, d2.deg AS db
+      FROM e JOIN deg d1 ON e.a = d1.node JOIN deg d2 ON e.b = d2.node
+    ),
+    nk AS (
+      SELECT count(CASE WHEN deg > 4 THEN 1 END)::BIGINT AS n4,
+             count(CASE WHEN deg > 8 THEN 1 END)::BIGINT AS n8,
+             count(CASE WHEN deg > 16 THEN 1 END)::BIGINT AS n16
+      FROM deg
+    ),
+    ek AS (
+      SELECT count(CASE WHEN da > 4 AND db > 4 THEN 1 END)::BIGINT AS e4,
+             count(CASE WHEN da > 8 AND db > 8 THEN 1 END)::BIGINT AS e8,
+             count(CASE WHEN da > 16 AND db > 16 THEN 1 END)::BIGINT
+               AS e16
+      FROM ej
+    ),
+    j AS (SELECT * FROM nk CROSS JOIN ek)
+    SELECT 4::BIGINT AS k, n4 AS n_rich, e4 AS e_rich,
+           CASE WHEN n4 >= 2 THEN CAST(2 * e4 AS DOUBLE)
+                / CAST(n4 * (n4 - 1) AS DOUBLE) END AS phi
+    FROM j
+    UNION ALL
+    SELECT 8::BIGINT, n8, e8,
+           CASE WHEN n8 >= 2 THEN CAST(2 * e8 AS DOUBLE)
+                / CAST(n8 * (n8 - 1) AS DOUBLE) END
+    FROM j
+    UNION ALL
+    SELECT 16::BIGINT, n16, e16,
+           CASE WHEN n16 >= 2 THEN CAST(2 * e16 AS DOUBLE)
+                / CAST(n16 * (n16 - 1) AS DOUBLE) END
+    FROM j
+    """,
+)
+def q306_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2E_{>k} / (N_{>k}(N_{>k}−1)) of the
+    positive-PMI word graph at k ∈ {4, 8, 16} (Zhou & Mondragón 2004):
+    the density of the subgraph induced by nodes of degree > k — do the
+    best-connected terms preferentially wire to EACH OTHER? The
+    threshold-resolved refinement of q299's single assortativity
+    number (a graph can be globally neutral yet have a tight elite
+    club), and the structural signal for whether boilerplate anchors
+    form a clique (template corpus) or a star field (scrape noise).
+    Float policy: club sizes and club-internal edge counts are exact
+    conditional counts over the SAME degree-joined edge frame q299
+    builds (no per-k join — the three thresholds are conditional
+    aggregates in ONE pass, avoiding the 3-row inequality-join BNLJ
+    shape invariant 13 bans); φ is one division of exact-integer
+    casts, guarded at club size ≥ 2. Scale: degree agg + two edge
+    equi-joins + two one-row aggs; the 3-row emit is a literal
+    UNION ALL."""
+    edges = _pmi_graph_edges(spark, sf_dir).persist()
+    und = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ej = (
+        edges.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
+            "b",
+        )
+        .select("da", "db")
+    )
+    nk = deg.agg(
+        *[
+            F.count(F.when(F.col("deg") > k, 1))
+            .cast("long")
+            .alias("n{0}".format(k))
+            for k in (4, 8, 16)
+        ]
+    )
+    ek = ej.agg(
+        *[
+            F.count(F.when((F.col("da") > k) & (F.col("db") > k), 1))
+            .cast("long")
+            .alias("e{0}".format(k))
+            for k in (4, 8, 16)
+        ]
+    )
+    j = nk.crossJoin(F.broadcast(ek))
+    parts = []
+    for k in (4, 8, 16):
+        nkc = F.col("n{0}".format(k))
+        ekc = F.col("e{0}".format(k))
+        parts.append(
+            j.select(
+                F.lit(k).cast("long").alias("k"),
+                nkc.alias("n_rich"),
+                ekc.alias("e_rich"),
+                F.when(
+                    nkc >= 2,
+                    (F.lit(2) * ekc).cast("double")
+                    / (nkc * (nkc - F.lit(1))).cast("double"),
+                ).alias("phi"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -20090,6 +21532,11 @@ _FINAL_ORDER = [
     "q291_template_detection", "q292_packing_efficiency",
     "q293_market_dispersion", "q294_avg_correlation",
     "q295_intraday_vol_signature", "q296_bigram_oov",
+    "q297_return_moments", "q298_ams_f2",
+    "q299_degree_assortativity", "q300_adamic_adar",
+    "q301_fracdiff", "q302_brier_calibration",
+    "q303_pca_power_iteration", "q304_mi_lang_source",
+    "q305_ljung_box", "q306_rich_club",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

@@ -671,3 +671,211 @@ def test_q296_oov_bounds_and_source_coverage(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_test_bigrams
         assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_q297_moment_inequalities_and_numpy(spark, sf_dir):
+    """Population-moment identities hold (ex-kurt ≥ −2; the Pearson
+    inequality kurt ≥ 1 + skew², i.e. jb terms are well-defined), and
+    the heaviest user's moments match a numpy recompute on the SAME
+    clamped milli-return lattice (third-path check, q265 style)."""
+    import numpy as np
+
+    rows = QUERIES["q297_return_moments"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_rets >= 4
+        if r.skewness is not None:
+            assert r.ex_kurtosis >= -2.0 - 1e-9
+            assert (r.ex_kurtosis + 3.0) >= 1.0 + r.skewness**2 - 1e-9
+            assert r.jb_stat >= -1e-12
+    # third path: recompute for the user with the most returns
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    pdf = b.toPandas().sort_values(["user_id", "day"])
+    target = max(rows, key=lambda r: r.n_rets)
+    g = pdf[pdf.user_id == target.user_id]
+    import math
+
+    rms = []
+    prev = None
+    for cl in g.cl:
+        if prev is not None:
+            rm = math.floor(round(math.log(cl / prev), 6) * 1000.0 + 0.5)
+            rms.append(max(-2000, min(2000, rm)))
+        prev = cl
+    a = np.array(rms, dtype=float)
+    m2 = (a**2).mean() - a.mean() ** 2
+    m3 = (a**3).mean() - 3 * a.mean() * (a**2).mean() + 2 * a.mean() ** 3
+    skew = m3 / (m2 * math.sqrt(m2))
+    assert abs(skew - target.skewness) < 1e-9
+
+
+def test_q298_ams_sketch_sanity(spark, sf_dir):
+    """k pins at 16, true F2 is positive, the estimate is positive and
+    within the generous 4-sigma AMS band (stderr = sqrt(2/k) ≈ 0.35),
+    and rel_err is consistent with (est−true)/true."""
+    r = QUERIES["q298_ams_f2"](spark, sf_dir).first()
+    assert r.k == 16 and r.n_stores == 20
+    assert r.true_f2 > 0 and r.est_f2 > 0
+    assert abs(r.rel_err) < 1.5
+    assert abs(r.rel_err - (r.est_f2 - r.true_f2) / r.true_f2) < 1e-12
+
+
+def test_q299_assortativity_bounds(spark, sf_dir):
+    r = QUERIES["q299_degree_assortativity"](spark, sf_dir).first()
+    assert r.n_vertices > 0 and r.n_edges > 0
+    if r.assortativity is not None:
+        assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+
+
+def test_q300_adamic_adar_non_edges_scored(spark, sf_dir):
+    """Top-100 predictions: positive scores, descending order, and no
+    predicted pair may be an existing edge; candidate build stays
+    equi-join (no conditional BNLJ)."""
+    from soict20221_bigdata_financialplatform_spark.queries import (
+        _pmi_graph_edges,
+    )
+
+    # a sibling test's persisted PMI-edge cache substitutes an
+    # InMemoryRelation into this plan and hides the one-row-aggregate
+    # build side from the BNLJ exemption — lint the FRESH plan
+    spark.catalog.clearCache()
+    q = QUERIES["q300_adamic_adar"](spark, sf_dir)
+    assert conditional_bnlj_count(q) == 0
+    rows = q.collect()
+    assert 0 < len(rows) <= 100
+    edges = {
+        (r.a, r.b) for r in _pmi_graph_edges(spark, sf_dir).collect()
+    }
+    prev = None
+    for r in rows:
+        assert r.n_common >= 1 and r.aa_score > 0
+        assert r.w_a < r.w_b
+        assert (r.w_a, r.w_b) not in edges
+        if prev is not None:
+            assert r.aa_score <= prev + 1e-12
+        prev = r.aa_score
+
+
+def test_q301_ffd_weights_and_first_difference_limit(spark, sf_dir):
+    """The weight recursion is the binomial series (d=1 degenerates to
+    the first difference), and every emitted row has the full 8-day
+    lookback by construction (close is the cent-lattice value)."""
+    from soict20221_bigdata_financialplatform_spark.queries import (
+        _FFD_W,
+        _ffd_weights,
+    )
+
+    assert _ffd_weights(1.0, 4) == [1.0, -1.0, 0.0, 0.0]
+    assert _FFD_W[0] == 1.0 and _FFD_W[1] == -0.4
+    assert all(w < 0 for w in _FFD_W[1:])
+    rows = QUERIES["q301_fracdiff"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert abs(r.close * 100 - round(r.close * 100)) < 1e-6
+    # memory property: ffd is not the plain return — weights tail < 1
+    assert abs(sum(_FFD_W)) < 1.0
+
+
+def test_q302_calibration_algebra(spark, sf_dir):
+    """Bins partition the corpus; conf/acc/brier/ece all live in [0,1];
+    ECE is bounded above by the max per-bin gap."""
+    rows = QUERIES["q302_brier_calibration"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    n_total = sum(r.n_docs for r in rows)
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    assert n_total == load_table(spark, sf_dir, "documents").count()
+    max_gap = 0.0
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.avg_conf <= 1.0
+        assert 0.0 <= r.emp_acc <= 1.0
+        assert 0.0 <= r.brier <= 1.0
+        assert 0.0 <= r.ece <= 1.0
+        max_gap = max(max_gap, abs(r.emp_acc - r.avg_conf))
+    assert rows[0].ece <= max_gap + 1e-6
+
+
+def test_q303_pca_unit_loading_and_share(spark, sf_dir):
+    """The emitted loading vector is ~unit-norm (the quantized normalize
+    divides by an integer-derived sqrt), and the explained share of the
+    TOP component lives in (1/64, 1] — power iteration can't do worse
+    than the average direction on a PSD covariance."""
+    rows = QUERIES["q303_pca_power_iteration"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum(r.loading**2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3
+    share = rows[0].explained_share
+    assert all(abs(r.explained_share - share) < 1e-15 for r in rows)
+    assert 1.0 / 64.0 < share <= 1.0 + 1e-9
+
+
+def test_q304_information_inequalities(spark, sf_dir):
+    """0 ≤ MI ≤ min(H(X), H(Y)); entropies bounded by ln of support
+    sizes; NMI in [0, 1]."""
+    import math
+
+    r = QUERIES["q304_mi_lang_source"](spark, sf_dir).first()
+    assert r.n_docs > 0
+    assert -1e-6 <= r.mi_nats <= min(r.h_lang, r.h_source) + 1e-6
+    assert 0.0 < r.h_lang <= math.log(5) + 1e-6
+    assert 0.0 < r.h_source <= math.log(20) + 1e-6
+    assert r.nmi is None or -1e-6 <= r.nmi <= 1.0 + 1e-6
+
+
+def test_q305_ljung_box_bounds(spark, sf_dir):
+    """Sample ACF values live in [-1, 1] and Q is non-negative; the
+    centered-moment algebra degenerates to numpy on one user."""
+    import numpy as np
+
+    rows = QUERIES["q305_ljung_box"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_rets >= 10
+        for k in range(1, 6):
+            assert abs(getattr(r, "rho{0}".format(k))) <= 1.0 + 1e-9
+        assert r.q_stat >= -1e-12
+    # third path: numpy recompute of rho1 for the largest user
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+    import math
+
+    target = max(rows, key=lambda r: r.n_rets)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.where(F.col("user_id") == target.user_id)
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+        .orderBy("day")
+    )
+    cls = [r.cl for r in b.collect()]
+    rs = [
+        math.floor(round(math.log(cls[i] / cls[i - 1]), 6) * 1000.0 + 0.5)
+        for i in range(1, len(cls))
+    ]
+    a = np.array(rs, dtype=float)
+    mu = a.mean()
+    num = ((a[1:] - mu) * (a[:-1] - mu)).sum()
+    den = ((a - mu) ** 2).sum()
+    assert abs(num / den - target.rho1) < 1e-9
+
+
+def test_q306_rich_club_monotone_support(spark, sf_dir):
+    """Club sizes shrink as k grows; edges within a club never exceed
+    the complete-graph bound (phi ≤ 1)."""
+    rows = {r.k: r for r in QUERIES["q306_rich_club"](spark, sf_dir).collect()}
+    assert set(rows) == {4, 8, 16}
+    assert rows[4].n_rich >= rows[8].n_rich >= rows[16].n_rich
+    for r in rows.values():
+        assert 0 <= r.e_rich
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0 + 1e-9
