@@ -207,6 +207,10 @@ HEADLINE = [
     "q304_mi_lang_source",
     "q305_ljung_box",
     "q306_rich_club",
+    "q307_roc_auc",
+    "q308_embedding_outliers",
+    "q309_pairs_trading_ssd",
+    "q310_anova_dow",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

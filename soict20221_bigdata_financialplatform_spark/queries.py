@@ -21454,6 +21454,546 @@ def q306_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "q307_roc_auc",
+    """
+    WITH s AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END)::DOUBLE AS nt,
+             len(regexp_extract_all(lower(text), '__ESRE__'))::DOUBLE AS ns
+      FROM documents
+    ), sc AS (
+      SELECT y, CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS s FROM s
+    ), g AS (
+      SELECT s, sum(y)::BIGINT AS np,
+             (count(*) - sum(y))::BIGINT AS nn
+      FROM sc GROUP BY s
+    ), pre AS (
+      SELECT np, nn,
+             coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS cumneg
+      FROM g
+    ), st AS (
+      SELECT sum(np * cumneg)::BIGINT AS c,
+             sum(np * nn)::BIGINT AS t,
+             sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg
+      FROM pre
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(2 * c + t AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+           END AS auc,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             2.0 * (CAST(2 * c + t AS DOUBLE)
+                    / CAST(2 * n_pos * n_neg AS DOUBLE)) - 1.0
+           END AS gini
+    FROM st
+    """.replace("__ESRE__", _EN_STOP_RE),
+)
+def q307_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC (+ Gini = 2·AUC−1) of the lang-ID score against the lang
+    label — the threshold-FREE ranking quality number that completes
+    the classifier-eval trio (q167 fixes one threshold, q302 grades
+    probability calibration; AUC grades the whole operating curve).
+    Computed as the tie-corrected Mann–Whitney statistic: AUC =
+    (C + T/2)/(n₊·n₋) with C = concordant (pos above neg) pairs and
+    T = score-tied pairs — never a per-pair join: group by the EXACT
+    score double (bit-identical across engines — the q167
+    single-division ratio), then C = Σ_s np_s·(cumulative nn below s)
+    via a prefix sum over the one-row-per-score aggregate frame (the
+    invariant 16a licensed window, partitioned by a
+    constant-by-construction key Spark-side), and the emitted AUC is
+    the single exact-integer division (2C+T)/(2n₊n₋) — zero rounding
+    anywhere. Scale: one scan → score-grain agg (distinct scores ≤
+    distinct (ns,nt) pairs, vocabulary-bounded) → prefix sum on that
+    aggregate frame → one-row emit."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sc = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        tx.lang_id_en_score("text").alias("s"),
+    )
+    g = sc.groupBy("s").agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
+    )
+    # one-row-per-score aggregate frame — the licensed prefix-sum shape
+    wall = (
+        Window.partitionBy(F.pmod(F.col("np"), F.lit(1)))
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = g.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wall), F.lit(0))
+        .cast("long")
+        .alias("cumneg"),
+    )
+    st = pre.agg(
+        F.sum(F.col("np") * F.col("cumneg")).cast("long").alias("c"),
+        F.sum(F.col("np") * F.col("nn")).cast("long").alias("t"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    auc = (F.lit(2) * F.col("c") + F.col("t")).cast("double") / (
+        F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    ).cast("double")
+    return st.select(
+        "n_pos",
+        "n_neg",
+        F.when(ok, auc).alias("auc"),
+        F.when(ok, F.lit(2.0) * auc - F.lit(1.0)).alias("gini"),
+    )
+
+
+@register(
+    "q308_embedding_outliers",
+    """
+    WITH e AS (SELECT vec_id, label, embedding AS emb FROM embeddings),
+    el AS (
+      SELECT vec_id, t.i - 1 AS i,
+             CAST(floor(emb[t.i]::DOUBLE * 1e4 + 0.5) AS BIGINT) AS eq
+      FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
+    ),
+    st AS (
+      SELECT i, count(*)::BIGINT AS n, sum(eq)::BIGINT AS s1,
+             sum(eq * eq)::BIGINT AS s2
+      FROM el GROUP BY i
+    ),
+    ms AS (
+      SELECT i,
+             CAST(floor(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT) AS muq,
+             CAST(floor(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                        / CAST(n * n AS DOUBLE) + 0.5) AS BIGINT) AS vq
+      FROM st
+    ),
+    z AS (
+      SELECT el.vec_id,
+             sum(CAST(floor(CAST((el.eq - ms.muq) * (el.eq - ms.muq)
+                                 AS DOUBLE)
+                            / CAST(ms.vq AS DOUBLE) * 1e6 + 0.5)
+                      AS BIGINT))::BIGINT AS mdq
+      FROM el JOIN ms ON el.i = ms.i
+      WHERE ms.vq > 0
+      GROUP BY el.vec_id
+    )
+    SELECT z.vec_id, e.label,
+           CAST(z.mdq AS DOUBLE) / 1e6 AS mahalanobis2
+    FROM z JOIN e ON z.vec_id = e.vec_id
+    ORDER BY z.mdq DESC, z.vec_id LIMIT 50
+    """,
+)
+def q308_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 embedding outliers by DIAGONAL Mahalanobis distance
+    (per-dim z-scores, squared and summed) — the vector-space data-
+    hygiene screen beside the text-side q107 (median/MAD on values) and
+    the quality filters: encoder failures, corrupted inputs, and
+    distribution-breaking documents surface as extreme z² sums long
+    before they poison ANN recall (q34/q51) or centroid drift (q265).
+    Diagonal covariance is the standard scalable proxy (the full
+    inverse is q303's territory). Float policy: elements quantize to
+    1e-4 (q265); per-dim mean/variance re-quantize half-up to the
+    integer lattice (the q294 var_q recipe); each z² term is one exact
+    integer square over one exact integer variance — a single IEEE
+    division — HALF-UP micro-quantized and INTEGER-summed over the 64
+    dims (order-free, q303's dot-product argument); the emitted score
+    is one division; the top-50 sorts the quantized integer with the
+    vec_id tiebreak. Scale: one explode → 64-row stats agg → broadcast
+    join back → per-vector agg → TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val").cast("double") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("eq"),
+    )
+    st = el.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("eq").cast("long").alias("s1"),
+        F.sum(F.col("eq") * F.col("eq")).cast("long").alias("s2"),
+    )
+    ms = st.select(
+        "i",
+        F.floor(F.col("s1").cast("double") / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("muq"),
+        F.floor(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n")).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vq"),
+    )
+    dterm = (F.col("eq") - F.col("muq")) * (F.col("eq") - F.col("muq"))
+    z = (
+        el.join(F.broadcast(ms.where(F.col("vq") > 0)), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.floor(
+                    dterm.cast("double") / F.col("vq").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("mdq")
+        )
+    )
+    return (
+        z.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            (F.col("mdq").cast("double") / F.lit(1000000.0)).alias(
+                "mahalanobis2"
+            ),
+        )
+        .orderBy(F.col("mahalanobis2").desc(), "vec_id")
+        .limit(50)
+    )
+
+
+@register(
+    "q309_pairs_trading_ssd",
+    """
+    WITH b AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value > 0
+    ),
+    base AS (
+      SELECT user_id, day,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cq,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS dr
+      FROM b
+    ),
+    elig AS (
+      SELECT user_id, count(*)::BIGINT AS nd FROM base
+      GROUP BY user_id HAVING count(*) >= 8
+    ),
+    first_cq AS (
+      SELECT user_id, cq AS cq0 FROM base WHERE dr = 1
+    ),
+    sig AS (
+      SELECT b1.user_id,
+             (CASE WHEN d2.cq > d1.cq THEN 2 WHEN d2.cq < d1.cq THEN 0
+                   ELSE 1 END) * 27
+           + (CASE WHEN d3.cq > d2.cq THEN 2 WHEN d3.cq < d2.cq THEN 0
+                   ELSE 1 END) * 9
+           + (CASE WHEN d4.cq > d3.cq THEN 2 WHEN d4.cq < d3.cq THEN 0
+                   ELSE 1 END) * 3
+           + (CASE WHEN d5.cq > d4.cq THEN 2 WHEN d5.cq < d4.cq THEN 0
+                   ELSE 1 END) AS sigkey
+      FROM elig b1
+      JOIN base d1 ON d1.user_id = b1.user_id AND d1.dr = 1
+      JOIN base d2 ON d2.user_id = b1.user_id AND d2.dr = 2
+      JOIN base d3 ON d3.user_id = b1.user_id AND d3.dr = 3
+      JOIN base d4 ON d4.user_id = b1.user_id AND d4.dr = 4
+      JOIN base d5 ON d5.user_id = b1.user_id AND d5.dr = 5
+    ),
+    nrm AS (
+      SELECT s.sigkey, base.user_id, base.day,
+             least(10000000, CAST(floor((base.cq * 10000) / f.cq0)
+                                  AS BIGINT)) AS nq
+      FROM base
+      JOIN first_cq f ON base.user_id = f.user_id
+      JOIN sig s ON base.user_id = s.user_id
+    ),
+    pd AS (
+      SELECT a.user_id AS user_a, b2.user_id AS user_b,
+             count(*)::BIGINT AS n_days,
+             sum((a.nq - b2.nq) * (a.nq - b2.nq))::BIGINT AS ssd_q
+      FROM nrm a JOIN nrm b2
+        ON a.sigkey = b2.sigkey AND a.day = b2.day
+       AND a.user_id < b2.user_id
+      GROUP BY a.user_id, b2.user_id HAVING count(*) >= 10
+    )
+    SELECT user_a, user_b, n_days,
+           CAST(ssd_q AS DOUBLE) / 1e8 AS ssd
+    FROM pd ORDER BY ssd_q ASC, user_a, user_b LIMIT 20
+    """,
+)
+def q309_pairs_trading_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading formation by minimum sum-of-squared-deviations
+    between FIRST-DAY-normalized price paths (Gatev, Goetzmann &
+    Rouwenhorst 2006) — with the all-pairs explosion cut by SIGNATURE
+    BANDING, the q32 LSH move transplanted to time series: each
+    eligible user (≥8 days) gets a base-3 key from the signs of its
+    first four daily moves, and SSD is computed only WITHIN a band via
+    an equi-join on (sigkey, day) — identical top pairs when true
+    pairs co-move early (the formation premise), hash-partitionable at
+    100 TB where the U² day-join melts. Float policy: paths normalize
+    on the integer lattice — floor((cq·10⁴)/cq₀) where both operands
+    are < 2⁵³ so the one IEEE division is of exactly-represented
+    integers (deterministic), then floored back to the BIGINT lattice
+    and WINSORIZED at 1000× the start price (documented clamp: a
+    cq₀ = 1-cent start otherwise blows the squared-gap budget — the
+    q297 clamp argument; gap² ≤ 1e14 ⇒ 9.2e4 common days under 2⁶³);
+    per-day squared gaps and their sums
+    are exact BIGINTs (gap² ≤ 2.5e13 × days — q295 budget); the
+    emitted SSD is one division; ranking sorts the exact integer
+    ascending with the (user_a, user_b) tiebreak. Scale: per-user
+    day-rank window (data-keyed); the pair stage shuffles on (sigkey,
+    day) — band fan-out bounded by band occupancy, the documented
+    band-size/recall trade (hot-band observability = q230's job)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    base = b.select(
+        "user_id",
+        "day",
+        F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cq"),
+        F.row_number().over(wd).alias("dr"),
+    ).persist()
+    elig = (
+        base.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+        .where(F.col("nd") >= 8)
+        .select("user_id")
+    )
+    head = base.where(F.col("dr") <= 5).select("user_id", "dr", "cq")
+    piv = head.groupBy("user_id").pivot("dr", [1, 2, 3, 4, 5]).sum("cq")
+
+    def _tri(a, bcol):
+        return (
+            F.when(F.col(bcol) > F.col(a), 2)
+            .when(F.col(bcol) < F.col(a), 0)
+            .otherwise(1)
+        )
+
+    sig = (
+        piv.join(elig, "user_id")
+        .select(
+            "user_id",
+            (
+                _tri("1", "2") * F.lit(27)
+                + _tri("2", "3") * F.lit(9)
+                + _tri("3", "4") * F.lit(3)
+                + _tri("4", "5")
+            ).alias("sigkey"),
+        )
+    )
+    first_cq = base.where(F.col("dr") == 1).select(
+        "user_id", F.col("cq").alias("cq0")
+    )
+    nrm = (
+        base.join(first_cq, "user_id")
+        .join(sig, "user_id")
+        .select(
+            "sigkey",
+            "user_id",
+            "day",
+            F.least(
+                F.lit(10000000).cast("long"),
+                F.floor(
+                    (F.col("cq") * F.lit(10000)) / F.col("cq0")
+                ).cast("long"),
+            ).alias("nq"),
+        )
+    )
+    na = nrm.select(
+        "sigkey", "day", F.col("user_id").alias("user_a"),
+        F.col("nq").alias("qa"),
+    )
+    nb = nrm.select(
+        "sigkey", "day", F.col("user_id").alias("user_b"),
+        F.col("nq").alias("qb"),
+    )
+    pd_ = (
+        na.join(nb, ["sigkey", "day"])
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+            )
+            .cast("long")
+            .alias("ssd_q"),
+        )
+        .where(F.col("n_days") >= 10)
+    )
+    return (
+        pd_.select(
+            "user_a",
+            "user_b",
+            "n_days",
+            (F.col("ssd_q").cast("double") / F.lit(1e8)).alias("ssd"),
+            "ssd_q",
+        )
+        .orderBy(F.col("ssd_q").asc(), "user_a", "user_b")
+        .limit(20)
+        .drop("ssd_q")
+    )
+
+
+@register(
+    "q310_anova_dow",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dw,
+             rmq AS r
+      FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e3 + 0.5)
+                 AS BIGINT) AS rmq
+        FROM b WHERE cl > 0
+      ) WHERE rmq IS NOT NULL
+    ), g AS (
+      SELECT dw, count(*)::BIGINT AS ng, sum(r)::BIGINT AS sg
+      FROM rr GROUP BY dw
+    ), tot AS (
+      SELECT count(*)::BIGINT AS n, sum(r)::BIGINT AS s1,
+             sum(r * r)::BIGINT AS s2, count(DISTINCT dw)::BIGINT AS k
+      FROM rr
+    ), ssb AS (
+      SELECT sum(CAST(floor(CAST(sg * sg AS DOUBLE) / ng * 1e4 + 0.5)
+                 AS BIGINT))::BIGINT AS bq
+      FROM g
+    )
+    SELECT tot.n AS n_obs, tot.k AS k_groups,
+           (CAST(ssb.bq AS DOUBLE) / 1e4
+            - CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE) / tot.n)
+             / 1e6 AS ssb,
+           (CAST(tot.s2 AS DOUBLE) - CAST(ssb.bq AS DOUBLE) / 1e4)
+             / 1e6 AS ssw,
+           CASE WHEN tot.k >= 2
+                 AND CAST(tot.s2 AS DOUBLE)
+                     - CAST(ssb.bq AS DOUBLE) / 1e4 > 0 THEN
+             ((CAST(ssb.bq AS DOUBLE) / 1e4
+               - CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE) / tot.n)
+              / (tot.k - 1))
+             / ((CAST(tot.s2 AS DOUBLE) - CAST(ssb.bq AS DOUBLE) / 1e4)
+                / (tot.n - tot.k))
+           END AS f_stat
+    FROM tot, ssb
+    """,
+)
+def q310_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test for a day-of-week effect in the pooled
+    daily-return cross-section — the hypothesis-TEST companion to
+    q141's seasonal decomposition (which estimates the weekday means;
+    this says whether they differ more than noise allows), joining the
+    test-statistic family (KS q195, MW-U q196, chi² q166, runs q275,
+    Ljung–Box q305). Weekday is PORTABLE integer arithmetic —
+    (epoch_days + 4) mod 7 — because Spark ``dayofweek`` (1=Sun) and
+    DuckDB ``dayofweek`` (0=Sun) disagree on conventions, but epoch-day
+    arithmetic cannot. Float policy: per-group states (n_g, S_g) and
+    totals (N, S1, S2) are exact milli-lattice BIGINTs; the
+    between-group sum Σ S_g²/n_g quantizes each single-division group
+    term to 1e-4 units and INTEGER-sums over the ≤7-row aggregate
+    frame (term ≤ 9e11 ⇒ ×1e4 ≤ 9e15·7 under 2⁶³); SSB/SSW/F are fixed
+    IEEE chains on those states, guarded on SSW > 0. /1e6 converts the
+    milli² lattice to return² units at emit. Scale: the shared
+    user-keyed return window, then ONE 7-group agg + one global agg —
+    map-side combined, no joins on data-sized frames."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmq = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("day", rmq.alias("r"))
+        .where(F.col("r").isNotNull())
+        .select(
+            F.pmod(F.unix_date(F.col("day")) + F.lit(4), F.lit(7)).alias(
+                "dw"
+            ),
+            "r",
+        )
+    )
+    g = rr.groupBy("dw").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("r").cast("long").alias("sg"),
+    )
+    tot = rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+        F.count_distinct("dw").cast("long").alias("k"),
+    )
+    ssbq = g.agg(
+        F.sum(
+            F.floor(
+                (F.col("sg") * F.col("sg")).cast("double") / F.col("ng")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("bq")
+    )
+    bqd = F.col("bq").cast("double") / F.lit(10000.0)
+    ssb_e = bqd - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col(
+        "n"
+    )
+    ssw_e = F.col("s2").cast("double") - bqd
+    return tot.crossJoin(F.broadcast(ssbq)).select(
+        F.col("n").alias("n_obs"),
+        F.col("k").alias("k_groups"),
+        (ssb_e / F.lit(1000000.0)).alias("ssb"),
+        (ssw_e / F.lit(1000000.0)).alias("ssw"),
+        F.when(
+            (F.col("k") >= 2) & (ssw_e > 0),
+            (ssb_e / (F.col("k") - F.lit(1)))
+            / (ssw_e / (F.col("n") - F.col("k"))),
+        ).alias("f_stat"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -21537,6 +22077,8 @@ _FINAL_ORDER = [
     "q301_fracdiff", "q302_brier_calibration",
     "q303_pca_power_iteration", "q304_mi_lang_source",
     "q305_ljung_box", "q306_rich_club",
+    "q307_roc_auc", "q308_embedding_outliers",
+    "q309_pairs_trading_ssd", "q310_anova_dow",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

