@@ -211,6 +211,9 @@ HEADLINE = [
     "q308_embedding_outliers",
     "q309_pairs_trading_ssd",
     "q310_anova_dow",
+    "q311_newey_west",
+    "q312_theil_sen",
+    "q313_realized_corr_matrix",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -21994,6 +21994,412 @@ def q310_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q311_newey_west",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rmq AS r FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e3 + 0.5)
+                 AS BIGINT) AS rmq
+        FROM b WHERE cl > 0
+      ) WHERE rmq IS NOT NULL
+    ), l AS (
+      SELECT user_id, r,
+             lag(r, 1) OVER w AS l1, lag(r, 2) OVER w AS l2,
+             lag(r, 3) OVER w AS l3
+      FROM rr
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), s AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(r)::BIGINT AS s1, sum(r * r)::BIGINT AS s2,
+             sum(r * l1)::BIGINT AS srr1,
+             sum(CASE WHEN l1 IS NOT NULL THEN r END)::BIGINT AS sa1,
+             sum(l1)::BIGINT AS sb1,
+             sum(r * l2)::BIGINT AS srr2,
+             sum(CASE WHEN l2 IS NOT NULL THEN r END)::BIGINT AS sa2,
+             sum(l2)::BIGINT AS sb2,
+             sum(r * l3)::BIGINT AS srr3,
+             sum(CASE WHEN l3 IS NOT NULL THEN r END)::BIGINT AS sa3,
+             sum(l3)::BIGINT AS sb3
+      FROM l GROUP BY user_id HAVING count(*) >= 8
+    ), g AS (
+      SELECT user_id, n,
+             (n * n * s2 - n * s1 * s1)::BIGINT AS g0,
+             (n * n * srr1 - n * s1 * (sa1 + sb1)
+              + (n - 1) * s1 * s1)::BIGINT AS g1,
+             (n * n * srr2 - n * s1 * (sa2 + sb2)
+              + (n - 2) * s1 * s1)::BIGINT AS g2,
+             (n * n * srr3 - n * s1 * (sa3 + sb3)
+              + (n - 3) * s1 * s1)::BIGINT AS g3
+      FROM s
+    )
+    SELECT user_id, n AS n_rets,
+           CAST(g0 AS DOUBLE) / (n * n * n) / 1e6 AS var_iid,
+           (CAST(g0 AS DOUBLE)
+            + 2.0 * (0.75 * g1 + 0.5 * g2 + 0.25 * g3))
+             / (n * n * n) / 1e6 AS var_nw,
+           CASE WHEN g0 > 0 THEN
+             (CAST(g0 AS DOUBLE)
+              + 2.0 * (0.75 * g1 + 0.5 * g2 + 0.25 * g3))
+             / CAST(g0 AS DOUBLE) END AS nw_ratio
+    FROM g
+    """,
+)
+def q311_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey–West (1987) HAC long-run variance of daily returns per
+    user, Bartlett kernel at lag L = 3 — the autocorrelation-robust σ²
+    that every t-statistic in the suite should divide by when q305's
+    Ljung–Box rejects white noise: σ²_NW = γ̂₀ + 2Σ(1−k/(L+1))γ̂_k, and
+    nw_ratio = σ²_NW/γ̂₀ is the variance-inflation factor (>1 under
+    momentum, <1 under mean reversion) that rescales q108's Sharpe.
+    Exactness: the centered autocovariances reuse q305's n²-cleared
+    BIGINT states (edge-correct partial sums, positional lags); the
+    Bartlett weights 0.75/0.5/0.25 are EXACT binary doubles, so each
+    weighted term is a single exactly-rounded product and the 4-term
+    combination is a fixed literal IEEE chain (never a SQL SUM over
+    k); /n³ and /1e6 (milli²→return² units) are the only other ops.
+    Scale: the shared (user, day) agg → ONE user-keyed 3-lag window →
+    one 12-state grouped agg, map-side combined; no joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmq = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("user_id", "day", rmq.alias("r"))
+        .where(F.col("r").isNotNull())
+    )
+    lagged = rr.select(
+        "user_id",
+        "r",
+        *[F.lag("r", k).over(wd).alias("l{0}".format(k)) for k in range(1, 4)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+    ]
+    for k in range(1, 4):
+        lk = F.col("l{0}".format(k))
+        aggs += [
+            F.sum(F.col("r") * lk).cast("long").alias("srr{0}".format(k)),
+            F.sum(F.when(lk.isNotNull(), F.col("r")))
+            .cast("long")
+            .alias("sa{0}".format(k)),
+            F.sum(lk).cast("long").alias("sb{0}".format(k)),
+        ]
+    s = lagged.groupBy("user_id").agg(*aggs).where(F.col("n") >= 8)
+
+    def _gam(k: int):
+        return (
+            F.col("n") * F.col("n") * F.col("srr{0}".format(k))
+            - F.col("n")
+            * F.col("s1")
+            * (F.col("sa{0}".format(k)) + F.col("sb{0}".format(k)))
+            + (F.col("n") - F.lit(k)) * F.col("s1") * F.col("s1")
+        ).cast("long")
+
+    g = s.select(
+        "user_id",
+        "n",
+        (
+            F.col("n") * F.col("n") * F.col("s2")
+            - F.col("n") * F.col("s1") * F.col("s1")
+        )
+        .cast("long")
+        .alias("g0"),
+        _gam(1).alias("g1"),
+        _gam(2).alias("g2"),
+        _gam(3).alias("g3"),
+    )
+    n3 = F.col("n") * F.col("n") * F.col("n")
+    nw_num = F.col("g0").cast("double") + F.lit(2.0) * (
+        F.lit(0.75) * F.col("g1")
+        + F.lit(0.5) * F.col("g2")
+        + F.lit(0.25) * F.col("g3")
+    )
+    return g.select(
+        "user_id",
+        F.col("n").alias("n_rets"),
+        (F.col("g0").cast("double") / n3 / F.lit(1000000.0)).alias(
+            "var_iid"
+        ),
+        (nw_num / n3 / F.lit(1000000.0)).alias("var_nw"),
+        F.when(
+            F.col("g0") > 0, nw_num / F.col("g0").cast("double")
+        ).alias("nw_ratio"),
+    )
+
+
+@register(
+    "q312_theil_sen",
+    """
+    WITH b AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value > 0
+    ),
+    base AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cq,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS dr
+      FROM b
+    ),
+    capped AS (SELECT * FROM base WHERE dr <= 20),
+    pairs AS (
+      SELECT a.user_id,
+             CAST(a.cq - i.cq AS DOUBLE) / (a.dr - i.dr) AS slope,
+             i.dr AS ri, a.dr AS rj
+      FROM capped i JOIN capped a
+        ON i.user_id = a.user_id AND a.dr > i.dr
+    ),
+    ranked AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY slope, ri, rj) AS pr,
+             count(*) OVER (PARTITION BY user_id) AS np
+      FROM pairs
+    )
+    SELECT user_id, np AS n_pairs,
+           slope / 100.0 AS ts_slope
+    FROM ranked WHERE pr = (np + 1) // 2
+    """,
+)
+def q312_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per user (Theil 1950, Sen 1968):
+    the median of all pairwise slopes over the first 20 trading days —
+    a 29%-breakdown-point trend estimate that one fat-fingered print
+    cannot drag (unlike the OLS slopes in q259/q277), and the robust
+    counterpart of q107's median/MAD location screen. The 20-day cap
+    is the documented complexity contract: pairwise slopes are
+    quadratic per user, the cap bounds them at 190/user (the standard
+    windowed deployment; at 100 TB the cap is the knob, like q300's
+    hub cap). Exactness: each slope is ONE IEEE division of exact
+    integers (cent diff over rank diff — trading-time x keeps the
+    denominator integral), deterministic cross-engine; the median is a
+    DISCRETE lower-median rank pick (q240 lesson: never interpolate on
+    an exact-decimal grain) ordered by (slope, ri, rj) so ties break
+    identically; emit divides by 100 once (cents→price units). Scale:
+    day-rank window (user-keyed) → user-keyed equi-self-join bounded
+    20×20 per user → per-user rank over ≤190 rows; all partitions
+    data-cardinality."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    base = b.select(
+        "user_id",
+        F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cq"),
+        F.row_number().over(wd).alias("dr"),
+    ).where(F.col("dr") <= 20)
+    i = base.select(
+        "user_id", F.col("cq").alias("ci"), F.col("dr").alias("ri")
+    )
+    a = base.select(
+        "user_id", F.col("cq").alias("ca"), F.col("dr").alias("rj")
+    )
+    pairs = (
+        i.join(a, "user_id")
+        .where(F.col("rj") > F.col("ri"))
+        .select(
+            "user_id",
+            (
+                (F.col("ca") - F.col("ci")).cast("double")
+                / (F.col("rj") - F.col("ri"))
+            ).alias("slope"),
+            "ri",
+            "rj",
+        )
+    )
+    wp = Window.partitionBy("user_id").orderBy("slope", "ri", "rj")
+    ranked = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wp).alias("pr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("np"),
+    )
+    return ranked.where(
+        F.col("pr")
+        == F.floor((F.col("np") + F.lit(1)) / F.lit(2)).cast("long")
+    ).select(
+        "user_id",
+        F.col("np").alias("n_pairs"),
+        (F.col("slope") / F.lit(100.0)).alias("ts_slope"),
+    )
+
+
+@register(
+    "q313_realized_corr_matrix",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), act AS (
+      SELECT user_id FROM (
+        SELECT user_id, count(*) AS ne,
+               row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+        FROM events GROUP BY user_id
+      ) WHERE rk <= 8
+    ), rr AS (
+      SELECT user_id, day, rmq FROM (
+        SELECT b.user_id, b.day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY b.user_id ORDER BY day)), 6) * 1e3 + 0.5)
+                 AS BIGINT) AS rmq
+        FROM b JOIN act ON b.user_id = act.user_id
+        WHERE cl > 0
+      ) WHERE rmq IS NOT NULL
+    ), pd AS (
+      SELECT a.user_id AS user_a, b2.user_id AS user_b,
+             count(*)::BIGINT AS nd,
+             sum(a.rmq)::BIGINT AS sx, sum(b2.rmq)::BIGINT AS sy,
+             sum(a.rmq * a.rmq)::BIGINT AS sxx,
+             sum(b2.rmq * b2.rmq)::BIGINT AS syy,
+             sum(a.rmq * b2.rmq)::BIGINT AS sxy
+      FROM rr a JOIN rr b2
+        ON a.day = b2.day AND a.user_id < b2.user_id
+      GROUP BY a.user_id, b2.user_id HAVING count(*) >= 5
+    )
+    SELECT user_a, user_b, nd AS n_days,
+           CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+           THEN CAST(nd * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(nd * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(nd * syy - sy * sy AS DOUBLE)))
+           END AS corr
+    FROM pd
+    """,
+)
+def q313_realized_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized pairwise return-correlation matrix for the 8 MOST
+    ACTIVE users (by event count, user_id tiebreak) — the explicit
+    matrix that q294 deliberately avoids materializing: for a bounded
+    top-k book the 28 pairwise correlations ARE the deliverable
+    (hedging, netting, portfolio construction), while q294's identity
+    gives only their implied average. Common-day alignment via a day
+    equi-join of the two return series; Pearson from the exact six-
+    tuple (n, Σx, Σy, Σx², Σy², Σxy) on the milli lattice; the
+    coefficient is one fixed IEEE chain (sqrt is IEEE-exact) guarded
+    on the exact integer variance numerators; pairs need ≥5 common
+    days. Scale: the top-8 selection is a count agg + rank over the
+    one-row-per-user aggregate frame (invariant 16a shape licenses the
+    global rank there — Spark side uses TakeOrderedAndProject via a
+    broadcast semi-join instead); the day join fans out at most k
+    users per day, so the pair stage is k²-bounded per day, never
+    corpus-quadratic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    act = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ne"))
+        .orderBy(F.col("ne").desc(), "user_id")
+        .limit(8)
+        .select("user_id")
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.join(F.broadcast(act), "user_id")
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmq = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("user_id", "day", rmq.alias("rmq"))
+        .where(F.col("rmq").isNotNull())
+    )
+    ra = rr.select(
+        "day", F.col("user_id").alias("user_a"), F.col("rmq").alias("x")
+    )
+    rb = rr.select(
+        "day", F.col("user_id").alias("user_b"), F.col("rmq").alias("y")
+    )
+    pd_ = (
+        ra.join(rb, "day")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .where(F.col("nd") >= 5)
+    )
+    vx = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+    return pd_.select(
+        "user_a",
+        "user_b",
+        F.col("nd").alias("n_days"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("corr"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -22079,6 +22485,7 @@ _FINAL_ORDER = [
     "q305_ljung_box", "q306_rich_club",
     "q307_roc_auc", "q308_embedding_outliers",
     "q309_pairs_trading_ssd", "q310_anova_dow",
+    "q311_newey_west", "q312_theil_sen", "q313_realized_corr_matrix",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

@@ -954,3 +954,68 @@ def test_q310_anova_decomposition(spark, sf_dir):
     assert r.ssb >= -1e-6 and r.ssw >= 0.0
     if r.f_stat is not None:
         assert r.f_stat >= 0.0
+
+
+def test_q311_nw_consistency(spark, sf_dir):
+    """var_nw/var_iid equals nw_ratio exactly; variances non-negative;
+    for an IID-ish series the ratio stays in a broad positive band."""
+    rows = QUERIES["q311_newey_west"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_rets >= 8
+        assert r.var_iid >= 0.0
+        if r.nw_ratio is not None:
+            assert abs(r.var_nw / r.var_iid - r.nw_ratio) < 1e-9
+            # Bartlett NW is a PSD spectral estimate — never negative
+            assert r.var_nw >= -1e-12 and r.nw_ratio >= -1e-9
+
+
+def test_q312_theil_sen_median_identity(spark, sf_dir):
+    """One row per eligible user; the slope equals the numpy lower
+    median of all pairwise slopes on the same capped window."""
+    import numpy as np
+
+    rows = QUERIES["q312_theil_sen"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r.user_id not in by_user  # exactly one median row
+        by_user[r.user_id] = r
+        nd = int((1 + (1 + 8 * r.n_pairs) ** 0.5) / 2)
+        assert nd * (nd - 1) // 2 == r.n_pairs
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+    import math
+
+    target = max(rows, key=lambda r: r.n_pairs)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.where(F.col("user_id") == target.user_id)
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+        .orderBy("day")
+        .limit(20)
+    )
+    cq = [math.floor(r.cl * 100.0 + 0.5) for r in b.collect()]
+    slopes = sorted(
+        (cq[j] - cq[i]) / (j - i)
+        for i in range(len(cq))
+        for j in range(i + 1, len(cq))
+    )
+    lower_median = slopes[(len(slopes) + 1) // 2 - 1]
+    assert abs(lower_median / 100.0 - target.ts_slope) < 1e-12
+
+
+def test_q313_corr_matrix_shape(spark, sf_dir):
+    """At most C(8,2)=28 pairs, correlations in [-1, 1], users drawn
+    from the top-8 activity set only."""
+    rows = QUERIES["q313_realized_corr_matrix"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 28
+    users = set()
+    for r in rows:
+        assert r.user_a < r.user_b and r.n_days >= 5
+        users.update((r.user_a, r.user_b))
+        if r.corr is not None:
+            assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+    assert len(users) <= 8
