@@ -214,6 +214,8 @@ HEADLINE = [
     "q311_newey_west",
     "q312_theil_sen",
     "q313_realized_corr_matrix",
+    "q314_permutation_entropy",
+    "q315_rank_persistence",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

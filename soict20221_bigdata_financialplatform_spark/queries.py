@@ -22400,6 +22400,242 @@ def q313_realized_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q314_permutation_entropy",
+    """
+    WITH b AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value > 0
+    ),
+    base AS (
+      SELECT user_id, day,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cq
+      FROM b
+    ),
+    tri AS (
+      SELECT user_id,
+             lag(cq, 2) OVER w AS v1, lag(cq, 1) OVER w AS v2, cq AS v3
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    pat AS (
+      SELECT user_id,
+             (CASE WHEN v1 <= v2 THEN 4 ELSE 0 END
+              + CASE WHEN v1 <= v3 THEN 2 ELSE 0 END
+              + CASE WHEN v2 <= v3 THEN 1 ELSE 0 END) AS code
+      FROM tri WHERE v1 IS NOT NULL
+    ),
+    pc AS (
+      SELECT user_id, code, count(*)::BIGINT AS c
+      FROM pat GROUP BY user_id, code
+    ),
+    h AS (
+      SELECT user_id, sum(c)::BIGINT AS n,
+             sum(CAST(floor(c * round(ln(CAST(c AS DOUBLE)), 6) * 1e6
+                 + 0.5) AS BIGINT))::BIGINT AS sq
+      FROM pc GROUP BY user_id HAVING sum(c) >= 20
+    )
+    SELECT user_id, n AS n_triples,
+           round(ln(CAST(n AS DOUBLE)), 6)
+             - CAST(sq AS DOUBLE) / (1e6 * n) AS h_perm,
+           (round(ln(CAST(n AS DOUBLE)), 6)
+             - CAST(sq AS DOUBLE) / (1e6 * n))
+             / round(ln(6.0), 6) AS pe_norm
+    FROM h
+    """,
+)
+def q314_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy per user (Bandt & Pompe 2002), order m = 3 on
+    daily closes: the Shannon entropy of the 6 ordinal patterns of
+    consecutive close triples, normalized by ln 6 — the model-free
+    complexity gauge that separates trending (few patterns dominate,
+    PE low) from noise-like series (uniform patterns, PE → 1), reading
+    the SHAPE of the path where q281's Hurst reads its scaling and
+    q305's Ljung–Box its linear correlation. Ties rank by POSITION
+    (earlier smaller — the standard Bandt–Pompe convention), so every
+    comparison is an exact integer <= on the cent lattice and the
+    pattern code is deterministic. Entropy is the q267 recipe: counts
+    exact, per-pattern c·ln(c) rounded at the transcendental and
+    micro-quantized to BIGINT sums, H = ln n − Σ/(10⁶n); the ln 6
+    normalizer rounds at ITS transcendental identically both engines.
+    Scale: one user-keyed 2-lag window → ≤6-row-per-user pattern agg →
+    user agg; everything map-side combined, no joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    base = b.select(
+        "user_id",
+        "day",
+        F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cq"),
+    )
+    tri = base.select(
+        "user_id",
+        F.lag("cq", 2).over(wd).alias("v1"),
+        F.lag("cq", 1).over(wd).alias("v2"),
+        F.col("cq").alias("v3"),
+    ).where(F.col("v1").isNotNull())
+    code = (
+        F.when(F.col("v1") <= F.col("v2"), 4).otherwise(0)
+        + F.when(F.col("v1") <= F.col("v3"), 2).otherwise(0)
+        + F.when(F.col("v2") <= F.col("v3"), 1).otherwise(0)
+    )
+    pc = tri.select("user_id", code.alias("code")).groupBy(
+        "user_id", "code"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    h = (
+        pc.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                F.floor(
+                    F.col("c")
+                    * F.round(F.log(F.col("c").cast("double")), 6)
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+        .where(F.col("n") >= 20)
+    )
+    hperm = F.round(F.log(F.col("n").cast("double")), 6) - F.col("sq").cast(
+        "double"
+    ) / (F.lit(1000000.0) * F.col("n"))
+    return h.select(
+        "user_id",
+        F.col("n").alias("n_triples"),
+        hperm.alias("h_perm"),
+        (hperm / F.round(F.log(F.lit(6.0)), 6)).alias("pe_norm"),
+    )
+
+
+@register(
+    "q315_rank_persistence",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rmq FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e3 + 0.5)
+                 AS BIGINT) AS rmq
+        FROM b WHERE cl > 0
+      ) WHERE rmq IS NOT NULL
+    ), j AS (
+      SELECT a.day AS day, a.user_id,
+             a.rmq AS x, n.rmq AS y
+      FROM rr a JOIN rr n
+        ON n.user_id = a.user_id AND n.day = a.day + 1
+    ), rk AS (
+      SELECT day,
+             row_number() OVER (PARTITION BY day
+               ORDER BY x, user_id) AS rx,
+             row_number() OVER (PARTITION BY day
+               ORDER BY y, user_id) AS ry
+      FROM j
+    )
+    SELECT day, count(*)::BIGINT AS n_users,
+           CASE WHEN count(*) >= 3 THEN
+             1.0 - CAST(6 * sum((rx - ry) * (rx - ry)) AS DOUBLE)
+                   / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE)
+           END AS rho_s
+    FROM rk GROUP BY day
+    """,
+)
+def q315_rank_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional rank persistence: per day, the Spearman
+    correlation between today's and tomorrow's return RANKS over the
+    users present on both calendar days — the one-day momentum-
+    persistence curve (Jegadeesh–Titman's premise at daily horizon;
+    q284 sorts deciles on the trailing signal, this measures whether
+    any sort would survive a day; q218's Spearman is per-user over
+    time — this is per-day over the cross-section, the transposed
+    axis). Exactness: the pair join aligns on (user, day+1) — DATE
+    arithmetic is integer both engines; ranks are row_numbers with the
+    (value, user_id) unique tiebreak on the milli lattice (documented:
+    lattice ties break by user — midranks would put floats in the
+    state); Spearman's ρ_s = 1 − 6Σd²/(m(m²−1)) is then ONE division
+    of exact BIGINTs (Σd² ≤ m³/3 — overflow at m > 3e6 users/day,
+    far above the gate SFs, budget documented). Scale: two day-keyed
+    windows over the joined frame (data-cardinality partitions,
+    ranked subsets only) + one day agg; the join is a user+date
+    equi-join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmq = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("user_id", "day", rmq.alias("rmq"))
+        .where(F.col("rmq").isNotNull())
+    )
+    a = rr.select("user_id", "day", F.col("rmq").alias("x"))
+    nx = rr.select(
+        "user_id",
+        (F.date_sub(F.col("day"), 1)).alias("day"),
+        F.col("rmq").alias("y"),
+    )
+    j = a.join(nx, ["user_id", "day"]).select("day", "user_id", "x", "y")
+    wx = Window.partitionBy("day").orderBy("x", "user_id")
+    wy = Window.partitionBy("day").orderBy("y", "user_id")
+    rk = j.select(
+        "day",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    m = F.count(F.lit(1))
+    d2 = F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+    return rk.groupBy("day").agg(
+        m.cast("long").alias("n_users"),
+        F.when(
+            m >= 3,
+            F.lit(1.0)
+            - (F.lit(6) * d2).cast("double")
+            / (m * (m * m - F.lit(1))).cast("double"),
+        ).alias("rho_s"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -22486,6 +22722,7 @@ _FINAL_ORDER = [
     "q307_roc_auc", "q308_embedding_outliers",
     "q309_pairs_trading_ssd", "q310_anova_dow",
     "q311_newey_west", "q312_theil_sen", "q313_realized_corr_matrix",
+    "q314_permutation_entropy", "q315_rank_persistence",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

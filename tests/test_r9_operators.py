@@ -1019,3 +1019,52 @@ def test_q313_corr_matrix_shape(spark, sf_dir):
         if r.corr is not None:
             assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
     assert len(users) <= 8
+
+
+def test_q314_pe_bounds_and_numpy(spark, sf_dir):
+    """Normalized PE in (0, 1]; entropy matches a numpy recompute of the
+    ordinal-pattern distribution for the largest user."""
+    import math
+
+    rows = QUERIES["q314_permutation_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_triples >= 20
+        assert 0.0 <= r.h_perm <= math.log(6) + 1e-6
+        assert 0.0 <= r.pe_norm <= 1.0 + 1e-6
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    target = max(rows, key=lambda r: r.n_triples)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.where(F.col("user_id") == target.user_id)
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+        .orderBy("day")
+    )
+    cq = [math.floor(r.cl * 100.0 + 0.5) for r in b.collect()]
+    from collections import Counter
+
+    pats = Counter()
+    for i in range(2, len(cq)):
+        v1, v2, v3 = cq[i - 2], cq[i - 1], cq[i]
+        pats[(v1 <= v2, v1 <= v3, v2 <= v3)] += 1
+    n = sum(pats.values())
+    h = round(math.log(n), 6) - sum(
+        math.floor(c * round(math.log(c), 6) * 1e6 + 0.5) for c in pats.values()
+    ) / (1e6 * n)
+    assert n == target.n_triples
+    assert abs(h - target.h_perm) < 1e-12
+
+
+def test_q315_rank_persistence_bounds(spark, sf_dir):
+    rows = QUERIES["q315_rank_persistence"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_users >= 1
+        if r.rho_s is not None:
+            assert -1.0 - 1e-9 <= r.rho_s <= 1.0 + 1e-9
+        else:
+            assert r.n_users < 3

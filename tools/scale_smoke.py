@@ -165,7 +165,103 @@ def op_suite(spark, d: str) -> dict:
                 .rowsBetween(Window.unboundedPreceding, 0)
             ).alias("c"),
         ).count(),
+        # q303's Gram pass: O(n·d²) products collapsing into a d²-cell
+        # state via map-side partial agg — the covariance input for PCA.
+        # Must scale linearly in n (state is O(d²), never O(n)).
+        "pca_gram_pass": lambda: _pca_gram_count(emb),
+        # q309's signature-banded pair stage: per-(user, day) closes,
+        # base-3 first-moves signature, (sigkey, day) equi-self-join.
+        # Band occupancy governs the exponent — the q32 LSH story.
+        "pairs_ssd_banded": lambda: _pairs_ssd_count(ev),
     }
+
+
+def _pca_gram_count(emb) -> int:
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val").cast("double") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("eq"),
+    )
+    a = el.select("vec_id", F.col("i"), F.col("eq").alias("ea"))
+    bb = el.select("vec_id", F.col("i").alias("j"), F.col("eq").alias("eb"))
+    return (
+        a.join(bb, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ea") * F.col("eb")).alias("sij"))
+        .count()
+    )
+
+
+def _pairs_ssd_count(ev) -> int:
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", "event_id").alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    base = b.select(
+        "user_id",
+        "day",
+        F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cq"),
+        F.row_number().over(wd).alias("dr"),
+    )
+    head = base.where(F.col("dr") <= 5).select("user_id", "dr", "cq")
+    piv = head.groupBy("user_id").pivot("dr", [1, 2, 3, 4, 5]).sum("cq")
+
+    def _tri(x, y):
+        return (
+            F.when(F.col(y) > F.col(x), 2)
+            .when(F.col(y) < F.col(x), 0)
+            .otherwise(1)
+        )
+
+    sig = piv.na.drop().select(
+        "user_id",
+        (
+            _tri("1", "2") * F.lit(27)
+            + _tri("2", "3") * F.lit(9)
+            + _tri("3", "4") * F.lit(3)
+            + _tri("4", "5")
+        ).alias("sigkey"),
+    )
+    first_cq = base.where(F.col("dr") == 1).select(
+        "user_id", F.col("cq").alias("cq0")
+    )
+    nrm = (
+        base.join(first_cq, "user_id")
+        .join(sig, "user_id")
+        .select(
+            "sigkey",
+            "user_id",
+            "day",
+            F.least(
+                F.lit(10000000).cast("long"),
+                F.floor((F.col("cq") * F.lit(10000)) / F.col("cq0")).cast(
+                    "long"
+                ),
+            ).alias("nq"),
+        )
+    )
+    na_ = nrm.select(
+        "sigkey", "day", F.col("user_id").alias("ua"), F.col("nq").alias("qa")
+    )
+    nb_ = nrm.select(
+        "sigkey", "day", F.col("user_id").alias("ub"), F.col("nq").alias("qb")
+    )
+    return (
+        na_.join(nb_, ["sigkey", "day"])
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .count()
+    )
 
 
 def main() -> None:
