@@ -216,6 +216,8 @@ HEADLINE = [
     "q313_realized_corr_matrix",
     "q314_permutation_entropy",
     "q315_rank_persistence",
+    "q316_filter_attrition",
+    "q317_dedup_savings",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

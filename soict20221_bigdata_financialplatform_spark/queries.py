@@ -22636,6 +22636,211 @@ def q315_rank_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q316_filter_attrition",
+    """
+    WITH m AS (
+      SELECT source, n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END)::BIGINT AS nw,
+             length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS nc,
+             len(regexp_extract_all(lower(text), '__ESRE__'))::BIGINT
+               AS ns,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
+               len(string_split(trim(text), ' ')) - 1 ELSE 0 END::BIGINT
+               AS nb,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
+               len(list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' '))),
+                 i -> string_split(trim(text), ' ')[i] || ' '
+                      || string_split(trim(text), ' ')[i + 1])))
+             ELSE 0 END::BIGINT AS db
+      FROM documents
+    ), r AS (
+      SELECT source,
+             CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+               AS p_len,
+             CASE WHEN nw > 0 AND nc * 1 >= nw * 3 AND nc <= nw * 12
+               THEN 1 ELSE 0 END AS p_wl,
+             CASE WHEN nw > 0 AND ns * 50 >= nw * 3 THEN 1 ELSE 0 END
+               AS p_stop,
+             CASE WHEN nb > 0 AND 5 * (nb - db) <= nb THEN 1 ELSE 0 END
+               AS p_rep
+      FROM m
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(p_len)::BIGINT AS pass_len,
+           sum(p_wl)::BIGINT AS pass_wordlen,
+           sum(p_stop)::BIGINT AS pass_stopword,
+           sum(p_rep)::BIGINT AS pass_repetition,
+           sum(p_len * p_wl * p_stop * p_rep)::BIGINT AS pass_all,
+           CAST(sum(p_len * p_wl * p_stop * p_rep) AS DOUBLE)
+             / count(*) AS survival_rate
+    FROM r GROUP BY source
+    """.replace("__ESRE__", _EN_STOP_RE),
+)
+def q316_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter attrition matrix: per source, how many documents
+    pass EACH Gopher-style rule (length band, mean word length 3–12,
+    stopword rate ≥ 6%, duplicate-bigram share ≤ 20%) and all four —
+    the rule-level diagnosis behind q65's scalar score and q48's
+    survivor count: a source failing on ONE rule (all boilerplate →
+    repetition; all tables → word length) needs a different fix than
+    a uniformly bad one, and this table is what corpus curators read
+    before touching thresholds. Exactness: every rule is an exact
+    INTEGER comparison — char/word/stopword/bigram counts are regex
+    and split counts, and the two ratio rules clear denominators
+    (nc ≥ 3·nw instead of nc/nw ≥ 3; 5·(nb−db) ≤ nb instead of
+    dup-share ≤ 0.2) so no float ever enters a predicate; the one
+    division is the emitted survival rate. Scale: one projection +
+    one source-keyed agg, map-side combined; the bigram distinct runs
+    inside the row's own HOF (no explode)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = F.split(F.trim(F.col("text")), " ")
+    nw = tx.token_count(F.col("text")).cast("long")
+    nc = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long")
+    ns = tx.stopword_count(F.col("text")).cast("long")
+    nb = F.when(F.size(w) >= 2, F.size(w) - 1).otherwise(0).cast("long")
+    bi = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(
+            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+        ),
+    )
+    db = (
+        F.when(F.size(w) >= 2, F.size(F.array_distinct(bi)))
+        .otherwise(0)
+        .cast("long")
+    )
+    m = d.select(
+        "source",
+        "n_chars",
+        nw.alias("nw"),
+        nc.alias("nc"),
+        ns.alias("ns"),
+        nb.alias("nb"),
+        db.alias("db"),
+    )
+    p_len = (
+        F.when(
+            (F.col("n_chars") >= 50) & (F.col("n_chars") <= 10000), 1
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    p_wl = (
+        F.when(
+            (F.col("nw") > 0)
+            & (F.col("nc") * 1 >= F.col("nw") * 3)
+            & (F.col("nc") <= F.col("nw") * 12),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    p_stop = (
+        F.when(
+            (F.col("nw") > 0) & (F.col("ns") * 50 >= F.col("nw") * 3), 1
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    p_rep = (
+        F.when(
+            (F.col("nb") > 0)
+            & (F.lit(5) * (F.col("nb") - F.col("db")) <= F.col("nb")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    r = m.select(
+        "source",
+        p_len.alias("p_len"),
+        p_wl.alias("p_wl"),
+        p_stop.alias("p_stop"),
+        p_rep.alias("p_rep"),
+    )
+    allp = F.col("p_len") * F.col("p_wl") * F.col("p_stop") * F.col("p_rep")
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("p_len").cast("long").alias("pass_len"),
+        F.sum("p_wl").cast("long").alias("pass_wordlen"),
+        F.sum("p_stop").cast("long").alias("pass_stopword"),
+        F.sum("p_rep").cast("long").alias("pass_repetition"),
+        F.sum(allp).cast("long").alias("pass_all"),
+        (F.sum(allp).cast("double") / F.count(F.lit(1))).alias(
+            "survival_rate"
+        ),
+    )
+
+
+@register(
+    "q317_dedup_savings",
+    """
+    WITH m AS (
+      SELECT doc_id, source,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END)::BIGINT AS nt,
+             md5(text) AS dg
+      FROM documents
+    ),
+    firsts AS (SELECT dg, min(doc_id) AS keep_id FROM m GROUP BY dg)
+    SELECT m.source, count(*)::BIGINT AS n_docs,
+           count(CASE WHEN m.doc_id <> f.keep_id THEN 1 END)::BIGINT
+             AS n_dup_docs,
+           sum(m.nt)::BIGINT AS tokens_total,
+           coalesce(sum(CASE WHEN m.doc_id <> f.keep_id THEN m.nt END),
+                    0)::BIGINT AS tokens_dropped,
+           CASE WHEN sum(m.nt) > 0 THEN
+             CAST(coalesce(sum(CASE WHEN m.doc_id <> f.keep_id
+                                    THEN m.nt END), 0) AS DOUBLE)
+             / sum(m.nt) END AS savings_share
+    FROM m JOIN firsts f ON m.dg = f.dg
+    GROUP BY m.source
+    """,
+)
+def q317_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup token-savings report per source: with corpus-wide
+    first-occurrence-wins (min doc_id per md5 digest — q30's keep
+    rule), how many DOCUMENTS and how many TOKENS does each source
+    lose — the capacity-planning number dedup decisions are actually
+    made on (tokens are what you pay to train on), attributing each
+    duplicate to the source that CONTRIBUTED it, the corpus-grain,
+    token-weighted complement of q251's store-batch attribution and
+    q241's daily dup-rate curve. Exactness: counts and token sums are
+    exact integers; the keep rule is a deterministic min; the one
+    division is the emitted share. Scale: digest groupBy (the q30
+    shuffle key) → equi-join back on digest → source agg, all
+    map-side combinable; token counts ride the same scan."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    m = d.select(
+        "doc_id",
+        "source",
+        tx.token_count(F.col("text")).cast("long").alias("nt"),
+        F.md5("text").alias("dg"),
+    )
+    firsts = m.groupBy("dg").agg(F.min("doc_id").alias("keep_id"))
+    j = m.join(firsts, "dg")
+    isdup = F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(isdup).cast("long").alias("n_dup_docs"),
+        F.sum("nt").cast("long").alias("tokens_total"),
+        F.sum(isdup * F.col("nt")).cast("long").alias("tokens_dropped"),
+        F.when(
+            F.sum("nt") > 0,
+            F.sum(isdup * F.col("nt")).cast("double") / F.sum("nt"),
+        ).alias("savings_share"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -22723,6 +22928,7 @@ _FINAL_ORDER = [
     "q309_pairs_trading_ssd", "q310_anova_dow",
     "q311_newey_west", "q312_theil_sen", "q313_realized_corr_matrix",
     "q314_permutation_entropy", "q315_rank_persistence",
+    "q316_filter_attrition", "q317_dedup_savings",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

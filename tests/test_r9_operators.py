@@ -1068,3 +1068,37 @@ def test_q315_rank_persistence_bounds(spark, sf_dir):
             assert -1.0 - 1e-9 <= r.rho_s <= 1.0 + 1e-9
         else:
             assert r.n_users < 3
+
+
+def test_q316_attrition_accounting(spark, sf_dir):
+    """Per-rule pass counts bound pass_all; every count bounded by
+    n_docs; 20 sources present."""
+    rows = QUERIES["q316_filter_attrition"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        for c in (
+            r.pass_len,
+            r.pass_wordlen,
+            r.pass_stopword,
+            r.pass_repetition,
+        ):
+            assert 0 <= c <= r.n_docs
+            assert r.pass_all <= c
+        assert abs(r.survival_rate - r.pass_all / r.n_docs) < 1e-15
+
+
+def test_q317_savings_identity(spark, sf_dir):
+    """Global dup docs == n_docs − distinct digests; token drops bounded
+    by totals; shares in [0, 1]."""
+    rows = QUERIES["q317_dedup_savings"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    from soict20221_bigdata_financialplatform_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs, n_dg = d.agg(
+        F.count(F.lit(1)), F.count_distinct(F.md5("text"))
+    ).first()
+    assert sum(r.n_dup_docs for r in rows) == n_docs - n_dg
+    for r in rows:
+        assert 0 <= r.tokens_dropped <= r.tokens_total
+        assert r.savings_share is None or 0.0 <= r.savings_share <= 1.0
