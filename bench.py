@@ -218,6 +218,8 @@ HEADLINE = [
     "q315_rank_persistence",
     "q316_filter_attrition",
     "q317_dedup_savings",
+    "q318_mann_kendall",
+    "q319_behavior_entropy",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

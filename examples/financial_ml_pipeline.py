@@ -7,6 +7,8 @@ pipeline, Spark-first) — the supervised-learning counterpart of
  3. label uniqueness sample weights       (q274: de-bias overlapping labels)
  4. momentum decile table                 (q284: the candidate signal's case)
  5. pairs-trade candidates                (q277: hedge beta + residual AR(1))
+ 6. distribution-shape gate               (q297 Jarque-Bera + q311 Newey-West:
+                                           rescale/exclude non-IID series)
 
 Every stage frame passes the ``assert_scalable`` launch gate BEFORE its
 first action (the r7 policy shared by all examples): a plan that would
@@ -95,6 +97,26 @@ def main() -> None:
             f"[5] hedge candidate user {r.user_id}: beta={r.hedge_beta:+.3f} "
             f"resid AR(1)={r.resid_ar1:+.3f}"
         )
+
+    # 6. distribution-shape gate: series whose returns are too far from
+    # Gaussian (Jarque-Bera) or too serially correlated (Newey-West
+    # inflation) get their Sharpe-style statistics rescaled or excluded
+    # before any of the above feeds a trainer.
+    moments = launch(QUERIES["q297_return_moments"](spark, SF_DIR))
+    nw = launch(QUERIES["q311_newey_west"](spark, SF_DIR))
+    gate = (
+        moments.select("user_id", "jb_stat")
+        .join(nw.select("user_id", "nw_ratio"), "user_id")
+        .where(F.col("jb_stat").isNotNull() & F.col("nw_ratio").isNotNull())
+    )
+    flagged = gate.where(
+        (F.col("jb_stat") > 9.21) | (F.col("nw_ratio") > 1.5)
+    ).count()
+    total = gate.count()
+    print(
+        f"[6] shape gate: {flagged}/{total} series flagged "
+        "(JB>9.21 at 1% or NW inflation >1.5)"
+    )
 
     print("financial-ml pipeline complete")
 

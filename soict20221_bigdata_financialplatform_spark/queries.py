@@ -22841,6 +22841,236 @@ def q317_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q318_mann_kendall",
+    """
+    WITH b AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value > 0
+    ),
+    base AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cq,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS dr
+      FROM b
+    ),
+    capped AS (SELECT * FROM base WHERE dr <= 20),
+    s AS (
+      SELECT i.user_id,
+             sum(CASE WHEN a.cq > i.cq THEN 1
+                      WHEN a.cq < i.cq THEN -1 ELSE 0 END)::BIGINT AS mk_s,
+             count(*)::BIGINT AS n_pairs
+      FROM capped i JOIN capped a
+        ON i.user_id = a.user_id AND a.dr > i.dr
+      GROUP BY i.user_id
+    ),
+    nn AS (
+      SELECT user_id, count(*)::BIGINT AS n FROM capped GROUP BY user_id
+      HAVING count(*) >= 8
+    ),
+    ties AS (
+      SELECT user_id,
+             sum(tc * (tc - 1) * (2 * tc + 5))::BIGINT AS tsum
+      FROM (
+        SELECT user_id, cq, count(*)::BIGINT AS tc
+        FROM capped GROUP BY user_id, cq
+      ) GROUP BY user_id
+    )
+    SELECT nn.user_id, nn.n AS n_days, s.mk_s,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tsum AS DOUBLE)
+             / 18.0 AS var_s,
+           CASE WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tsum > 0
+           THEN
+             (CASE WHEN s.mk_s > 0 THEN CAST(s.mk_s - 1 AS DOUBLE)
+                   WHEN s.mk_s < 0 THEN CAST(s.mk_s + 1 AS DOUBLE)
+                   ELSE 0.0 END)
+             / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tsum
+                         AS DOUBLE) / 18.0)
+           END AS z_stat
+    FROM nn JOIN s ON nn.user_id = s.user_id
+            JOIN ties ON nn.user_id = ties.user_id
+    """,
+)
+def q318_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per user (Mann 1945, Kendall 1975) on the
+    same capped 20-day close window as q312 — the SIGNIFICANCE
+    companion to Theil–Sen: q312 says how steep the robust trend is,
+    MK says whether a monotone trend exists at all, from the exact
+    integer S = Σ sign(c_j − c_i) over time-ordered pairs with the
+    tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18
+    and the standard ±1 continuity correction in the z-statistic.
+    Exactness: S, the pair count, n, and the tie correction are ALL
+    exact BIGINTs (sign comparisons on the cent lattice); Var(S) is
+    one division by the exact literal 18; z is a fixed chain —
+    continuity-corrected numerator over an IEEE-exact sqrt — guarded
+    on the exact integer variance numerator. Scale: identical join
+    shape to q312 (user-keyed 20×20 equi-self-join, ≤190 pairs/user)
+    plus two tiny grouped aggs; all partitions data-cardinality."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    base = b.select(
+        "user_id",
+        F.floor(F.col("cl") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cq"),
+        F.row_number().over(wd).alias("dr"),
+    ).where(F.col("dr") <= 20)
+    i = base.select(
+        "user_id", F.col("cq").alias("ci"), F.col("dr").alias("ri")
+    )
+    a = base.select(
+        "user_id", F.col("cq").alias("ca"), F.col("dr").alias("rj")
+    )
+    sgn = (
+        F.when(F.col("ca") > F.col("ci"), 1)
+        .when(F.col("ca") < F.col("ci"), -1)
+        .otherwise(0)
+    )
+    s = (
+        i.join(a, "user_id")
+        .where(F.col("rj") > F.col("ri"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(sgn).cast("long").alias("mk_s"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    nn = (
+        base.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= 8)
+    )
+    ties = (
+        base.groupBy("user_id", "cq")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("tc")
+                * (F.col("tc") - F.lit(1))
+                * (F.lit(2) * F.col("tc") + F.lit(5))
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    vnum = (
+        F.col("n") * (F.col("n") - F.lit(1)) * (F.lit(2) * F.col("n") + F.lit(5))
+        - F.col("tsum")
+    )
+    znum = (
+        F.when(F.col("mk_s") > 0, (F.col("mk_s") - F.lit(1)).cast("double"))
+        .when(F.col("mk_s") < 0, (F.col("mk_s") + F.lit(1)).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nn.join(s, "user_id")
+        .join(ties, "user_id")
+        .select(
+            "user_id",
+            F.col("n").alias("n_days"),
+            "mk_s",
+            (vnum.cast("double") / F.lit(18.0)).alias("var_s"),
+            F.when(
+                vnum > 0,
+                znum / F.sqrt(vnum.cast("double") / F.lit(18.0)),
+            ).alias("z_stat"),
+        )
+    )
+
+
+@register(
+    "q319_behavior_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    h AS (
+      SELECT user_id, count(*)::BIGINT AS richness,
+             sum(c)::BIGINT AS n,
+             sum(CAST(floor(c * round(ln(CAST(c AS DOUBLE)), 6) * 1e6
+                 + 0.5) AS BIGINT))::BIGINT AS sq,
+             sum(c * c)::BIGINT AS c2
+      FROM c GROUP BY user_id HAVING sum(c) >= 10
+    )
+    SELECT user_id, n AS n_events, richness,
+           round(ln(CAST(n AS DOUBLE)), 6)
+             - CAST(sq AS DOUBLE) / (1e6 * n) AS h_behavior,
+           CAST(n * n AS DOUBLE) / c2 AS inv_simpson
+    FROM h
+    """,
+)
+def q319_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy, richness, and
+    inverse-Simpson of the user's event-TYPE mix — the q267 Hill
+    numbers transplanted from the word/source grain to the
+    user/behavior grain, and the segmentation feature that separates
+    single-action bots (entropy ~ 0) from diverse real users long
+    before the q289 Markov matrix or q288's k-anonymity audit run:
+    entropy is the standard first screen in behavioral RFM stacks
+    (beside q269's migration matrix). Float policy: the q267 recipe —
+    counts exact, c·ln(c) rounded at the transcendental and HALF-UP
+    micro-quantized to BIGINT sums, H = ln n − Σ/(10⁶n); inverse-
+    Simpson n²/Σc² is one division of exact integers (n² < 2⁵³ at the
+    gate SFs, budget documented). Scale: one (user, event_type)
+    grouped count → one user agg, both map-side combined; no windows,
+    no joins."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    h = (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("richness"),
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                F.floor(
+                    F.col("c")
+                    * F.round(F.log(F.col("c").cast("double")), 6)
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sq"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    return h.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "richness",
+        (
+            F.round(F.log(F.col("n").cast("double")), 6)
+            - F.col("sq").cast("double") / (F.lit(1000000.0) * F.col("n"))
+        ).alias("h_behavior"),
+        (
+            (F.col("n") * F.col("n")).cast("double")
+            / F.col("c2")
+        ).alias("inv_simpson"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -22929,6 +23159,7 @@ _FINAL_ORDER = [
     "q311_newey_west", "q312_theil_sen", "q313_realized_corr_matrix",
     "q314_permutation_entropy", "q315_rank_persistence",
     "q316_filter_attrition", "q317_dedup_savings",
+    "q318_mann_kendall", "q319_behavior_entropy",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

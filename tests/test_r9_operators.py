@@ -1102,3 +1102,29 @@ def test_q317_savings_identity(spark, sf_dir):
     for r in rows:
         assert 0 <= r.tokens_dropped <= r.tokens_total
         assert r.savings_share is None or 0.0 <= r.savings_share <= 1.0
+
+
+def test_q318_mk_consistency_with_theil_sen(spark, sf_dir):
+    """|S| bounded by pair count; z sign agrees with a strongly nonzero
+    Theil-Sen slope on the same capped window; variance positive."""
+    mk = {r.user_id: r for r in QUERIES["q318_mann_kendall"](spark, sf_dir).collect()}
+    ts = {r.user_id: r for r in QUERIES["q312_theil_sen"](spark, sf_dir).collect()}
+    assert mk
+    for uid, r in mk.items():
+        assert abs(r.mk_s) <= r.n_days * (r.n_days - 1) // 2
+        assert r.var_s > 0
+        if r.z_stat is not None and abs(r.z_stat) > 2.5 and uid in ts:
+            # a strongly significant monotone trend must match the
+            # robust slope's sign
+            assert (r.z_stat > 0) == (ts[uid].ts_slope > 0)
+
+
+def test_q319_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = QUERIES["q319_behavior_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events >= 10 and r.richness >= 1
+        assert -1e-9 <= r.h_behavior <= math.log(r.richness) + 1e-6
+        assert 1.0 - 1e-9 <= r.inv_simpson <= r.richness + 1e-9
