@@ -220,6 +220,7 @@ HEADLINE = [
     "q317_dedup_savings",
     "q318_mann_kendall",
     "q319_behavior_entropy",
+    "q320_downside_beta",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -23071,6 +23071,174 @@ def q319_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q320_downside_beta",
+    """
+    WITH b AS (
+      SELECT user_id, day, value AS cl FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), rr AS (
+      SELECT user_id, day, rmq FROM (
+        SELECT user_id, day,
+               CAST(floor(round(ln(cl / lag(cl) OVER (
+                   PARTITION BY user_id ORDER BY day)), 6) * 1e3 + 0.5)
+                 AS BIGINT) AS rmq
+        FROM b WHERE cl > 0
+      ) WHERE rmq IS NOT NULL
+    ), m AS (
+      SELECT day,
+             CAST(floor(sum(rmq)::BIGINT / (1.0 * count(*)) + 0.5)
+                  AS BIGINT) AS mq
+      FROM rr GROUP BY day
+    ), mm AS (
+      SELECT sum(mq)::BIGINT AS sm, count(*)::BIGINT AS dn FROM m
+    ), j AS (
+      SELECT rr.user_id, rr.rmq AS x, m.mq AS y,
+             CASE WHEN m.mq * mm.dn < mm.sm THEN 1 ELSE 0 END AS dwn
+      FROM rr JOIN m ON rr.day = m.day CROSS JOIN mm
+    ), s AS (
+      SELECT user_id,
+             sum(dwn)::BIGINT AS nd,
+             sum(CASE WHEN dwn = 1 THEN x * y END)::BIGINT AS dxy,
+             sum(CASE WHEN dwn = 1 THEN x END)::BIGINT AS dx,
+             sum(CASE WHEN dwn = 1 THEN y END)::BIGINT AS dy,
+             sum(CASE WHEN dwn = 1 THEN y * y END)::BIGINT AS dyy,
+             sum(1 - dwn)::BIGINT AS nu,
+             sum(CASE WHEN dwn = 0 THEN x * y END)::BIGINT AS uxy,
+             sum(CASE WHEN dwn = 0 THEN x END)::BIGINT AS ux,
+             sum(CASE WHEN dwn = 0 THEN y END)::BIGINT AS uy,
+             sum(CASE WHEN dwn = 0 THEN y * y END)::BIGINT AS uyy
+      FROM j GROUP BY user_id
+      HAVING sum(dwn) >= 4 AND sum(1 - dwn) >= 4
+    )
+    SELECT user_id, nd AS n_down, nu AS n_up,
+           CASE WHEN nd * dyy - dy * dy > 0 THEN
+             CAST(nd * dxy - dx * dy AS DOUBLE)
+             / CAST(nd * dyy - dy * dy AS DOUBLE) END AS beta_down,
+           CASE WHEN nu * uyy - uy * uy > 0 THEN
+             CAST(nu * uxy - ux * uy AS DOUBLE)
+             / CAST(nu * uyy - uy * uy AS DOUBLE) END AS beta_up,
+           CASE WHEN nd * dyy - dy * dy > 0
+                 AND nu * uyy - uy * uy > 0 THEN
+             CAST(nd * dxy - dx * dy AS DOUBLE)
+             / CAST(nd * dyy - dy * dy AS DOUBLE)
+             - CAST(nu * uxy - ux * uy AS DOUBLE)
+               / CAST(nu * uyy - uy * uy AS DOUBLE) END AS asymmetry
+    FROM s
+    """,
+)
+def q320_downside_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downside / upside beta asymmetry per user (Ang, Chen & Xing
+    2006): β⁻ and β⁺ are the market-regression slopes conditional on
+    the market index being below / above its sample mean, and their
+    gap is the crash-sensitivity premium q168's unconditional CAPM
+    beta averages away — the asset that only co-moves in drawdowns is
+    the one diversification fails on (the per-user refinement of
+    q294's crisis-correlation story). Exactness: the market index is
+    q266's re-quantized integer day mean; the down/up day split is the
+    INTEGER predicate mq·D < ΣM (clearing the mean's division — no
+    float enters the condition); conditional regression states are
+    exact BIGINT six-tuples via CASE sums; each β is one division of
+    deterministic double casts and the asymmetry is their single
+    subtraction; users need ≥4 days on each side. Scale: day-keyed
+    index agg (broadcast one-row mean), a day equi-join, ONE grouped
+    agg with 10 integer states — map-side combined, no windows beyond
+    the shared return construction."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
+        .where(F.col("cl") > 0)
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    rmq = F.floor(
+        F.round(F.log(F.col("cl") / F.lag("cl").over(wd)), 6)
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rr = (
+        b.select("user_id", "day", rmq.alias("rmq"))
+        .where(F.col("rmq").isNotNull())
+    )
+    m = rr.groupBy("day").agg(
+        F.floor(
+            F.sum("rmq").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    mm = m.agg(
+        F.sum("mq").cast("long").alias("sm"),
+        F.count(F.lit(1)).cast("long").alias("dn"),
+    )
+    j = (
+        rr.join(m, "day")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "user_id",
+            F.col("rmq").alias("x"),
+            F.col("mq").alias("y"),
+            F.when(F.col("mq") * F.col("dn") < F.col("sm"), 1)
+            .otherwise(0)
+            .alias("dwn"),
+        )
+    )
+    dwn = F.col("dwn") == 1
+    s = (
+        j.groupBy("user_id")
+        .agg(
+            F.sum("dwn").cast("long").alias("nd"),
+            F.sum(F.when(dwn, F.col("x") * F.col("y")))
+            .cast("long")
+            .alias("dxy"),
+            F.sum(F.when(dwn, F.col("x"))).cast("long").alias("dx"),
+            F.sum(F.when(dwn, F.col("y"))).cast("long").alias("dy"),
+            F.sum(F.when(dwn, F.col("y") * F.col("y")))
+            .cast("long")
+            .alias("dyy"),
+            F.sum(F.lit(1) - F.col("dwn")).cast("long").alias("nu"),
+            F.sum(F.when(~dwn, F.col("x") * F.col("y")))
+            .cast("long")
+            .alias("uxy"),
+            F.sum(F.when(~dwn, F.col("x"))).cast("long").alias("ux"),
+            F.sum(F.when(~dwn, F.col("y"))).cast("long").alias("uy"),
+            F.sum(F.when(~dwn, F.col("y") * F.col("y")))
+            .cast("long")
+            .alias("uyy"),
+        )
+        .where((F.col("nd") >= 4) & (F.col("nu") >= 4))
+    )
+    dvar = F.col("nd") * F.col("dyy") - F.col("dy") * F.col("dy")
+    uvar = F.col("nu") * F.col("uyy") - F.col("uy") * F.col("uy")
+    bd = (F.col("nd") * F.col("dxy") - F.col("dx") * F.col("dy")).cast(
+        "double"
+    ) / dvar.cast("double")
+    bu = (F.col("nu") * F.col("uxy") - F.col("ux") * F.col("uy")).cast(
+        "double"
+    ) / uvar.cast("double")
+    return s.select(
+        "user_id",
+        F.col("nd").alias("n_down"),
+        F.col("nu").alias("n_up"),
+        F.when(dvar > 0, bd).alias("beta_down"),
+        F.when(uvar > 0, bu).alias("beta_up"),
+        F.when((dvar > 0) & (uvar > 0), bd - bu).alias("asymmetry"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -23160,6 +23328,7 @@ _FINAL_ORDER = [
     "q314_permutation_entropy", "q315_rank_persistence",
     "q316_filter_attrition", "q317_dedup_savings",
     "q318_mann_kendall", "q319_behavior_entropy",
+    "q320_downside_beta",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

@@ -1128,3 +1128,14 @@ def test_q319_entropy_bounds(spark, sf_dir):
         assert r.n_events >= 10 and r.richness >= 1
         assert -1e-9 <= r.h_behavior <= math.log(r.richness) + 1e-6
         assert 1.0 - 1e-9 <= r.inv_simpson <= r.richness + 1e-9
+
+
+def test_q320_beta_asymmetry_identity(spark, sf_dir):
+    """asymmetry == beta_down - beta_up when both defined; side counts
+    are >= 4 by the HAVING contract."""
+    rows = QUERIES["q320_downside_beta"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_down >= 4 and r.n_up >= 4
+        if r.asymmetry is not None:
+            assert abs(r.asymmetry - (r.beta_down - r.beta_up)) < 1e-12
