@@ -221,6 +221,8 @@ HEADLINE = [
     "q318_mann_kendall",
     "q319_behavior_entropy",
     "q320_downside_beta",
+    "q321_activity_half_life",
+    "q322_ochiai_collocations",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

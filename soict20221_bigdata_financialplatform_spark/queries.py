@@ -23239,6 +23239,170 @@ def q320_downside_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q321_activity_half_life",
+    """
+    WITH dc AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    fd AS (SELECT user_id, min(day) AS d0 FROM dc GROUP BY user_id),
+    xy AS (
+      SELECT dc.user_id,
+             date_diff('day', fd.d0, dc.day)::BIGINT AS x,
+             CAST(floor(round(ln(CAST(dc.c AS DOUBLE)), 6) * 1e6 + 0.5)
+                  AS BIGINT) AS yq
+      FROM dc JOIN fd ON dc.user_id = fd.user_id
+    ),
+    s AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+             sum(yq)::BIGINT AS sy, sum(x * yq)::BIGINT AS sxy
+      FROM xy GROUP BY user_id HAVING count(*) >= 5
+    )
+    SELECT user_id, n AS n_active_days,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (1e6 * CAST(n * sxx - sx * sx AS DOUBLE)) END
+             AS decay_slope,
+           CASE WHEN n * sxx - sx * sx > 0
+                 AND CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (1e6 * CAST(n * sxx - sx * sx AS DOUBLE)) < 0 THEN
+             -('0.6931471805599453'::DOUBLE)
+             / (CAST(n * sxy - sx * sy AS DOUBLE)
+                / (1e6 * CAST(n * sxx - sx * sx AS DOUBLE)))
+           END AS half_life_days
+    FROM s
+    """,
+)
+def q321_activity_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity half-life per user: log-linear OLS of ln(daily event
+    count) on calendar days since first activity; a negative slope b
+    means exponential decay with half-life −ln2/b days — the engagement
+    churn-curve feature (the parametric single-number companion of
+    q174's D1/D7/D30 retention and q219's Kaplan–Meier: those describe
+    the cohort, this scores each user). Exactness: daily counts are
+    exact; ln(c) rounds at the transcendental and HALF-UP micro-
+    quantizes so all five OLS states are exact BIGINTs (x ≤ days-span,
+    budget 4 orders under 2⁶³ at 10-year spans); the slope is ONE
+    division of their deterministic casts; ln 2 ships as a VARCHAR-
+    cast repr literal (lesson (g): DuckDB's DECIMAL→DOUBLE cast is off
+    one ulp at ≥17 digits); half-life is one more division, guarded
+    to decaying users. Scale: (user, day) count agg → first-day agg →
+    equi-join → 5-state user agg; all map-side combined."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    dc = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    fd = dc.groupBy("user_id").agg(F.min("day").alias("d0"))
+    xy = dc.join(fd, "user_id").select(
+        "user_id",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        F.floor(
+            F.round(F.log(F.col("c").cast("double")), 6) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("yq"),
+    )
+    s = (
+        xy.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum("yq").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("yq")).cast("long").alias("sxy"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (F.lit(1000000.0) * varx.cast("double"))
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_active_days"),
+        F.when(varx > 0, slope).alias("decay_slope"),
+        F.when(
+            (varx > 0) & (slope < 0),
+            -F.lit(0.6931471805599453) / slope,
+        ).alias("half_life_days"),
+    )
+
+
+@register(
+    "q322_ochiai_collocations",
+    """
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    x AS (SELECT doc_id, unnest(w) AS w FROM w),
+    ca AS (SELECT w, count(*)::BIGINT AS c FROM x GROUP BY w),
+    p AS (
+      SELECT a.w AS w_a, b.w AS w_b, count(*)::BIGINT AS c_ab
+      FROM x a JOIN x b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT p.w_a, p.w_b, p.c_ab,
+           CAST(p.c_ab AS DOUBLE) / sqrt(CAST(ca1.c * ca2.c AS DOUBLE))
+             AS ochiai
+    FROM p JOIN ca ca1 ON p.w_a = ca1.w JOIN ca ca2 ON p.w_b = ca2.w
+    ORDER BY ochiai DESC, w_a, w_b LIMIT 50
+    """,
+)
+def q322_ochiai_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word associations by the Ochiai coefficient c_ab /
+    √(c_a·c_b) — the COSINE of binary doc-incidence vectors, the
+    distributional-similarity ranking that complements q129's PMI on
+    the same co-occurrence counts: PMI rewards rarity (two hapaxes
+    co-occurring once max it out), Ochiai rewards RELIABLE overlap —
+    the pair curators actually merge in vocab/alias mining (Ochiai
+    1957; = Salton cosine on binary vectors). Exactness: all counts
+    exact; c_a·c_b < 2^53 at the gate SFs so its double cast is exact,
+    sqrt is IEEE-exact, and the score is ONE division — bit-identical
+    cross-engine, so the unrounded sort key is safe with the
+    (w_a, w_b) tiebreak. Scale: reuses the q129 pair build (doc-keyed
+    equi-join, quadratic only within a document) + two word-keyed hash
+    joins; top-50 plans TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wd = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.words(F.col("text")))).alias("w"),
+    ).persist()
+    ca = wd.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = wd.select("doc_id", F.col("w").alias("w_a"))
+    bb = wd.select("doc_id", F.col("w").alias("w_b"))
+    p = (
+        a.join(bb, "doc_id")
+        .where(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    out = (
+        p.join(ca.select(F.col("w").alias("w_a"), F.col("c").alias("c1")), "w_a")
+        .join(ca.select(F.col("w").alias("w_b"), F.col("c").alias("c2")), "w_b")
+        .select(
+            "w_a",
+            "w_b",
+            "c_ab",
+            (
+                F.col("c_ab").cast("double")
+                / F.sqrt((F.col("c1") * F.col("c2")).cast("double"))
+            ).alias("ochiai"),
+        )
+    )
+    return out.orderBy(F.col("ochiai").desc(), "w_a", "w_b").limit(50)
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -23329,6 +23493,7 @@ _FINAL_ORDER = [
     "q316_filter_attrition", "q317_dedup_savings",
     "q318_mann_kendall", "q319_behavior_entropy",
     "q320_downside_beta",
+    "q321_activity_half_life", "q322_ochiai_collocations",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

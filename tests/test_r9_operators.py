@@ -1139,3 +1139,30 @@ def test_q320_beta_asymmetry_identity(spark, sf_dir):
         assert r.n_down >= 4 and r.n_up >= 4
         if r.asymmetry is not None:
             assert abs(r.asymmetry - (r.beta_down - r.beta_up)) < 1e-12
+
+
+def test_q321_half_life_contract(spark, sf_dir):
+    """half_life only for decaying users, positive when present; slope
+    NULL only under zero x-variance."""
+    rows = QUERIES["q321_activity_half_life"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_active_days >= 5
+        if r.half_life_days is not None:
+            assert r.decay_slope < 0
+            assert r.half_life_days > 0
+        elif r.decay_slope is not None:
+            assert r.decay_slope >= 0
+
+
+def test_q322_ochiai_bounds_and_order(spark, sf_dir):
+    """Ochiai in (0, 1]; descending; c_ab never exceeds either df."""
+    rows = QUERIES["q322_ochiai_collocations"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    prev = None
+    for r in rows:
+        assert 0.0 < r.ochiai <= 1.0 + 1e-12
+        assert r.c_ab >= 5
+        if prev is not None:
+            assert r.ochiai <= prev + 1e-12
+        prev = r.ochiai
