@@ -223,6 +223,8 @@ HEADLINE = [
     "q320_downside_beta",
     "q321_activity_half_life",
     "q322_ochiai_collocations",
+    "q323_nearest_centroid_eval",
+    "q324_spectral_pair",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

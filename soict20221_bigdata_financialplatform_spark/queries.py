@@ -23403,6 +23403,414 @@ def q322_ochiai_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("ochiai").desc(), "w_a", "w_b").limit(50)
 
 
+@register(
+    "q323_nearest_centroid_eval",
+    """
+    WITH e AS (SELECT vec_id, label, embedding AS emb FROM embeddings),
+    el AS (
+      SELECT vec_id, label, t.i - 1 AS i,
+             CAST(floor(emb[t.i]::DOUBLE * 1e4 + 0.5) AS BIGINT) AS eq
+      FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
+    ),
+    cen AS (
+      SELECT label AS clab, i,
+             CAST(floor(CAST(sum(eq) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS mu
+      FROM el GROUP BY label, i
+    ),
+    dist AS (
+      SELECT el.vec_id, el.label, cen.clab,
+             sum((el.eq - cen.mu) * (el.eq - cen.mu))::BIGINT AS d2
+      FROM el JOIN cen ON el.i = cen.i
+      GROUP BY el.vec_id, el.label, cen.clab
+    ),
+    assign AS (
+      SELECT vec_id, label, clab AS pred FROM (
+        SELECT vec_id, label, clab,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, clab) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT label, count(*)::BIGINT AS n_vecs,
+           count(CASE WHEN pred = label THEN 1 END)::BIGINT AS n_correct,
+           CAST(count(CASE WHEN pred = label THEN 1 END) AS DOUBLE)
+             / count(*) AS accuracy
+    FROM assign GROUP BY label
+    """,
+)
+def q323_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier evaluation per label —
+    resubstitution accuracy of assigning each embedding to its closest
+    LABEL centroid: the linear-separability probe that says whether the
+    label structure is recoverable from raw geometry at all, the
+    supervised complement of q151's unsupervised silhouette and the
+    embedding-side sibling of the q167/q302/q307 classifier-eval trio
+    (on THIS random-vector testdata accuracy sits near chance by
+    design — the oracle checks the assignment and accounting algebra,
+    the q167 honesty argument). Resubstitution (each vector votes in
+    its own centroid) is the documented contract. Exactness: the q265
+    centroid recipe — 1e-4-quantized elements, per-(label, dim)
+    integer means re-quantized half-up to the SAME lattice — makes
+    every squared distance an exact BIGINT sum; the argmin breaks ties
+    by label id; accuracy is ONE division. Scale: per-(label, dim)
+    state is |labels|·64 integers; the distance join fans out
+    |labels|× per element row with map-side partial agg; the argmin
+    window partitions by vec_id (data cardinality)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("val").cast("double") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("eq"),
+    )
+    cen = el.groupBy(F.col("label").alias("clab"), "i").agg(
+        F.floor(
+            F.sum("eq").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mu")
+    )
+    dist = (
+        el.join(F.broadcast(cen), "i")
+        .groupBy("vec_id", "label", "clab")
+        .agg(
+            F.sum(
+                (F.col("eq") - F.col("mu")) * (F.col("eq") - F.col("mu"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d2", "clab")
+    assign = (
+        dist.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("label", F.col("clab").alias("pred"))
+    )
+    return assign.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count(F.when(F.col("pred") == F.col("label"), 1))
+        .cast("long")
+        .alias("n_correct"),
+        (
+            F.count(F.when(F.col("pred") == F.col("label"), 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )
+
+
+def _pow_iter_ctes(mat: str, pfx: str, rounds: int, v0: str) -> str:
+    """CTE chain for ``rounds`` deterministic power-iteration steps on a
+    normalized matrix CTE ``mat(i, j, c)`` starting from vector CTE
+    ``v0(i, v)`` — the q303 recipe (per-term 1e-12 quantized INTEGER
+    dot sums, integer-derived sqrt normalization) with a name prefix so
+    q324 can run TWO chains (original + deflated) in one statement.
+    Returns the comma-led CTE text; the final vector is ``{pfx}v{rounds}``
+    and its Rayleigh states are ``{pfx}lam(svcv)`` / ``{pfx}vv(s)``."""
+    parts = []
+    prev = v0
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""
+    {pfx}r{t} AS MATERIALIZED (
+      SELECT c.i, sum(CAST(floor(c.c * v.v * 1e12 + 0.5)
+                      AS BIGINT))::BIGINT AS rawq
+      FROM {mat} c JOIN {prev} v ON c.j = v.i GROUP BY c.i
+    ),
+    {pfx}v{t} AS MATERIALIZED (
+      SELECT r.i, CAST(r.rawq AS DOUBLE)
+               / (1e6 * sqrt(CAST(s.s2 AS DOUBLE))) AS v
+      FROM {pfx}r{t} r CROSS JOIN (
+        SELECT sum(rq * rq)::BIGINT AS s2 FROM (
+          SELECT CAST(floor((rawq + 500000) / 1000000.0) AS BIGINT) AS rq
+          FROM {pfx}r{t})) s
+    )"""
+        )
+        prev = f"{pfx}v{t}"
+    parts.append(
+        f"""
+    {pfx}lam AS (
+      SELECT sum(CAST(floor(c.c * va.v * vb.v * 1e12 + 0.5)
+                 AS BIGINT))::BIGINT AS svcv
+      FROM {mat} c JOIN {prev} va ON c.i = va.i
+                   JOIN {prev} vb ON c.j = vb.i
+    ),
+    {pfx}vv AS (
+      SELECT sum(CAST(floor(v * v * 1e12 + 0.5) AS BIGINT))::BIGINT AS s
+      FROM {prev}
+    )"""
+    )
+    return ",".join(parts)
+
+
+_Q324_SQL = (
+    """
+    WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    el AS MATERIALIZED (
+      SELECT vec_id, t.i - 1 AS i,
+             CAST(floor(emb[t.i]::DOUBLE * 1e4 + 0.5) AS BIGINT) AS eq
+      FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
+    ),
+    nv AS (SELECT count(*)::BIGINT AS n FROM e),
+    sd AS MATERIALIZED (SELECT i, sum(eq)::BIGINT AS si FROM el GROUP BY i),
+    pr AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, sum(a.eq * b.eq)::BIGINT AS sij
+      FROM el a JOIN el b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    cmat AS (
+      SELECT p.i, p.j, (nv.n * p.sij - sa.si * sb.si)::BIGINT AS cq
+      FROM pr p JOIN sd sa ON p.i = sa.i JOIN sd sb ON p.j = sb.i
+      CROSS JOIN nv
+    ),
+    cmx AS (SELECT max(abs(cq))::BIGINT AS m FROM cmat),
+    cn AS MATERIALIZED (
+      SELECT i, j, CAST(cq AS DOUBLE) / CAST(m AS DOUBLE) AS c
+      FROM cmat CROSS JOIN cmx
+    ),
+    trq AS (
+      SELECT sum(CAST(floor(c * 1e12 + 0.5) AS BIGINT))::BIGINT AS s
+      FROM cn WHERE i = j
+    ),
+    av0 AS (SELECT i, 0.125::DOUBLE AS v FROM sd),"""
+    + _pow_iter_ctes("cn", "a", 4, "av0")
+    + """,
+    l1 AS (
+      SELECT CAST(alam.svcv AS DOUBLE) / CAST(avv.s AS DOUBLE) AS lam
+      FROM alam CROSS JOIN avv
+    ),
+    cn2 AS MATERIALIZED (
+      SELECT c.i, c.j, c.c - l1.lam * va.v * vb.v AS c
+      FROM cn c JOIN av4 va ON c.i = va.i JOIN av4 vb ON c.j = vb.i
+      CROSS JOIN l1
+    ),
+    bv0 AS (
+      SELECT i, CASE WHEN i % 2 = 0 THEN 0.125::DOUBLE
+                     ELSE -0.125::DOUBLE END AS v
+      FROM sd
+    ),"""
+    + _pow_iter_ctes("cn2", "b", 4, "bv0")
+    + """,
+    l2 AS (
+      SELECT CAST(blam.svcv AS DOUBLE) / CAST(bvv.s AS DOUBLE) AS lam
+      FROM blam CROSS JOIN bvv
+    )
+    SELECT l1.lam / (CAST(trq.s AS DOUBLE) / 1e12) AS share1,
+           l2.lam / (CAST(trq.s AS DOUBLE) / 1e12) AS share2,
+           CASE WHEN l2.lam > 0 THEN l1.lam / l2.lam END AS spectral_gap
+    FROM l1 CROSS JOIN l2 CROSS JOIN trq
+    """
+)
+
+
+@register("q324_spectral_pair", _Q324_SQL)
+def q324_spectral_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 eigenvalue structure of the embedding covariance — λ₁ and
+    λ₂ variance shares plus the spectral gap λ₁/λ₂ — by HOTELLING
+    DEFLATION on q303's machinery: after the first power-iteration
+    chain converges to (v₁, λ̂₁), the rank-1 update Ĉ₂ = Ĉ − λ̂₁v₁v₁ᵀ
+    removes the top component and a second chain (seeded with the
+    alternating ±1/8 vector so it is not orthogonal-trapped) finds the
+    next one. The gap is the 'all-but-the-top' decision number
+    (Mu & Viswanath 2018): gap ≫ 1 means one rogue direction carries
+    the anisotropy (remove it, q285/q303's story); gap ≈ 1 means the
+    spectrum is flat and removal would just burn signal. Both λ̂ are
+    4-round ESTIMATES: on a flat spectrum (this random testdata by
+    design) they sit within estimation noise of each other and the gap
+    can land slightly either side of 1 — the reading is the BAND, not
+    the ordering. Exactness:
+    both chains are the q303 recipe (per-term 1e-12-quantized INTEGER
+    dot sums — a float SQL SUM would reorder — and integer-derived
+    sqrt normalization); λ̂₁ enters the deflation as ONE deterministic
+    exact-int division, and each deflated cell is the fixed chain
+    c − λ̂·vᵢ·vⱼ of exactly-derived doubles; emitted shares and gap are
+    single-division chains over the q303 trace state. Scale: the Gram
+    pass is shared (O(d²) state); every iteration frame is 64 rows;
+    the deflation join is 64²-row broadcast work."""
+    emb = _t(spark, sf_dir, "embeddings")
+    el = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "val"))
+        .select(
+            "vec_id",
+            "i",
+            F.floor(
+                F.col("val").cast("double") * F.lit(10000.0) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("eq"),
+        )
+        .persist()
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sd = el.groupBy("i").agg(F.sum("eq").cast("long").alias("si"))
+    a = el.select("vec_id", F.col("i").alias("i"), F.col("eq").alias("ea"))
+    bb = el.select("vec_id", F.col("i").alias("j"), F.col("eq").alias("eb"))
+    pr = (
+        a.join(bb, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ea") * F.col("eb")).cast("long").alias("sij"))
+    )
+    cmat = (
+        pr.join(
+            F.broadcast(sd.select(F.col("i"), F.col("si").alias("sa"))), "i"
+        )
+        .join(
+            F.broadcast(
+                sd.select(F.col("i").alias("j"), F.col("si").alias("sb"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    cmx = cmat.agg(F.max(F.abs(F.col("cq"))).cast("long").alias("m"))
+    cn = (
+        cmat.crossJoin(F.broadcast(cmx))
+        .select(
+            "i",
+            "j",
+            (F.col("cq").cast("double") / F.col("m").cast("double")).alias(
+                "c"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    trq = cn.where(F.col("i") == F.col("j")).agg(
+        F.sum(F.floor(F.col("c") * F.lit(1e12) + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("trs")
+    )
+
+    def _chain(mat, v):
+        for _ in range(4):
+            r = (
+                mat.join(
+                    F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))),
+                    "j",
+                )
+                .groupBy("i")
+                .agg(
+                    F.sum(
+                        F.floor(
+                            F.col("c") * F.col("v") * F.lit(1e12)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    )
+                    .cast("long")
+                    .alias("rawq")
+                )
+            )
+            s2 = r.select(
+                F.floor((F.col("rawq") + F.lit(500000)) / F.lit(1000000.0))
+                .cast("long")
+                .alias("rq")
+            ).agg(F.sum(F.col("rq") * F.col("rq")).cast("long").alias("s2"))
+            v = (
+                r.crossJoin(F.broadcast(s2))
+                .select(
+                    "i",
+                    (
+                        F.col("rawq").cast("double")
+                        / (
+                            F.lit(1000000.0)
+                            * F.sqrt(F.col("s2").cast("double"))
+                        )
+                    ).alias("v"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        lam = (
+            mat.join(
+                F.broadcast(v.select(F.col("i"), F.col("v").alias("va"))),
+                "i",
+            )
+            .join(
+                F.broadcast(
+                    v.select(F.col("i").alias("j"), F.col("v").alias("vb"))
+                ),
+                "j",
+            )
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("c") * F.col("va") * F.col("vb") * F.lit(1e12)
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("svcv")
+            )
+        )
+        vv = v.agg(
+            F.sum(
+                F.floor(
+                    F.col("v") * F.col("v") * F.lit(1e12) + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("vvs")
+        )
+        lamr = lam.crossJoin(F.broadcast(vv)).select(
+            (F.col("svcv").cast("double") / F.col("vvs").cast("double"))
+            .alias("lam")
+        )
+        return v, lamr
+
+    v0a = sd.select("i", F.lit(0.125).alias("v"))
+    v1, l1 = _chain(cn, v0a)
+    cn2 = (
+        cn.join(F.broadcast(v1.select(F.col("i"), F.col("v").alias("va"))), "i")
+        .join(
+            F.broadcast(
+                v1.select(F.col("i").alias("j"), F.col("v").alias("vb"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(l1.select(F.col("lam").alias("l1v"))))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("c") - F.col("l1v") * F.col("va") * F.col("vb")
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v0b = sd.select(
+        "i",
+        F.when(F.col("i") % 2 == 0, F.lit(0.125))
+        .otherwise(F.lit(-0.125))
+        .alias("v"),
+    )
+    _, l2 = _chain(cn2, v0b)
+    tr = F.col("trs").cast("double") / F.lit(1e12)
+    return (
+        l1.select(F.col("lam").alias("lam1"))
+        .crossJoin(F.broadcast(l2.select(F.col("lam").alias("lam2"))))
+        .crossJoin(F.broadcast(trq))
+        .select(
+            (F.col("lam1") / tr).alias("share1"),
+            (F.col("lam2") / tr).alias("share2"),
+            F.when(
+                F.col("lam2") > 0, F.col("lam1") / F.col("lam2")
+            ).alias("spectral_gap"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -23494,6 +23902,7 @@ _FINAL_ORDER = [
     "q318_mann_kendall", "q319_behavior_entropy",
     "q320_downside_beta",
     "q321_activity_half_life", "q322_ochiai_collocations",
+    "q323_nearest_centroid_eval", "q324_spectral_pair",
     # -- continuation of the second-row queue (next in line after the
     # r10 backlog)
     "q63_semantic_neighbors",

@@ -1166,3 +1166,32 @@ def test_q322_ochiai_bounds_and_order(spark, sf_dir):
         if prev is not None:
             assert r.ochiai <= prev + 1e-12
         prev = r.ochiai
+
+
+def test_q323_centroid_eval_accounting(spark, sf_dir):
+    """10 label rows; correct <= n; on random embeddings accuracy sits
+    near chance (well below 0.5) — the honest-algebra contract."""
+    rows = QUERIES["q323_nearest_centroid_eval"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    n_tot = sum(r.n_vecs for r in rows)
+    n_cor = sum(r.n_correct for r in rows)
+    assert n_tot == 500 or n_tot > 0
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_vecs
+        assert abs(r.accuracy - r.n_correct / r.n_vecs) < 1e-15
+    assert n_cor / n_tot < 0.5
+
+
+def test_q324_spectral_pair_sanity(spark, sf_dir):
+    """Shares positive and of the same order; on the testdata's RANDOM
+    embeddings the spectrum is deliberately flat, so after 4 truncated
+    rounds lambda-hat-1 and lambda-hat-2 are estimates within noise of
+    each other (gap ~ 1, either side) — assert the band, not strict
+    ordering. share1 must match q303's explained_share exactly (same
+    machinery)."""
+    r = QUERIES["q324_spectral_pair"](spark, sf_dir).first()
+    assert r.share1 > 0 and r.share2 > 0
+    assert r.share1 >= 0.5 * r.share2  # same order of magnitude
+    assert r.spectral_gap is None or r.spectral_gap >= 0.5
+    q303 = QUERIES["q303_pca_power_iteration"](spark, sf_dir).first()
+    assert abs(q303.explained_share - r.share1) < 1e-9
