@@ -225,6 +225,12 @@ HEADLINE = [
     "q322_ochiai_collocations",
     "q323_nearest_centroid_eval",
     "q324_spectral_pair",
+    # r10 additions (streaming batch twins): baseline on authoring so
+    # their r11 window promotion ships with a perf history
+    "q325_interval_join_counts",
+    "q326_running_user_stats",
+    "q327_out_of_order_audit",
+    "q328_minute_bar_gaps",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports
@@ -241,14 +247,14 @@ ITERATIVE = {"q117_pagerank_dup_graph", "q119_leakage_free_split",
              "q127_semdedup", "q133_ivfpq",
              "q188_bpe_merges", "q208_hits_scores"}
 
-# r9 drift watch (VERDICT r8 task 4): q46_range_join moved 1.82x in r8
-# with no code change (2.5 sigma against a flat tide); q82/q74/q133 are
-# the r7 movers never given their confirmation pass. They get 5 reps
-# instead of 3 so the r9 medians carry enough samples to classify each
-# as noise or trend. (The r5-era watch set — q149, q131, q108, q124,
-# q122 — was classified noise in r6 and has rotated out.)
-DRIFT_WATCH = {"q46_range_join", "q82_discount_or_predicates",
-               "q74_nation_trade_volume", "q133_ivfpq"}
+# r10 drift watch (VERDICT r9 task 2): q127_semdedup moved 1.42x and
+# q250_psi_drift 1.51x in r9 with no code change — beyond the ~15%
+# whole-run tide. They get 5 reps instead of 3, at the SAME headline
+# count as r9's run, so the r10 medians carry enough samples to
+# classify each as noise or trend. (The r9 watch set — q46 resolved
+# as noise via its 5-rep pass, q82/q74/q133 confirmed flat — rotated
+# out; r5-era set classified noise in r6.)
+DRIFT_WATCH = {"q127_semdedup", "q250_psi_drift"}
 
 
 def main() -> None:
@@ -302,7 +308,32 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    for name in HEADLINE:
+    # JVM-aging tide correction (r9 VERDICT task 3): runs with 177 headline
+    # entries shifted medians ~15% vs 100-entry runs, making totals and
+    # late-order entries incomparable across rounds as the set grows. Fix:
+    # interleave the q01 load sentinel every TIDE_EVERY entries and record
+    # its drift as a per-block factor; "queries_detrended" divides each
+    # query's min by its block's factor so cross-round comparisons survive
+    # headline-set growth. Factor 1.0 = first block (cold-adjacent) pace.
+    TIDE_EVERY = 30
+    tide_probes: list[dict] = []
+
+    def _tide_probe(after_n: int) -> None:
+        spark.catalog.clearCache()
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            _query_runner(QUERIES[HEADLINE[0]])()
+            samples.append(time.time() - t0)
+        tide_probes.append(
+            {"after_n": after_n, "q01_sec": round(min(samples), 3)}
+        )
+
+    block_of: dict[str, int] = {}
+    for i, name in enumerate(HEADLINE):
+        if i % TIDE_EVERY == 0:
+            _tide_probe(i)
+        block_of[name] = i // TIDE_EVERY
         # drop the PREVIOUS queries' persisted frames before this block:
         # library persist()s accumulate across ~60 headline entries and the
         # resulting executor-memory pressure taxed late entries ~3x (q127
@@ -312,6 +343,16 @@ def main() -> None:
         spark.catalog.clearCache()
         _timed(name, _query_runner(QUERIES[name]),
                reps=5 if name in DRIFT_WATCH else 3)
+    _tide_probe(len(HEADLINE))
+    base_probe = max(tide_probes[0]["q01_sec"], 1e-9)
+    tide_factors = [
+        round(max(p["q01_sec"], 1e-9) / base_probe, 4) for p in tide_probes
+    ]
+    queries_detrended = {
+        name: round(t / tide_factors[min(block_of[name],
+                                         len(tide_factors) - 1)], 3)
+        for name, t in timings.items() if name in block_of
+    }
 
     # Reference-workload regression target (SURVEY §6 / BASELINE.md): the
     # full 23,820-row indicator backfill (10 symbols x 2,382 daily bars,
@@ -457,6 +498,12 @@ def main() -> None:
             "variance": variance,
             "streaming": streaming,
             "load_sentinel": load_sentinel,
+            "tide": {
+                "every": TIDE_EVERY,
+                "probes": tide_probes,
+                "factors": tide_factors,
+            },
+            "queries_detrended": queries_detrended,
             "sf": sf,
         }
     )
@@ -489,6 +536,7 @@ def main() -> None:
                 "n_benched": len(timings),
                 "streaming_rows_per_sec": streaming["value"],
                 "load_sentinel": load_sentinel,
+                "tide_factor_max": max(tide_factors),
             }
         )
         if len(compact) < 1900 or not keep:

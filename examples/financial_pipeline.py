@@ -27,7 +27,18 @@ from pyspark.sql import Row
 
 from soict20221_bigdata_financialplatform_spark import api, get_spark
 from soict20221_bigdata_financialplatform_spark.operators.serving import range_query
+from soict20221_bigdata_financialplatform_spark.plans.linter import assert_scalable
 from soict20221_bigdata_financialplatform_spark.streaming import ticks as st
+
+
+def launch(df):
+    """Pre-launch scale gate (r9 VERDICT task 4): every batch stage frame
+    goes through ``assert_scalable`` BEFORE its first action — plan-shape
+    only, runs no tasks. A plan that would not survive the 100 TB target
+    (global ordered window, conditional BNLJ, per-row Python UDF) raises
+    ``ValueError`` here instead of launching a job."""
+    assert_scalable(df)
+    return df
 
 
 def make_raw_bars(n_days: int = 300, symbols=("FPT", "VIC", "HPG")) -> list[Row]:
@@ -59,24 +70,24 @@ def main() -> None:
 
     # 1. batch backfill (reference to_db.py, minus the per-row INSERT loop)
     t0 = time.time()
-    api.backfill(spark.createDataFrame(make_raw_bars()), store)
-    bars = api.load_bars(spark, store)
+    api.backfill(launch(spark.createDataFrame(make_raw_bars())), store)
+    bars = launch(api.load_bars(spark, store))
     print(f"[backfill] {bars.count()} rows with indicators in {time.time()-t0:.1f}s "
           f"-> {store}")
 
     # 2. serving endpoints (reference API.py)
     print("[/OLHC/FPT/5]")
-    api.olhc(bars, "FPT", 5).select("symbol", "date", "close", "ema_25", "rsi_14").show()
+    launch(api.olhc(bars, "FPT", 5)).select("symbol", "date", "close", "ema_25", "rsi_14").show()
     print("[/info/VIC] newest row:")
-    api.info(bars, "VIC", limit=1).select("symbol", "date", "close", "change_pct").show()
+    launch(api.info(bars, "VIC", limit=1)).select("symbol", "date", "close", "change_pct").show()
 
     # 3. interactive range query (reference Query.ipynb)
     print("[Query(2023-03-01, 2023-04-01, close, FPT)]")
-    range_query(
+    launch(range_query(
         bars, order_col="date",
         lo=dt.date(2023, 3, 1), hi=dt.date(2023, 4, 1),
         kind="close", key_col="symbol", key="FPT",
-    ).show(5)
+    )).show(5)
 
     # 4. streaming tick path (reference producer->Kafka->warehouse)
     topic_dir = os.path.join(work, "tick_topic")
@@ -103,7 +114,7 @@ def main() -> None:
     )
     q.processAllAvailable()
     q.stop()
-    got = spark.read.parquet(bars_out)
+    got = launch(spark.read.parquet(bars_out))
     print(f"[streaming] {got.count()} finalized 1-minute bars:")
     got.orderBy("bar_start").select(
         "symbol", "bar_start", "open", "high", "low", "close", "n_ticks"
@@ -116,7 +127,7 @@ def main() -> None:
         Row(time=dt.datetime(2023, 6, 1, 7), title="Khối ngoại mua ròng", source="c", img="i3"),
     ])
     print("[/news]")
-    api.news_latest(news, n=6).show(truncate=False)
+    launch(api.news_latest(news, n=6)).show(truncate=False)
 
     print("example complete; artifacts under", work)
 

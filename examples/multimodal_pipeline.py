@@ -20,6 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from soict20221_bigdata_financialplatform_spark import get_spark
 from soict20221_bigdata_financialplatform_spark.operators import multimodal as mm
+from soict20221_bigdata_financialplatform_spark.plans.linter import assert_scalable
+
+
+def launch(df):
+    """Pre-launch scale gate (r9 VERDICT task 4): every stage frame goes
+    through ``assert_scalable`` BEFORE its first action — plan-shape only,
+    runs no tasks. The mapInPandas media decoders are Arrow-batched (the
+    licensed vectorized escape hatch), so they pass the per-row-UDF rule."""
+    assert_scalable(df)
+    return df
 
 
 def _bmp(width, height, rgb):
@@ -73,26 +83,26 @@ def main() -> None:
     ]
     media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
 
-    img = {r.media_id: r for r in mm.decode_image_features(media).collect()}
+    img = {r.media_id: r for r in launch(mm.decode_image_features(media)).collect()}
     print(f"[2] image decode: bmp {img[1].width}x{img[1].height} "
           f"mean_r={img[1].mean_r:.0f}; jpeg header {img[2].width}x{img[2].height}")
-    aud = {r.media_id: r for r in mm.decode_audio_features(media).collect()}
+    aud = {r.media_id: r for r in launch(mm.decode_audio_features(media)).collect()}
     print(f"[2] audio decode: {aud[3].sample_rate} Hz, "
           f"{aud[3].duration_ms} ms, rms={aud[3].rms:.3f}")
-    vid = {r.media_id: r for r in mm.decode_video_features(media).collect()}
+    vid = {r.media_id: r for r in launch(mm.decode_video_features(media)).collect()}
     print(f"[2] video decode: {vid[4].width}x{vid[4].height}, "
           f"{vid[4].n_frames} frames @ {vid[4].fps:.0f} fps")
 
-    resized = {r.media_id: r for r in mm.resize_to_raw(media, side=8).collect()}
+    resized = {r.media_id: r for r in launch(mm.resize_to_raw(media, side=8)).collect()}
     print(f"[3] resize: bmp -> {len(resized[1].raw_rgb)} raw bytes "
           f"(8x8 RGB); jpeg passthrough decoded={resized[2].decoded}")
 
-    frames = [r for r in mm.extract_frames(media, every_ms=40).collect()
+    frames = [r for r in launch(mm.extract_frames(media, every_ms=40)).collect()
               if r.media_id == 4]
     print(f"[4] frames: {len(frames)} sampled, first pixel RGB="
           f"{tuple(frames[0].raw_rgb[:3])}")
 
-    feats = {r.media_id: r for r in mm.extract_image_features(media).collect()}
+    feats = {r.media_id: r for r in launch(mm.extract_image_features(media)).collect()}
     print(f"[5] features: entropy(bmp)={feats[1].byte_entropy:.2f}, "
           f"embedding dim={len(feats[1].feature)}")
     print("multimodal pipeline complete")

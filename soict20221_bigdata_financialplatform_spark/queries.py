@@ -20764,6 +20764,123 @@ def q302_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
+    """Shared Gram pass for q303/q324: the max-normalized integer
+    covariance cells of the embedding cloud. Returns ``(dims, cn,
+    trq)`` — dims: one row per dimension index i; cn: the ≤d²-row
+    frame (i, j, c∈[−1,1]) localCheckpoint-ed; trq: the 1-row
+    1e-12-quantized trace state.
+
+    r10 rebuild (r9 VERDICT task 5): the Gram pass aggregates
+    PER-PARTITION OUTER PRODUCTS — an Arrow-batched ``mapInPandas``
+    computes Eᵀ·E per partition as ONE int64 numpy matmul (exact:
+    |eq| ≤ ~1e4 ⇒ per-partition cell sums ≪ 2⁶³) and emits d² partial
+    cells, so the only shuffles are the round-robin rebalance of n
+    array rows (needed because single-file testdata scans are one
+    task — invariant 8; at real multi-file scale the scan already
+    parallelizes) and the P·d²-row partial-cell merge. The previous
+    shape equi-self-joined the exploded n·d frame on vec_id — two
+    n·d-row hash exchanges plus an n·d²-row join before the partial
+    agg (the #5 bench entry at 3.8s); a pure-JVM nested-posexplode
+    variant was measured 2× SLOWER than the join (n·d² generator rows
+    through CodegenFallback), which is why this is the licensed
+    vectorized-mapInPandas case: built-ins express the semantics only
+    via data-sized joins or d²-per-row generators, while the matmul is
+    the natural O(n·d²) flop loop with O(d²) state. Integer sums
+    commute, so the rebuild is bit-identical: Σ ea·eb per (i,j) over
+    the same exact-BIGINT terms (elements quantized to 1e-4 units,
+    q265 recipe); the covariance numerator n·Σxᵢxⱼ − SᵢSⱼ stays an
+    exact BIGINT per cell, normalized once by its max |cell|
+    (order-free MAX, not a trace SUM that could overflow the
+    worst-case integer budget). Assumes fixed-length vectors (d
+    constant), true of the embeddings table."""
+    base = (
+        emb.select(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(10000.0) + F.lit(0.5)
+                ).cast("long"),
+            ).alias("eqa")
+        )
+        .repartition(max(spark.sparkContext.defaultParallelism // 4, 2))
+        .persist()
+    )
+    nv = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sd = (
+        base.select(F.posexplode("eqa").alias("i", "eq"))
+        .groupBy("i")
+        .agg(F.sum("eq").cast("long").alias("si"))
+    )
+    def _partition_outer(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["eqa"].to_numpy()).astype(np.int64)
+            g = e.T @ e
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(d), np.arange(d), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "sp": acc.ravel(),
+                }
+            )
+
+    pr = (
+        base.mapInPandas(_partition_outer, schema="i int, j int, sp long")
+        .groupBy("i", "j")
+        .agg(F.sum("sp").cast("long").alias("sij"))
+    )
+    cmat = (
+        pr.join(
+            F.broadcast(sd.select(F.col("i"), F.col("si").alias("sa"))), "i"
+        )
+        .join(
+            F.broadcast(
+                sd.select(F.col("i").alias("j"), F.col("si").alias("sb"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    cmx = cmat.agg(F.max(F.abs(F.col("cq"))).cast("long").alias("m"))
+    cn = (
+        cmat.crossJoin(F.broadcast(cmx))
+        .select(
+            "i",
+            "j",
+            (F.col("cq").cast("double") / F.col("m").cast("double")).alias(
+                "c"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    trq = cn.where(F.col("i") == F.col("j")).agg(
+        F.sum(F.floor(F.col("c") * F.lit(1e12) + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("trs")
+    )
+    dims = sd.select("i")
+    return dims, cn, trq
+
+
 @register(
     "q303_pca_power_iteration",
     """
@@ -20880,72 +20997,15 @@ def q303_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization divides by an integer-derived sqrt; v₀ = 0.125
     (=1/√64, exactly representable). λ and tr are Rayleigh quotients of
     the same quantized-integer form, so the emitted share is a fixed
-    IEEE chain. Scale: the Gram pass is one equi-self-join on vec_id
-    with map-side partial agg into ≤64² cells (state is O(d²), never
-    O(n)); every iteration frame is 64 rows; rounds localCheckpoint to
-    keep the plan linear (invariant 9)."""
+    IEEE chain. Scale: the Gram pass (shared ``_embedding_gram_cn``,
+    r10 rebuild per r9 VERDICT task 5) generates per-vector outer
+    products by nested posexplode with map-side partial agg into ≤64²
+    cells — state is O(d²), never O(n), and no data-sized join; every
+    iteration frame is 64 rows; rounds localCheckpoint to keep the
+    plan linear (invariant 9)."""
     emb = _t(spark, sf_dir, "embeddings")
-    el = (
-        emb.select(
-            "vec_id", F.posexplode("embedding").alias("i", "val")
-        )
-        .select(
-            "vec_id",
-            "i",
-            F.floor(F.col("val").cast("double") * F.lit(10000.0) + F.lit(0.5))
-            .cast("long")
-            .alias("eq"),
-        )
-        .persist()
-    )
-    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    sd = el.groupBy("i").agg(F.sum("eq").cast("long").alias("si"))
-    a = el.select("vec_id", F.col("i").alias("i"), F.col("eq").alias("ea"))
-    bb = el.select("vec_id", F.col("i").alias("j"), F.col("eq").alias("eb"))
-    pr = (
-        a.join(bb, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("ea") * F.col("eb")).cast("long").alias("sij"))
-    )
-    cmat = (
-        pr.join(
-            F.broadcast(sd.select(F.col("i"), F.col("si").alias("sa"))), "i"
-        )
-        .join(
-            F.broadcast(
-                sd.select(F.col("i").alias("j"), F.col("si").alias("sb"))
-            ),
-            "j",
-        )
-        .crossJoin(F.broadcast(nv))
-        .select(
-            "i",
-            "j",
-            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
-            .cast("long")
-            .alias("cq"),
-        )
-    )
-    cmx = cmat.agg(F.max(F.abs(F.col("cq"))).cast("long").alias("m"))
-    cn = (
-        cmat.crossJoin(F.broadcast(cmx))
-        .select(
-            "i",
-            "j",
-            (F.col("cq").cast("double") / F.col("m").cast("double")).alias(
-                "c"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    trq = cn.where(F.col("i") == F.col("j")).agg(
-        F.sum(
-            F.floor(F.col("c") * F.lit(1e12) + F.lit(0.5)).cast("long")
-        )
-        .cast("long")
-        .alias("trs")
-    )
-    v = sd.select("i", F.lit(0.125).alias("v"))
+    dims, cn, trq = _embedding_gram_cn(spark, emb)
+    v = dims.select("i", F.lit(0.125).alias("v"))
     for _ in range(4):
         r = (
             cn.join(
@@ -21184,7 +21244,7 @@ def q304_mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
       ) WHERE rn = 1
     ), rr AS (
-      SELECT user_id, day, rmq AS r FROM (
+      SELECT user_id, day, greatest(-2000, least(2000, rmq)) AS r FROM (
         SELECT user_id, day,
                CAST(floor(round(ln(cl / lag(cl) OVER (
                    PARTITION BY user_id ORDER BY day)), 6) * 1e3 + 0.5)
@@ -21254,8 +21314,12 @@ def q305_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     serial correlation rather than sign imbalance). Exactness: with
     r̄ = S1/n, multiplying the centered cross-moment by n² clears all
     rationals — n²Σrr_k − n·S1·(Σ'r + Σ'r_k) + (n−k)·S1² and
-    n²S2 − n·S1² are EXACT BIGINTs on the milli-return lattice
-    (budget: n²·Σrr ≤ 1.2e17 at 1000 days/user), the edge-correct
+    n²S2 − n·S1² are EXACT BIGINTs on the milli-return lattice,
+    WINSORIZED to ±2000 milli (the q297 clamp, both engines — without
+    it a pathological close ratio overflows ASYMMETRICALLY: Spark ANSI
+    throws, DuckDB widens to HUGEINT; r9 ADVICE). Budget by
+    construction: |r|≤2000 ⇒ n²·Σrr ≤ n³·4e6 < 2⁶³ for n ≤ 13k
+    days/user (~36 years daily). The edge-correct
     partial sums Σ' ride the same 5-lag window, positional lag makes
     the k-lag pair count exactly n−k, and each ρ̂_k is ONE division of
     their deterministic double casts. Q is a fixed 5-term IEEE chain
@@ -21281,6 +21345,14 @@ def q305_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = (
         b.select("user_id", "day", rmq.alias("r"))
         .where(F.col("r").isNotNull())
+        .select(
+            "user_id",
+            "day",
+            F.greatest(
+                F.lit(-2000).cast("long"),
+                F.least(F.lit(2000).cast("long"), F.col("r")),
+            ).alias("r"),
+        )
     )
     lagged = rr.select(
         "user_id",
@@ -21874,7 +21946,7 @@ def q309_pairs_trading_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     ), rr AS (
       SELECT (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dw,
-             rmq AS r
+             greatest(-2000, least(2000, rmq)) AS r
       FROM (
         SELECT user_id, day,
                CAST(floor(round(ln(cl / lag(cl) OVER (
@@ -21922,7 +21994,9 @@ def q310_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch_days + 4) mod 7 — because Spark ``dayofweek`` (1=Sun) and
     DuckDB ``dayofweek`` (0=Sun) disagree on conventions, but epoch-day
     arithmetic cannot. Float policy: per-group states (n_g, S_g) and
-    totals (N, S1, S2) are exact milli-lattice BIGINTs; the
+    totals (N, S1, S2) are exact milli-lattice BIGINTs winsorized to
+    ±2000 milli (the q297 clamp, both engines — bounds S2 ≤ N·4e6 by
+    construction against the asymmetric ANSI-vs-HUGEINT overflow); the
     between-group sum Σ S_g²/n_g quantizes each single-division group
     term to 1e-4 units and INTEGER-sums over the ≤7-row aggregate
     frame (term ≤ 9e11 ⇒ ×1e4 ≤ 9e15·7 under 2⁶³); SSB/SSW/F are fixed
@@ -21952,7 +22026,10 @@ def q310_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.unix_date(F.col("day")) + F.lit(4), F.lit(7)).alias(
                 "dw"
             ),
-            "r",
+            F.greatest(
+                F.lit(-2000).cast("long"),
+                F.least(F.lit(2000).cast("long"), F.col("r")),
+            ).alias("r"),
         )
     )
     g = rr.groupBy("dw").agg(
@@ -22010,7 +22087,7 @@ def q310_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
       ) WHERE rn = 1
     ), rr AS (
-      SELECT user_id, day, rmq AS r FROM (
+      SELECT user_id, day, greatest(-2000, least(2000, rmq)) AS r FROM (
         SELECT user_id, day,
                CAST(floor(round(ln(cl / lag(cl) OVER (
                    PARTITION BY user_id ORDER BY day)), 6) * 1e3 + 0.5)
@@ -22050,11 +22127,15 @@ def q310_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, n AS n_rets,
            CAST(g0 AS DOUBLE) / (n * n * n) / 1e6 AS var_iid,
            (CAST(g0 AS DOUBLE)
-            + 2.0 * (0.75 * g1 + 0.5 * g2 + 0.25 * g3))
+            + 2.0 * (0.75 * CAST(g1 AS DOUBLE)
+                     + 0.5 * CAST(g2 AS DOUBLE)
+                     + 0.25 * CAST(g3 AS DOUBLE)))
              / (n * n * n) / 1e6 AS var_nw,
            CASE WHEN g0 > 0 THEN
              (CAST(g0 AS DOUBLE)
-              + 2.0 * (0.75 * g1 + 0.5 * g2 + 0.25 * g3))
+              + 2.0 * (0.75 * CAST(g1 AS DOUBLE)
+                       + 0.5 * CAST(g2 AS DOUBLE)
+                       + 0.25 * CAST(g3 AS DOUBLE)))
              / CAST(g0 AS DOUBLE) END AS nw_ratio
     FROM g
     """,
@@ -22067,11 +22148,17 @@ def q311_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw_ratio = σ²_NW/γ̂₀ is the variance-inflation factor (>1 under
     momentum, <1 under mean reversion) that rescales q108's Sharpe.
     Exactness: the centered autocovariances reuse q305's n²-cleared
-    BIGINT states (edge-correct partial sums, positional lags); the
+    BIGINT states (edge-correct partial sums, positional lags,
+    ±2000-milli winsorization — budget n³·4e6 < 2⁶³ for n ≤ 13k
+    days/user by construction); the
     Bartlett weights 0.75/0.5/0.25 are EXACT binary doubles, so each
     weighted term is a single exactly-rounded product and the 4-term
     combination is a fixed literal IEEE chain (never a SQL SUM over
     k); /n³ and /1e6 (milli²→return² units) are the only other ops.
+    The oracle CASTs each γ̂_k to DOUBLE BEFORE weighting — DuckDB
+    would otherwise run the `0.75 * g1` chain in DECIMAL and convert
+    once at the end, which diverges from Spark's per-op doubles by one
+    ulp beyond |γ| ≈ 2.25e15 (r9 ADVICE; same class as lesson g).
     Scale: the shared (user, day) agg → ONE user-keyed 3-lag window →
     one 12-state grouped agg, map-side combined; no joins."""
     ev = _t(spark, sf_dir, "events").select(
@@ -22092,6 +22179,14 @@ def q311_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = (
         b.select("user_id", "day", rmq.alias("r"))
         .where(F.col("r").isNotNull())
+        .select(
+            "user_id",
+            "day",
+            F.greatest(
+                F.lit(-2000).cast("long"),
+                F.least(F.lit(2000).cast("long"), F.col("r")),
+            ).alias("r"),
+        )
     )
     lagged = rr.select(
         "user_id",
@@ -23632,67 +23727,11 @@ def q324_spectral_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int division, and each deflated cell is the fixed chain
     c − λ̂·vᵢ·vⱼ of exactly-derived doubles; emitted shares and gap are
     single-division chains over the q303 trace state. Scale: the Gram
-    pass is shared (O(d²) state); every iteration frame is 64 rows;
-    the deflation join is 64²-row broadcast work."""
+    pass is shared (``_embedding_gram_cn``, r10 nested-posexplode
+    rebuild — O(d²) state, no data-sized join); every iteration frame
+    is 64 rows; the deflation join is 64²-row broadcast work."""
     emb = _t(spark, sf_dir, "embeddings")
-    el = (
-        emb.select("vec_id", F.posexplode("embedding").alias("i", "val"))
-        .select(
-            "vec_id",
-            "i",
-            F.floor(
-                F.col("val").cast("double") * F.lit(10000.0) + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("eq"),
-        )
-        .persist()
-    )
-    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    sd = el.groupBy("i").agg(F.sum("eq").cast("long").alias("si"))
-    a = el.select("vec_id", F.col("i").alias("i"), F.col("eq").alias("ea"))
-    bb = el.select("vec_id", F.col("i").alias("j"), F.col("eq").alias("eb"))
-    pr = (
-        a.join(bb, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("ea") * F.col("eb")).cast("long").alias("sij"))
-    )
-    cmat = (
-        pr.join(
-            F.broadcast(sd.select(F.col("i"), F.col("si").alias("sa"))), "i"
-        )
-        .join(
-            F.broadcast(
-                sd.select(F.col("i").alias("j"), F.col("si").alias("sb"))
-            ),
-            "j",
-        )
-        .crossJoin(F.broadcast(nv))
-        .select(
-            "i",
-            "j",
-            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
-            .cast("long")
-            .alias("cq"),
-        )
-    )
-    cmx = cmat.agg(F.max(F.abs(F.col("cq"))).cast("long").alias("m"))
-    cn = (
-        cmat.crossJoin(F.broadcast(cmx))
-        .select(
-            "i",
-            "j",
-            (F.col("cq").cast("double") / F.col("m").cast("double")).alias(
-                "c"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    trq = cn.where(F.col("i") == F.col("j")).agg(
-        F.sum(F.floor(F.col("c") * F.lit(1e12) + F.lit(0.5)).cast("long"))
-        .cast("long")
-        .alias("trs")
-    )
+    dims, cn, trq = _embedding_gram_cn(spark, emb)
 
     def _chain(mat, v):
         for _ in range(4):
@@ -23769,7 +23808,7 @@ def q324_spectral_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return v, lamr
 
-    v0a = sd.select("i", F.lit(0.125).alias("v"))
+    v0a = dims.select("i", F.lit(0.125).alias("v"))
     v1, l1 = _chain(cn, v0a)
     cn2 = (
         cn.join(F.broadcast(v1.select(F.col("i"), F.col("v").alias("va"))), "i")
@@ -23789,7 +23828,7 @@ def q324_spectral_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    v0b = sd.select(
+    v0b = dims.select(
         "i",
         F.when(F.col("i") % 2 == 0, F.lit(0.125))
         .otherwise(F.lit(-0.125))
@@ -23811,6 +23850,268 @@ def q324_spectral_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q325_interval_join_counts",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vt
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.purchase_id, p.user_id,
+           count(v.vt)::BIGINT AS n_views,
+           min(p.pt - v.vt)::BIGINT AS min_gap_us
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.vt >= p.pt - 600000000 AND v.vt <= p.pt
+    GROUP BY p.purchase_id, p.user_id
+    """,
+)
+def q325_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream event-time interval join
+    (``streaming/ticks.py:interval_join_streams``, leftOuter mode —
+    reference's trade↔quote correlation shape): every purchase is
+    attributed the views by the same user inside the two-sided bound
+    [purchase − 10 min, purchase], emitting the match COUNT and the
+    freshest-view gap; zero-match purchases emit (0, NULL) exactly as
+    the streaming leftOuter emits nulls once the watermark closes the
+    interval. This is the r9-VERDICT-suggested oracle for the
+    streaming surface: the stream op is pytest-only by nature (no SQL
+    twin for a micro-batched query), so the SAME join semantics get a
+    cross-engine bit-exact gate here (the q24 pattern), and
+    ``tests/test_stream_batch_twins.py`` pins stream-op ≡ batch-twin
+    on shared micro-batched rows. Exactness: all
+    columns are exact BIGINTs — epoch-µs bounds, counts, min of
+    integer gaps; no floats anywhere. Scale: the join is EQUI-keyed on
+    user_id with the time range as a residual predicate (hash-
+    partitionable — never the banned conditional BNLJ; per-user
+    fan-out is bounded by the 10-minute horizon exactly like the
+    streaming state bound); the purchase-grain agg partial-aggregates
+    map-side."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), us.alias("pt")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), us.alias("vt")
+    )
+    cond = (
+        (p["user_id"] == v["v_user"])
+        & (v["vt"] >= p["pt"] - F.lit(600000000))
+        & (v["vt"] <= p["pt"])
+    )
+    return (
+        p.join(v, cond, "left")
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("vt").cast("long").alias("n_views"),
+            F.min(F.col("pt") - F.col("vt")).cast("long").alias("min_gap_us"),
+        )
+    )
+
+
+@register(
+    "q326_running_user_stats",
+    """
+    WITH b AS (
+      SELECT user_id, day, day_high, day_low, dn, value AS day_last
+      FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day,
+               value,
+               max(value) OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                 AS day_high,
+               min(value) OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                 AS day_low,
+               count(*) OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                 ::BIGINT AS dn,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id, day,
+           max(day_high) OVER w AS high,
+           min(day_low) OVER w AS low,
+           day_last AS last_value,
+           CAST(sum(dn) OVER w AS BIGINT) AS n_events
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q326_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator
+    (``streaming/stateful.py:running_symbol_stats`` — the
+    applyInPandasWithState / transformWithStateInPandas pair): the
+    per-key state AFTER each day's micro-batch — running high/low
+    water marks, last value, cumulative event count — recomputed
+    declaratively so the stateful op's semantics get a cross-engine
+    oracle (its own tests can only replay micro-batches; r9 VERDICT
+    task 6 named exactly this gap — and
+    ``tests/test_stream_batch_twins.py`` pins stream-op ≡ batch-twin
+    per day-grain micro-batch). One row per (user, day) = one
+    state snapshot per key per batch at day-grain triggers. Exactness:
+    high/low/last are PICKS (no float accumulation — max/min/max_by),
+    the count is an integer sum CAST to BIGINT on the DuckDB side
+    (window SUM widens to HUGEINT, the r2-q38 hasher burn); zero
+    arithmetic on doubles. Scale: one (user, day) agg with map-side
+    combine, then ONE user-keyed ordered window over the day-grain
+    aggregate frame (data-cardinality partitions, the licensed
+    shape)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    b = e.groupBy("user_id", day.alias("day")).agg(
+        F.max("value").alias("day_high"),
+        F.min("value").alias("day_low"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("day_last"),
+        F.count(F.lit(1)).cast("long").alias("dn"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        "user_id",
+        "day",
+        F.max("day_high").over(w).alias("high"),
+        F.min("day_low").over(w).alias("low"),
+        F.col("day_last").alias("last_value"),
+        F.sum("dn").over(w).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "q327_out_of_order_audit",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, t,
+             max(t) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM e
+    )
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           count(CASE WHEN t < pm THEN 1 END)::BIGINT AS late_n,
+           count(CASE WHEN t < pm THEN 1 END) / count(*) AS late_rate,
+           max(CASE WHEN t < pm THEN pm - t END)::BIGINT AS max_late_us,
+           count(CASE WHEN t < pm - 60000000 THEN 1 END)::BIGINT
+             AS drop_1m_n,
+           count(CASE WHEN t < pm - 600000000 THEN 1 END)::BIGINT
+             AS drop_10m_n
+    FROM m GROUP BY user_id
+    """,
+)
+def q327_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: treating event_id as ARRIVAL order and
+    ts as event time, per user — how many events arrive late (event
+    time behind the running max of everything already arrived), the
+    worst lateness, and how many a 1-minute vs 10-minute watermark
+    would DROP. This is the number `withWatermark` is sized from
+    (``streaming/ticks.py`` defaults to 10 minutes; this query is the
+    data-driven justification — the batch-side measurement of the
+    late-data policy tested in test_streaming.py's
+    late-row-beyond-watermark case). The per-user running max models
+    Spark's per-partition watermark accounting. Exactness: epoch-µs
+    integers end-to-end; late_rate is ONE division of exact integers
+    (bit-identical across engines — never rounded, invariant 2);
+    max over an empty late set is NULL on both sides. Scale: ONE
+    user-keyed ordered window over raw events (data-cardinality
+    partitions) + one grouped agg with map-side combine; no joins."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.select(
+        "user_id", us.alias("t"), F.max(us).over(w).alias("pm")
+    )
+    late = F.col("t") < F.col("pm")
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(late, F.lit(1))).cast("long").alias("late_n"),
+        (
+            F.count(F.when(late, F.lit(1))) / F.count(F.lit(1))
+        ).alias("late_rate"),
+        F.max(F.when(late, F.col("pm") - F.col("t")))
+        .cast("long")
+        .alias("max_late_us"),
+        F.count(F.when(F.col("t") < F.col("pm") - F.lit(60000000), F.lit(1)))
+        .cast("long")
+        .alias("drop_1m_n"),
+        F.count(
+            F.when(F.col("t") < F.col("pm") - F.lit(600000000), F.lit(1))
+        )
+        .cast("long")
+        .alias("drop_10m_n"),
+    )
+
+
+@register(
+    "q328_minute_bar_gaps",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS mb
+      FROM events
+    )
+    SELECT user_id, day,
+           count(DISTINCT mb)::BIGINT AS n_active_min,
+           (max(mb) - min(mb) + 1)::BIGINT AS span_min,
+           (max(mb) - min(mb) + 1 - count(DISTINCT mb))::BIGINT
+             AS n_gap_min,
+           count(DISTINCT mb) / (max(mb) - min(mb) + 1) AS fill_ratio
+    FROM e GROUP BY user_id, day
+    """,
+)
+def q328_minute_bar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window completeness audit: per (user, day), how many
+    1-minute bars the tick pipeline's windowed aggregation
+    (``streaming/ticks.py:bar_aggregate``, reference's 1-minute OHLC)
+    would actually emit vs the day's active span — empty-bar gaps are
+    the difference, and fill_ratio is the liveness score a bar
+    consumer alarms on (gap-fill/interpolation downstream is q71/q124;
+    this is the MONITOR that decides when they run). Exactness: minute
+    buckets are exact integer µs-division (``div`` on BIGINTs both
+    engines — NEVER floor(double /): epoch-µs ≈ 1.7e18 exceeds 2⁵³);
+    counts/spans exact integers; fill_ratio is one division of exact
+    integers, bit-identical unrounded. Scale: one projection + one
+    (user, day) agg — the distinct-count is a two-level partial agg,
+    everything map-side combined; no windows, no joins."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    m = e.select(
+        "user_id", day.alias("day"), us.alias("t")
+    ).select("user_id", "day", F.expr("t div 60000000").alias("mb"))
+    span = F.max("mb") - F.min("mb") + F.lit(1)
+    return m.groupBy("user_id", "day").agg(
+        F.count_distinct("mb").cast("long").alias("n_active_min"),
+        span.cast("long").alias("span_min"),
+        (span - F.count_distinct("mb")).cast("long").alias("n_gap_min"),
+        (F.count_distinct("mb") / span).alias("fill_ratio"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -23821,54 +24122,27 @@ def q324_spectral_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-9 rotation (recipe from CLAUDE.md invariant 10 / r8
-    # VERDICT task 1 — two rounds overdue, executed r9). The driver caps
-    # CORRECTNESS rows at the first 50 registry entries (r1-r8
-    # confirmed), so placement decides which oracle queries get a
-    # driver-green row. Slots 1-9: the standing sentinels. Slots 10-27:
-    # the r8 backlog q233-q250 (authored r7, parity-green at
-    # sf0.001+0.01+0.1, NEVER driver-checked). Slots 28+: new r9
-    # queries (q251+), then the second-row queue — q05/q31/q36 (their
-    # only green rows are r1/r2), then the r2/r3 singles q41+ in
-    # registry order through slot 50. q216-q232 and the r7 filler block
-    # (q38, q04-q40) drop behind with their r7/r8 rows. R10 ROTATION
-    # PLAN: keep sentinels; any r10 additions first; then continue the
-    # second-row queue where the r9 window ends (q63 onward: q63, q65,
-    # q66, q67, q68, q69, ... in registry order). Run
+    # -- Round-10 rotation (recipe from CLAUDE.md invariant 10 / r9
+    # VERDICT task 1). The driver caps CORRECTNESS rows at the first 50
+    # registry entries (r1-r9 confirmed), so placement decides which
+    # oracle queries get a driver-green row. Slots 1-9: the standing
+    # sentinels. Slots 10-50: the r10 backlog q256-q296 (authored r9,
+    # parity-green at sf0.001+0.01+0.1, judge-sampled 10/10, NEVER
+    # driver-checked) — 41 queries fill the window EXACTLY. q297-q324
+    # (28 queries, same provenance) become the R11 backlog, entering
+    # right after the window boundary; the second-row queue (q63, q65+)
+    # resumes only after that backlog drains. The r9 window (q233-q255,
+    # q05/q31/q36, q41-q60) drops behind with its r9 rows. R11 ROTATION
+    # PLAN: keep sentinels; q297-q324 next (28 queries -> slots 10-37);
+    # any r10-authored additions after; then the second-row queue (q63,
+    # q65, q66, q67, q68, q69, ...) through slot 50. Run
     # `parity_check --audit` + test_driver_window_schemas_are_hasher_safe
     # before ANY rotation, and update test_oracle_types' rotation pin.
-    # -- sentinels (driver-green r1..r8)
+    # -- sentinels (driver-green r1..r9)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
     "q22_rsi", "q23_ema", "q30_exact_dedup",
     "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- r8 backlog: never driver-checked, promoted into slots 10-27
-    "q233_cms_partition_union", "q234_good_turing", "q235_vocab_growth",
-    "q236_candle_patterns", "q237_amihud_illiquidity",
-    "q238_source_unigram_kl", "q239_burrows_delta",
-    "q240_interarrival_percentiles",
-    "q241_daily_dup_rate", "q242_ann_ranking_metrics",
-    "q243_flow_imbalance", "q244_seasonal_naive_backtest",
-    "q245_changepoint", "q246_ship_lag_percentiles",
-    "q247_bloom_fpr", "q248_bootstrap_ci",
-    "q249_lsh_threshold_sweep", "q250_psi_drift",
-    # -- new r9 additions insert HERE as authored (each pushes one
-    # filler below out of the window)
-    "q251_store_dedup_attribution", "q252_bernoulli_sample_store",
-    "q253_doremi_curriculum_mixer", "q254_neardup_precision_eval",
-    "q255_minhash_store_novelty",
-    # -- second-row queue (through slot 50): oldest single-row greens
-    "q05_summary_stats", "q31_ngram_jaccard_pairs",
-    "q36_embedding_near_dup",
-    "q41_cube", "q42_scalar_subquery",
-    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
-    "q46_range_join", "q47_union_all", "q48_corpus_survivors",
-    "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",
-    "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
-    "q60_corpus_clean_exact",
-    # ========== 50-slot driver window ends here ==========
-    # -- r10 backlog: authored in r9, parity-green locally, never
-    # driver-checked — FIRST in line for the r10 window (append r10
-    # additions here)
+    # -- r10 backlog: never driver-checked, promoted into slots 10-50
     "q256_kmv_distinct", "q257_flesch_readability",
     "q258_parkinson_volatility", "q259_kyle_lambda",
     "q260_drawdown_duration", "q261_charclass_drift",
@@ -23889,6 +24163,10 @@ _FINAL_ORDER = [
     "q291_template_detection", "q292_packing_efficiency",
     "q293_market_dispersion", "q294_avg_correlation",
     "q295_intraday_vol_signature", "q296_bigram_oov",
+    # ========== 50-slot driver window ends here ==========
+    # -- r11 backlog: authored in r9, parity-green locally, never
+    # driver-checked — FIRST in line for the r11 window (append r10
+    # additions here)
     "q297_return_moments", "q298_ams_f2",
     "q299_degree_assortativity", "q300_adamic_adar",
     "q301_fracdiff", "q302_brier_calibration",
@@ -23903,8 +24181,33 @@ _FINAL_ORDER = [
     "q320_downside_beta",
     "q321_activity_half_life", "q322_ochiai_collocations",
     "q323_nearest_centroid_eval", "q324_spectral_pair",
+    # -- r10-authored additions (streaming batch twins, r9 VERDICT
+    # task 6): enter the r11 window after the q297-q324 backlog
+    "q325_interval_join_counts", "q326_running_user_stats",
+    "q327_out_of_order_audit", "q328_minute_bar_gaps",
+    # -- r9 window drops behind (driver-green r9)
+    "q233_cms_partition_union", "q234_good_turing", "q235_vocab_growth",
+    "q236_candle_patterns", "q237_amihud_illiquidity",
+    "q238_source_unigram_kl", "q239_burrows_delta",
+    "q240_interarrival_percentiles",
+    "q241_daily_dup_rate", "q242_ann_ranking_metrics",
+    "q243_flow_imbalance", "q244_seasonal_naive_backtest",
+    "q245_changepoint", "q246_ship_lag_percentiles",
+    "q247_bloom_fpr", "q248_bootstrap_ci",
+    "q249_lsh_threshold_sweep", "q250_psi_drift",
+    "q251_store_dedup_attribution", "q252_bernoulli_sample_store",
+    "q253_doremi_curriculum_mixer", "q254_neardup_precision_eval",
+    "q255_minhash_store_novelty",
+    "q05_summary_stats", "q31_ngram_jaccard_pairs",
+    "q36_embedding_near_dup",
+    "q41_cube", "q42_scalar_subquery",
+    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
+    "q46_range_join", "q47_union_all", "q48_corpus_survivors",
+    "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",
+    "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
+    "q60_corpus_clean_exact",
     # -- continuation of the second-row queue (next in line after the
-    # r10 backlog)
+    # r11 backlog)
     "q63_semantic_neighbors",
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue",

@@ -29,7 +29,13 @@ def _load(name: str):
 
 @pytest.mark.parametrize(
     "example",
-    ["training_data_pipeline", "corpus_pipeline", "financial_ml_pipeline"],
+    [
+        "training_data_pipeline",
+        "corpus_pipeline",
+        "financial_ml_pipeline",
+        "financial_pipeline",
+        "multimodal_pipeline",
+    ],
 )
 def test_example_launch_gate_trips_on_global_window(spark, example):
     mod = _load(example)
@@ -44,10 +50,13 @@ def test_example_launch_gate_trips_on_global_window(spark, example):
 
 def test_examples_route_stages_through_gate():
     """Source-level pin: the gate is actually WIRED — every stage
-    assignment in both examples goes through launch(...)."""
+    assignment in ALL FIVE examples goes through launch(...)."""
     for name, min_calls in [
         ("training_data_pipeline", 15),
         ("corpus_pipeline", 8),
+        ("financial_ml_pipeline", 5),
+        ("financial_pipeline", 7),
+        ("multimodal_pipeline", 6),
     ]:
         src = open(os.path.join(_EXAMPLES_DIR, f"{name}.py")).read()
         calls = src.count("launch(") - src.count("def launch(")

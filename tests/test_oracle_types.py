@@ -21,14 +21,14 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r9_rotation():
-    """The driver checks the FIRST 50 registry entries. Pin the round-9
-    window: 9 sentinels up front, the 18-query r8 backlog q233-q250 in
-    slots 10-27 (never driver-checked before r9), then new r9 queries
-    (q251+) and/or second-row fillers (driver-green in an earlier
-    round, all numbered <= q68), every window entry oracle-backed, the
-    rows-only six dead last, and the full registry covered exactly
-    once."""
+def test_final_order_window_r10_rotation():
+    """The driver checks the FIRST 50 registry entries. Pin the
+    round-10 window: 9 sentinels up front, the 41-query r10 backlog
+    q256-q296 filling slots 10-50 EXACTLY (authored r9, parity-green at
+    three SFs, never driver-checked before r10), every window entry
+    oracle-backed, the rows-only six dead last, and the full registry
+    covered exactly once. q297-q324 queue immediately after the window
+    as the r11 backlog."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -42,15 +42,13 @@ def test_final_order_window_r9_rotation():
     ]
     assert _FINAL_ORDER[:9] == sentinels
     window = _FINAL_ORDER[:50]
-    assert [w.split("_")[0] for w in window[9:27]] == [
-        f"q{n}" for n in range(233, 251)
+    assert [w.split("_")[0] for w in window[9:50]] == [
+        f"q{n}" for n in range(256, 297)
     ]
-    # Slots 28-50: new r9 queries (q251+) or second-row fillers
-    # (driver-green in an earlier round, numbered <= q68) — never a
-    # rows-only entry.
-    for name in window[27:]:
-        num = int(name.split("_")[0][1:])
-        assert num <= 68 or num >= 251, name
+    # r11 backlog queues right behind the window boundary.
+    assert [w.split("_")[0] for w in _FINAL_ORDER[50:78]] == [
+        f"q{n}" for n in range(297, 325)
+    ]
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]

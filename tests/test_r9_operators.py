@@ -859,7 +859,8 @@ def test_q305_ljung_box_bounds(spark, sf_dir):
     )
     cls = [r.cl for r in b.collect()]
     rs = [
-        math.floor(round(math.log(cls[i] / cls[i - 1]), 6) * 1000.0 + 0.5)
+        max(-2000, min(2000,
+            math.floor(round(math.log(cls[i] / cls[i - 1]), 6) * 1000.0 + 0.5)))
         for i in range(1, len(cls))
     ]
     a = np.array(rs, dtype=float)
