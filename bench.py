@@ -312,16 +312,23 @@ def main() -> None:
     # entries shifted medians ~15% vs 100-entry runs, making totals and
     # late-order entries incomparable across rounds as the set grows. Fix:
     # interleave the q01 load sentinel every TIDE_EVERY entries and record
-    # its drift as a per-block factor; "queries_detrended" divides each
-    # query's min by its block's factor so cross-round comparisons survive
-    # headline-set growth. Factor 1.0 = first block (cold-adjacent) pace.
+    # its drift as a per-block factor = probe / MEDIAN(all probes);
+    # "queries_detrended" divides each query's min by its block's factor so
+    # cross-round comparisons survive headline-set growth. The MEDIAN
+    # baseline is deliberate: the first r10 flight baselined on probe 0 and
+    # learned that (a) an unwarmed probe 0 reads ~2x slow (first-ever scan
+    # of its table — hence the untimed warm run below) and (b) even warmed,
+    # probe 0 is still JIT-settling while probes 1+ sit in a noisy-flat
+    # band — the run does not age monotonically, so an endpoint baseline
+    # inverts every factor, while the median centers them on 1.0.
     TIDE_EVERY = 30
     tide_probes: list[dict] = []
+    _query_runner(QUERIES[HEADLINE[0]])()  # warm the probe's scan + plan
 
     def _tide_probe(after_n: int) -> None:
         spark.catalog.clearCache()
         samples = []
-        for _ in range(2):
+        for _ in range(3):  # min-of-3: min-of-2 probes swung ±20% (r10)
             t0 = time.time()
             _query_runner(QUERIES[HEADLINE[0]])()
             samples.append(time.time() - t0)
@@ -344,7 +351,9 @@ def main() -> None:
         _timed(name, _query_runner(QUERIES[name]),
                reps=5 if name in DRIFT_WATCH else 3)
     _tide_probe(len(HEADLINE))
-    base_probe = max(tide_probes[0]["q01_sec"], 1e-9)
+    base_probe = max(
+        statistics.median(p["q01_sec"] for p in tide_probes), 1e-9
+    )
     tide_factors = [
         round(max(p["q01_sec"], 1e-9) / base_probe, 4) for p in tide_probes
     ]
