@@ -165,33 +165,80 @@ def op_suite(spark, d: str) -> dict:
                 .rowsBetween(Window.unboundedPreceding, 0)
             ).alias("c"),
         ).count(),
-        # q303's Gram pass: O(n·d²) products collapsing into a d²-cell
-        # state via map-side partial agg — the covariance input for PCA.
-        # Must scale linearly in n (state is O(d²), never O(n)).
+        # q303's Gram pass (r10 rebuilt shape, mirrors
+        # queries._embedding_gram_cn): per-partition int64 outer-product
+        # matmul via mapInPandas → d²-cell merge — the covariance input
+        # for PCA. Must scale linearly in n (state is O(d²), never O(n);
+        # the only shuffle carries P·d² partial cells).
         "pca_gram_pass": lambda: _pca_gram_count(emb),
         # q309's signature-banded pair stage: per-(user, day) closes,
         # base-3 first-moves signature, (sigkey, day) equi-self-join.
         # Band occupancy governs the exponent — the q32 LSH story.
         "pairs_ssd_banded": lambda: _pairs_ssd_count(ev),
+        # q325's stream-twin interval join: EQUI-join on user_id with a
+        # two-sided time-range residual. Fan-out per left row is bounded
+        # by the horizon (the streaming state bound) — must stay far from
+        # the U² smell as events grow.
+        "interval_join_residual": lambda: _interval_join_count(ev),
     }
 
 
 def _pca_gram_count(emb) -> int:
-    el = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "val")
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("val").cast("double") * F.lit(10000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("eq"),
+    base = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(10000.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("eqa")
     )
-    a = el.select("vec_id", F.col("i"), F.col("eq").alias("ea"))
-    bb = el.select("vec_id", F.col("i").alias("j"), F.col("eq").alias("eb"))
+
+    def outer(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["eqa"].to_numpy()).astype(np.int64)
+            g = e.T @ e
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            dd = acc.shape[0]
+            ii, jj = np.meshgrid(np.arange(dd), np.arange(dd), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "sp": acc.ravel(),
+                }
+            )
+
     return (
-        a.join(bb, "vec_id")
+        base.mapInPandas(outer, schema="i int, j int, sp long")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("ea") * F.col("eb")).alias("sij"))
+        .agg(F.sum("sp").alias("sij"))
+        .count()
+    )
+
+
+def _interval_join_count(ev) -> int:
+    p = ev.where(F.pmod(F.col("event_id"), F.lit(5)) == 0).select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts_us").alias("pt")
+    )
+    v = ev.where(F.pmod(F.col("event_id"), F.lit(5)) != 0).select(
+        F.col("user_id").alias("vu"), F.col("ts_us").alias("vt")
+    )
+    cond = (
+        (p["user_id"] == v["vu"])
+        & (v["vt"] >= p["pt"] - F.lit(1_000_000))
+        & (v["vt"] <= p["pt"])
+    )
+    return (
+        p.join(v, cond, "left")
+        .groupBy("pid")
+        .agg(F.count("vt").alias("n"))
         .count()
     )
 
