@@ -231,6 +231,7 @@ HEADLINE = [
     "q326_running_user_stats",
     "q327_out_of_order_audit",
     "q328_minute_bar_gaps",
+    "q329_native_session_window",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

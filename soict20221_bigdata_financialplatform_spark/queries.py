@@ -24112,6 +24112,65 @@ def q328_minute_bar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q329_native_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q329_native_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE ``F.session_window`` aggregation (the Structured
+    Streaming session primitive, usable in batch) given a cross-engine
+    oracle — q38 oracles the hand-rolled lag/cumsum idiom; this pins
+    the BUILT-IN operator's semantics, which a streaming session
+    aggregation inherits verbatim. Boundary convention verified
+    empirically before authoring: an event exactly GAP after the
+    previous one MERGES (Spark merges while ts <= current window end),
+    so the oracle's new-session flag is strict ``gap > 30min`` — the
+    same convention q38 chose, making the two twins consistent (the
+    session-count identity is pinned in
+    ``tests/test_stream_batch_twins.py``). Native end = last event
+    + gap, hence the oracle's ``max(ts) + INTERVAL 30 MINUTE``.
+    Exactness: session bounds are timestamp PICKS (+ a literal
+    interval); the count is an integer; output timestamps cast to
+    timestamp_ntz (the q124 hasher note). Scale: session_window is
+    one user-keyed exchange + an in-partition merge — the same
+    single-shuffle shape as the lag/cumsum idiom, with the merge done
+    by the native operator instead of two window passes."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("tsl")
+    )
+    s = e.groupBy(
+        "user_id", F.session_window("tsl", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return s.select(
+        "user_id",
+        F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -24185,6 +24244,7 @@ _FINAL_ORDER = [
     # task 6): enter the r11 window after the q297-q324 backlog
     "q325_interval_join_counts", "q326_running_user_stats",
     "q327_out_of_order_audit", "q328_minute_bar_gaps",
+    "q329_native_session_window",
     # -- r9 window drops behind (driver-green r9)
     "q233_cms_partition_union", "q234_good_turing", "q235_vocab_growth",
     "q236_candle_patterns", "q237_amihud_illiquidity",

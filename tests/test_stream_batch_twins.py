@@ -15,11 +15,50 @@ import json
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from soict20221_bigdata_financialplatform_spark.queries import QUERIES
 from soict20221_bigdata_financialplatform_spark.streaming import ticks as st
 from soict20221_bigdata_financialplatform_spark.streaming.stateful import (
     running_symbol_stats,
 )
 from tests.test_streaming import _write_file
+
+
+def test_native_session_window_boundary_and_q38_identity(spark, sf_dir):
+    """Pin Spark session_window's merge boundary (an event exactly GAP
+    after the previous one MERGES; one second past it splits) — the
+    convention q329's oracle encodes — and the q38 identity on real
+    data: same session set, native end = hand-rolled end + gap."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 09:00:00"), (1, "2024-01-02 09:30:00"),
+         (1, "2024-01-02 10:00:01")],
+        "user_id int, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("tsl"))
+    rows = (
+        df.groupBy("user_id", F.session_window("tsl", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sw.start")
+        .collect()
+    )
+    assert [r.n for r in rows] == [2, 1]  # exact-gap merged, +1s split
+
+    native = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in QUERIES["q329_native_session_window"](spark, sf_dir).collect()
+    }
+    hand = QUERIES["q38_sessionization"](spark, sf_dir).collect()
+    assert native == {(r.user_id, r.session_start, r.n_events) for r in hand}
+    ends = {
+        (r.user_id, r.session_start): r.session_end
+        for r in QUERIES["q329_native_session_window"](spark, sf_dir).collect()
+    }
+    import datetime as dt
+
+    for r in hand:
+        assert ends[(r.user_id, r.session_start)] == (
+            r.session_end + dt.timedelta(minutes=30)
+        )
 
 
 def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
