@@ -232,6 +232,8 @@ HEADLINE = [
     "q327_out_of_order_audit",
     "q328_minute_bar_gaps",
     "q329_native_session_window",
+    "q330_join_state_audit",
+    "q331_dedup_watermark_catch",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

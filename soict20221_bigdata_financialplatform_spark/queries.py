@@ -24171,6 +24171,134 @@ def q329_native_session_window(
     )
 
 
+@register(
+    "q330_join_state_audit",
+    """
+    WITH v AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY t
+                            RANGE BETWEEN 600000000 PRECEDING
+                            AND CURRENT ROW)::BIGINT AS st
+      FROM v
+    )
+    SELECT user_id, count(*)::BIGINT AS n_views,
+           max(st)::BIGINT AS peak_state,
+           sum(st)::BIGINT / (1.0 * count(*)) AS mean_state
+    FROM c GROUP BY user_id
+    """,
+)
+def q330_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store sizing audit for the stream-stream interval join
+    (q325 / ``ticks.interval_join_streams``): per user, the PEAK and
+    mean number of view rows simultaneously inside the 10-minute
+    buffer horizon — exactly the per-key state the join holds until
+    the watermark evicts it, so peak_state × row size IS the state
+    store's memory budget (the number that decides executor sizing
+    before the stream launches; q327 sizes the watermark DELAY, this
+    sizes the watermark's STATE). Computed with ONE user-keyed
+    RANGE-frame window over the event-time axis — the sliding
+    in-horizon count — then a grouped max/mean. Exactness: counts are
+    exact integers; both engines include all RANGE peers at the
+    boundary (ties share the frame); mean is one division with the
+    DOUBLE-promoted denominator (the sweep-cleared `1.0 *` idiom).
+    Scale: one window + one agg, both user-keyed (data-cardinality
+    partitions); no joins."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", us.alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    c = v.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("long").alias("st")
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.max("st").cast("long").alias("peak_state"),
+        (F.sum("st").cast("long") / F.count(F.lit(1))).alias("mean_state"),
+    )
+
+
+@register(
+    "q331_dedup_watermark_catch",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, value, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    k AS (
+      SELECT event_type, t, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type, value
+                                ORDER BY t, event_id) AS rn,
+             min(t) OVER (PARTITION BY user_id, event_type, value) AS t0
+      FROM e
+    )
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           count(CASE WHEN rn > 1 THEN 1 END)::BIGINT AS n_dups,
+           count(CASE WHEN rn > 1 AND t - t0 <= 600000000 THEN 1 END)
+             ::BIGINT AS n_caught_10m,
+           CASE WHEN count(CASE WHEN rn > 1 THEN 1 END) > 0 THEN
+             count(CASE WHEN rn > 1 AND t - t0 <= 600000000 THEN 1 END)
+               / count(CASE WHEN rn > 1 THEN 1 END)
+           END AS catch_rate
+    FROM k GROUP BY event_type
+    """,
+)
+def q331_dedup_watermark_catch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-watermark effectiveness: per event type, how many exact
+    replays (same user/type/value, later arrival) land WITHIN 10
+    minutes of the first occurrence — the fraction
+    ``dropDuplicatesWithinWatermark`` (``ticks.dedup_ticks_by_id``
+    semantics) would actually drop vs the replays that ESCAPE because
+    state for the key was already evicted. catch_rate < 1 quantifies
+    the residual-duplicate load the downstream batch dedup (q30) must
+    absorb — the streaming/batch dedup division of labor made
+    measurable (q241 reports the raw daily dup rate; this says how
+    much of it the watermark intercepts). Exactness: first-occurrence
+    via row_number with the event_id tiebreak + an unordered
+    partition MIN for t0 — both rides of ONE dup-key exchange; counts
+    exact integers; catch_rate one guarded division of exact
+    integers. Scale: one (user, type, value)-keyed exchange (the q30
+    digest shuffle key family) + one small agg; no joins."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select(
+        "user_id", "event_type", "value", "event_id", us.alias("t")
+    )
+    pk = ["user_id", "event_type", "value"]
+    wo = Window.partitionBy(*pk).orderBy("t", "event_id")
+    wu = Window.partitionBy(*pk)
+    k = base.select(
+        "event_type",
+        "t",
+        F.row_number().over(wo).alias("rn"),
+        F.min("t").over(wu).alias("t0"),
+    )
+    dup = F.col("rn") > 1
+    caught = dup & ((F.col("t") - F.col("t0")) <= F.lit(600_000_000))
+    return k.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(dup, F.lit(1))).cast("long").alias("n_dups"),
+        F.count(F.when(caught, F.lit(1))).cast("long").alias("n_caught_10m"),
+        F.when(
+            F.count(F.when(dup, F.lit(1))) > 0,
+            F.count(F.when(caught, F.lit(1)))
+            / F.count(F.when(dup, F.lit(1))),
+        ).alias("catch_rate"),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -24245,6 +24373,7 @@ _FINAL_ORDER = [
     "q325_interval_join_counts", "q326_running_user_stats",
     "q327_out_of_order_audit", "q328_minute_bar_gaps",
     "q329_native_session_window",
+    "q330_join_state_audit", "q331_dedup_watermark_catch",
     # -- r9 window drops behind (driver-green r9)
     "q233_cms_partition_union", "q234_good_turing", "q235_vocab_growth",
     "q236_candle_patterns", "q237_amihud_illiquidity",
