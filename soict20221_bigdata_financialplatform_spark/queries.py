@@ -20793,7 +20793,10 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
     exact BIGINT per cell, normalized once by its max |cell|
     (order-free MAX, not a trace SUM that could overflow the
     worst-case integer budget). Assumes fixed-length vectors (d
-    constant), true of the embeddings table."""
+    constant), true of the embeddings table; NULL embeddings are
+    dropped before the stack (``np.stack`` would raise on a NULL row,
+    and the pre-r10 join shape silently skipped them — dirty data at
+    scale must not crash the pass)."""
     base = (
         emb.select(
             F.transform(
@@ -20803,6 +20806,7 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
                 ).cast("long"),
             ).alias("eqa")
         )
+        .where(F.col("eqa").isNotNull())
         .repartition(max(spark.sparkContext.defaultParallelism // 4, 2))
         .persist()
     )
@@ -20811,6 +20815,9 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
         base.select(F.posexplode("eqa").alias("i", "eq"))
         .groupBy("i")
         .agg(F.sum("eq").cast("long").alias("si"))
+        # d-row frame; checkpoint so dims/broadcast reuse survives the
+        # base.unpersist() below without re-scanning the source.
+        .localCheckpoint(eager=True)
     )
     def _partition_outer(batches):
         import numpy as np
@@ -20872,6 +20879,7 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
         )
         .localCheckpoint(eager=True)
     )
+    base.unpersist()
     trq = cn.where(F.col("i") == F.col("j")).agg(
         F.sum(F.floor(F.col("c") * F.lit(1e12) + F.lit(0.5)).cast("long"))
         .cast("long")
@@ -20998,11 +21006,11 @@ def q303_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (=1/√64, exactly representable). λ and tr are Rayleigh quotients of
     the same quantized-integer form, so the emitted share is a fixed
     IEEE chain. Scale: the Gram pass (shared ``_embedding_gram_cn``,
-    r10 rebuild per r9 VERDICT task 5) generates per-vector outer
-    products by nested posexplode with map-side partial agg into ≤64²
-    cells — state is O(d²), never O(n), and no data-sized join; every
-    iteration frame is 64 rows; rounds localCheckpoint to keep the
-    plan linear (invariant 9)."""
+    r10 rebuild per r9 VERDICT task 5) computes per-partition int64
+    outer-product matmuls via ``mapInPandas`` (one Eᵀ·E per Arrow
+    batch) merged into ≤64² cells — state is O(d²), never O(n), and no
+    data-sized join or generator; every iteration frame is 64 rows;
+    rounds localCheckpoint to keep the plan linear (invariant 9)."""
     emb = _t(spark, sf_dir, "embeddings")
     dims, cn, trq = _embedding_gram_cn(spark, emb)
     v = dims.select("i", F.lit(0.125).alias("v"))
@@ -21318,8 +21326,12 @@ def q305_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINSORIZED to ±2000 milli (the q297 clamp, both engines — without
     it a pathological close ratio overflows ASYMMETRICALLY: Spark ANSI
     throws, DuckDB widens to HUGEINT; r9 ADVICE). Budget by
-    construction: |r|≤2000 ⇒ n²·Σrr ≤ n³·4e6 < 2⁶³ for n ≤ 13k
-    days/user (~36 years daily). The edge-correct
+    construction: |r|≤2000 ⇒ the dominant n²·Σrr term is ≤ n³·4e6, but
+    the cross term n·S1·(Σ'r+Σ'r_k) adds up to another 4e6·n³ at a
+    maximal clamp, so the worst-case cell is 8e6·n³ < 2⁶³ for
+    n ≤ ~10k days/user (~28 years of maximally-clamped daily returns —
+    unreachable in practice, and ANSI throws loudly, never silently,
+    beyond it). The edge-correct
     partial sums Σ' ride the same 5-lag window, positional lag makes
     the k-lag pair count exactly n−k, and each ρ̂_k is ONE division of
     their deterministic double casts. Q is a fixed 5-term IEEE chain
@@ -22149,8 +22161,8 @@ def q311_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     momentum, <1 under mean reversion) that rescales q108's Sharpe.
     Exactness: the centered autocovariances reuse q305's n²-cleared
     BIGINT states (edge-correct partial sums, positional lags,
-    ±2000-milli winsorization — budget n³·4e6 < 2⁶³ for n ≤ 13k
-    days/user by construction); the
+    ±2000-milli winsorization — worst-case budget 8e6·n³ < 2⁶³ for
+    n ≤ ~10k days/user including the n·S1·Σ' cross term, see q305); the
     Bartlett weights 0.75/0.5/0.25 are EXACT binary doubles, so each
     weighted term is a single exactly-rounded product and the 4-term
     combination is a fixed literal IEEE chain (never a SQL SUM over
@@ -23727,9 +23739,10 @@ def q324_spectral_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int division, and each deflated cell is the fixed chain
     c − λ̂·vᵢ·vⱼ of exactly-derived doubles; emitted shares and gap are
     single-division chains over the q303 trace state. Scale: the Gram
-    pass is shared (``_embedding_gram_cn``, r10 nested-posexplode
-    rebuild — O(d²) state, no data-sized join); every iteration frame
-    is 64 rows; the deflation join is 64²-row broadcast work."""
+    pass is shared (``_embedding_gram_cn``, r10 rebuild to per-partition
+    int64 outer-product matmuls via ``mapInPandas`` — O(d²) state, no
+    data-sized join); every iteration frame is 64 rows; the deflation
+    join is 64²-row broadcast work."""
     emb = _t(spark, sf_dir, "embeddings")
     dims, cn, trq = _embedding_gram_cn(spark, emb)
 
@@ -24309,27 +24322,53 @@ def q331_dedup_watermark_catch(
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-10 rotation (recipe from CLAUDE.md invariant 10 / r9
+    # -- Round-11 rotation (recipe from CLAUDE.md invariant 10 / r10
     # VERDICT task 1). The driver caps CORRECTNESS rows at the first 50
-    # registry entries (r1-r9 confirmed), so placement decides which
+    # registry entries (r1-r10 confirmed), so placement decides which
     # oracle queries get a driver-green row. Slots 1-9: the standing
-    # sentinels. Slots 10-50: the r10 backlog q256-q296 (authored r9,
-    # parity-green at sf0.001+0.01+0.1, judge-sampled 10/10, NEVER
-    # driver-checked) — 41 queries fill the window EXACTLY. q297-q324
-    # (28 queries, same provenance) become the R11 backlog, entering
-    # right after the window boundary; the second-row queue (q63, q65+)
-    # resumes only after that backlog drains. The r9 window (q233-q255,
-    # q05/q31/q36, q41-q60) drops behind with its r9 rows. R11 ROTATION
-    # PLAN: keep sentinels; q297-q324 next (28 queries -> slots 10-37);
-    # any r10-authored additions after; then the second-row queue (q63,
-    # q65, q66, q67, q68, q69, ...) through slot 50. Run
-    # `parity_check --audit` + test_driver_window_schemas_are_hasher_safe
-    # before ANY rotation, and update test_oracle_types' rotation pin.
-    # -- sentinels (driver-green r1..r9)
+    # sentinels. Slots 10-37: the r11 backlog q297-q324 (28 queries,
+    # authored r9, parity-green at sf0.001+0.01+0.1, judge-sampled 8/8,
+    # NEVER driver-checked). Slots 38-44: the r10-authored streaming
+    # batch twins q325-q331 (7 queries, parity-green at three SFs,
+    # judge-sampled q326/q331). Slots 45-50: the second-row queue
+    # resumes (q63, q65-q69). This clears the ENTIRE never-checked
+    # backlog: after r11, all registered queries have a driver-green
+    # row. The r10 window (q256-q296) drops behind with its r10 rows.
+    # R12 ROTATION PLAN: keep sentinels; continue the second-row queue
+    # (q70, q71, ... in registry order) through slot 50 — plus any
+    # r11-authored additions first. Run `parity_check --audit` +
+    # test_driver_window_schemas_are_hasher_safe before ANY rotation,
+    # and update test_oracle_types' rotation pin.
+    # -- sentinels (driver-green r1..r10)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
     "q22_rsi", "q23_ema", "q30_exact_dedup",
     "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- r10 backlog: never driver-checked, promoted into slots 10-50
+    # -- r11 backlog: never driver-checked, promoted into slots 10-37
+    "q297_return_moments", "q298_ams_f2",
+    "q299_degree_assortativity", "q300_adamic_adar",
+    "q301_fracdiff", "q302_brier_calibration",
+    "q303_pca_power_iteration", "q304_mi_lang_source",
+    "q305_ljung_box", "q306_rich_club",
+    "q307_roc_auc", "q308_embedding_outliers",
+    "q309_pairs_trading_ssd", "q310_anova_dow",
+    "q311_newey_west", "q312_theil_sen", "q313_realized_corr_matrix",
+    "q314_permutation_entropy", "q315_rank_persistence",
+    "q316_filter_attrition", "q317_dedup_savings",
+    "q318_mann_kendall", "q319_behavior_entropy",
+    "q320_downside_beta",
+    "q321_activity_half_life", "q322_ochiai_collocations",
+    "q323_nearest_centroid_eval", "q324_spectral_pair",
+    # -- streaming batch twins (authored r10): slots 38-44
+    "q325_interval_join_counts", "q326_running_user_stats",
+    "q327_out_of_order_audit", "q328_minute_bar_gaps",
+    "q329_native_session_window",
+    "q330_join_state_audit", "q331_dedup_watermark_catch",
+    # -- second-row queue resumes: slots 45-50
+    "q63_semantic_neighbors",
+    "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
+    "q68_small_qty_revenue", "q69_dormant_rich_customers",
+    # ========== 50-slot driver window ends here ==========
+    # -- r10 window drops behind (driver-green r10)
     "q256_kmv_distinct", "q257_flesch_readability",
     "q258_parkinson_volatility", "q259_kyle_lambda",
     "q260_drawdown_duration", "q261_charclass_drift",
@@ -24350,30 +24389,6 @@ _FINAL_ORDER = [
     "q291_template_detection", "q292_packing_efficiency",
     "q293_market_dispersion", "q294_avg_correlation",
     "q295_intraday_vol_signature", "q296_bigram_oov",
-    # ========== 50-slot driver window ends here ==========
-    # -- r11 backlog: authored in r9, parity-green locally, never
-    # driver-checked — FIRST in line for the r11 window (append r10
-    # additions here)
-    "q297_return_moments", "q298_ams_f2",
-    "q299_degree_assortativity", "q300_adamic_adar",
-    "q301_fracdiff", "q302_brier_calibration",
-    "q303_pca_power_iteration", "q304_mi_lang_source",
-    "q305_ljung_box", "q306_rich_club",
-    "q307_roc_auc", "q308_embedding_outliers",
-    "q309_pairs_trading_ssd", "q310_anova_dow",
-    "q311_newey_west", "q312_theil_sen", "q313_realized_corr_matrix",
-    "q314_permutation_entropy", "q315_rank_persistence",
-    "q316_filter_attrition", "q317_dedup_savings",
-    "q318_mann_kendall", "q319_behavior_entropy",
-    "q320_downside_beta",
-    "q321_activity_half_life", "q322_ochiai_collocations",
-    "q323_nearest_centroid_eval", "q324_spectral_pair",
-    # -- r10-authored additions (streaming batch twins, r9 VERDICT
-    # task 6): enter the r11 window after the q297-q324 backlog
-    "q325_interval_join_counts", "q326_running_user_stats",
-    "q327_out_of_order_audit", "q328_minute_bar_gaps",
-    "q329_native_session_window",
-    "q330_join_state_audit", "q331_dedup_watermark_catch",
     # -- r9 window drops behind (driver-green r9)
     "q233_cms_partition_union", "q234_good_turing", "q235_vocab_growth",
     "q236_candle_patterns", "q237_amihud_illiquidity",
@@ -24395,11 +24410,6 @@ _FINAL_ORDER = [
     "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",
     "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
     "q60_corpus_clean_exact",
-    # -- continuation of the second-row queue (next in line after the
-    # r11 backlog)
-    "q63_semantic_neighbors",
-    "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
-    "q68_small_qty_revenue",
     # -- r7 window drops behind (driver-green r7 + r8)
     "q216_vocab_coverage_curve", "q217_js_divergence",
     "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
@@ -24476,8 +24486,7 @@ _FINAL_ORDER = [
     "q135_rake_keywords",
     # -- driver-green in r2 and/or r3 (entries earning r6 second rows,
     # and the q41-q68 slice promoted into the r9 window, have moved up;
-    # the rest queue here)
-    "q69_dormant_rich_customers",
+    # the rest queue here — next in line for the r12 window)
     "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
     "q73_order_priority_exists", "q74_nation_trade_volume",
     "q75_market_share", "q76_product_profit", "q77_important_parts",

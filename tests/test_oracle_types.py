@@ -21,14 +21,15 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r10_rotation():
+def test_final_order_window_r11_rotation():
     """The driver checks the FIRST 50 registry entries. Pin the
-    round-10 window: 9 sentinels up front, the 41-query r10 backlog
-    q256-q296 filling slots 10-50 EXACTLY (authored r9, parity-green at
-    three SFs, never driver-checked before r10), every window entry
-    oracle-backed, the rows-only six dead last, and the full registry
-    covered exactly once. q297-q324 queue immediately after the window
-    as the r11 backlog."""
+    round-11 window: 9 sentinels up front, the 28-query r11 backlog
+    q297-q324 in slots 10-37, the 7 streaming batch twins q325-q331 in
+    slots 38-44 (all parity-green at three SFs, never driver-checked
+    before r11), the second-row queue (q63, q65-q69) in slots 45-50,
+    every window entry oracle-backed, the rows-only six dead last, and
+    the full registry covered exactly once. The r10 window q256-q296
+    drops behind right after the boundary."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -42,12 +43,17 @@ def test_final_order_window_r10_rotation():
     ]
     assert _FINAL_ORDER[:9] == sentinels
     window = _FINAL_ORDER[:50]
-    assert [w.split("_")[0] for w in window[9:50]] == [
-        f"q{n}" for n in range(256, 297)
+    assert [w.split("_")[0] for w in window[9:44]] == [
+        f"q{n}" for n in range(297, 332)
     ]
-    # r11 backlog queues right behind the window boundary.
-    assert [w.split("_")[0] for w in _FINAL_ORDER[50:78]] == [
-        f"q{n}" for n in range(297, 325)
+    assert window[44:50] == [
+        "q63_semantic_neighbors", "q65_gopher_quality", "q66_shared_ngrams",
+        "q67_winnow_overlap", "q68_small_qty_revenue",
+        "q69_dormant_rich_customers",
+    ]
+    # The retired r10 window queues right behind the boundary.
+    assert [w.split("_")[0] for w in _FINAL_ORDER[50:91]] == [
+        f"q{n}" for n in range(256, 297)
     ]
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE

@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# CI-shaped regression gate (r10 VERDICT task 2).
+#
+# The driver window can never re-check retired queries, so regression
+# protection for the other ~280 registered queries is exactly this
+# script: run it before EVERY round snapshot (and any risky refactor).
+#
+#   bash tools/ci_gate.sh              # full gate, ~32 min wall on local[32]
+#   bash tools/ci_gate.sh --fast       # skip pytest (~13 min): parity+audit+lint
+#
+# Stages (fail-fast, timed):
+#   1. output-TYPE audit  (schema-only, catches driver-hasher burns)   ~2 min
+#   2. plan linter sweep  (BNLJ / unpartitioned-window bans)           ~3 min
+#   3. full sf0.01 oracle parity (bit-exact vs DuckDB, no tolerance)   ~8 min
+#   4. pytest tests/      (streaming/multimodal/property pins)        ~18 min
+#
+# Exit 0 = safe to snapshot. Any non-zero: fix before committing.
+set -u
+cd "$(dirname "$0")/.."
+
+FAST=0
+[ "${1:-}" = "--fast" ] && FAST=1
+
+overall_rc=0
+run_stage() {
+    local name="$1"; shift
+    local t0=$SECONDS
+    echo "=== gate: $name ==="
+    "$@"
+    local rc=$?
+    local dt=$((SECONDS - t0))
+    if [ $rc -ne 0 ]; then
+        echo "=== gate: $name FAILED (rc=$rc, ${dt}s) ==="
+        overall_rc=1
+        exit 1
+    fi
+    echo "=== gate: $name ok (${dt}s) ==="
+}
+
+run_stage "type audit (sf0.001)" \
+    python tools/parity_check.py --audit /root/testdata/sf0.001
+run_stage "plan linter sweep" \
+    python -m pytest tests/test_plans.py -x -q
+run_stage "oracle parity (sf0.01)" \
+    python tools/parity_check.py /root/testdata/sf0.01
+if [ $FAST -eq 0 ]; then
+    run_stage "pytest tests/" python -m pytest tests/ -x -q
+else
+    echo "=== gate: pytest SKIPPED (--fast) ==="
+fi
+echo "=== gate: ALL GREEN (${SECONDS}s total) ==="
+exit $overall_rc
