@@ -248,16 +248,17 @@ COMPACT = HEADLINE[:17]  # through q34_ann_bruteforce
 # timed reps measures steady state — same policy as the global warmup.
 ITERATIVE = {"q117_pagerank_dup_graph", "q119_leakage_free_split",
              "q127_semdedup", "q133_ivfpq",
-             "q188_bpe_merges", "q208_hits_scores"}
+             "q188_bpe_merges", "q208_hits_scores",
+             # 3-stage applyInPandas chain: first run pays Python-worker
+             # spin-up for its synthetic frame (5.8s cold vs 1.8s warm)
+             "ema_segmented_1m_8key"}
 
-# r10 drift watch (VERDICT r9 task 2): q127_semdedup moved 1.42x and
-# q250_psi_drift 1.51x in r9 with no code change — beyond the ~15%
-# whole-run tide. They get 5 reps instead of 3, at the SAME headline
-# count as r9's run, so the r10 medians carry enough samples to
-# classify each as noise or trend. (The r9 watch set — q46 resolved
-# as noise via its 5-rep pass, q82/q74/q133 confirmed flat — rotated
-# out; r5-era set classified noise in r6.)
-DRIFT_WATCH = {"q127_semdedup", "q250_psi_drift"}
+# Drift watch: queries whose round-over-round movement exceeded the
+# whole-run tide get 5 reps instead of 3 until classified. Currently
+# EMPTY — the r10 watch (q127_semdedup, q250_psi_drift) closed as NOISE
+# with 4 matched-condition runs each (SCALE.md table); earlier watches
+# (r9: q46/q82/q74/q133; r5-era set) all classified noise too.
+DRIFT_WATCH: set[str] = set()
 
 
 def main() -> None:
@@ -360,10 +361,17 @@ def main() -> None:
     tide_factors = [
         round(max(p["q01_sec"], 1e-9) / base_probe, 4) for p in tide_probes
     ]
+    # Block 0 is published RAW-ONLY (r10 VERDICT task 5): its probe runs
+    # while the JVM is still JIT-settling (q01's own min measured ~1.3x its
+    # end-of-run sentinel), so dividing block-0 queries by that inflated
+    # factor OVERCORRECTS them and a future round would misread the JIT
+    # ramp as a regression. Compare block-0 entries via the raw "queries"
+    # map; detrending starts with block 1.
     queries_detrended = {
         name: round(t / tide_factors[min(block_of[name],
                                          len(tide_factors) - 1)], 3)
-        for name, t in timings.items() if name in block_of
+        for name, t in timings.items()
+        if name in block_of and block_of[name] > 0
     }
 
     # Reference-workload regression target (SURVEY §6 / BASELINE.md): the
@@ -405,6 +413,73 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
 
     _timed("backfill_ref_workload", _run_backfill)
+
+    # Scale escape hatches (r10 VERDICT task 6): ema_segmented and
+    # salted_join are the documented 100-TB fallbacks (unbounded-key EMA,
+    # skew-resilient join). Both are equivalence-TESTED but until r11 had
+    # no bench row — their constant factors must be known before someone
+    # reaches for them at 100x. Synthetic frames, deterministic, JVM-built:
+    # 1M rows / 8 keys spanning ~14 year-segments for the EMA; 1M rows with
+    # a 90%-hot key against a 1k-row dim for the join (salt=16 spreads the
+    # hot key over 16 reducers; the plain join is timed alongside so the
+    # salting overhead/win stays measured).
+    from soict20221_bigdata_financialplatform_spark.functions.indicators import (
+        ema_segmented,
+    )
+    from soict20221_bigdata_financialplatform_spark.operators.skew import (
+        salted_join,
+    )
+
+    n_keys = 8
+    ema_base = spark.range(1_000_000).select(
+        F.concat(F.lit("K"), (F.col("id") % n_keys).cast("string")).alias(
+            "symbol"
+        ),
+        (
+            F.lit("1995-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(hours=(F.col("id") / n_keys).cast("int"))
+        ).alias("date"),
+        (F.lit(50.0) + F.pmod(F.col("id"), F.lit(997)) / F.lit(10.0)).alias(
+            "close"
+        ),
+    ).localCheckpoint(eager=True)  # time the operator, not the generator
+    _timed(
+        "ema_segmented_1m_8key",
+        lambda: ema_segmented(ema_base, 25)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    ema_base.unpersist()
+
+    skew_big = spark.range(1_000_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(1000)))
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+    ).localCheckpoint(eager=True)
+    skew_dim = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("dim"), F.col("id").cast("string")).alias("attr"),
+    ).localCheckpoint(eager=True)
+    # Salting only matters when the small side CANNOT broadcast (a
+    # broadcastable dim never shuffles, so there is nothing to skew).
+    # Disable auto-broadcast for both runs to measure the regime the
+    # hatch exists for; restore afterwards.
+    bcast_prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _timed(
+            "salted_join_skew1m",
+            lambda: salted_join(skew_big, skew_dim, on="k", salt=16)
+            .write.format("noop").mode("overwrite").save(),
+        )
+        _timed(
+            "plain_join_skew1m",
+            lambda: skew_big.join(skew_dim, on="k", how="inner")
+            .write.format("noop").mode("overwrite").save(),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_prev)
+    skew_big.unpersist(); skew_dim.unpersist()
 
     # Streaming throughput: the full tick pipeline (JSON decode → comma-parse
     # normalization → watermark dedup → tumbling OHLC bars, two state stores)

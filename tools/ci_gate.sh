@@ -6,12 +6,12 @@
 # script: run it before EVERY round snapshot (and any risky refactor).
 #
 #   bash tools/ci_gate.sh              # full gate, ~32 min wall on local[32]
-#   bash tools/ci_gate.sh --fast       # skip pytest (~13 min): parity+audit+lint
+#   bash tools/ci_gate.sh --fast       # skip pytest (~14 min): audit+lint+parity
 #
-# Stages (fail-fast, timed):
+# Stages (fail-fast, timed; minutes are the r11 measured run):
 #   1. output-TYPE audit  (schema-only, catches driver-hasher burns)   ~2 min
-#   2. plan linter sweep  (BNLJ / unpartitioned-window bans)           ~3 min
-#   3. full sf0.01 oracle parity (bit-exact vs DuckDB, no tolerance)   ~8 min
+#   2. plan linter sweep  (BNLJ / unpartitioned-window bans)           ~7 min
+#   3. full sf0.01 oracle parity (bit-exact vs DuckDB, no tolerance)   ~6 min
 #   4. pytest tests/      (streaming/multimodal/property pins)        ~18 min
 #
 # Exit 0 = safe to snapshot. Any non-zero: fix before committing.
