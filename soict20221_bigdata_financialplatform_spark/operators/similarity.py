@@ -191,6 +191,11 @@ def ivf_topk(
     products unrolled into an array, argmin via ``array_position`` — so the
     corpus never leaves the JVM. ``nprobe == nlist`` degenerates to exact
     brute force (the recall knob is explicit).
+
+    NULL embeddings are dropped up front: MLlib's KMeans ``fit`` throws on
+    a NULL feature row (FAILED_EXECUTE_UDF), so one dirty row would kill
+    the whole training job at scale — the brute-force path's
+    NULL-scores-sink-below-top-k behavior is matched here by exclusion.
     """
     import numpy as np
 
@@ -198,6 +203,7 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     train = corpus.select(F.col(vec_col))
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)

@@ -1196,3 +1196,32 @@ def test_q324_spectral_pair_sanity(spark, sf_dir):
     assert r.spectral_gap is None or r.spectral_gap >= 0.5
     q303 = QUERIES["q303_pca_power_iteration"](spark, sf_dir).first()
     assert abs(q303.explained_share - r.share1) < 1e-9
+
+
+def test_embedding_gram_null_rows_dropped(spark):
+    """r10 ADVICE: a NULL embedding row used to crash the rebuilt Gram
+    pass (np.stack raises on a NULL array), a dirty-data regression vs
+    the pre-r10 join shape which silently skipped them. The helper now
+    drops NULL rows before stacking — the Gram state over (clean ∪
+    NULLs) must equal the state over clean alone."""
+    import pyspark.sql.functions as F
+
+    from soict20221_bigdata_financialplatform_spark.queries import (
+        _embedding_gram_cn,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, [float(i + j) / 10.0 for j in range(4)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(100, None), (101, None)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    _, cn_clean, trq_clean = _embedding_gram_cn(spark, clean)
+    _, cn_dirty, trq_dirty = _embedding_gram_cn(spark, dirty)
+    as_map = lambda cn: {(r.i, r.j): r.c for r in cn.collect()}
+    assert as_map(cn_dirty) == as_map(cn_clean)   # bit-identical cells
+    assert trq_dirty.first().trs == trq_clean.first().trs
