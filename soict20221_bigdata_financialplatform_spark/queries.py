@@ -20792,11 +20792,14 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
     q265 recipe); the covariance numerator n·Σxᵢxⱼ − SᵢSⱼ stays an
     exact BIGINT per cell, normalized once by its max |cell|
     (order-free MAX, not a trace SUM that could overflow the
-    worst-case integer budget). Assumes fixed-length vectors (d
-    constant), true of the embeddings table; NULL embeddings are
-    dropped before the stack (``np.stack`` would raise on a NULL row,
-    and the pre-r10 join shape silently skipped them — dirty data at
-    scale must not crash the pass)."""
+    worst-case integer budget). Dirty data matches the pre-r10
+    posexplode-join shape instead of crashing (r10 ADVICE): NULL
+    embeddings are dropped before the stack (``np.stack`` raises on a
+    NULL row), and RAGGED/empty arrays are handled by stacking
+    per-length groups into the top-left block of the accumulator — a
+    short row contributes only to the cells its dims span, which is
+    bit-identical to what the exploded equi-join computed (missing
+    tail dims ≡ zeros under products and sums)."""
     base = (
         emb.select(
             F.transform(
@@ -20824,12 +20827,29 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
         import pandas as pd
 
         acc = None
+
+        def _grown(a, length):
+            if a is None:
+                return np.zeros((length, length), dtype=np.int64)
+            if a.shape[0] >= length:
+                return a
+            b = np.zeros((length, length), dtype=np.int64)
+            b[: a.shape[0], : a.shape[0]] = a
+            return b
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            e = np.stack(pdf["eqa"].to_numpy()).astype(np.int64)
-            g = e.T @ e
-            acc = g if acc is None else acc + g
+            by_len: dict[int, list] = {}
+            for arr in pdf["eqa"]:
+                by_len.setdefault(len(arr), []).append(arr)
+            for length, grp in by_len.items():
+                if length == 0:
+                    continue
+                e = np.stack(grp).astype(np.int64)
+                g = e.T @ e
+                acc = _grown(acc, length)
+                acc[:length, :length] += g
         if acc is not None:
             d = acc.shape[0]
             ii, jj = np.meshgrid(

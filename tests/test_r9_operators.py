@@ -1225,3 +1225,30 @@ def test_embedding_gram_null_rows_dropped(spark):
     as_map = lambda cn: {(r.i, r.j): r.c for r in cn.collect()}
     assert as_map(cn_dirty) == as_map(cn_clean)   # bit-identical cells
     assert trq_dirty.first().trs == trq_clean.first().trs
+
+
+def test_embedding_gram_ragged_rows_match_zero_padding(spark):
+    """A ragged (short) embedding contributes only to the cells its dims
+    span — exactly what the replaced posexplode-join computed, and
+    bit-identical to zero-padding the row (zeros vanish under products
+    and sums). Empty arrays contribute nothing."""
+    from soict20221_bigdata_financialplatform_spark.queries import (
+        _embedding_gram_cn,
+    )
+
+    base_rows = [
+        (i, [float(i + j) / 10.0 for j in range(4)]) for i in range(10)
+    ]
+    ragged = spark.createDataFrame(
+        base_rows + [(50, [0.7, 0.3]), (51, [])],
+        "vec_id long, embedding array<float>",
+    )
+    padded = spark.createDataFrame(
+        base_rows + [(50, [0.7, 0.3, 0.0, 0.0]), (51, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    _, cn_r, trq_r = _embedding_gram_cn(spark, ragged)
+    _, cn_p, trq_p = _embedding_gram_cn(spark, padded)
+    as_map = lambda cn: {(r.i, r.j): r.c for r in cn.collect()}
+    assert as_map(cn_r) == as_map(cn_p)
+    assert trq_r.first().trs == trq_p.first().trs
