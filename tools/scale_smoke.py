@@ -180,10 +180,64 @@ def op_suite(spark, d: str) -> dict:
         # by the horizon (the streaming state bound) — must stay far from
         # the U² smell as events grow.
         "interval_join_residual": lambda: _interval_join_count(ev),
+        # The two scale escape hatches (r10 VERDICT task 6), exponents to
+        # pair with their r11 bench constant factors:
+        # ema_segmented — the unbounded-key EMA (3-stage seed chain);
+        # linear in rows, segment-parallel, so alpha ~ 1 expected.
+        "ema_segmented": lambda: _ema_segmented_count(ev),
+        # salted_join — 90%-hot-key fact x 1k dim with auto-broadcast
+        # disabled (the non-broadcastable regime the hatch exists for);
+        # the hot key spreads over 16 reducers, so alpha ~ 1 expected
+        # where the plain skewed shuffle trends superlinear per-reducer.
+        "salted_join_hot_key": lambda: _salted_join_count(spark, ev),
     }
 
 
+def _ema_segmented_count(ev) -> int:
+    from soict20221_bigdata_financialplatform_spark.functions.indicators import (
+        ema_segmented,
+    )
+
+    base = ev.select(
+        "user_id", "event_id", F.abs(F.col("value")).alias("close")
+    )
+    return ema_segmented(
+        base,
+        25,
+        key_cols=("user_id",),
+        order_col="event_id",
+        value_col="close",
+        segment_col=F.floor(F.col("event_id") / F.lit(100_000)),
+    ).count()
+
+
+def _salted_join_count(spark, ev) -> int:
+    from soict20221_bigdata_financialplatform_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = ev.select(
+        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.pmod(F.col("event_id"), F.lit(1000)))
+        .cast("long")
+        .alias("k"),
+        F.col("event_id").alias("payload"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("dim"), F.col("id").cast("string")).alias("attr"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return salted_join(big, dim, on="k", salt=16).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def _pca_gram_count(emb) -> int:
+    # Mirrors queries._embedding_gram_cn's hot loop on CLEAN fixed-length
+    # input; the production helper additionally NULL/ragged-guards (r11).
     base = emb.select(
         F.transform(
             "embedding",
