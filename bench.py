@@ -429,7 +429,11 @@ def main() -> None:
     from soict20221_bigdata_financialplatform_spark.operators.skew import (
         salted_join,
     )
+    from tools.bench_fixtures import SALT, no_auto_broadcast, skew_dim, skew_fact
 
+    # persist (not localCheckpoint): unpersist() only releases
+    # CacheManager entries, so these must be cached to actually free the
+    # executor memory before the streaming benchmark below.
     n_keys = 8
     ema_base = spark.range(1_000_000).select(
         F.concat(F.lit("K"), (F.col("id") % n_keys).cast("string")).alias(
@@ -442,7 +446,8 @@ def main() -> None:
         (F.lit(50.0) + F.pmod(F.col("id"), F.lit(997)) / F.lit(10.0)).alias(
             "close"
         ),
-    ).localCheckpoint(eager=True)  # time the operator, not the generator
+    ).persist()
+    ema_base.count()  # materialize: time the operator, not the generator
     _timed(
         "ema_segmented_1m_8key",
         lambda: ema_segmented(ema_base, 25)
@@ -450,36 +455,24 @@ def main() -> None:
     )
     ema_base.unpersist()
 
-    skew_big = spark.range(1_000_000).select(
-        F.when(F.col("id") % 10 < 9, F.lit(0))
-        .otherwise(F.pmod(F.col("id"), F.lit(1000)))
-        .cast("long").alias("k"),
-        F.col("id").alias("payload"),
-    ).localCheckpoint(eager=True)
-    skew_dim = spark.range(1000).select(
-        F.col("id").alias("k"),
-        F.concat(F.lit("dim"), F.col("id").cast("string")).alias("attr"),
-    ).localCheckpoint(eager=True)
-    # Salting only matters when the small side CANNOT broadcast (a
-    # broadcastable dim never shuffles, so there is nothing to skew).
-    # Disable auto-broadcast for both runs to measure the regime the
-    # hatch exists for; restore afterwards.
-    bcast_prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    skew_big = skew_fact(spark, 1_000_000).persist()
+    dim = skew_dim(spark).persist()
+    skew_big.count(); dim.count()
+    # the shared fixture + broadcast-disable protocol (tools/
+    # bench_fixtures.py) keeps this measurement in the same regime as
+    # scale_smoke's exponent row — SCALE.md pairs the two numbers.
+    with no_auto_broadcast(spark):
         _timed(
             "salted_join_skew1m",
-            lambda: salted_join(skew_big, skew_dim, on="k", salt=16)
+            lambda: salted_join(skew_big, dim, on="k", salt=SALT)
             .write.format("noop").mode("overwrite").save(),
         )
         _timed(
             "plain_join_skew1m",
-            lambda: skew_big.join(skew_dim, on="k", how="inner")
+            lambda: skew_big.join(dim, on="k", how="inner")
             .write.format("noop").mode("overwrite").save(),
         )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_prev)
-    skew_big.unpersist(); skew_dim.unpersist()
+    skew_big.unpersist(); dim.unpersist()
 
     # Streaming throughput: the full tick pipeline (JSON decode → comma-parse
     # normalization → watermark dedup → tumbling OHLC bars, two state stores)

@@ -20793,20 +20793,28 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
     exact BIGINT per cell, normalized once by its max |cell|
     (order-free MAX, not a trace SUM that could overflow the
     worst-case integer budget). Dirty data matches the pre-r10
-    posexplode-join shape instead of crashing (r10 ADVICE): NULL
-    embeddings are dropped before the stack (``np.stack`` raises on a
-    NULL row), and RAGGED/empty arrays are handled by stacking
+    posexplode-join shape instead of crashing or corrupting (r10
+    ADVICE): NULL embeddings are dropped before the stack (``np.stack``
+    raises on a NULL row); NULL ELEMENTS quantize to 0 via coalesce —
+    the join shape's SUM null-skipped them, and a zero contributes
+    nothing to any product or sum, so the cells are bit-identical
+    (without the coalesce, Arrow delivers the element as NaN and
+    ``astype(int64)`` silently wraps it to INT64_MIN, poisoning the
+    row's cells); RAGGED/empty arrays are handled by stacking
     per-length groups into the top-left block of the accumulator — a
     short row contributes only to the cells its dims span, which is
-    bit-identical to what the exploded equi-join computed (missing
-    tail dims ≡ zeros under products and sums)."""
+    again the exploded equi-join's semantics (missing tail dims ≡
+    zeros under products and sums)."""
     base = (
         emb.select(
             F.transform(
                 "embedding",
-                lambda x: F.floor(
-                    x.cast("double") * F.lit(10000.0) + F.lit(0.5)
-                ).cast("long"),
+                lambda x: F.coalesce(
+                    F.floor(
+                        x.cast("double") * F.lit(10000.0) + F.lit(0.5)
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
             ).alias("eqa")
         )
         .where(F.col("eqa").isNotNull())
@@ -20840,6 +20848,15 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            try:
+                # clean fixed-length fast path: one vectorized stack per
+                # Arrow batch, zero per-row Python work
+                e = np.stack(pdf["eqa"].to_numpy()).astype(np.int64)
+                acc = _grown(acc, e.shape[1])
+                acc[: e.shape[1], : e.shape[1]] += e.T @ e
+                continue
+            except ValueError:
+                pass  # ragged batch: np.stack refuses mixed lengths
             by_len: dict[int, list] = {}
             for arr in pdf["eqa"]:
                 by_len.setdefault(len(arr), []).append(arr)

@@ -1252,3 +1252,28 @@ def test_embedding_gram_ragged_rows_match_zero_padding(spark):
     as_map = lambda cn: {(r.i, r.j): r.c for r in cn.collect()}
     assert as_map(cn_r) == as_map(cn_p)
     assert trq_r.first().trs == trq_p.first().trs
+
+
+def test_embedding_gram_null_elements_quantize_to_zero(spark):
+    """A NULL *element* inside an embedding must behave like the old
+    posexplode-join's SUM null-skip (≡ a zero element) — NOT reach
+    np.stack, where Arrow delivers it as NaN and astype(int64) silently
+    wraps to INT64_MIN, poisoning the Gram cells."""
+    from soict20221_bigdata_financialplatform_spark.queries import (
+        _embedding_gram_cn,
+    )
+
+    rows = [(i, [float(i + j) / 10.0 for j in range(4)]) for i in range(10)]
+    with_null = spark.createDataFrame(
+        rows + [(50, [0.7, None, 0.3, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    with_zero = spark.createDataFrame(
+        rows + [(50, [0.7, 0.0, 0.3, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    _, cn_n, trq_n = _embedding_gram_cn(spark, with_null)
+    _, cn_z, trq_z = _embedding_gram_cn(spark, with_zero)
+    as_map = lambda cn: {(r.i, r.j): r.c for r in cn.collect()}
+    assert as_map(cn_n) == as_map(cn_z)
+    assert trq_n.first().trs == trq_z.first().trs

@@ -21,7 +21,6 @@ cd "$(dirname "$0")/.."
 FAST=0
 [ "${1:-}" = "--fast" ] && FAST=1
 
-overall_rc=0
 run_stage() {
     local name="$1"; shift
     local t0=$SECONDS
@@ -31,7 +30,6 @@ run_stage() {
     local dt=$((SECONDS - t0))
     if [ $rc -ne 0 ]; then
         echo "=== gate: $name FAILED (rc=$rc, ${dt}s) ==="
-        overall_rc=1
         exit 1
     fi
     echo "=== gate: $name ok (${dt}s) ==="
@@ -44,9 +42,11 @@ run_stage "plan linter sweep" \
 run_stage "oracle parity (sf0.01)" \
     python tools/parity_check.py /root/testdata/sf0.01
 if [ $FAST -eq 0 ]; then
-    run_stage "pytest tests/" python -m pytest tests/ -x -q
+    # test_plans.py already passed as stage 2 — don't pay its ~7 min twice
+    run_stage "pytest tests/ (minus plan sweep)" \
+        python -m pytest tests/ -x -q --ignore=tests/test_plans.py
 else
     echo "=== gate: pytest SKIPPED (--fast) ==="
 fi
 echo "=== gate: ALL GREEN (${SECONDS}s total) ==="
-exit $overall_rc
+exit 0

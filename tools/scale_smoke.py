@@ -215,24 +215,23 @@ def _salted_join_count(spark, ev) -> int:
     from soict20221_bigdata_financialplatform_spark.operators.skew import (
         salted_join,
     )
+    from tools.bench_fixtures import (
+        SALT,
+        no_auto_broadcast,
+        skew_dim,
+        skew_key,
+    )
 
+    # same hot-key construction + broadcast-disable protocol as bench.py's
+    # constant-factor rows (shared via tools/bench_fixtures so the two
+    # instruments keep measuring the same regime), derived from the event
+    # stream so the exponent tracks data growth
     big = ev.select(
-        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit(0))
-        .otherwise(F.pmod(F.col("event_id"), F.lit(1000)))
-        .cast("long")
-        .alias("k"),
+        skew_key(F.col("event_id")).alias("k"),
         F.col("event_id").alias("payload"),
     )
-    dim = spark.range(1000).select(
-        F.col("id").alias("k"),
-        F.concat(F.lit("dim"), F.col("id").cast("string")).alias("attr"),
-    )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        return salted_join(big, dim, on="k", salt=16).count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    with no_auto_broadcast(spark):
+        return salted_join(big, skew_dim(spark), on="k", salt=SALT).count()
 
 
 def _pca_gram_count(emb) -> int:
