@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from soict20221_bigdata_financialplatform_spark.streaming import ticks as st
 from soict20221_bigdata_financialplatform_spark.streaming.stateful import (
     running_symbol_stats,
@@ -153,3 +155,65 @@ def test_running_stats_tws_across_batches(spark, tmp_path):
     assert final.last_price == 79.0
     vic = [r for r in rows if r.symbol == "VIC"]
     assert max(v.n_ticks for v in vic) == 1
+
+
+def test_running_stats_state_survives_query_restart(spark, tmp_path):
+    """Custom GroupState must survive a query RESTART from checkpoint —
+    a different failure mode than the windowed-agg restart test
+    (test_streaming.py): here the state is the operator's own pickled
+    (high, low, last, count) tuple in the state store, not engine
+    window state. Kill the query after batch 1, start a NEW query on
+    the same checkpoint, feed batch 2, and the running stats must
+    continue from the persisted state, not restart from zero.
+    (The memory sink refuses checkpoint recovery, so the snapshots go
+    through a foreachBatch parquet sink — recovery-capable, and the
+    production sink shape anyway.)"""
+    src = tmp_path / "src"; src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def _start():
+        raw = st.read_tick_stream_json(spark, str(src))
+        stats = running_symbol_stats(st.decode_ticks(raw))
+
+        def _sink(df, batch_id):
+            df.withColumn("__batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        return (
+            stats.writeStream.outputMode("update").foreachBatch(_sink)
+            .option("checkpointLocation", ckpt).start()
+        )
+
+    _write_file(str(src), "b1.json", [
+        _msg("FPT", "2024-01-02 09:30:05", "80.0"),
+        _msg("FPT", "2024-01-02 09:30:25", "84.0"),
+    ])
+    q1 = _start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    first = {r.symbol: r for r in spark.read.parquet(out).collect()}
+    assert first["FPT"].n_ticks == 2 and first["FPT"].high == 84.0
+
+    _write_file(str(src), "b2.json", [
+        _msg("FPT", "2024-01-02 09:31:00", "79.0"),   # post-restart new low
+        _msg("VIC", "2024-01-02 09:31:05", "55.0"),   # fresh key post-restart
+    ])
+    q2 = _start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(out).collect()
+
+    fpt = max((r for r in rows if r.symbol == "FPT"),
+              key=lambda r: r.n_ticks)
+    # state restored: count covers both runs, high remembers batch 1,
+    # low reflects batch 2
+    assert fpt.n_ticks == 3
+    assert fpt.high == 84.0 and fpt.low == 79.0 and fpt.last_price == 79.0
+    vic = [r for r in rows if r.symbol == "VIC"]
+    assert len(vic) == 1 and vic[0].n_ticks == 1
