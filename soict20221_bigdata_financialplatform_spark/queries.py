@@ -14855,7 +14855,10 @@ def q248_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG anywhere). Replicate means are exact-integer-sum divisions; the
     ~94% CI picks replicate ranks 2 and 31 of 32 (discrete — the q240
     rule). Scale: a 32× row explode feeding one grouped sum — partial
-    aggregation collapses it map-side; B·2 cells of state."""
+    aggregation collapses it map-side; B·2 cells of state. The
+    explode+md5 stage repartitions first (CLAUDE.md invariant 8:
+    single-file testdata scans are one task and the hash stage is the
+    whole cost — 4.8 s → 1.1 s at sf0.1 spread over 32 tasks)."""
     import math
 
     cdf = [sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1))
@@ -14867,7 +14870,7 @@ def q248_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    rep = o.select(
+    rep = o.repartition(32).select(
         "o_orderkey",
         "cents",
         F.explode(F.array(*[F.lit(b) for b in range(32)])).alias("b"),
