@@ -87,7 +87,13 @@ def sma(
 ) -> DataFrame:
     """A3: trailing n-row simple moving average; null during warm-up
     (reference frame semantics at util.py:93-94, canonicalized to exactly n
-    rows ending at the current row)."""
+    rows ending at the current row).
+
+    NULL values starve the frame (the count guard keeps the output NULL);
+    NULL ORDER keys are undefined order across the indicator family (Spark
+    windows sort them first, the pandas EMA path sorts them last) — filter
+    or impute upstream, same contract as ``ema_segmented``. Pinned in
+    tests/test_dirty_data.py."""
     out_col = out_col or f"sma_{n}"
     w = _wspec(key_cols, order_col).rowsBetween(-(n - 1), 0)
     cnt = F.count(value_col).over(w)

@@ -75,6 +75,13 @@ def asof_join(
 
     ``right_cols`` defaults to every non-key, non-ts right column. With
     ``tolerance_seconds``, matches older than the tolerance are nulled.
+
+    NULL timestamps never match (DuckDB ASOF JOIN semantics): a right row
+    with NULL ``right_ts`` is dropped (it has no place on the timeline —
+    before the fix it sorted nulls-first, i.e. "-infinity", and leaked into
+    EVERY left row's carry until the first real right row), and a left row
+    with NULL ``left_ts`` comes back with NULL right columns (it sorts
+    before every surviving right row, so nothing is carried into it).
     """
     on = list(on)
     if right_cols is None:
@@ -83,7 +90,8 @@ def asof_join(
 
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rhs = (
-        right.select(*on, right_ts, *rc)
+        right.where(F.col(right_ts).isNotNull())
+        .select(*on, right_ts, *rc)
         .withColumn("__side", F.lit(0))
         .withColumn("__ts", F.col(right_ts))
     )

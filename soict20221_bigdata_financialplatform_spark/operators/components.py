@@ -49,6 +49,11 @@ def connected_components(
     can log/alert on. Non-convergence within ``max_iterations`` raises
     ``RuntimeError`` unless ``allow_partial=True`` (then it warns and returns
     the partial labels)."""
+    # A pair with a NULL side is not an edge: NULL join keys never match in
+    # the propagate join, so keeping them would emit a phantom NULL node
+    # that inherits one side's label while the OTHER side silently loses the
+    # transitive link it sat on (2~NULL, NULL~5 must not half-connect).
+    pairs = pairs.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     # localCheckpoint, not persist: persist caches the DATA but each round's
     # join still re-ANALYZES the full upstream lineage (for near-dup input
     # that subtree is the whole shingle self-join) — truncating it once here

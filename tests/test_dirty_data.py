@@ -17,7 +17,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from soict20221_bigdata_financialplatform_spark.functions import indicators as ind
+from soict20221_bigdata_financialplatform_spark.functions import text as tx
 from soict20221_bigdata_financialplatform_spark.operators import (
+    asof,
+    components,
     corpus,
     dedup,
     multimodal as mm,
@@ -152,3 +156,180 @@ def test_decode_image_features_null_and_garbage_content(spark):
     rows = {r.media_id: r for r in mm.decode_image_features(media).collect()}
     assert set(rows) == {1, 2, 3}
     assert not any(r.decoded for r in rows.values())
+
+
+@pytest.fixture()
+def dirty_docs_full(spark):
+    """Dirty docs WITH the metadata columns the corpus operators consume
+    (NULL text rows also carry NULL n_tokens/n_chars, like a real broken
+    ingest would)."""
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today",
+             "a", 11, 56),
+            (2, "the quick brown fox jumps over the lazy dog again today",
+             "a", 11, 56),
+            (3, None, "b", None, None),
+            (4, "", "b", 0, 0),
+            (5, "   ", "b", 0, 3),
+            (6, "completely different text about financial markets volume",
+             "c", 8, 57),
+        ],
+        "doc_id long, text string, source string, n_tokens long, n_chars long",
+    )
+
+
+def test_corpus_entry_points_tolerate_dirty_docs(dirty_docs_full):
+    """Every corpus entry point a pipeline feeds raw documents into must
+    survive NULL/empty/whitespace text (and NULL metadata) without
+    throwing, and must still process the clean docs. Row-level semantics
+    are pinned in each operator's own test file — this is the
+    one-dirty-row-kills-a-100TB-job regression net."""
+    d = dirty_docs_full
+    calls = {
+        "dsir_scores": lambda: corpus.dsir_scores(
+            d, is_target=(F.size(tx.words(F.col("text"))) >= 5), n_buckets=16
+        ),
+        "lm_perplexity_scores": lambda: corpus.lm_perplexity_scores(d),
+        "paragraph_dedup": lambda: corpus.paragraph_dedup(d),
+        "pack_sequences": lambda: corpus.pack_sequences(d, block=16),
+        "temperature_sample": lambda: corpus.temperature_sample(
+            d, strata_col="source", k=4
+        ),
+        "pps_sample": lambda: corpus.pps_sample(d, k=3),
+        "bpe_learn_merges": lambda: corpus.bpe_learn_merges(d, rounds=2),
+        "chunk_documents": lambda: corpus.chunk_documents(d),
+        "cdc_chunk_documents": lambda: corpus.cdc_chunk_documents(d),
+        "rake_keywords": lambda: corpus.rake_keywords(d),
+        "ngram_contamination": lambda: corpus.ngram_contamination(
+            d, d.select("doc_id", "text")
+        ),
+        "profile": lambda: corpus.profile(d),
+        "with_text_features": lambda: tx.with_text_features(d),
+    }
+    for name, fn in calls.items():
+        rows = fn().collect()  # must not throw
+        assert rows is not None, name
+    # spot semantics: the text-feature projection keeps all rows and the
+    # NULL-text row's token count is 0-or-NULL, never a crash or a bogus
+    # positive
+    feats = {r.doc_id: r for r in tx.with_text_features(d).collect()}
+    assert set(feats) == {1, 2, 3, 4, 5, 6}
+    assert not feats[3].n_tokens
+
+
+def test_semdedup_dirty_rows_never_affect_clean(spark, emb_frames):
+    """semdedup_keep over (clean ∪ NULL ∪ ragged ∪ NULL-element) rows:
+    every clean row's (cell, keep) is IDENTICAL to the clean-only run —
+    a dirty embedding must never prune a real document (cosine with a
+    NULL/ragged vector is NULL, and NULL >= threshold is false) — and
+    the dirty rows themselves come back keep=true (they are junk to
+    filter upstream, not dedup evidence)."""
+    clean, _ = emb_frames
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(98, None), (97, [0.1, 0.2]), (96, [0.1, None, 0.3, 0.4])],
+            EMB_SCHEMA,
+        )
+    )
+    cents = clean.where("vec_id < 4").select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    out = lambda c: {
+        r.vec_id: (r.cell, r.keep)
+        for r in sim.semdedup_keep(c, cents, threshold=0.9).collect()
+    }
+    dirty_out, clean_out = out(dirty), out(clean)
+    assert all(dirty_out[k] == v for k, v in clean_out.items())
+    assert all(dirty_out[k][1] for k in (96, 97, 98))
+
+
+def test_brute_force_topk_ragged_and_null_element_rows_sink(
+    spark, emb_frames
+):
+    """Ragged (wrong-length) and NULL-element embeddings score NULL
+    (zip_with pads with NULL) and can never displace a real top-k row."""
+    clean, _ = emb_frames
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(98, None), (97, [0.1, 0.2]), (96, [0.1, None, 0.3, 0.4])],
+            EMB_SCHEMA,
+        )
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.5, 0.4, 0.3, 0.2])], "query_id long, embedding array<float>"
+    )
+    got = sim.brute_force_topk(dirty, queries, k=5).collect()
+    assert len(got) == 5
+    assert all(r.vec_id not in (96, 97, 98) for r in got)
+    assert all(r.score is not None for r in got)
+
+
+def test_connected_components_drops_null_pairs(spark):
+    """A pair with a NULL side is not an edge. Before the guard, the NULL
+    node JOINED cluster 1 through the reversed (NULL, 2) edge while node 5
+    (the other side of the same garbage chain) stayed disconnected —
+    half-connected garbage. Now: garbage pairs contribute nothing, no
+    phantom NULL node, clean clusters intact."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 5), (7, 8)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in components.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7, 8: 7}
+
+
+def test_asof_join_null_ts_never_matches(spark):
+    """DuckDB ASOF JOIN semantics for NULLs: a right row with NULL ts is
+    dropped (before the guard it sorted nulls-first — '-infinity' — and
+    leaked into every left row until the first real right row), and a
+    left row with NULL ts gets NULL right columns."""
+    l = spark.createDataFrame(
+        [("A", 100, 1.0), ("A", None, 2.0), ("B", 50, 3.0)],
+        "k string, ts long, v double",
+    )
+    r = spark.createDataFrame(
+        [("A", 90, 10.0), ("A", None, 20.0), ("B", 60, 30.0)],
+        "k string, rts long, rv double",
+    )
+    got = {
+        (row.k, row.ts): row.rv
+        for row in asof.asof_join(
+            l, r, on=["k"], left_ts="ts", right_ts="rts"
+        ).collect()
+    }
+    assert got == {("A", 100): 10.0, ("A", None): None, ("B", 50): None}
+
+
+def test_indicators_tolerate_null_values(spark):
+    """NULL closes must not crash the indicator family. Pinned: sma's
+    windowed avg needs n non-NULL values in the frame (NULL close ⇒ NULL
+    sma for every frame it starves); ema's pandas path carries the last
+    real value across a NaN gap; a NULL symbol forms its own group rather
+    than crashing the shuffle. NULL ORDER keys are documented as
+    undefined order (Spark windows sort them first, pandas last) —
+    densify or filter upstream, same contract as ema_segmented."""
+    bars = spark.createDataFrame(
+        [
+            ("AAA", "2024-01-01", 10.0),
+            ("AAA", "2024-01-02", None),
+            ("AAA", "2024-01-03", 12.0),
+            (None, "2024-01-05", 14.0),
+            ("BBB", "2024-01-01", 5.0),
+        ],
+        "symbol string, date string, close double",
+    )
+    sm = {
+        (r.symbol, r.date): r.sma_2 for r in ind.sma(bars, 2).collect()
+    }
+    assert sm[("AAA", "2024-01-02")] is None  # starved frame: (10, NULL)
+    assert sm[("AAA", "2024-01-03")] is None  # starved frame: (NULL, 12)
+    assert sm[(None, "2024-01-05")] is None  # own group, 1 row < n
+    em = {
+        (r.symbol, r.date): r.ema_2 for r in ind.ema(bars, 2).collect()
+    }
+    assert em[("AAA", "2024-01-02")] == 10.0  # NaN gap: carry last real
+    assert em[(None, "2024-01-05")] == 14.0  # own group, own seed
+    assert ind.rsi(bars, 2).count() == 5  # no throw, all rows kept
