@@ -247,6 +247,13 @@ def incremental_ingest_dedup(
     reads one narrow binary column, and the anti-join keys are digests, so
     a 10¹⁰-doc history costs ~160 GB of digest scan per ingest, not a text
     rescan. First ingest bootstraps an empty store automatically.
+
+    NULL-text rows are DROPPED, by design: their digest is NULL, which can
+    never survive the digest equi-joins — and passing them through instead
+    would break replay idempotence (an undigestable row would re-append on
+    every replay because no store entry can represent it). Route NULL text
+    to a dead-letter sink upstream if it must be kept. Pinned in
+    tests/test_dirty_data.py.
     """
     spark = batch.sparkSession
     digests = batch.withColumn("__digest", F.unhex(F.md5(F.col(text_col))))

@@ -333,3 +333,47 @@ def test_indicators_tolerate_null_values(spark):
     assert em[("AAA", "2024-01-02")] == 10.0  # NaN gap: carry last real
     assert em[(None, "2024-01-05")] == 14.0  # own group, own seed
     assert ind.rsi(bars, 2).count() == 5  # no throw, all rows kept
+
+
+def test_incremental_ingest_drops_null_text_for_idempotence(
+    spark, tmp_path
+):
+    """NULL-text rows vanish from the ingest BY DESIGN: a NULL digest can
+    never survive the digest equi-joins, and passing such rows through
+    would break replay idempotence (no store entry can represent them, so
+    every replay would re-append them). Replaying the same batch must
+    yield zero survivors — including the NULL row."""
+    store = str(tmp_path / "digests")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    first = sorted(
+        r.doc_id
+        for r in corpus.incremental_ingest_dedup(docs, store).collect()
+    )
+    assert first == [1]  # 3 deduped in-batch, 2 (NULL text) dropped
+    replay = corpus.incremental_ingest_dedup(docs, store).collect()
+    assert replay == []  # idempotent, NULL row did not re-appear
+
+
+def test_sketch_family_null_keys(spark):
+    """Misra–Gries drops NULL keys from the frequency table (a NULL key is
+    not a heavy hitter); the deterministic Bernoulli sample still hashes
+    rows whose key tuple CONTAINS a NULL (concat_ws skips NULLs — the row
+    keeps a stable digest) rather than throwing or silently dropping."""
+    from soict20221_bigdata_financialplatform_spark.operators import (
+        sketch as sk,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (None, "c"), (6, None)],
+        "id long, k string",
+    )
+    mg = {r[0] for r in sk.heavy_hitters_mg(ev, "k", k=3).collect()}
+    assert mg == {"a", "b", "c"}
+    samp = sk.md5_bernoulli_sample(ev, ("k", "id"), 2).collect()
+    again = sk.md5_bernoulli_sample(ev, ("k", "id"), 2).collect()
+    assert sorted(map(tuple, samp), key=str) == sorted(
+        map(tuple, again), key=str
+    )  # deterministic under NULL keys, no throw
