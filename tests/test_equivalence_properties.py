@@ -1,0 +1,174 @@
+"""Hypothesis equivalence tests for asof_join and connected_components
+against brute-force python oracles — a different failure-finding axis
+than the DuckDB parity gate (which only ever sees the NULL-free driver
+testdata) and than the fixture pins (which only see hand-picked rows).
+
+Both operators had NULL-semantics bugs invisible to parity (r11: the
+asof carry treated NULL right-timestamps as -infinity; components
+half-connected garbage chains through reversed NULL edges), so their
+contracts are re-derived here per example: NULL timestamps never match,
+NULL-side pairs are not edges.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+
+from soict20221_bigdata_financialplatform_spark.operators.asof import asof_join
+from soict20221_bigdata_financialplatform_spark.operators.components import (
+    connected_components,
+)
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+_KEYS = ["A", "B", "C"]
+
+# unique timestamps per side are drawn as permutations below — the carry
+# is nondeterministic between two right rows with EQUAL ts (either may
+# be "last" in window order), so equal right timestamps are excluded
+# from the generated space by construction, not by filtering.
+
+
+@st.composite
+def _asof_case(draw):
+    left = []
+    right = []
+    for k in _KEYS:
+        lts = draw(
+            st.lists(
+                st.one_of(st.integers(0, 50), st.none()),
+                min_size=0,
+                max_size=6,
+            )
+        )
+        rts = draw(
+            st.lists(
+                st.one_of(st.integers(0, 50), st.none()),
+                min_size=0,
+                max_size=6,
+                unique_by=lambda x: x if x is not None else object(),
+            )
+        )
+        left += [(k, t, float(i)) for i, t in enumerate(lts)]
+        right += [(k, t, 100.0 + i) for i, t in enumerate(rts)]
+    return left, right
+
+
+@given(_asof_case())
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, case):
+    """For every left row: the carried right value equals the right row
+    with the LARGEST right_ts <= left_ts in the same key group; NULL
+    timestamps on either side never participate."""
+    left, right = case
+    l = spark.createDataFrame(
+        [Row(k=k, ts=t, v=v) for k, t, v in left],
+        "k string, ts long, v double",
+    )
+    r = spark.createDataFrame(
+        [Row(k=k, rts=t, rv=v) for k, t, v in right],
+        "k string, rts long, rv double",
+    )
+    got = {
+        (row.k, row.ts, row.v): row.rv
+        for row in asof_join(l, r, on=["k"], left_ts="ts", right_ts="rts").collect()
+    }
+    assert len(got) == len(left)
+    for k, t, v in left:
+        cands = [
+            (rt, rv)
+            for rk, rt, rv in right
+            if rk == k and rt is not None and t is not None and rt <= t
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[(k, t, v)] == want, (k, t, v, cands)
+
+
+@given(_asof_case(), st.integers(0, 20))
+@settings(**_SETTINGS)
+def test_asof_join_tolerance_nulls_stale_matches(spark, case, tol):
+    """With tolerance_seconds: a match older than the tolerance comes
+    back NULL, everything inside it is identical to the untoleranced
+    oracle."""
+    left, right = case
+    l = spark.createDataFrame(
+        [Row(k=k, ts=t, v=v) for k, t, v in left],
+        "k string, ts long, v double",
+    )
+    r = spark.createDataFrame(
+        [Row(k=k, rts=t, rv=v) for k, t, v in right],
+        "k string, rts long, rv double",
+    )
+    got = {
+        (row.k, row.ts, row.v): row.rv
+        for row in asof_join(
+            l, r, on=["k"], left_ts="ts", right_ts="rts", tolerance_seconds=tol
+        ).collect()
+    }
+    for k, t, v in left:
+        cands = [
+            (rt, rv)
+            for rk, rt, rv in right
+            if rk == k and rt is not None and t is not None and rt <= t
+        ]
+        want = None
+        if cands:
+            rt, rv = max(cands)
+            want = rv if (t - rt) <= tol else None
+        assert got[(k, t, v)] == want, (k, t, v, tol, cands)
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+_pairs = st.lists(
+    st.tuples(
+        st.one_of(st.integers(0, 15), st.none()),
+        st.one_of(st.integers(0, 15), st.none()),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_pairs)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, pairs):
+    """(node, component) equals a brute-force union-find with
+    component = min member id, over exactly the nodes that appear in a
+    NULL-free pair; NULL-side pairs contribute nothing (no phantom
+    nodes, no half-connected chains)."""
+    df = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in pairs], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    uf = _UnionFind()
+    nodes = set()
+    for a, b in pairs:
+        if a is not None and b is not None:
+            uf.union(a, b)
+            nodes.update((a, b))
+    roots: dict[int, list[int]] = {}
+    for n in nodes:
+        roots.setdefault(uf.find(n), []).append(n)
+    want = {
+        n: min(members) for members in roots.values() for n in members
+    }
+    assert got == want
