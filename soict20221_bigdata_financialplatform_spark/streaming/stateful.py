@@ -49,6 +49,11 @@ def _update(
             float("-inf"), float("inf"), float("nan"), 0, None,
         )
     for pdf in pdfs:
+        # A NULL-price tick carries no information for price state: dropped
+        # entirely (not counted, does not advance last_ts). Without this a
+        # NaN close CLOBBERS last_price to NaN whenever it sorts last in a
+        # batch — the carry-last-real-price convention the EMA path follows.
+        pdf = pdf.dropna(subset=["close"])
         if pdf.empty:
             continue
         pdf = pdf.sort_values("time", kind="mergesort")
@@ -72,7 +77,9 @@ def _update(
 
 def running_symbol_stats(ticks: DataFrame) -> DataFrame:
     """ticks (symbol, time, close, ...) stream → one updated stats row per
-    symbol per micro-batch. Update output mode."""
+    symbol per micro-batch. Update output mode. NULL-price ticks are
+    dropped (not counted, do not advance last_ts) — pinned in
+    tests/test_dirty_data.py."""
     return (
         ticks.select("symbol", "time", "close")
         .groupBy("symbol")
@@ -116,6 +123,8 @@ def running_symbol_stats_tws(ticks: DataFrame) -> DataFrame:
                     float("-inf"), float("inf"), float("nan"), 0, None,
                 )
             for pdf in rows:
+                # same NULL-price policy as the GroupState form above
+                pdf = pdf.dropna(subset=["close"])
                 if pdf.empty:
                     continue
                 pdf = pdf.sort_values("time", kind="mergesort")

@@ -357,6 +357,44 @@ def test_incremental_ingest_drops_null_text_for_idempotence(
     assert replay == []  # idempotent, NULL row did not re-appear
 
 
+def test_stateful_update_drops_null_price_ticks():
+    """The streaming running-stats state function: a NULL-price tick must
+    not clobber last_price to NaN (it used to whenever the NaN sorted
+    last in a batch), must not count as a tick, and must not advance
+    last_ts. Driven as a plain python function with a fake GroupState —
+    no stream needed to pin the per-batch state algebra."""
+    import pandas as pd
+
+    from soict20221_bigdata_financialplatform_spark.streaming.stateful import (
+        _update,
+    )
+
+    class _FakeState:
+        exists = False
+
+        def update(self, t):
+            self.value = t
+
+    ts = pd.to_datetime(
+        ["2024-01-01 09:00", "2024-01-01 09:01", "2024-01-01 09:02"]
+    )
+    pdf = pd.DataFrame(
+        {"symbol": ["AAA"] * 3, "time": ts, "close": [10.0, 12.0, None]}
+    )
+    state = _FakeState()
+    [out] = list(_update(("AAA",), iter([pdf]), state))
+    assert out["last_price"].iloc[0] == 12.0  # NaN tick did not clobber
+    assert out["n_ticks"].iloc[0] == 2  # not counted
+    assert out["last_ts"].iloc[0] == ts[1]  # did not advance
+    # an all-NULL batch leaves state untouched except existence
+    state2 = _FakeState()
+    nullbatch = pd.DataFrame(
+        {"symbol": ["AAA"], "time": ts[:1], "close": [None]}
+    )
+    [out2] = list(_update(("AAA",), iter([nullbatch]), state2))
+    assert out2["n_ticks"].iloc[0] == 0
+
+
 def test_sketch_family_null_keys(spark):
     """Misra–Gries drops NULL keys from the frequency table (a NULL key is
     not a heavy hitter); the deterministic Bernoulli sample still hashes
