@@ -234,6 +234,8 @@ HEADLINE = [
     "q329_native_session_window",
     "q330_join_state_audit",
     "q331_dedup_watermark_catch",
+    "q332_kmv_intersection",
+    "q333_weighted_sample_es",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -24352,6 +24352,224 @@ def q331_dedup_watermark_catch(
     )
 
 
+@register(
+    "q332_kmv_intersection",
+    """
+    WITH tok AS (
+      SELECT (('0x' || substr(md5(source), 1, 15))::UBIGINT % 2)::BIGINT
+               AS side,
+             unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), dh AS (
+      SELECT DISTINCT side,
+             ('0x' || substr(md5(word), 1, 15))::UBIGINT::BIGINT AS hv
+      FROM tok WHERE word <> ''
+    ), store AS (
+      SELECT side, hv FROM (
+        SELECT side, hv,
+               row_number() OVER (PARTITION BY side ORDER BY hv) AS rn
+        FROM dh
+      ) WHERE rn <= 64
+    ), th AS (
+      SELECT side,
+             CASE WHEN count(*) < 64 THEN 1152921504606846976::BIGINT
+                  ELSE max(hv)::BIGINT END AS theta_side
+      FROM store GROUP BY side
+    ), theta AS (SELECT min(theta_side)::BIGINT AS theta FROM th),
+    inter AS (
+      SELECT count(*)::BIGINT AS n_inter
+      FROM (SELECT hv FROM store WHERE side = 0) a
+      JOIN (SELECT hv FROM store WHERE side = 1) b USING (hv), theta
+      WHERE hv < theta.theta
+    ),
+    uni AS (
+      SELECT count(*)::BIGINT AS n_union
+      FROM (SELECT DISTINCT hv FROM store) u, theta
+      WHERE u.hv < theta.theta
+    ),
+    tv AS (
+      SELECT count(*)::BIGINT AS true_shared FROM (
+        SELECT word
+        FROM (SELECT DISTINCT side, word FROM tok WHERE word <> '')
+        GROUP BY word HAVING count(*) = 2
+      )
+    )
+    SELECT 64::BIGINT AS k, theta.theta, inter.n_inter, uni.n_union,
+           inter.n_inter / (theta.theta / 1.152921504606846976e+18)
+             AS est_shared,
+           CASE WHEN uni.n_union > 0
+                THEN inter.n_inter / CAST(uni.n_union AS DOUBLE) END
+             AS est_jaccard,
+           tv.true_shared
+    FROM theta, inter, uni, tv
+    """,
+)
+def q332_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET INTERSECTION over two KMV stores (Dasgupta et al.
+    2016's theta framework on q256's KMV foundation): corpus halves (md5
+    side split of ``source`` — the q296 rule: never mod an id that
+    correlates with the stratum) each keep their 64 smallest 60-bit word
+    hashes; θ = min of the per-side k-th values (2⁶⁰ when a side's store
+    is not full — its sample is then exhaustive), the estimate counts
+    store-sample members below θ present on BOTH sides and divides once
+    by the exactly-representable θ/2⁶⁰. est_jaccard = n_inter/n_union is
+    the sketch-level Jaccard between the two vocabularies. The SIXTH
+    fully-oracled sketch, and the first oracled set-OPERATION between
+    sketches (the unions q228/q233 merge same-shape state; this answers
+    a cross-store question the union cannot). true_shared is the exact
+    calibration column — at production scale drop it (the sketch IS the
+    estimate, q252's caveat verbatim).
+
+    Scale: per-side state is 64 BIGINTs regardless of corpus size; the
+    per-side top-k plans WindowGroupLimit (partial top-k before the
+    shuffle, q256's shape); every downstream frame is ≤128 rows with
+    one-row broadcast θ joins — the linter's one-row crossJoin
+    exemption."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    side = (
+        F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long")
+        % 2
+    ).cast("long")
+    tok = d.select(
+        side.alias("side"), F.explode(tx.words("text")).alias("word")
+    ).where(F.col("word") != "")
+    dh = (
+        tok.select(
+            "side",
+            F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+        .persist()
+    )
+    wside = Window.partitionBy("side").orderBy("hv")
+    store = (
+        dh.withColumn("rn", F.row_number().over(wside))
+        .where(F.col("rn") <= 64)
+        .select("side", "hv")
+        .persist()
+    )
+    th = store.groupBy("side").agg(
+        F.max("hv").cast("long").alias("kth"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    theta = th.select(
+        F.when(F.col("m") < 64, F.lit(1152921504606846976))
+        .otherwise(F.col("kth"))
+        .cast("long")
+        .alias("theta_side")
+    ).agg(F.min("theta_side").cast("long").alias("theta"))
+    sa = store.where(F.col("side") == 0).select("hv")
+    sb = store.where(F.col("side") == 1).select("hv")
+    inter = (
+        sa.join(sb, "hv")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    uni = (
+        sa.union(sb)
+        .distinct()
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    tv = (
+        tok.select("side", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .agg(
+            F.count(F.when(F.col("ns") == 2, F.lit(1)))
+            .cast("long")
+            .alias("true_shared")
+        )
+    )
+    return (
+        theta.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(uni))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            F.lit(64).cast("long").alias("k"),
+            "theta",
+            "n_inter",
+            "n_union",
+            (
+                F.col("n_inter")
+                / (F.col("theta") / F.lit(1.152921504606846976e18))
+            ).alias("est_shared"),
+            F.when(
+                F.col("n_union") > 0,
+                F.col("n_inter") / F.col("n_union"),
+            ).alias("est_jaccard"),
+            "true_shared",
+        )
+    )
+
+
+@register(
+    "q333_weighted_sample_es",
+    """
+    SELECT doc_id, source, length(text)::BIGINT AS w,
+           round(ln((('0x' || substr(md5('es42|' || doc_id::VARCHAR), 1, 15))
+                       ::UBIGINT::BIGINT + 1) / 1.152921504606846976e+18), 6)
+             / length(text)::BIGINT AS es_key
+    FROM documents
+    WHERE length(text) > 0
+    ORDER BY es_key DESC, doc_id LIMIT 16
+    """,
+)
+def q333_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis (2006):
+    every doc gets the key ln(u)/w (u = seeded md5 uniform in (0,1],
+    w = byte length) and the top-k keys ARE a weight-proportional
+    WOR sample — the one-pass distributed form of the sampler a data
+    mixer needs when q121's temperature/stratum machinery is too coarse
+    (per-ROW weights, not per-stratum). Deterministic and key-stable
+    like q118/q252: replays re-pick the same sample.
+
+    Parity design: u = (hv+1)/2⁶⁰ (the +1 keeps ln's argument in (0,1] —
+    ln(0) would NULL on Spark and error on DuckDB; the division by a
+    power of two is exact); ln rounded at the transcendental (the
+    non-portable op), then ONE IEEE division by the exact integer weight
+    — bit-identical, so the unrounded sort key is safe with the doc_id
+    tiebreak (q322's argument). Scale: one projection + top-16 via
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.length("text").cast("long").alias("w")
+        )
+        .where(F.col("w") > 0)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("es42|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(1.152921504606846976e18)
+    key = F.round(F.log(u), 6) / F.col("w")
+    return (
+        d.select("doc_id", "source", "w", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(16)
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -24408,6 +24626,9 @@ _FINAL_ORDER = [
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue", "q69_dormant_rich_customers",
     # ========== 50-slot driver window ends here ==========
+    # -- r11-authored additions (parity-green sf0.001/0.01/0.1): per the
+    #    r12 recipe these enter the next window FIRST, after the sentinels
+    "q332_kmv_intersection", "q333_weighted_sample_es",
     # -- r10 window drops behind (driver-green r10)
     "q256_kmv_distinct", "q257_flesch_readability",
     "q258_parkinson_volatility", "q259_kyle_lambda",

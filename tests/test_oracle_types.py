@@ -51,8 +51,13 @@ def test_final_order_window_r11_rotation():
         "q67_winnow_overlap", "q68_small_qty_revenue",
         "q69_dormant_rich_customers",
     ]
-    # The retired r10 window queues right behind the boundary.
-    assert [w.split("_")[0] for w in _FINAL_ORDER[50:91]] == [
+    # The r11-authored additions queue first behind the boundary (the r12
+    # recipe pulls them into the next window right after the sentinels),
+    # then the retired r10 window.
+    assert _FINAL_ORDER[50:52] == [
+        "q332_kmv_intersection", "q333_weighted_sample_es",
+    ]
+    assert [w.split("_")[0] for w in _FINAL_ORDER[52:93]] == [
         f"q{n}" for n in range(256, 297)
     ]
     assert all(name in ORACLE for name in window), [
