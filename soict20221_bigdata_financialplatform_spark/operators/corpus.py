@@ -547,6 +547,57 @@ def cdc_chunk_documents(
     )
 
 
+def weighted_sample_es(
+    docs: DataFrame,
+    k: int = 16,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "es42",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    every row gets the key ln(u)/w — u a seeded md5 uniform in (0,1], w
+    the row's positive integer weight — and the k LARGEST keys are a
+    weight-proportional WOR sample. The per-ROW-weight member of the
+    sampling family (PPS :func:`pps_sample` is with-replacement
+    expectation-proportional; :func:`temperature_sample` works at the
+    stratum grain; this is the exact-k WOR draw a data mixer needs when
+    weights differ inside a stratum).
+
+    Deterministic and key-stable like the other samplers: u hashes
+    (seed, id), so replays re-pick the same sample, and scaling every
+    weight by a constant leaves the selection unchanged (keys scale
+    monotonically). Rows with NULL or non-positive weight are dropped —
+    they have no sampling probability. Scale: one narrow projection +
+    ``TakeOrderedAndProject`` (per-partition partial top-k, no global
+    sort, the corpus never shuffles). Oracle-checked as q332's sibling
+    q333 (ln rounded at the transcendental, one IEEE division by the
+    exact integer weight)."""
+    wcol = F.col(weight_col).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + "|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(1.152921504606846976e18)
+    key = F.round(F.log(u), 6) / wcol
+    return (
+        docs.where(wcol > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), id_col)
+        .limit(k)
+    )
+
+
 def temperature_sample(
     docs: DataFrame,
     strata_col: str = "lang",

@@ -24536,38 +24536,14 @@ def q333_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     power of two is exact); ln rounded at the transcendental (the
     non-portable op), then ONE IEEE division by the exact integer weight
     — bit-identical, so the unrounded sort key is safe with the doc_id
-    tiebreak (q322's argument). Scale: one projection + top-16 via
-    TakeOrderedAndProject (per-partition partial top-k, no global
+    tiebreak (q322's argument). Library form
+    :func:`corpus.weighted_sample_es`. Scale: one projection + top-16
+    via TakeOrderedAndProject (per-partition partial top-k, no global
     sort)."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select(
-            "doc_id", "source", F.length("text").cast("long").alias("w")
-        )
-        .where(F.col("w") > 0)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("w")
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("es42|"), F.col("doc_id").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + F.lit(1)
-    ) / F.lit(1.152921504606846976e18)
-    key = F.round(F.log(u), 6) / F.col("w")
-    return (
-        d.select("doc_id", "source", "w", key.alias("es_key"))
-        .orderBy(F.col("es_key").desc(), "doc_id")
-        .limit(16)
-    )
+    return cp.weighted_sample_es(d, k=16, weight_col="w", seed="es42")
 
 
 # ===========================================================================

@@ -365,3 +365,26 @@ def test_rake_keywords_reference_example(spark):
     assert by_rank[1].rake_score == 9.0
     assert by_rank[2].phrase == "strict inequations"
     assert by_rank[2].rake_score == 4.0
+
+
+def test_weighted_sample_es_contract(spark):
+    """Efraimidis-Spirakis WOR sampler: deterministic (same seed -> same
+    sample), selection invariant under scaling every weight by a
+    constant (keys scale monotonically), a dominating weight is always
+    selected, and NULL / non-positive weights are dropped."""
+    rows = [Row(doc_id=i, w=(1 if i else 10_000_000)) for i in range(40)]
+    rows += [Row(doc_id=90, w=None), Row(doc_id=91, w=0), Row(doc_id=92, w=-5)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    pick = lambda df, **kw: [
+        r.doc_id
+        for r in corpus.weighted_sample_es(
+            df, k=8, weight_col="w", **kw
+        ).collect()
+    ]
+    got = pick(d)
+    assert got == pick(d)  # deterministic
+    assert 0 in got  # dominating weight always sampled
+    assert not ({90, 91, 92} & set(got))  # dirty weights dropped
+    scaled = d.selectExpr("doc_id", "w * 7 AS w")
+    assert set(pick(scaled)) == set(got)  # scale-invariant selection
+    assert 0 in pick(d, seed="other")  # dominance holds under any seed

@@ -15,7 +15,10 @@ from __future__ import annotations
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 
-from soict20221_bigdata_financialplatform_spark.operators.asof import asof_join
+from soict20221_bigdata_financialplatform_spark.operators.asof import (
+    asof_join,
+    range_join,
+)
 from soict20221_bigdata_financialplatform_spark.operators.components import (
     connected_components,
 )
@@ -117,6 +120,88 @@ def test_asof_join_tolerance_nulls_stale_matches(spark, case, tol):
             rt, rv = max(cands)
             want = rv if (t - rt) <= tol else None
         assert got[(k, t, v)] == want, (k, t, v, tol, cands)
+
+
+@st.composite
+def _range_case(draw):
+    left = []
+    right = []
+    for k in _KEYS:
+        lts = draw(
+            st.lists(
+                st.one_of(st.integers(0, 120), st.none()),
+                min_size=0,
+                max_size=5,
+            )
+        )
+        ivs = draw(
+            st.lists(
+                st.tuples(
+                    st.one_of(st.integers(0, 120), st.none()),
+                    st.one_of(st.integers(0, 120), st.none()),
+                ),
+                min_size=0,
+                max_size=4,
+            )
+        )
+        left += [(k, t, float(i)) for i, t in enumerate(lts)]
+        right += [(k, s, e, f"{k}{i}") for i, (s, e) in enumerate(ivs)]
+    return left, right
+
+
+@given(_range_case(), st.sampled_from([1, 7, 60]))
+@settings(**_SETTINGS)
+def test_range_join_matches_bruteforce(spark, case, bucket_seconds):
+    """The bucketized interval join returns exactly the brute-force
+    ``start <= ts < end`` match set for every bucket size — including
+    NULL timestamps/bounds (never match) and reversed intervals (empty).
+    how='left' additionally emits every unmatched left row once with
+    NULL right columns."""
+    left, right = case
+    l = spark.createDataFrame(
+        [Row(k=k, ts=t, v=v) for k, t, v in left],
+        "k string, ts long, v double",
+    )
+    r = spark.createDataFrame(
+        [Row(k=k, s=s, e=e, tag=g) for k, s, e, g in right],
+        "k string, s long, e long, tag string",
+    )
+    want_inner = sorted(
+        (k, t, v, g)
+        for k, t, v in left
+        for rk, s, e, g in right
+        if rk == k
+        and None not in (t, s, e)
+        and s <= t < e
+    )
+    got_inner = sorted(
+        (row.k, row.ts, row.v, row.tag)
+        for row in range_join(
+            l, r, on=["k"], left_ts="ts", right_start="s", right_end="e",
+            bucket_seconds=bucket_seconds,
+        ).collect()
+    )
+    assert got_inner == want_inner
+    matched = {(k, t, v) for k, t, v, _ in want_inner}
+    want_left = sorted(
+        want_inner
+        + [
+            (k, t, v, None)
+            for k, t, v in left
+            if (k, t, v) not in matched
+        ]
+    , key=str)
+    got_left = sorted(
+        (
+            (row.k, row.ts, row.v, row.tag)
+            for row in range_join(
+                l, r, on=["k"], left_ts="ts", right_start="s",
+                right_end="e", bucket_seconds=bucket_seconds, how="left",
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got_left == want_left
 
 
 class _UnionFind:
