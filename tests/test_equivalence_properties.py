@@ -15,6 +15,7 @@ from __future__ import annotations
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 
+from soict20221_bigdata_financialplatform_spark.operators import dedup
 from soict20221_bigdata_financialplatform_spark.operators.asof import (
     asof_join,
     range_join,
@@ -257,3 +258,61 @@ def test_connected_components_matches_union_find(spark, pairs):
         n: min(members) for members in roots.values() for n in members
     }
     assert got == want
+
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "market", "volume", "price", "tick"]
+)
+_texts = st.lists(
+    st.one_of(
+        st.lists(_words, min_size=0, max_size=12).map(" ".join), st.none()
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_texts)
+@settings(**_SETTINGS)
+def test_exact_dedup_matches_group_oracle(spark, texts):
+    """exact_dedup ≡ group-by-content with min-id survivor, over random
+    docs including NULLs and repeats. NULL texts share one group (the
+    md5 digest is NULL and groupBy treats NULLs as equal), which is
+    exactly what the python oracle models."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.keep_id: r.n_copies for r in dedup.exact_dedup(df).collect()
+    }
+    groups: dict[object, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(t, []).append(i)
+    want = {min(ids): len(ids) for ids in groups.values()}
+    assert got == want
+
+
+@given(st.lists(_words, min_size=5, max_size=20).map(" ".join), _texts)
+@settings(max_examples=8, deadline=None)
+def test_identical_docs_always_pair_in_minhash_and_simhash(
+    spark, dup_text, other_texts
+):
+    """The zero-false-negative guarantee for EXACT duplicates: two docs
+    with identical text have identical MinHash signatures (equal in
+    every band) and identical SimHash chunks, so banded mining must
+    always emit the pair — no matter what else is in the corpus."""
+    rows = [Row(doc_id=1, text=dup_text), Row(doc_id=2, text=dup_text)]
+    rows += [
+        Row(doc_id=10 + i, text=t) for i, t in enumerate(other_texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for pairs in (
+        dedup.minhash_near_dup_pairs(df),
+        dedup.simhash_near_dup_pairs(df),
+    ):
+        got = {
+            tuple(sorted((r[0], r[1])))
+            for r in pairs.select(pairs.columns[:2]).collect()
+        }
+        assert (1, 2) in got
