@@ -316,3 +316,61 @@ def test_identical_docs_always_pair_in_minhash_and_simhash(
             for r in pairs.select(pairs.columns[:2]).collect()
         }
         assert (1, 2) in got
+
+
+_items = st.lists(
+    st.sampled_from([f"it{i}" for i in range(12)]), min_size=1, max_size=60
+)
+
+
+@given(_items)
+@settings(max_examples=10, deadline=None)
+def test_cms_never_underestimates(spark, items):
+    """The Count-Min invariant: for EVERY queried item the estimate is
+    >= the true count (hash collisions only ever inflate), and equals it
+    exactly when no collision lands in all depth rows."""
+    from soict20221_bigdata_financialplatform_spark.operators import (
+        sketch as sk,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=x) for x in items], "k string"
+    )
+    m = sk.cms_matrix(df, "k", depth=4, width=16)
+    est = {
+        r.k: r.cms_est
+        for r in sk.cms_query(
+            m, df.distinct(), "k", depth=4, width=16
+        ).collect()
+    }
+    true = {}
+    for x in items:
+        true[x] = true.get(x, 0) + 1
+    for x, c in true.items():
+        assert est[x] >= c, (x, est[x], c)
+
+
+@given(_items, st.integers(2, 6))
+@settings(max_examples=10, deadline=None)
+def test_mg_never_misses_a_heavy_hitter(spark, items, k):
+    """The Misra-Gries guarantee: any item with true count > n/(k+1)
+    appears in the capacity-k summary, and every reported mg_count is an
+    under-estimate by at most n/(k+1)."""
+    from soict20221_bigdata_financialplatform_spark.operators import (
+        sketch as sk,
+    )
+
+    df = spark.createDataFrame([Row(k=x) for x in items], "k string")
+    got = {
+        r[0]: r.mg_count for r in sk.heavy_hitters_mg(df, "k", k=k).collect()
+    }
+    n = len(items)
+    true = {}
+    for x in items:
+        true[x] = true.get(x, 0) + 1
+    bound = n / (k + 1)
+    for x, c in true.items():
+        if c > bound:
+            assert x in got, (x, c, bound, got)
+        if x in got:
+            assert c - bound <= got[x] <= c, (x, got[x], c, bound)
