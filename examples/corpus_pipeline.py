@@ -97,6 +97,13 @@ def main() -> None:
     train, test = corpus.train_test_split(kept, id_col="doc_id", test_fraction=0.1)
     print(f"[6] split: {train.count()} train / {test.count()} test (key-stable)")
 
+    # 6b. weight-proportional WOR sample of the training side (q333's
+    #     Efraimidis-Spirakis sampler): longer docs proportionally more
+    #     likely, deterministic under replay -------------------------------
+    wtrain = train.withColumn("n_chars", F.length("text").cast("long"))
+    sample = launch(corpus.weighted_sample_es(wtrain, k=8, weight_col="n_chars"))
+    print(f"[6b] weighted WOR sample: {sample.count()} docs (char-weighted)")
+
     # 7. ANN neighbors over embeddings ------------------------------------
     emb = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
