@@ -44,6 +44,13 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``; component =
     min node id of its cluster.
 
+    NULL-sided pairs are dropped WHOLE: a non-NULL endpoint that appears
+    ONLY in NULL-sided pairs (e.g. 5 in (NULL, 5)) gets no label at all —
+    it does not come back as a singleton component, because a NULL side is
+    no evidence the node exists as a graph participant. Callers that need
+    every non-NULL id labeled should union the missing ids back in as
+    singletons (``ids.join(out, "node", "left_anti")``).
+
     ``stats``, if a dict is passed, receives ``{"iterations": n,
     "converged": bool}`` after the run — the convergence metric a pipeline
     can log/alert on. Non-convergence within ``max_iterations`` raises

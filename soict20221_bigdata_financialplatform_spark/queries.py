@@ -24358,7 +24358,7 @@ def q331_dedup_watermark_catch(
     WITH tok AS (
       SELECT (('0x' || substr(md5(source), 1, 15))::UBIGINT % 2)::BIGINT
                AS side,
-             unnest(string_split(trim(text), ' ')) AS word
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
       FROM documents
     ), dh AS (
       SELECT DISTINCT side,
@@ -24525,7 +24525,9 @@ def q332_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q333_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis (2006):
     every doc gets the key ln(u)/w (u = seeded md5 uniform in (0,1],
-    w = byte length) and the top-k keys ARE a weight-proportional
+    w = CHARACTER length — Spark ``F.length`` and DuckDB ``length()``
+    both count characters, not bytes) and the top-k keys ARE a
+    weight-proportional
     WOR sample — the one-pass distributed form of the sampler a data
     mixer needs when q121's temperature/stratum machinery is too coarse
     (per-ROW weights, not per-stratum). Deterministic and key-stable
@@ -24556,189 +24558,154 @@ def q333_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-11 rotation (recipe from CLAUDE.md invariant 10 / r10
+    # -- Round-12 rotation (recipe from CLAUDE.md invariant 10 / r11
     # VERDICT task 1). The driver caps CORRECTNESS rows at the first 50
-    # registry entries (r1-r10 confirmed), so placement decides which
-    # oracle queries get a driver-green row. Slots 1-9: the standing
-    # sentinels. Slots 10-37: the r11 backlog q297-q324 (28 queries,
-    # authored r9, parity-green at sf0.001+0.01+0.1, judge-sampled 8/8,
-    # NEVER driver-checked). Slots 38-44: the r10-authored streaming
-    # batch twins q325-q331 (7 queries, parity-green at three SFs,
-    # judge-sampled q326/q331). Slots 45-50: the second-row queue
-    # resumes (q63, q65-q69). This clears the ENTIRE never-checked
-    # backlog: after r11, all registered queries have a driver-green
-    # row. The r10 window (q256-q296) drops behind with its r10 rows.
-    # R12 ROTATION PLAN: keep sentinels; continue the second-row queue
-    # (q70, q71, ... in registry order) through slot 50 — plus any
-    # r11-authored additions first. Run `parity_check --audit` +
+    # registry entries (r1-r11 confirmed), so placement decides which
+    # oracle queries get a driver-green row. After r11 EVERY registered
+    # oracle-able query except q332/q333 has a driver-green row, so from
+    # r12 on the window buys REDUNDANCY (second rows), not first-time
+    # coverage. Slots 1-9: the standing sentinels. Slots 10-11: the
+    # r11-authored q332/q333 (parity-green at sf0.001/0.01/0.1, the only
+    # oracle-able entries without a driver row). Slots 12-42: the
+    # second-row queue resumes (the r2/r3-green block q70-q103, 31
+    # entries, skipping rows-only q87/q92/q99). Slots 43-50: the queue
+    # continues into the r4-green block (q08..q104, first 8 in registry
+    # order). R13 ROTATION PLAN: keep sentinels; continue the second-row
+    # queue from q105_vocab_coverage (the r4-tail block right behind the
+    # boundary) through slot 50. Run `parity_check --audit` +
     # test_driver_window_schemas_are_hasher_safe before ANY rotation,
     # and update test_oracle_types' rotation pin.
-    # -- sentinels (driver-green r1..r10)
+    # -- sentinels (driver-green r1..r11)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
-    "q22_rsi", "q23_ema", "q30_exact_dedup",
-    "q50_decimal_money", "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- r11 backlog: never driver-checked, promoted into slots 10-37
-    "q297_return_moments", "q298_ams_f2",
-    "q299_degree_assortativity", "q300_adamic_adar",
-    "q301_fracdiff", "q302_brier_calibration",
-    "q303_pca_power_iteration", "q304_mi_lang_source",
-    "q305_ljung_box", "q306_rich_club",
-    "q307_roc_auc", "q308_embedding_outliers",
-    "q309_pairs_trading_ssd", "q310_anova_dow",
-    "q311_newey_west", "q312_theil_sen", "q313_realized_corr_matrix",
-    "q314_permutation_entropy", "q315_rank_persistence",
-    "q316_filter_attrition", "q317_dedup_savings",
-    "q318_mann_kendall", "q319_behavior_entropy",
-    "q320_downside_beta",
+    "q22_rsi", "q23_ema", "q30_exact_dedup", "q50_decimal_money",
+    "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
+    # -- r11-authored additions: first driver rows (slots 10-11)
+    "q332_kmv_intersection", "q333_weighted_sample_es",
+    # -- second-row queue: r2/r3 greens (slots 12-42)
+    "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
+    "q73_order_priority_exists", "q74_nation_trade_volume", "q75_market_share",
+    "q76_product_profit", "q77_important_parts", "q78_late_lines_by_status",
+    "q79_promo_revenue", "q80_top_supplier", "q81_supplier_part_cnt",
+    "q82_discount_or_predicates", "q83_waiting_orders",
+    "q84_min_cost_supplier", "q85_pii_redaction", "q86_tfidf_top_terms",
+    "q88_scd2_intervals", "q89_cohort_retention", "q90_value_histogram",
+    "q91_stat_moments", "q93_array_funcs", "q94_multiset_ops", "q95_bollinger",
+    "q96_macd", "q97_running_vwap", "q98_token_heavy_hitters",
+    "q100_map_funcs", "q101_unpivot", "q102_variant_json",
+    "q103_returned_items",
+    # -- second-row queue continues: r4 greens (slots 43-50)
+    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
+    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
+    "q62_large_orders", "q104_sequence_packing",
+    # ========== 50-slot driver window ends here ==========
+    # -- r4-green tail: NEXT IN LINE for the r13 window (second rows)
+    "q105_vocab_coverage", "q106_funnel_conversion", "q107_robust_outliers",
+    "q108_drawdown_sharpe", "q109_embedding_quantization", "q110_holt_linear",
+    "q111_fixed_k_sample", "q112_equidepth_histogram", "q51_ann_ivf",
+    "q113_decontamination", "q114_doc_chunking", "q115_fuzzy_dictionary_match",
+    "q116_within_doc_dedup", "q117_pagerank_dup_graph", "q118_pps_sample",
+    "q119_leakage_free_split", "q120_cdc_chunking",
+    "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
+    "q124_grid_interpolate", "q125_containment_pairs", "q126_dsir_importance",
+    "q127_semdedup", "q128_perplexity_lm", "q129_pmi_cooccurrence",
+    "q130_triangle_counts", "q131_pq_adc", "q132_windowed_pmi", "q133_ivfpq",
+    "q134_cms_estimates", "q135_rake_keywords",
+    # -- r11 window drops behind (driver-green r11)
+    "q297_return_moments", "q298_ams_f2", "q299_degree_assortativity",
+    "q300_adamic_adar", "q301_fracdiff", "q302_brier_calibration",
+    "q303_pca_power_iteration", "q304_mi_lang_source", "q305_ljung_box",
+    "q306_rich_club", "q307_roc_auc", "q308_embedding_outliers",
+    "q309_pairs_trading_ssd", "q310_anova_dow", "q311_newey_west",
+    "q312_theil_sen", "q313_realized_corr_matrix", "q314_permutation_entropy",
+    "q315_rank_persistence", "q316_filter_attrition", "q317_dedup_savings",
+    "q318_mann_kendall", "q319_behavior_entropy", "q320_downside_beta",
     "q321_activity_half_life", "q322_ochiai_collocations",
     "q323_nearest_centroid_eval", "q324_spectral_pair",
-    # -- streaming batch twins (authored r10): slots 38-44
     "q325_interval_join_counts", "q326_running_user_stats",
     "q327_out_of_order_audit", "q328_minute_bar_gaps",
-    "q329_native_session_window",
-    "q330_join_state_audit", "q331_dedup_watermark_catch",
-    # -- second-row queue resumes: slots 45-50
-    "q63_semantic_neighbors",
+    "q329_native_session_window", "q330_join_state_audit",
+    "q331_dedup_watermark_catch", "q63_semantic_neighbors",
     "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
     "q68_small_qty_revenue", "q69_dormant_rich_customers",
-    # ========== 50-slot driver window ends here ==========
-    # -- r11-authored additions (parity-green sf0.001/0.01/0.1): per the
-    #    r12 recipe these enter the next window FIRST, after the sentinels
-    "q332_kmv_intersection", "q333_weighted_sample_es",
-    # -- r10 window drops behind (driver-green r10)
+    # -- earlier retirees in prior relative order (r10 window q256-q296,
+    #    then r9/r7/r8/r6/r5 blocks — each has >=1 driver-green row)
     "q256_kmv_distinct", "q257_flesch_readability",
-    "q258_parkinson_volatility", "q259_kyle_lambda",
-    "q260_drawdown_duration", "q261_charclass_drift",
-    "q262_garman_klass", "q263_variance_ratio",
-    "q264_downside_risk", "q265_centroid_drift",
-    "q266_leadlag_market", "q267_hill_diversity",
-    "q268_vpin", "q269_rfm_migration",
-    "q270_loo_source_value", "q271_weighted_reservoir",
-    "q272_triple_barrier", "q273_purged_kfold",
-    "q274_label_uniqueness", "q275_runs_test",
-    "q276_corwin_schultz", "q277_cointegration_hedge",
-    "q278_embedding_shift", "q279_word_burstiness",
-    "q280_woe_iv", "q281_hurst_rs", "q282_event_study_car",
-    "q283_hard_negatives", "q284_momentum_deciles",
-    "q285_embedding_anisotropy", "q286_activity_gini",
-    "q287_tail_index", "q288_kanonymity_audit",
-    "q289_behavior_markov", "q290_price_staleness",
+    "q258_parkinson_volatility", "q259_kyle_lambda", "q260_drawdown_duration",
+    "q261_charclass_drift", "q262_garman_klass", "q263_variance_ratio",
+    "q264_downside_risk", "q265_centroid_drift", "q266_leadlag_market",
+    "q267_hill_diversity", "q268_vpin", "q269_rfm_migration",
+    "q270_loo_source_value", "q271_weighted_reservoir", "q272_triple_barrier",
+    "q273_purged_kfold", "q274_label_uniqueness", "q275_runs_test",
+    "q276_corwin_schultz", "q277_cointegration_hedge", "q278_embedding_shift",
+    "q279_word_burstiness", "q280_woe_iv", "q281_hurst_rs",
+    "q282_event_study_car", "q283_hard_negatives", "q284_momentum_deciles",
+    "q285_embedding_anisotropy", "q286_activity_gini", "q287_tail_index",
+    "q288_kanonymity_audit", "q289_behavior_markov", "q290_price_staleness",
     "q291_template_detection", "q292_packing_efficiency",
     "q293_market_dispersion", "q294_avg_correlation",
     "q295_intraday_vol_signature", "q296_bigram_oov",
-    # -- r9 window drops behind (driver-green r9)
     "q233_cms_partition_union", "q234_good_turing", "q235_vocab_growth",
     "q236_candle_patterns", "q237_amihud_illiquidity",
     "q238_source_unigram_kl", "q239_burrows_delta",
-    "q240_interarrival_percentiles",
-    "q241_daily_dup_rate", "q242_ann_ranking_metrics",
-    "q243_flow_imbalance", "q244_seasonal_naive_backtest",
-    "q245_changepoint", "q246_ship_lag_percentiles",
-    "q247_bloom_fpr", "q248_bootstrap_ci",
+    "q240_interarrival_percentiles", "q241_daily_dup_rate",
+    "q242_ann_ranking_metrics", "q243_flow_imbalance",
+    "q244_seasonal_naive_backtest", "q245_changepoint",
+    "q246_ship_lag_percentiles", "q247_bloom_fpr", "q248_bootstrap_ci",
     "q249_lsh_threshold_sweep", "q250_psi_drift",
     "q251_store_dedup_attribution", "q252_bernoulli_sample_store",
     "q253_doremi_curriculum_mixer", "q254_neardup_precision_eval",
-    "q255_minhash_store_novelty",
-    "q05_summary_stats", "q31_ngram_jaccard_pairs",
-    "q36_embedding_near_dup",
-    "q41_cube", "q42_scalar_subquery",
-    "q43_null_fill", "q44_string_funcs", "q45_date_funcs",
-    "q46_range_join", "q47_union_all", "q48_corpus_survivors",
-    "q52_hourly_window", "q54_data_profile", "q56_grouping_sets",
-    "q57_minhash_md5", "q58_simhash_md5", "q59_bpe_token_count",
-    "q60_corpus_clean_exact",
-    # -- r7 window drops behind (driver-green r7 + r8)
-    "q216_vocab_coverage_curve", "q217_js_divergence",
-    "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
-    "q221_acf", "q222_conditional_entropy", "q223_source_vocab_overlap",
-    "q224_overnight_gaps", "q225_calendar_heatmap",
-    "q226_domain_bpb", "q227_memorization_spans",
-    "q228_hll_partition_union", "q229_source_overlap_attribution",
-    "q230_minhash_hot_bands", "q231_tfidf_cosine_pairs",
-    "q232_weekly_bars",
-    # -- r7/r8 window fillers drop behind (driver-green r7 + r8)
-    "q38_sessionization",
+    "q255_minhash_store_novelty", "q05_summary_stats",
+    "q31_ngram_jaccard_pairs", "q36_embedding_near_dup", "q41_cube",
+    "q42_scalar_subquery", "q43_null_fill", "q44_string_funcs",
+    "q45_date_funcs", "q46_range_join", "q47_union_all",
+    "q48_corpus_survivors", "q52_hourly_window", "q54_data_profile",
+    "q56_grouping_sets", "q57_minhash_md5", "q58_simhash_md5",
+    "q59_bpe_token_count", "q60_corpus_clean_exact",
+    "q216_vocab_coverage_curve", "q217_js_divergence", "q218_spearman_trend",
+    "q219_kaplan_meier", "q220_wasserstein", "q221_acf",
+    "q222_conditional_entropy", "q223_source_vocab_overlap",
+    "q224_overnight_gaps", "q225_calendar_heatmap", "q226_domain_bpb",
+    "q227_memorization_spans", "q228_hll_partition_union",
+    "q229_source_overlap_attribution", "q230_minhash_hot_bands",
+    "q231_tfidf_cosine_pairs", "q232_weekly_bars", "q38_sessionization",
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
-    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
-    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
-    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
-    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
-    "q40_window_grabbag",
-    # -- q11 rests again (5 green rows r1-r4 + r6)
-    "q11_outer_join_activity",
-    # -- driver-green r6 (q176-q187 backlog rows + q188-q215 additions)
-    "q176_theil_index", "q177_lorenz_deciles", "q178_burstiness",
-    "q179_heaps_fit", "q180_lexical_stats", "q181_novel_ngram_rate",
-    "q182_kl_drift", "q183_corpus_clean_lsh", "q184_longest_common_run",
-    "q185_ivf_cell_balance", "q186_hll_md5", "q187_sampled_quantiles",
-    "q188_bpe_merges", "q189_domain_mixture", "q190_paragraph_dedup",
-    "q191_repetition_filters", "q192_ccnet_buckets",
-    "q193_soft_dedup_weights", "q194_quantile_normalize",
-    "q195_ks_test", "q196_mann_whitney", "q197_benford",
-    "q198_llr_collocations", "q199_kneser_ney_bigram",
-    "q200_tokenizer_fertility", "q201_dedup_cluster_stats",
-    "q202_length_log_histogram", "q203_kaufman_er",
-    "q204_donchian_channels", "q205_heikin_ashi",
-    "q206_realized_volatility", "q207_roll_spread",
-    "q208_hits_scores", "q209_lsh_recall_eval", "q210_keltner_channels",
-    "q211_ichimoku", "q212_simhash_hot_chunks",
+    "q19_keyed_dedup", "q20_window_change", "q21_window_sma", "q24_daily_bars",
+    "q25_asof_view_before_purchase", "q26_json_extract", "q27_gain_loss_split",
+    "q28_doc_text_stats", "q29_doc_quality", "q34_ann_bruteforce",
+    "q35_ann_lsh", "q37_percentiles", "q39_pivot", "q40_window_grabbag",
+    "q11_outer_join_activity", "q176_theil_index", "q177_lorenz_deciles",
+    "q178_burstiness", "q179_heaps_fit", "q180_lexical_stats",
+    "q181_novel_ngram_rate", "q182_kl_drift", "q183_corpus_clean_lsh",
+    "q184_longest_common_run", "q185_ivf_cell_balance", "q186_hll_md5",
+    "q187_sampled_quantiles", "q188_bpe_merges", "q189_domain_mixture",
+    "q190_paragraph_dedup", "q191_repetition_filters", "q192_ccnet_buckets",
+    "q193_soft_dedup_weights", "q194_quantile_normalize", "q195_ks_test",
+    "q196_mann_whitney", "q197_benford", "q198_llr_collocations",
+    "q199_kneser_ney_bigram", "q200_tokenizer_fertility",
+    "q201_dedup_cluster_stats", "q202_length_log_histogram", "q203_kaufman_er",
+    "q204_donchian_channels", "q205_heikin_ashi", "q206_realized_volatility",
+    "q207_roll_spread", "q208_hits_scores", "q209_lsh_recall_eval",
+    "q210_keltner_channels", "q211_ichimoku", "q212_simhash_hot_chunks",
     "q213_minhash_estimate_error", "q214_idf_doc_filter",
-    "q215_stratified_kfold",
-    # -- driver-green r5 (q136-q175 earned their rows in the r5 window)
-    "q136_negative_sampling", "q137_clustering_coeff",
-    "q138_atr", "q139_stochastic", "q140_obv",
-    "q141_seasonal_decompose", "q142_rfm_segments", "q143_assoc_rules",
-    "q144_gini_concentration", "q145_hhi_concentration",
-    "q146_integrity_audit", "q147_winsorized_stats",
+    "q215_stratified_kfold", "q136_negative_sampling", "q137_clustering_coeff",
+    "q138_atr", "q139_stochastic", "q140_obv", "q141_seasonal_decompose",
+    "q142_rfm_segments", "q143_assoc_rules", "q144_gini_concentration",
+    "q145_hhi_concentration", "q146_integrity_audit", "q147_winsorized_stats",
     "q148_markov_transitions", "q149_zipf_fit", "q150_cusum_drift",
-    "q151_silhouette", "q152_phrase_search",
-    "q153_token_budget_mixture", "q154_rrf_hybrid", "q155_item_cf",
-    "q156_pareto_skyline", "q157_ab_test", "q158_dau_wau",
-    "q159_cycle_time", "q160_cohort_ltv", "q161_bloom_semijoin",
-    "q162_interval_islands", "q163_longest_streak",
+    "q151_silhouette", "q152_phrase_search", "q153_token_budget_mixture",
+    "q154_rrf_hybrid", "q155_item_cf", "q156_pareto_skyline", "q157_ab_test",
+    "q158_dau_wau", "q159_cycle_time", "q160_cohort_ltv",
+    "q161_bloom_semijoin", "q162_interval_islands", "q163_longest_streak",
     "q164_rolling_autocorr", "q165_var_cvar", "q166_chi_square",
     "q167_langid_eval", "q168_capm_beta", "q169_abc_analysis",
     "q170_seasonal_anomalies", "q171_behavior_similarity",
     "q172_pct_of_parent", "q173_yoy_growth", "q174_dn_retention",
     "q175_word_entropy",
-    # -- driver-green r4
-    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
-    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
-    "q62_large_orders", "q104_sequence_packing", "q105_vocab_coverage",
-    "q106_funnel_conversion", "q107_robust_outliers",
-    "q108_drawdown_sharpe", "q109_embedding_quantization",
-    "q110_holt_linear", "q111_fixed_k_sample", "q112_equidepth_histogram",
-    "q51_ann_ivf",
-    "q113_decontamination", "q114_doc_chunking",
-    "q115_fuzzy_dictionary_match", "q116_within_doc_dedup",
-    "q117_pagerank_dup_graph", "q118_pps_sample",
-    "q119_leakage_free_split", "q120_cdc_chunking",
-    "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
-    "q124_grid_interpolate", "q125_containment_pairs",
-    "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
-    "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
-    "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
-    "q135_rake_keywords",
-    # -- driver-green in r2 and/or r3 (entries earning r6 second rows,
-    # and the q41-q68 slice promoted into the r9 window, have moved up;
-    # the rest queue here — next in line for the r12 window)
-    "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
-    "q73_order_priority_exists", "q74_nation_trade_volume",
-    "q75_market_share", "q76_product_profit", "q77_important_parts",
-    "q78_late_lines_by_status", "q79_promo_revenue", "q80_top_supplier",
-    "q81_supplier_part_cnt", "q82_discount_or_predicates",
-    "q83_waiting_orders", "q84_min_cost_supplier", "q85_pii_redaction",
-    "q86_tfidf_top_terms", "q88_scd2_intervals", "q89_cohort_retention",
-    "q90_value_histogram", "q91_stat_moments", "q93_array_funcs",
-    "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
-    "q98_token_heavy_hitters", "q100_map_funcs", "q101_unpivot",
-    "q102_variant_json", "q103_returned_items",
     # -- rows-only variants (no DuckDB twin by construction): dead last
     "q32_minhash_pairs", "q33_simhash_pairs", "q49_corpus_clean",
-    "q87_approx_distinct", "q92_approx_quantiles",
-    "q99_heavy_hitters_mg",
+    "q87_approx_distinct", "q92_approx_quantiles", "q99_heavy_hitters_mg",
 ]
 
 assert set(_FINAL_ORDER) == set(QUERIES), sorted(

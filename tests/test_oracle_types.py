@@ -21,15 +21,16 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r11_rotation():
+def test_final_order_window_r12_rotation():
     """The driver checks the FIRST 50 registry entries. Pin the
-    round-11 window: 9 sentinels up front, the 28-query r11 backlog
-    q297-q324 in slots 10-37, the 7 streaming batch twins q325-q331 in
-    slots 38-44 (all parity-green at three SFs, never driver-checked
-    before r11), the second-row queue (q63, q65-q69) in slots 45-50,
-    every window entry oracle-backed, the rows-only six dead last, and
-    the full registry covered exactly once. The r10 window q256-q296
-    drops behind right after the boundary."""
+    round-12 window: 9 sentinels up front, the r11-authored q332/q333
+    in slots 10-11 (the only oracle-able entries without a driver row
+    after r11 cleared the backlog), the second-row queue's r2/r3-green
+    block q70-q103 in slots 12-42 (31 entries, rows-only q87/q92/q99
+    excluded), the queue continuing into the r4-green block q08..q104
+    in slots 43-50, every window entry oracle-backed, the rows-only six
+    dead last, and the full registry covered exactly once. The r4-green
+    tail (q105 onward) queues right behind the boundary for r13."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -43,23 +44,22 @@ def test_final_order_window_r11_rotation():
     ]
     assert _FINAL_ORDER[:9] == sentinels
     window = _FINAL_ORDER[:50]
-    assert [w.split("_")[0] for w in window[9:44]] == [
-        f"q{n}" for n in range(297, 332)
-    ]
-    assert window[44:50] == [
-        "q63_semantic_neighbors", "q65_gopher_quality", "q66_shared_ngrams",
-        "q67_winnow_overlap", "q68_small_qty_revenue",
-        "q69_dormant_rich_customers",
-    ]
-    # The r11-authored additions queue first behind the boundary (the r12
-    # recipe pulls them into the next window right after the sentinels),
-    # then the retired r10 window.
-    assert _FINAL_ORDER[50:52] == [
+    assert window[9:11] == [
         "q332_kmv_intersection", "q333_weighted_sample_es",
     ]
-    assert [w.split("_")[0] for w in _FINAL_ORDER[52:93]] == [
-        f"q{n}" for n in range(256, 297)
+    rows_only_nums = {"q87", "q92", "q99"}
+    expected_queue = [
+        f"q{n}" for n in range(70, 104) if f"q{n}" not in rows_only_nums
     ]
+    assert [w.split("_")[0] for w in window[11:42]] == expected_queue
+    assert window[42:50] == [
+        "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
+        "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
+        "q62_large_orders", "q104_sequence_packing",
+    ]
+    # The r13 second-row queue starts right behind the boundary with the
+    # remaining r4-green block.
+    assert _FINAL_ORDER[50] == "q105_vocab_coverage"
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]
