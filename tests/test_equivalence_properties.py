@@ -374,3 +374,200 @@ def test_mg_never_misses_a_heavy_hitter(spark, items, k):
             assert x in got, (x, c, bound, got)
         if x in got:
             assert c - bound <= got[x] <= c, (x, got[x], c, bound)
+
+
+# ---------------------------------------------------------------------------
+# r12 additions: the skew-decomposition joins, paragraph dedup, and the
+# winnowing fingerprint — each against a brute-force python oracle (the
+# r11 VERDICT task-5 list). The skew operators' contract is EXACT result
+# equality with the plain formulation (salting is a physical rewrite);
+# paragraph_dedup and winnowing get independent recomputations.
+# ---------------------------------------------------------------------------
+
+from soict20221_bigdata_financialplatform_spark.functions import (  # noqa: E402
+    text as tx,
+)
+from soict20221_bigdata_financialplatform_spark.operators import (  # noqa: E402
+    corpus as cp,
+)
+from soict20221_bigdata_financialplatform_spark.operators.skew import (  # noqa: E402
+    salted_join,
+    salted_self_pairs,
+)
+
+_skew_keys = st.sampled_from(["hot", "hot", "hot", "k1", "k2", None])
+_big_rows = st.lists(
+    st.tuples(_skew_keys, st.integers(0, 99)), min_size=0, max_size=30
+)
+_small_rows = st.lists(
+    st.tuples(st.sampled_from(["hot", "k1", "k3", None]), st.integers(0, 9)),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_big_rows, _small_rows, st.sampled_from(["inner", "left"]),
+       st.sampled_from([2, 5]))
+@settings(**_SETTINGS)
+def test_salted_join_matches_plain_join(spark, big_rows, small_rows, how,
+                                        salt):
+    """salted_join is a PHYSICAL rewrite: for inner and left joins its
+    result multiset equals the plain equi-join's exactly — hot keys,
+    missing keys, NULL keys (which never match; preserved under left),
+    empty sides, any salt width."""
+    big = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in big_rows], "k string, v long"
+    )
+    small = spark.createDataFrame(
+        [Row(k=k, w=w) for k, w in small_rows], "k string, w long"
+    )
+    got = sorted(
+        ((r.k, r.v, r.w) for r in
+         salted_join(big, small, on="k", salt=salt, how=how)
+         .select("k", "v", "w").collect()),
+        key=str,
+    )
+    want = sorted(
+        ((r.k, r.v, r.w) for r in
+         big.join(small, on="k", how=how).select("k", "v", "w").collect()),
+        key=str,
+    )
+    assert got == want
+
+
+_pair_rows = st.lists(
+    st.sampled_from(["hot", "hot", "hot", "g1", "g2"]),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(_pair_rows, st.sampled_from([1, 3, 8]))
+@settings(**_SETTINGS)
+def test_salted_self_pairs_matches_unsalted_pairs(spark, keys, salt):
+    """salted_self_pairs returns PRECISELY the naive keyed self-join's
+    pair set {(id_a, id_b): same key, id_a < id_b} — the sub-group
+    block decomposition loses no pair and invents none, for any salt
+    (salt=1 degenerates to the naive join)."""
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(
+        [Row(k=k, id=i) for k, i in rows], "k string, id long"
+    )
+    got = sorted(
+        (r.k, r.id_a, r.id_b)
+        for r in salted_self_pairs(df, ["k"], id_col="id", salt=salt)
+        .collect()
+    )
+    want = sorted(
+        (ka, a, b)
+        for ka, a in rows
+        for kb, b in rows
+        if ka == kb and a < b
+    )
+    assert got == want
+
+
+_para_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_para_texts = st.lists(
+    st.one_of(
+        st.lists(_para_words, min_size=0, max_size=18).map(" ".join),
+        st.none(),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(_para_texts, st.sampled_from([2, 3, 5]))
+@settings(**_SETTINGS)
+def test_paragraph_dedup_matches_first_occurrence_oracle(
+    spark, texts, seg_words
+):
+    """paragraph_dedup ≡ a python reimplementation: segment each doc
+    into seg_words-word chunks, keep each distinct segment's FIRST
+    occurrence corpus-wide (ordered by (doc_id, seg_idx)), rebuild docs
+    from survivors. NULL-text docs vanish (their explode emits no
+    segment rows); empty text is ONE empty segment."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.kept_text)
+        for r in cp.paragraph_dedup(df, seg_words=seg_words).collect()
+    }
+    segs: list[tuple[int, int, str]] = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        words = t.strip().split()
+        if not words:
+            words = [""]  # F.split(trim(''), '\\s+') -> ['']
+        n_groups = -(-len(words) // seg_words)
+        for j in range(n_groups):
+            segs.append(
+                (i, j, " ".join(words[j * seg_words:(j + 1) * seg_words]))
+            )
+    first_owner: dict[str, tuple[int, int]] = {}
+    for i, j, s in sorted(segs):
+        first_owner.setdefault(s, (i, j))
+    want: dict[int, tuple[int, int, str]] = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        mine = [(j, s) for (di, j, s) in segs if di == i]
+        kept = [(j, s) for j, s in mine if first_owner[s] == (i, j)]
+        want[i] = (
+            len(mine),
+            len(kept),
+            " ".join(s for _, s in sorted(kept)),
+        )
+    assert got == want
+
+
+@given(_para_texts, st.sampled_from([2, 3]), st.sampled_from([2, 4]))
+@settings(**_SETTINGS)
+def test_winnow_fingerprints_matches_bruteforce_and_guarantee(
+    spark, texts, n, w
+):
+    """winnow_fingerprints ≡ the textbook winnowing (Schleimer 2003)
+    recomputed in python with the same md5-prefix hash: the fingerprint
+    set is exactly {min of every w-window of n-gram hashes}, sorted
+    distinct — which IS the span guarantee (every w consecutive grams
+    contribute their window minimum, so any shared run of n+w-1 words
+    shares a fingerprint). Docs with fewer than n+w-1 words fingerprint
+    to the empty array."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: list(r.nfp) if r.nfp is not None else None
+        for r in tx.winnow_fingerprints(df, n=n, w=w).collect()
+    }
+
+    def h(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+    for i, t in enumerate(texts):
+        if t is None:
+            # size(NULL words) is NULL -> the when-guard's otherwise
+            # branch: empty fingerprint array, not NULL
+            assert got[i] == [], (i, got[i])
+            continue
+        words = t.strip().split() or [""]
+        grams = (
+            [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)]
+            if len(words) >= n
+            else []
+        )
+        hs = [h(g) for g in grams]
+        mins = (
+            {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+            if len(hs) >= w
+            else set()
+        )
+        assert got[i] == sorted(mins), (i, t, got[i], sorted(mins))
