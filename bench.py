@@ -260,6 +260,9 @@ ITERATIVE = {"q117_pagerank_dup_graph", "q119_leakage_free_split",
 # EMPTY — the r10 watch (q127_semdedup, q250_psi_drift) closed as NOISE
 # with 4 matched-condition runs each (SCALE.md table); earlier watches
 # (r9: q46/q82/q74/q133; r5-era set) all classified noise too.
+# EMPTY — the r12 closure (q306/q82/q235/q233/q234, the five r11 movers)
+# ruled all five NOISE with 4 matched runs + isolation probes; see
+# SCALE.md "Round-12 drift closure".
 DRIFT_WATCH: set[str] = set()
 
 

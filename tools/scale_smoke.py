@@ -190,6 +190,27 @@ def op_suite(spark, d: str) -> dict:
         # the hot key spreads over 16 reducers, so alpha ~ 1 expected
         # where the plain skewed shuffle trends superlinear per-reducer.
         "salted_join_hot_key": lambda: _salted_join_count(spark, ev),
+        # r11 additions (r11 VERDICT task 6): exponents for the two new
+        # registry operators and the NULL-hardened asof carry.
+        # weighted_sample_es — one projection + TakeOrderedAndProject
+        # partial top-k; alpha ~ 1 (scan-bound, no global sort).
+        "weighted_sample_es": lambda: cp.weighted_sample_es(
+            docs.select(
+                "doc_id", F.length("text").cast("long").alias("w")
+            ),
+            k=16,
+            weight_col="w",
+            id_col="doc_id",
+        ).count(),
+        # q332's KMV theta-store build (the data-sized stage: everything
+        # after the stores is <=128 rows): explode words -> distinct
+        # 60-bit hash per side -> per-side top-64 via the ranked window
+        # (WindowGroupLimit pushes the partial top-k below the shuffle).
+        "kmv_theta_stores": lambda: _kmv_store_count(docs),
+        # asof_join (r11 NULL-hardened union-sort carry): events against
+        # a 1-in-7 sparse right side per user; the only shuffle is the
+        # union sort on (key, ts) — alpha ~ 1 modulo the sort's log term.
+        "asof_join_events": lambda: _asof_count(ev),
     }
 
 
@@ -232,6 +253,44 @@ def _salted_join_count(spark, ev) -> int:
     )
     with no_auto_broadcast(spark):
         return salted_join(big, skew_dim(spark), on="k", salt=SALT).count()
+
+
+def _kmv_store_count(docs) -> int:
+    # q332's store-build stage on the synthetic corpus: side from
+    # doc_id%2 (the synthetic docs carry no source column; parity of a
+    # uniform id is an unbiased split here — the q296 correlated-mod
+    # caveat applies to REAL metadata, not spark.range ids).
+    side = F.pmod(F.col("doc_id"), F.lit(2)).cast("long")
+    tok = docs.select(
+        side.alias("side"), F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    dh = tok.select(
+        "side",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("side").orderBy("hv")
+    store = dh.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 64
+    )
+    return store.count()
+
+
+def _asof_count(ev) -> int:
+    from soict20221_bigdata_financialplatform_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = ev.select("user_id", "event_id", "ts_us")
+    right = ev.where(F.pmod(F.col("event_id"), F.lit(7)) == 0).select(
+        "user_id",
+        F.col("ts_us").alias("rts"),
+        F.col("value").alias("rv"),
+    )
+    return asof_join(
+        left, right, on=["user_id"], left_ts="ts_us", right_ts="rts"
+    ).count()
 
 
 def _pca_gram_count(emb) -> int:
