@@ -236,6 +236,10 @@ HEADLINE = [
     "q331_dedup_watermark_catch",
     "q332_kmv_intersection",
     "q333_weighted_sample_es",
+    # r12 additions (DP releases): baseline on authoring so their r13
+    # window promotion ships with a perf history
+    "q334_dp_noisy_counts",
+    "q335_dp_noisy_char_sums",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports
@@ -460,7 +464,13 @@ def main() -> None:
     )
     ema_base.unpersist()
 
-    skew_big = skew_fact(spark, 1_000_000).persist()
+    # 10M rows, not 1M: the r12 crossover sweep (SCALE.md "skew-salting
+    # crossover") showed the 1M fixture is overhead-dominated — all four
+    # variants tie at ~0.7-0.9s, demonstrating nothing — while at 10M the
+    # hot reducer is the measured bottleneck and salting wins 2.3-2.5x
+    # (1.4s vs 3.1-3.6s), WITH or WITHOUT AQE's skew-join mitigation
+    # enabled. These two rows time the regime the hatch exists for.
+    skew_big = skew_fact(spark, 10_000_000).persist()
     dim = skew_dim(spark).persist()
     skew_big.count(); dim.count()
     # the shared fixture + broadcast-disable protocol (tools/
@@ -468,12 +478,12 @@ def main() -> None:
     # scale_smoke's exponent row — SCALE.md pairs the two numbers.
     with no_auto_broadcast(spark):
         _timed(
-            "salted_join_skew1m",
+            "salted_join_skew10m",
             lambda: salted_join(skew_big, dim, on="k", salt=SALT)
             .write.format("noop").mode("overwrite").save(),
         )
         _timed(
-            "plain_join_skew1m",
+            "plain_join_skew10m",
             lambda: skew_big.join(dim, on="k", how="inner")
             .write.format("noop").mode("overwrite").save(),
         )

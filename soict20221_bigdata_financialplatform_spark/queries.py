@@ -32,6 +32,7 @@ from soict20221_bigdata_financialplatform_spark.operators import corpus as cp
 from soict20221_bigdata_financialplatform_spark.operators import dedup as dd
 from soict20221_bigdata_financialplatform_spark.operators import fuzzy as fz
 from soict20221_bigdata_financialplatform_spark.operators import graph as gr
+from soict20221_bigdata_financialplatform_spark.operators import privacy as pv
 from soict20221_bigdata_financialplatform_spark.operators import serving as srv
 from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
 from soict20221_bigdata_financialplatform_spark.operators import sketch as sk
@@ -24548,6 +24549,92 @@ def q333_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.weighted_sample_es(d, k=16, weight_col="w", seed="es42")
 
 
+@register(
+    "q334_dp_noisy_counts",
+    """
+    WITH agg AS (
+      SELECT source, count(*)::BIGINT AS n_true
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_true,
+           n_true + (
+             round(ln((('0x' || substr(md5('dpL1|dpq334|' || source), 1, 15))
+                         ::UBIGINT::BIGINT + 1)
+                      / 1.152921504606846976e+18), 6)
+             - round(ln((('0x' || substr(md5('dpL2|dpq334|' || source), 1, 15))
+                         ::UBIGINT::BIGINT + 1)
+                      / 1.152921504606846976e+18), 6)
+           ) * 1.0 AS noisy_count
+    FROM agg
+    """,
+)
+def q334_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-differentially-private corpus composition release: doc
+    counts per source + Laplace(1/eps) noise (Dwork et al. 2006;
+    eps = 1, count sensitivity exactly 1) — the RELEASE mechanism
+    complementing q288's k-anonymity audit (q288 measures how exposed
+    the raw table is; this publishes a protected view). Noise is the
+    difference of two seeded exponentials, -ln(u1)+ln(u2) == Laplace:
+    u = (md5_60bit + 1)/2⁶⁰ per (tag, seed, group), so the release is
+    REPLAYABLE — the q333 hash-uniform construction, budget spend
+    happens per fresh seed. n_true is the calibration column (q332's
+    true_shared convention: drop it at production — publishing it would
+    defeat the mechanism).
+
+    Parity design: each ln rounded AT the transcendental (float
+    policy), everything downstream identical-expression-tree IEEE
+    (one subtraction, one scale multiply, one BIGINT+DOUBLE add).
+    Library form :func:`privacy.dp_laplace_counts`. Scale: noise is a
+    per-GROUP projection above the count aggregate — one Exchange
+    total (pytest-pinned), nothing per input row."""
+    d = _t(spark, sf_dir, "documents")
+    return pv.dp_laplace_counts(d, ["source"], epsilon=1.0, seed="dpq334")
+
+
+@register(
+    "q335_dp_noisy_char_sums",
+    """
+    WITH agg AS (
+      SELECT source, count(*)::BIGINT AS n_rows,
+             sum(least(greatest(coalesce(length(text), 0)::DOUBLE, 0.0),
+                       500.0)) AS sum_clipped
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_rows, sum_clipped,
+           sum_clipped + (
+             round(ln((('0x' || substr(md5('dpL1|dpq335|' || source), 1, 15))
+                         ::UBIGINT::BIGINT + 1)
+                      / 1.152921504606846976e+18), 6)
+             - round(ln((('0x' || substr(md5('dpL2|dpq335|' || source), 1, 15))
+                         ::UBIGINT::BIGINT + 1)
+                      / 1.152921504606846976e+18), 6)
+           ) * 1000.0 AS noisy_sum
+    FROM agg
+    """,
+)
+def q335_dp_noisy_char_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-DP noisy SUMS with sensitivity clipping: per-source total
+    text volume, each doc's contribution clamped to [0, 500] chars (an
+    UNclipped sum has unbounded sensitivity — no finite-noise release
+    exists), + Laplace(clip/eps) with eps = 0.5 → scale 1000. q334's
+    sibling for the magnitude statistic; together they release a
+    (count, volume) corpus-mix table under a 1.5-total-eps budget.
+
+    Parity design: clipped per-row values are INTEGER-VALUED doubles
+    ≤ 500, so the float SUM is exact in any order (< 2⁵³ — no rounding
+    needed, unlike generic float sums); noise as in q334 with the
+    clip/eps scale as the one multiply. Library form
+    :func:`privacy.dp_laplace_sum` (which also coalesces NULL/negative
+    contributions to 0 — mirrored by the oracle's coalesce/greatest).
+    Scale: clip folds into the scan projection; one Exchange total."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("v")
+    )
+    return pv.dp_laplace_sum(
+        d, ["source"], "v", clip=500.0, epsilon=0.5, seed="dpq335"
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -24598,7 +24685,10 @@ _FINAL_ORDER = [
     "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
     "q62_large_orders", "q104_sequence_packing",
     # ========== 50-slot driver window ends here ==========
-    # -- r4-green tail: NEXT IN LINE for the r13 window (second rows)
+    # -- r12-authored additions (parity-green three SFs): per the rotation
+    #    recipe these enter the r13 window FIRST, right after the sentinels
+    "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
+    # -- r4-green tail: NEXT IN LINE AFTER THE ADDITIONS for the r13 window
     "q105_vocab_coverage", "q106_funnel_conversion", "q107_robust_outliers",
     "q108_drawdown_sharpe", "q109_embedding_quantization", "q110_holt_linear",
     "q111_fixed_k_sample", "q112_equidepth_histogram", "q51_ann_ivf",

@@ -57,9 +57,13 @@ def test_final_order_window_r12_rotation():
         "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
         "q62_large_orders", "q104_sequence_packing",
     ]
-    # The r13 second-row queue starts right behind the boundary with the
-    # remaining r4-green block.
-    assert _FINAL_ORDER[50] == "q105_vocab_coverage"
+    # Behind the boundary: the r12-authored additions queue first for the
+    # r13 window, then the r13 second-row queue resumes with the remaining
+    # r4-green block.
+    assert _FINAL_ORDER[50:53] == [
+        "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
+        "q105_vocab_coverage",
+    ]
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]
