@@ -2162,7 +2162,7 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q65_gopher_quality",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     tw AS (
       SELECT doc_id, max(cnt) AS max_cnt FROM (
         SELECT doc_id, word, count(*) AS cnt
@@ -2240,7 +2240,7 @@ def q65_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q66_shared_ngrams",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     g AS (
       SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
                i -> array_to_string(w[i:i+4], ' ')))) AS gram
@@ -2287,7 +2287,7 @@ def q66_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q67_winnow_overlap",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     g AS (
       SELECT doc_id,
              list_transform(range(1, len(w) - 2),
@@ -4826,7 +4826,7 @@ def q112_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q113_decontamination",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     g AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
                i -> array_to_string(w[i:i+7], ' '))) AS gs
@@ -4866,7 +4866,7 @@ def q113_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q114_doc_chunking",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     c AS (SELECT doc_id, w, len(w) AS L, unnest(range(0, len(w), 24)) AS start
           FROM w WHERE len(w) > 0)
     SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
@@ -4930,7 +4930,7 @@ def q115_fuzzy_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q116_within_doc_dedup",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     f AS (SELECT doc_id, w, list_filter(w, (x, i) -> list_position(w, x) = i)
              AS kept
           FROM w WHERE len(w) > 0)
@@ -4980,7 +4980,7 @@ def q116_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q117_pagerank_dup_graph",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
              i -> array_to_string(w[i:i+4], ' ')))) AS gram
           FROM w WHERE len(w) >= 5),
@@ -5197,7 +5197,7 @@ def q119_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q120_cdc_chunking",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     t AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
           FROM w WHERE len(w) > 0),
     m AS (
@@ -5284,7 +5284,7 @@ def q121_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q122_bm25",
     """
-    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
     dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM w),
     st AS (SELECT count(*)::BIGINT AS N, round(avg(dl), 6) AS avgdl FROM dl),
     t AS (SELECT doc_id, unnest(w) AS word FROM w),
@@ -5636,7 +5636,7 @@ def q125_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q126_dsir_importance",
     """
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     t AS (SELECT doc_id, len(w) >= 50 AS is_t, w FROM w),
     x AS (
@@ -5755,7 +5755,7 @@ def q127_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q128_perplexity_lm",
     """
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     st AS (
       SELECT doc_id, w,
@@ -5807,7 +5807,7 @@ def q128_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q129_pmi_cooccurrence",
     """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -5845,7 +5845,7 @@ def q129_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q130_triangle_counts",
     """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -6017,7 +6017,7 @@ def q131_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q132_windowed_pmi",
     """
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     ev AS (
       SELECT doc_id, p.a AS a, p.b AS b FROM (
@@ -6116,7 +6116,7 @@ def q133_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q134_cms_estimates",
     """
     WITH tok AS (
-      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
     ),
     tc AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY word),
     top AS (SELECT word, true_cnt FROM tc ORDER BY true_cnt DESC, word LIMIT 20),
@@ -6168,7 +6168,7 @@ def q134_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q135_rake_keywords",
     """
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     t AS (
       SELECT doc_id, t.i AS i, w.w[t.i] AS word
@@ -6339,7 +6339,7 @@ def q136_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q137_clustering_coeff",
     """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -7047,7 +7047,7 @@ def q148_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH wc AS (
       SELECT lang, word, count(*)::BIGINT AS cnt
-      FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
             FROM documents)
       GROUP BY lang, word
     ),
@@ -7356,7 +7356,7 @@ def q152_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT doc_id, lang,
-             len(string_split(trim(text), ' '))::BIGINT AS n_tokens,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
              md5('mix42|' || doc_id::VARCHAR) AS h
       FROM documents
     ),
@@ -7442,7 +7442,7 @@ def q153_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q154_rrf_hybrid",
     """
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     stats AS (
       SELECT count(*)::BIGINT AS n,
@@ -8964,7 +8964,7 @@ def q174_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q175_word_entropy",
     """
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     c AS (
       SELECT doc_id, word, count(*)::BIGINT AS c
@@ -9193,7 +9193,7 @@ def q178_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q179_heaps_fit",
     """
     WITH w AS (
-      SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     tok AS (
       SELECT lang, doc_id, len(w)::BIGINT AS n_tok FROM w
@@ -9343,7 +9343,7 @@ def q179_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
       SELECT doc_id, word, count(*)::BIGINT AS c
-      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
             FROM documents)
       GROUP BY doc_id, word
     )
@@ -9387,7 +9387,7 @@ def q180_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_distinct(list_transform(
                range(1, greatest(len(w) - 2, 1) + 1),
                i -> array_to_string(w[i:i+2], ' ')))) AS gram
-      FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
     ),
     ref AS (SELECT DISTINCT gram FROM g WHERE is_ref),
     new_side AS (
@@ -9653,7 +9653,7 @@ def q185_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q186_hll_md5",
     """
     WITH tok AS (
-      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
     ), t AS (
       SELECT word, ('0x' || substr(md5(word), 1, 15))::UBIGINT::BIGINT AS h
       FROM tok WHERE word <> ''
@@ -10103,7 +10103,7 @@ def q191_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PPLX_CTES = """
     w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     st AS (
       SELECT doc_id, w,
@@ -10682,7 +10682,7 @@ def _smicro(k):
     "q198_llr_collocations",
     f"""
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     bg AS (
       SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
@@ -10793,7 +10793,7 @@ def q198_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q199_kneser_ney_bigram",
     """
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     bg AS (
       SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
@@ -12648,7 +12648,7 @@ def q221_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q222_conditional_entropy",
     """
     WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ),
     bg AS (
       SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
@@ -13450,7 +13450,7 @@ def q232_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q233_cms_partition_union",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents
     ),
     tc AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY word),
@@ -13514,7 +13514,7 @@ def q233_cms_partition_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q234_good_turing",
     """
     WITH tok AS (
-      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
     ),
     tc AS (
       SELECT word, count(*)::BIGINT AS c FROM tok WHERE word <> ''
@@ -13821,7 +13821,7 @@ def q237_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q238_source_unigram_kl",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents
     ),
     tc AS (
@@ -13924,7 +13924,7 @@ def q238_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q239_burrows_delta",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents
     ),
     tc AS (
@@ -15841,7 +15841,7 @@ def q255_minhash_store_novelty(
     "q256_kmv_distinct",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents
     ), dh AS (
       SELECT DISTINCT source,
@@ -16904,7 +16904,7 @@ def q266_leadlag_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q267_hill_diversity",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents
     ), c AS (
       SELECT source, word, count(*)::BIGINT AS c
@@ -20192,7 +20192,7 @@ def q297_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q298_ams_f2",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents
     ), t2 AS (SELECT source, word FROM tok WHERE word <> ''),
     cw AS (
@@ -20312,7 +20312,7 @@ def q298_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PMI_GRAPH_CTES = """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -23487,7 +23487,7 @@ def q321_activity_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q322_ochiai_collocations",
     """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),

@@ -41,6 +41,10 @@ run_stage "plan linter sweep" \
     python -m pytest tests/test_plans.py -x -q
 run_stage "oracle parity (sf0.01)" \
     python tools/parity_check.py /root/testdata/sf0.01
+# r12: same suite on a whitespace-corrupted documents copy — kills the
+# latent \s+-vs-single-space oracle class the clean testdata can't see
+run_stage "dirty-text parity (corrupted sf0.001)" \
+    python tools/dirty_text_gate.py /root/testdata/sf0.001
 if [ $FAST -eq 0 ]; then
     # test_plans.py already passed as stage 2 — don't pay its ~7 min twice
     run_stage "pytest tests/ (minus plan sweep)" \

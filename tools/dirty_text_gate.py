@@ -1,0 +1,77 @@
+"""Whitespace-robustness parity gate: run the FULL oracle suite on a
+deterministically whitespace-corrupted copy of the documents table.
+
+Why this exists (r12): the standard gate only ever sees the driver
+testdata, whose text is single-space separated — so a Spark side that
+tokenizes on ``\\s+`` paired with a DuckDB oracle that splits on a
+literal space PASSES the gate while silently disagreeing on any corpus
+with tabs/newlines/multi-space runs (the r11 ADVICE q332 finding,
+generalized). Probing with this tool found 43 such latent pairs; all 43
+oracles were converted to ``string_split_regex(trim(text), '\\s+')``
+and the suite now passes here too.
+
+Seven query pairs intentionally tokenize on a SINGLE literal space on
+BOTH sides (q98, q152, q279, q291, q292, q296, q316 — their Spark side
+is ``F.split(..., " ")``): they pass this gate because the pairing is
+consistent, which is the actual contract (cross-engine agreement, not a
+particular tokenizer).
+
+Usage:
+    python tools/dirty_text_gate.py [base_sf_dir]   # default sf0.001
+
+Builds the corrupted corpus under /tmp/spark_graft_dirty_sf (per-doc
+pathology by doc_id % 7: double spaces, tabs, newlines, leading/
+trailing runs, CRLF runs, and an untouched control class) and execs
+parity_check on it. Exit code = parity_check's.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+
+SCRATCH = "/tmp/spark_graft_dirty_sf"
+
+
+def build(base: str) -> str:
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH)
+    for f in os.listdir(base):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(base, f), SCRATCH)
+    con = duckdb.connect()
+    con.sql(f"""
+    COPY (
+      SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 0 THEN replace(text, ' ', '  ')
+               WHEN 1 THEN replace(text, ' ', chr(9))
+               WHEN 2 THEN replace(text, ' ', chr(10))
+               WHEN 3 THEN '  ' || text || ' '
+               WHEN 4 THEN chr(9) || text || chr(10)
+               WHEN 5 THEN replace(text, ' ', ' ' || chr(13) || chr(10))
+               ELSE text
+             END AS text,
+             lang, source, n_chars
+      FROM '{base}/documents.parquet'
+    ) TO '{SCRATCH}/documents.parquet' (FORMAT parquet)
+    """)
+    return SCRATCH
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    d = build(base)
+    here = os.path.dirname(os.path.abspath(__file__))
+    return subprocess.call(
+        [sys.executable, os.path.join(here, "parity_check.py"), d]
+        + sys.argv[2:]
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
