@@ -130,6 +130,17 @@ def main() -> None:
         f"top-10-word coverage {cov[10]:.3f}"
     )
 
+    # 9. publish corpus composition under differential privacy (q334/q335):
+    #    the per-source (count, char volume) mix table a data card would
+    #    carry, Laplace-noised so it leaks no individual document ----------
+    from soict20221_bigdata_financialplatform_spark.operators import privacy
+
+    release = launch(
+        privacy.dp_laplace_counts(kept, ["source"], epsilon=1.0, seed="card-v1")
+        .select("source", "noisy_count")  # n_true stays internal
+    )
+    print(f"[9] DP release: {release.count()} source rows (eps=1, replayable)")
+
     print("corpus pipeline complete")
 
 

@@ -47,10 +47,22 @@ def char_count(col: Column | str) -> Column:
 
 
 def stopword_count(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
-    """Occurrences of any stopword as a standalone lowercase word."""
+    """Occurrences of any stopword as a standalone lowercase word.
+
+    A "word" is a maximal run of Unicode letters/marks/digits/underscore:
+    everything else is stripped to spaces and the result split — an
+    expression both engines evaluate identically. The obvious
+    ``\\b(the|...)\\b`` regex is NOT cross-engine: Java's ``\\b`` is
+    Unicode-aware while RE2's is ASCII, so e.g. ``jöin`` (combining
+    mark) has a boundary before ``in`` for DuckDB but not for Spark —
+    found by the r12 Unicode parity probe, invisible on ASCII testdata
+    (on pure ASCII this formulation counts exactly what ``\\b`` did)."""
     c = F.col(col) if isinstance(col, str) else col
-    pattern = r"\b(" + "|".join(stopwords) + r")\b"
-    return F.regexp_count(F.lower(c), F.lit(pattern)).cast("long")
+    cleaned = F.regexp_replace(
+        F.lower(c), r"[^\p{L}\p{M}\p{N}_]+", " "
+    )
+    w = F.split(F.trim(cleaned), " ")
+    return F.size(F.filter(w, lambda x: x.isin(*stopwords))).cast("long")
 
 
 def punct_count(col: Column | str) -> Column:

@@ -42,7 +42,16 @@ from soict20221_bigdata_financialplatform_spark.sources import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-_EN_STOP_RE = r"\b(" + "|".join(tx.EN_STOPWORDS) + r")\b"
+# Cross-engine stopword-count SQL (Spark twin: tx.stopword_count). A
+# "word" is a maximal run of Unicode letters/marks/digits/underscore;
+# strip-to-spaces + split + IN-list. The former \b(the|...)\b regex was
+# NOT cross-engine: Java's \b is Unicode-aware, RE2's is ASCII (r12
+# Unicode probe: 'jo\u0308in' gave DuckDB a boundary Spark didn't see).
+_STOP_CNT_SQL = (
+    "len(list_filter(string_split(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{M}\\p{N}_]+', ' ', 'g')), ' '), "
+    "w -> w IN (" + ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS) + ")))"
+)
 
 
 def register(name: str, oracle: str | None = None):
@@ -830,7 +839,7 @@ def q27_gain_loss_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text) AS n_chars_computed,
            (CASE WHEN trim(text) = '' THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens,
-           len(regexp_extract_all(lower(text), '{_EN_STOP_RE}')) AS n_stopwords,
+           {_STOP_CNT_SQL} AS n_stopwords,
            len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
     FROM documents
     """,
@@ -859,7 +868,7 @@ def q28_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text)::DOUBLE AS nc,
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
-             len(regexp_extract_all(lower(text), '{_EN_STOP_RE}'))::DOUBLE AS ns
+             {_STOP_CNT_SQL}::DOUBLE AS ns
       FROM documents
     )
     SELECT doc_id,
@@ -1009,7 +1018,7 @@ def q46_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text)::DOUBLE AS nc,
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
-             len(regexp_extract_all(lower(text), '{{STOP}}'))::DOUBLE AS ns
+             {{STOP}}::DOUBLE AS ns
       FROM documents
     ), q AS (
       SELECT doc_id, text FROM scored
@@ -1021,7 +1030,7 @@ def q46_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id FROM q
     WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
-    """.replace("{STOP}", _EN_STOP_RE),
+    """.replace("{STOP}", _STOP_CNT_SQL),
 )
 def q48_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic prefix of the corpus-cleaning pipeline (quality gate →
@@ -1337,7 +1346,7 @@ def q53_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text)::DOUBLE AS nc,
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
-             len(regexp_extract_all(lower(text), '{STOP}'))::DOUBLE AS ns
+             {STOP}::DOUBLE AS ns
       FROM documents
     ), q AS (
       SELECT doc_id, text FROM scored
@@ -1369,7 +1378,7 @@ def q53_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE common / (sa.sz + sb.sz - common) >= 0.8
     )
     SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_b FROM losers)
-    """.replace("{STOP}", _EN_STOP_RE),
+    """.replace("{STOP}", _STOP_CNT_SQL),
 )
 def q60_corpus_clean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus cleaning with EXACT near-dup pairs (quality gate → exact dedup
@@ -1421,7 +1430,7 @@ _Q183_OR = " OR ".join(f"a.k{b} = b.k{b}" for b in range(8))
              length(text)::DOUBLE AS nc,
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
-             len(regexp_extract_all(lower(text), '{STOP}'))::DOUBLE AS ns
+             {STOP}::DOUBLE AS ns
       FROM documents
     ), q AS (
       SELECT doc_id, text FROM scored
@@ -1456,7 +1465,7 @@ _Q183_OR = " OR ".join(f"a.k{b} = b.k{b}" for b in range(8))
             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.8
     )
     SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_b FROM losers)
-    """.replace("{STOP}", _EN_STOP_RE)
+    """.replace("{STOP}", _STOP_CNT_SQL)
     .replace("{SIGS}", _Q183_SIGS)
     .replace("{BANDS}", _Q183_BANDS)
     .replace("{OR}", _Q183_OR),
@@ -8360,7 +8369,7 @@ def q166_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
               END)::DOUBLE AS nt,
-             len(regexp_extract_all(lower(text), '__ESRE__'))::DOUBLE AS ns
+             __ESRE__::DOUBLE AS ns
       FROM documents
     ),
     p AS (
@@ -8384,7 +8393,7 @@ def q166_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (tp / (tp + fp) + tp / (tp + fn))
            END AS f1_en
     FROM c
-    """.replace("__ESRE__", _EN_STOP_RE),
+    """.replace("__ESRE__", _STOP_CNT_SQL),
 )
 def q167_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation harness: confusion matrix + precision /
@@ -20654,7 +20663,7 @@ def q301_fracdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
               END)::DOUBLE AS nt,
-             len(regexp_extract_all(lower(text), '__ESRE__'))::DOUBLE AS ns
+             __ESRE__::DOUBLE AS ns
       FROM documents
     ), sc AS (
       SELECT y, CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS s FROM s
@@ -20683,7 +20692,7 @@ def q301_fracdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(g.bq_sum AS DOUBLE) / (1e6 * g.n_total) AS brier,
            CAST(e.ece_q AS DOUBLE) / (1e6 * g.n_total) AS ece
     FROM bins b CROSS JOIN g CROSS JOIN e
-    """.replace("__ESRE__", _EN_STOP_RE),
+    """.replace("__ESRE__", _STOP_CNT_SQL),
 )
 def q302_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration audit of the lang-ID score as a PROBABILITY: 10-bin
@@ -21587,7 +21596,7 @@ def q306_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
               END)::DOUBLE AS nt,
-             len(regexp_extract_all(lower(text), '__ESRE__'))::DOUBLE AS ns
+             __ESRE__::DOUBLE AS ns
       FROM documents
     ), sc AS (
       SELECT y, CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS s FROM s
@@ -21616,7 +21625,7 @@ def q306_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / CAST(2 * n_pos * n_neg AS DOUBLE)) - 1.0
            END AS gini
     FROM st
-    """.replace("__ESRE__", _EN_STOP_RE),
+    """.replace("__ESRE__", _STOP_CNT_SQL),
 )
 def q307_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC AUC (+ Gini = 2·AUC−1) of the lang-ID score against the lang
@@ -22793,7 +22802,7 @@ def q315_rank_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
               END)::BIGINT AS nw,
              length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS nc,
-             len(regexp_extract_all(lower(text), '__ESRE__'))::BIGINT
+             __ESRE__::BIGINT
                AS ns,
              CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
                len(string_split(trim(text), ' ')) - 1 ELSE 0 END::BIGINT
@@ -22826,7 +22835,7 @@ def q315_rank_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(p_len * p_wl * p_stop * p_rep) AS DOUBLE)
              / count(*) AS survival_rate
     FROM r GROUP BY source
-    """.replace("__ESRE__", _EN_STOP_RE),
+    """.replace("__ESRE__", _STOP_CNT_SQL),
 )
 def q316_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter attrition matrix: per source, how many documents

@@ -1,14 +1,22 @@
-"""Whitespace-robustness parity gate: run the FULL oracle suite on a
-deterministically whitespace-corrupted copy of the documents table.
+"""Text-robustness parity gate: run the FULL oracle suite on a
+deterministically corrupted copy of the documents table — whitespace
+pathologies AND Unicode pathologies.
 
 Why this exists (r12): the standard gate only ever sees the driver
-testdata, whose text is single-space separated — so a Spark side that
-tokenizes on ``\\s+`` paired with a DuckDB oracle that splits on a
-literal space PASSES the gate while silently disagreeing on any corpus
-with tabs/newlines/multi-space runs (the r11 ADVICE q332 finding,
-generalized). Probing with this tool found 43 such latent pairs; all 43
-oracles were converted to ``string_split_regex(trim(text), '\\s+')``
-and the suite now passes here too.
+testdata, whose text is single-space ASCII — two whole classes of
+cross-engine divergence are invisible on it:
+
+1. **Whitespace tokenization**: a Spark side splitting on ``\\s+``
+   paired with a DuckDB oracle splitting on a literal space agrees on
+   the testdata and diverges on tabs/newlines/multi-space runs (the r11
+   ADVICE q332 finding, generalized). This probe found 43 such pairs;
+   all converted to ``string_split_regex(trim(text), '\\s+')``.
+2. **Regex word boundaries on Unicode**: Java's ``\\b`` is
+   Unicode-aware, RE2's is ASCII — ``\\b(the|...)\\b`` stopword counts
+   diverged on text like ``jöin`` (combining mark) in 6 queries (plus 3
+   threshold-lucky siblings sharing the constant). All 9 sites now use
+   the strip-to-word-runs + IN-list formulation (``tx.stopword_count``
+   / ``_STOP_CNT_SQL``), identical in both engines.
 
 Seven query pairs intentionally tokenize on a SINGLE literal space on
 BOTH sides (q98, q152, q279, q291, q292, q296, q316 — their Spark side
@@ -20,8 +28,9 @@ Usage:
     python tools/dirty_text_gate.py [base_sf_dir]   # default sf0.001
 
 Builds the corrupted corpus under /tmp/spark_graft_dirty_sf (per-doc
-pathology by doc_id % 7: double spaces, tabs, newlines, leading/
-trailing runs, CRLF runs, and an untouched control class) and execs
+pathology by doc_id % 12: double spaces, tabs, newlines, leading/
+trailing runs, CRLF runs, accents, CJK, emoji, NBSP separators,
+combining marks, and an untouched control class) and execs
 parity_check on it. Exit code = parity_check's.
 """
 
@@ -47,13 +56,18 @@ def build(base: str) -> str:
     con.sql(f"""
     COPY (
       SELECT doc_id,
-             CASE doc_id % 7
+             CASE doc_id % 12
                WHEN 0 THEN replace(text, ' ', '  ')
                WHEN 1 THEN replace(text, ' ', chr(9))
                WHEN 2 THEN replace(text, ' ', chr(10))
                WHEN 3 THEN '  ' || text || ' '
                WHEN 4 THEN chr(9) || text || chr(10)
                WHEN 5 THEN replace(text, ' ', ' ' || chr(13) || chr(10))
+               WHEN 6 THEN replace(text, 'a', 'á')
+               WHEN 7 THEN text || ' 数据 处理 引擎'
+               WHEN 8 THEN '🚀 ' || replace(text, 'e', '🎉')
+               WHEN 9 THEN replace(text, ' ', chr(160))
+               WHEN 10 THEN replace(text, 'o', 'o' || chr(776))
                ELSE text
              END AS text,
              lang, source, n_chars
