@@ -240,6 +240,7 @@ HEADLINE = [
     # window promotion ships with a perf history
     "q334_dp_noisy_counts",
     "q335_dp_noisy_char_sums",
+    "q336_dp_gumbel_topk",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

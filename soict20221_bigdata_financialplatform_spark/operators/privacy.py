@@ -89,6 +89,56 @@ def dp_laplace_counts(
     )
 
 
+def gumbel_noise(
+    scale: float, seed: str, group_cols: Sequence[str]
+) -> Column:
+    """One Gumbel(0, scale) draw per group key: -scale * ln(-ln u). Both
+    transcendentals rounded to 6 decimals at the op (float policy); the
+    negations and the scale multiply are exact/identical IEEE, so the
+    draw is bit-identical cross-engine."""
+    u = _uniform("dpG", seed, *group_cols)
+    inner = F.round(F.log(u), 6)          # ln u in [-ln 2^60, 0)
+    outer = F.round(F.log(-inner), 6)     # ln(-ln u)
+    return -outer * F.lit(float(scale))
+
+
+def dp_gumbel_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 5,
+    epsilon: float = 1.0,
+    seed: str = "dp0",
+) -> DataFrame:
+    """epsilon-DP top-k SELECTION of the most frequent groups — the
+    one-shot Gumbel mechanism (Durfee & Rogers 2019): adding Gumbel
+    noise to each score and taking the k largest is equivalent to k
+    sequential exponential-mechanism draws. Score = COUNT(*)
+    (sensitivity 1), noise scale = 2k/epsilon (k peeling steps at
+    epsilon/k each, exponential mechanism's 2Δ/eps per step). Returns
+    the k selected groups with (n_true, noisy_score) — the RELEASE is
+    the selected key list (+ optionally q334-noised counts under a
+    separate budget); n_true is the calibration column, drop it at
+    production.
+
+    Completes the release family: q334 counts, q335 magnitudes, this
+    selects (e.g. "which 5 domains dominate the corpus" without the
+    count table). Deterministic/replayable like its siblings. Scale:
+    noise is a per-group projection above the count aggregate; the
+    top-k is TakeOrderedAndProject over the aggregate frame (group
+    cardinality, never row cardinality)."""
+    keys = list(group_cols)
+    agg = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    noisy = agg.select(
+        *keys,
+        "n_true",
+        (
+            F.col("n_true")
+            + gumbel_noise(2.0 * k / epsilon, seed, keys)
+        ).alias("noisy_score"),
+    )
+    return noisy.orderBy(F.desc("noisy_score"), *keys).limit(k)
+
+
 def dp_laplace_sum(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -24644,6 +24644,46 @@ def q335_dp_noisy_char_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q336_dp_gumbel_topk",
+    """
+    WITH agg AS (
+      SELECT source, count(*)::BIGINT AS n_true
+      FROM documents GROUP BY source
+    ), noisy AS (
+      SELECT source, n_true,
+             n_true + (
+               - round(ln(- round(ln(
+                   (('0x' || substr(md5('dpG|dpq336|' || source), 1, 15))
+                      ::UBIGINT::BIGINT + 1) / 1.152921504606846976e+18
+                 ), 6)), 6)
+             ) * 10.0 AS noisy_score
+      FROM agg
+    )
+    SELECT source, n_true, noisy_score
+    FROM noisy ORDER BY noisy_score DESC, source LIMIT 5
+    """,
+)
+def q336_dp_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-DP top-5 most-frequent sources via the one-shot Gumbel
+    mechanism (Durfee & Rogers 2019: Gumbel-max == the exponential
+    mechanism, k draws in one pass): noise scale 2k/eps = 10 at eps = 1.
+    Completes the privacy release family — q334 noisy counts, q335
+    clipped noisy sums, this SELECTS under DP ("which domains dominate"
+    without releasing the count table). n_true is the calibration
+    column (drop at production).
+
+    Parity design: two stacked transcendentals, each rounded AT the op
+    (inner ln u, outer ln(-inner)); negations and the scale multiply
+    are exact identical IEEE, so the noisy sort key is bit-identical
+    and the DESC order matches with the source tiebreak (q322's
+    argument). Library form :func:`privacy.dp_gumbel_topk`. Scale:
+    per-group projection above the count aggregate; top-k is
+    TakeOrderedAndProject over the 20-row aggregate frame."""
+    d = _t(spark, sf_dir, "documents")
+    return pv.dp_gumbel_topk(d, ["source"], k=5, epsilon=1.0, seed="dpq336")
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -24696,7 +24736,7 @@ _FINAL_ORDER = [
     # ========== 50-slot driver window ends here ==========
     # -- r12-authored additions (parity-green three SFs): per the rotation
     #    recipe these enter the r13 window FIRST, right after the sentinels
-    "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
+    "q334_dp_noisy_counts", "q335_dp_noisy_char_sums", "q336_dp_gumbel_topk",
     # -- r4-green tail: NEXT IN LINE AFTER THE ADDITIONS for the r13 window
     "q105_vocab_coverage", "q106_funnel_conversion", "q107_robust_outliers",
     "q108_drawdown_sharpe", "q109_embedding_quantization", "q110_holt_linear",

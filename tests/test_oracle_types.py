@@ -60,9 +60,9 @@ def test_final_order_window_r12_rotation():
     # Behind the boundary: the r12-authored additions queue first for the
     # r13 window, then the r13 second-row queue resumes with the remaining
     # r4-green block.
-    assert _FINAL_ORDER[50:53] == [
+    assert _FINAL_ORDER[50:54] == [
         "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
-        "q105_vocab_coverage",
+        "q336_dp_gumbel_topk", "q105_vocab_coverage",
     ]
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE

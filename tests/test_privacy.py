@@ -100,3 +100,29 @@ def test_dp_counts_plan_is_one_aggregate(spark):
     df = _toy(spark)
     plan = pv.dp_laplace_counts(df, ["g"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_dp_gumbel_topk_selects_k_and_is_replayable(spark):
+    df = _toy(spark, n_groups=30, rows_per_group=3)
+    a = [(r.g, r.noisy_score) for r in pv.dp_gumbel_topk(df, ["g"], k=5, seed="t").collect()]
+    b = [(r.g, r.noisy_score) for r in pv.dp_gumbel_topk(df, ["g"], k=5, seed="t").collect()]
+    c = [(r.g, r.noisy_score) for r in pv.dp_gumbel_topk(df, ["g"], k=5, seed="u").collect()]
+    assert a == b and len(a) == 5
+    assert [x[1] for x in a] == sorted((x[1] for x in a), reverse=True)
+    assert a != c  # fresh seed, fresh draw
+
+
+def test_dp_gumbel_topk_tracks_true_counts_at_high_epsilon(spark):
+    """With epsilon huge the noise vanishes and the selection IS the true
+    top-k; with epsilon tiny the selection departs from it — the
+    utility/privacy dial works in both directions."""
+    rows = [Row(g=f"g{i}", v=1.0) for i in range(20) for _ in range(1 + i)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = {"g19", "g18", "g17", "g16", "g15"}
+    tight = {r.g for r in pv.dp_gumbel_topk(df, ["g"], k=5, epsilon=1e6).collect()}
+    assert tight == exact
+    loose = [
+        {r.g for r in pv.dp_gumbel_topk(df, ["g"], k=5, epsilon=0.01, seed=s).collect()}
+        for s in ("s1", "s2", "s3", "s4")
+    ]
+    assert any(sel != exact for sel in loose)
