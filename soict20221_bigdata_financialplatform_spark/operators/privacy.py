@@ -15,6 +15,26 @@ under a FRESH seed is a new epsilon spend the caller accounts for
 (set ``seed`` per release; the privacy budget ledger lives with the
 caller, as in any DP deployment).
 
+SEED HANDLING IS PART OF THE GUARANTEE — two conditions the caller MUST
+hold or the epsilon claim is void:
+
+1. **The seed is a secret.** The noise is a deterministic function of
+   (seed, group key) and nothing else; an adversary who knows the seed
+   can recompute the noise exactly and subtract it, recovering the true
+   statistic. Treat the seed like a key: generate it from a CSPRNG,
+   store it with the release audit record, never publish it.
+2. **Never reuse a seed across dataset versions/snapshots.** Because
+   the noise depends only on (seed, group), releasing the same groups
+   from an EVOLVING table under the same seed gives two releases whose
+   difference has the noise cancel exactly — the adversary reads the
+   true per-group delta. Every release over changed data is a fresh
+   seed AND a fresh epsilon spend.
+
+The registered demo queries q334–q336 hard-code public seeds because
+they are PARITY DEMONSTRATIONS of the mechanism's plumbing (the
+cross-engine oracle must be able to re-derive the noise), not
+production privacy releases.
+
 Scale: noise synthesis is a per-GROUP projection on the aggregate frame
 (a handful of md5s + lns per released row — never per input row), so the
 mechanism adds nothing to the aggregation's shuffle; clipping for the
@@ -37,13 +57,31 @@ from pyspark.sql import functions as F
 _TWO60 = 1.152921504606846976e18
 
 
+# Sentinel substituted for a NULL group key inside the hash key. Without
+# it, concat_ws SKIPS the NULL component (Spark draws real noise for the
+# NULL group) while a '||'-style oracle concatenation propagates NULL
+# through md5 → NULL noise — a NULL-group cross-engine divergence the
+# NULL-free testdata can never expose (r12 ADVICE item 3). \x1f (unit
+# separator) cannot collide with the '|' field separator and is
+# vanishingly unlikely in real keys. Oracle SQL must mirror it as
+# ``coalesce(col, chr(31) || 'null')``.
+_NULL_SENTINEL = "\x1fnull"
+
+
 def _uniform(tag: str, seed: str, *group_cols: str) -> Column:
     """Seeded uniform in (0, 1]: 60-bit md5 prefix of (tag|seed|group key),
     +1 to dodge ln(0), divided by 2^60 (exact). The md5-prefix family is
     the engine's standard cross-engine-reproducible hash (CLAUDE.md
-    oracle tricks)."""
+    oracle tricks). NULL group keys hash via ``_NULL_SENTINEL`` so the
+    NULL group gets a real (deterministic) draw on both engines."""
     key = F.concat_ws(
-        "|", F.lit(tag), F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+        "|",
+        F.lit(tag),
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            for c in group_cols
+        ],
     )
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     return (h + F.lit(1)) / F.lit(_TWO60)
@@ -95,9 +133,17 @@ def gumbel_noise(
     """One Gumbel(0, scale) draw per group key: -scale * ln(-ln u). Both
     transcendentals rounded to 6 decimals at the op (float policy); the
     negations and the scale multiply are exact/identical IEEE, so the
-    draw is bit-identical cross-engine."""
+    draw is bit-identical cross-engine.
+
+    The inner ln is clamped to at most -1e-6: when u is within ~5e-7 of
+    1, round(ln u, 6) == 0.0 and the outer log would get 0 — Spark
+    returns NULL there (even under ANSI), silently sorting the group out
+    of the top-k, while DuckDB aborts (~0.5 hits per million groups;
+    r12 ADVICE item 2). Oracle twins must carry the identical
+    ``least(round(ln(u), 6), -1e-6)``."""
     u = _uniform("dpG", seed, *group_cols)
-    inner = F.round(F.log(u), 6)          # ln u in [-ln 2^60, 0)
+    # ln u in [-ln 2^60, 0); clamp away from 0 so ln(-inner) is defined
+    inner = F.least(F.round(F.log(u), 6), F.lit(-1e-6))
     outer = F.round(F.log(-inner), 6)     # ln(-ln u)
     return -outer * F.lit(float(scale))
 

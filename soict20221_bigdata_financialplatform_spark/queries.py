@@ -24567,10 +24567,12 @@ def q333_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, n_true,
            n_true + (
-             round(ln((('0x' || substr(md5('dpL1|dpq334|' || source), 1, 15))
+             round(ln((('0x' || substr(md5('dpL1|dpq334|'
+                          || coalesce(source, chr(31) || 'null')), 1, 15))
                          ::UBIGINT::BIGINT + 1)
                       / 1.152921504606846976e+18), 6)
-             - round(ln((('0x' || substr(md5('dpL2|dpq334|' || source), 1, 15))
+             - round(ln((('0x' || substr(md5('dpL2|dpq334|'
+                          || coalesce(source, chr(31) || 'null')), 1, 15))
                          ::UBIGINT::BIGINT + 1)
                       / 1.152921504606846976e+18), 6)
            ) * 1.0 AS noisy_count
@@ -24611,10 +24613,12 @@ def q334_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, n_rows, sum_clipped,
            sum_clipped + (
-             round(ln((('0x' || substr(md5('dpL1|dpq335|' || source), 1, 15))
+             round(ln((('0x' || substr(md5('dpL1|dpq335|'
+                          || coalesce(source, chr(31) || 'null')), 1, 15))
                          ::UBIGINT::BIGINT + 1)
                       / 1.152921504606846976e+18), 6)
-             - round(ln((('0x' || substr(md5('dpL2|dpq335|' || source), 1, 15))
+             - round(ln((('0x' || substr(md5('dpL2|dpq335|'
+                          || coalesce(source, chr(31) || 'null')), 1, 15))
                          ::UBIGINT::BIGINT + 1)
                       / 1.152921504606846976e+18), 6)
            ) * 1000.0 AS noisy_sum
@@ -24653,10 +24657,11 @@ def q335_dp_noisy_char_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), noisy AS (
       SELECT source, n_true,
              n_true + (
-               - round(ln(- round(ln(
-                   (('0x' || substr(md5('dpG|dpq336|' || source), 1, 15))
+               - round(ln(- least(round(ln(
+                   (('0x' || substr(md5('dpG|dpq336|'
+                        || coalesce(source, chr(31) || 'null')), 1, 15))
                       ::UBIGINT::BIGINT + 1) / 1.152921504606846976e+18
-                 ), 6)), 6)
+                 ), 6), -1e-6)), 6)
              ) * 10.0 AS noisy_score
       FROM agg
     )
@@ -24694,50 +24699,33 @@ def q336_dp_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-12 rotation (recipe from CLAUDE.md invariant 10 / r11
+    # -- Round-13 rotation (recipe from CLAUDE.md invariant 10 / r12
     # VERDICT task 1). The driver caps CORRECTNESS rows at the first 50
-    # registry entries (r1-r11 confirmed), so placement decides which
-    # oracle queries get a driver-green row. After r11 EVERY registered
-    # oracle-able query except q332/q333 has a driver-green row, so from
-    # r12 on the window buys REDUNDANCY (second rows), not first-time
-    # coverage. Slots 1-9: the standing sentinels. Slots 10-11: the
-    # r11-authored q332/q333 (parity-green at sf0.001/0.01/0.1, the only
-    # oracle-able entries without a driver row). Slots 12-42: the
-    # second-row queue resumes (the r2/r3-green block q70-q103, 31
-    # entries, skipping rows-only q87/q92/q99). Slots 43-50: the queue
-    # continues into the r4-green block (q08..q104, first 8 in registry
-    # order). R13 ROTATION PLAN: keep sentinels; continue the second-row
-    # queue from q105_vocab_coverage (the r4-tail block right behind the
-    # boundary) through slot 50. Run `parity_check --audit` +
+    # registry entries (r1-r12 confirmed), so placement decides which
+    # oracle queries get a driver-green row. After r12 every oracle-able
+    # query except the r12-authored DP trio has a driver-green row, so
+    # the window buys the trio's FIRST rows plus REDUNDANCY (second
+    # rows). Slots 1-9: the standing sentinels. Slots 10-12: the
+    # r12-authored q334/q335/q336 (parity-green at sf0.001/0.01/0.1,
+    # the only oracle-able entries without a driver row; r12 ADVICE
+    # fixes — gumbel clamp + NULL-group sentinel — applied to BOTH
+    # sides and re-parity-verified before this promotion). Slots 13-44:
+    # the second-row queue resumes with the r4-green tail
+    # q105..q135 (32 entries, registry order). Slots 45-50: the queue
+    # continues into the r11-green block (q297..q302, first 6 in
+    # registry order). R14 ROTATION PLAN: keep sentinels (plus any
+    # r13-authored oracle-able additions right behind them); continue
+    # the second-row queue from q303_pca_power_iteration through slot
+    # 50. Run `parity_check --audit` +
     # test_driver_window_schemas_are_hasher_safe before ANY rotation,
     # and update test_oracle_types' rotation pin.
-    # -- sentinels (driver-green r1..r11)
+    # -- sentinels (driver-green r1..r12)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
     "q22_rsi", "q23_ema", "q30_exact_dedup", "q50_decimal_money",
     "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- r11-authored additions: first driver rows (slots 10-11)
-    "q332_kmv_intersection", "q333_weighted_sample_es",
-    # -- second-row queue: r2/r3 greens (slots 12-42)
-    "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
-    "q73_order_priority_exists", "q74_nation_trade_volume", "q75_market_share",
-    "q76_product_profit", "q77_important_parts", "q78_late_lines_by_status",
-    "q79_promo_revenue", "q80_top_supplier", "q81_supplier_part_cnt",
-    "q82_discount_or_predicates", "q83_waiting_orders",
-    "q84_min_cost_supplier", "q85_pii_redaction", "q86_tfidf_top_terms",
-    "q88_scd2_intervals", "q89_cohort_retention", "q90_value_histogram",
-    "q91_stat_moments", "q93_array_funcs", "q94_multiset_ops", "q95_bollinger",
-    "q96_macd", "q97_running_vwap", "q98_token_heavy_hitters",
-    "q100_map_funcs", "q101_unpivot", "q102_variant_json",
-    "q103_returned_items",
-    # -- second-row queue continues: r4 greens (slots 43-50)
-    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
-    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
-    "q62_large_orders", "q104_sequence_packing",
-    # ========== 50-slot driver window ends here ==========
-    # -- r12-authored additions (parity-green three SFs): per the rotation
-    #    recipe these enter the r13 window FIRST, right after the sentinels
+    # -- r12-authored additions: first driver rows (slots 10-12)
     "q334_dp_noisy_counts", "q335_dp_noisy_char_sums", "q336_dp_gumbel_topk",
-    # -- r4-green tail: NEXT IN LINE AFTER THE ADDITIONS for the r13 window
+    # -- second-row queue: r4-green tail (slots 13-44)
     "q105_vocab_coverage", "q106_funnel_conversion", "q107_robust_outliers",
     "q108_drawdown_sharpe", "q109_embedding_quantization", "q110_holt_linear",
     "q111_fixed_k_sample", "q112_equidepth_histogram", "q51_ann_ivf",
@@ -24749,9 +24737,28 @@ _FINAL_ORDER = [
     "q127_semdedup", "q128_perplexity_lm", "q129_pmi_cooccurrence",
     "q130_triangle_counts", "q131_pq_adc", "q132_windowed_pmi", "q133_ivfpq",
     "q134_cms_estimates", "q135_rake_keywords",
-    # -- r11 window drops behind (driver-green r11)
+    # -- second-row queue continues: r11 greens (slots 45-50)
     "q297_return_moments", "q298_ams_f2", "q299_degree_assortativity",
     "q300_adamic_adar", "q301_fracdiff", "q302_brier_calibration",
+    # ========== 50-slot driver window ends here ==========
+    # -- r12 window drops behind (driver-green r12)
+    "q332_kmv_intersection", "q333_weighted_sample_es",
+    "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
+    "q73_order_priority_exists", "q74_nation_trade_volume", "q75_market_share",
+    "q76_product_profit", "q77_important_parts", "q78_late_lines_by_status",
+    "q79_promo_revenue", "q80_top_supplier", "q81_supplier_part_cnt",
+    "q82_discount_or_predicates", "q83_waiting_orders",
+    "q84_min_cost_supplier", "q85_pii_redaction", "q86_tfidf_top_terms",
+    "q88_scd2_intervals", "q89_cohort_retention", "q90_value_histogram",
+    "q91_stat_moments", "q93_array_funcs", "q94_multiset_ops", "q95_bollinger",
+    "q96_macd", "q97_running_vwap", "q98_token_heavy_hitters",
+    "q100_map_funcs", "q101_unpivot", "q102_variant_json",
+    "q103_returned_items",
+    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
+    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
+    "q62_large_orders", "q104_sequence_packing",
+    # -- rest of the r11 window (driver-green r11; q303.. is NEXT IN
+    #    LINE for the r14 second-row queue)
     "q303_pca_power_iteration", "q304_mi_lang_source", "q305_ljung_box",
     "q306_rich_club", "q307_roc_auc", "q308_embedding_outliers",
     "q309_pairs_trading_ssd", "q310_anova_dow", "q311_newey_west",

@@ -21,16 +21,18 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r12_rotation():
+def test_final_order_window_r13_rotation():
     """The driver checks the FIRST 50 registry entries. Pin the
-    round-12 window: 9 sentinels up front, the r11-authored q332/q333
-    in slots 10-11 (the only oracle-able entries without a driver row
-    after r11 cleared the backlog), the second-row queue's r2/r3-green
-    block q70-q103 in slots 12-42 (31 entries, rows-only q87/q92/q99
-    excluded), the queue continuing into the r4-green block q08..q104
-    in slots 43-50, every window entry oracle-backed, the rows-only six
-    dead last, and the full registry covered exactly once. The r4-green
-    tail (q105 onward) queues right behind the boundary for r13."""
+    round-13 window: 9 sentinels up front, the r12-authored DP trio
+    q334/q335/q336 in slots 10-12 (the only oracle-able entries without
+    a driver row after r12), the second-row queue's r4-green tail
+    q105..q135 in slots 13-44 (32 entries, registry order with q51
+    interleaved), the queue continuing into the r11-green block
+    q297..q302 in slots 45-50, every window entry oracle-backed, the
+    rows-only six dead last, and the full registry covered exactly
+    once. The r12 window occupants drop right behind the boundary;
+    q303_pca_power_iteration is next in the second-row queue for
+    r14."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -44,26 +46,26 @@ def test_final_order_window_r12_rotation():
     ]
     assert _FINAL_ORDER[:9] == sentinels
     window = _FINAL_ORDER[:50]
-    assert window[9:11] == [
+    assert window[9:12] == [
+        "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
+        "q336_dp_gumbel_topk",
+    ]
+    expected_tail = [
+        "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112",
+        "q51", "q113", "q114", "q115", "q116", "q117", "q118", "q119",
+        "q120", "q121", "q122", "q123", "q124", "q125", "q126", "q127",
+        "q128", "q129", "q130", "q131", "q132", "q133", "q134", "q135",
+    ]
+    assert [w.split("_")[0] for w in window[12:44]] == expected_tail
+    assert [w.split("_")[0] for w in window[44:50]] == [
+        "q297", "q298", "q299", "q300", "q301", "q302",
+    ]
+    # Behind the boundary: the r12 window occupants drop back first,
+    # then the remaining r11 greens (the r14 second-row queue head).
+    assert _FINAL_ORDER[50:52] == [
         "q332_kmv_intersection", "q333_weighted_sample_es",
     ]
-    rows_only_nums = {"q87", "q92", "q99"}
-    expected_queue = [
-        f"q{n}" for n in range(70, 104) if f"q{n}" not in rows_only_nums
-    ]
-    assert [w.split("_")[0] for w in window[11:42]] == expected_queue
-    assert window[42:50] == [
-        "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
-        "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
-        "q62_large_orders", "q104_sequence_packing",
-    ]
-    # Behind the boundary: the r12-authored additions queue first for the
-    # r13 window, then the r13 second-row queue resumes with the remaining
-    # r4-green block.
-    assert _FINAL_ORDER[50:54] == [
-        "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
-        "q336_dp_gumbel_topk", "q105_vocab_coverage",
-    ]
+    assert _FINAL_ORDER[91] == "q303_pca_power_iteration"
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]

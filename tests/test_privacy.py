@@ -112,6 +112,55 @@ def test_dp_gumbel_topk_selects_k_and_is_replayable(spark):
     assert a != c  # fresh seed, fresh draw
 
 
+def test_dp_null_group_key_draws_real_noise_matching_oracle(spark):
+    """A NULL group key must get a REAL deterministic draw, identical to
+    what the oracle's ``coalesce(col, chr(31) || 'null')`` recomputes —
+    not the silently-different draw concat_ws's NULL-skipping used to
+    produce (r12 ADVICE item 3; the r11 lesson-g NULL-divergence class,
+    invisible to NULL-free testdata)."""
+    import duckdb
+
+    rows = [Row(g="a", v=1.0), Row(g=None, v=2.0), Row(g=None, v=3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r.noisy_count for r in pv.dp_laplace_counts(df, ["g"], seed="nn").collect()}
+    assert out[None] is not None and out[None] == out[None]  # real, not NULL/NaN
+    oracle = duckdb.sql(
+        """
+        SELECT 2 + (
+          round(ln((('0x' || substr(md5('dpL1|nn|' || coalesce(NULL, chr(31) || 'null')), 1, 15))
+                      ::UBIGINT::BIGINT + 1) / 1.152921504606846976e+18), 6)
+        - round(ln((('0x' || substr(md5('dpL2|nn|' || coalesce(NULL, chr(31) || 'null')), 1, 15))
+                      ::UBIGINT::BIGINT + 1) / 1.152921504606846976e+18), 6)
+        ) * 1.0
+        """
+    ).fetchone()[0]
+    assert out[None] == oracle
+    # and the NULL group's draw differs from every named group's
+    assert out[None] != out["a"]
+
+
+def test_gumbel_inner_log_clamp_never_nulls(spark):
+    """When u rounds to ln(u)==0 at 6dp (u within ~5e-7 of 1), the
+    unclamped outer log(0) returns NULL in Spark / aborts in DuckDB
+    (r12 ADVICE item 2). The clamp at -1e-6 must yield a finite draw.
+    Direct expression probe at the pathological u."""
+    df = spark.range(1).select(F.lit(0.9999999).alias("u"))
+    clamped = df.select(
+        (-F.round(F.log(-F.least(F.round(F.log("u"), 6), F.lit(-1e-6))), 6)
+         * F.lit(10.0)).alias("draw"),
+        F.log(-F.round(F.log("u"), 6)).alias("unclamped_outer"),
+    ).first()
+    assert clamped.unclamped_outer is None  # the failure mode is real
+    assert clamped.draw is not None and math.isfinite(clamped.draw)
+    # bit-identical to the DuckDB oracle formulation
+    import duckdb
+
+    ora = duckdb.sql(
+        "SELECT - round(ln(- least(round(ln(0.9999999), 6), -1e-6)), 6) * 10.0"
+    ).fetchone()[0]
+    assert clamped.draw == ora
+
+
 def test_dp_gumbel_topk_tracks_true_counts_at_high_epsilon(spark):
     """With epsilon huge the noise vanishes and the selection IS the true
     top-k; with epsilon tiny the selection departs from it — the
