@@ -249,6 +249,15 @@ HEADLINE = [
 # entries + variance) is printed on the PRECEDING line and in BENCH_DETAIL.
 COMPACT = HEADLINE[:17]  # through q34_ann_bruteforce
 
+# Frozen longitudinal subset (r12 VERDICT task 5): the r1 headline set,
+# summed as "headline_fixed" in both JSON lines. The full total grows
+# with every round's new entries and the whole-run JVM tide scales with
+# headline count, so cross-round totals are only comparable at equal
+# n_benched — this frozen 17-query sum is the longitudinally stable
+# signal. NEVER add or remove entries; r12 backfill from the archived
+# BENCH_DETAIL (git HEAD@r12): headline_fixed = 7.674 s.
+FIXED_SUBSET = tuple(HEADLINE[:17])
+
 # Iterative multi-job queries (5-15 chained Spark jobs each): their first
 # run pays JVM codegen/JIT for the whole chain, which dominated r4 stdev
 # (q117: 1.45s stdev on a 3.0s median). One untimed warm run before the
@@ -576,6 +585,9 @@ def main() -> None:
     polluted = sentinel > 1.5 * max(timings[HEADLINE[0]], 0.05)
 
     total = round(sum(timings.values()), 3)
+    headline_fixed = round(
+        sum(timings[k] for k in FIXED_SUBSET if k in timings), 3
+    )
     load_sentinel = {
         "query": HEADLINE[0],
         "min_sec": timings[HEADLINE[0]],
@@ -589,6 +601,7 @@ def main() -> None:
         {
             "metric": "headline_queries_total_detail",
             "value": total,
+            "headline_fixed": headline_fixed,
             "unit": "sec",
             "queries": timings,
             "variance": variance,
@@ -625,6 +638,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "headline_fixed": headline_fixed,
                 "unit": "sec",
                 "sf": sf,
                 "queries": {k: timings[k] for k in keep},

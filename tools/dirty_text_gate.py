@@ -28,10 +28,14 @@ Usage:
     python tools/dirty_text_gate.py [base_sf_dir]   # default sf0.001
 
 Builds the corrupted corpus under /tmp/spark_graft_dirty_sf (per-doc
-pathology by doc_id % 12: double spaces, tabs, newlines, leading/
+pathology by doc_id % 14: double spaces, tabs, newlines, leading/
 trailing runs, CRLF runs, accents, CJK, emoji, NBSP separators,
-combining marks, and an untouched control class) and execs
-parity_check on it. Exit code = parity_check's.
+combining marks, an untouched control class, and — added r13 —
+vertical-tab and form-feed separators: Java's ``\\s`` includes VT
+(\\x0b) but RE2's does NOT, so every ``\\s+``-paired oracle silently
+diverged on VT until r13 replaced the oracle-side pattern with the
+explicit class ``[ \\t\\n\\x0b\\f\\r]`` (== Java's \\s, char for
+char). Exit code = parity_check's.
 """
 
 from __future__ import annotations
@@ -56,7 +60,7 @@ def build(base: str) -> str:
     con.sql(f"""
     COPY (
       SELECT doc_id,
-             CASE doc_id % 12
+             CASE doc_id % 14
                WHEN 0 THEN replace(text, ' ', '  ')
                WHEN 1 THEN replace(text, ' ', chr(9))
                WHEN 2 THEN replace(text, ' ', chr(10))
@@ -68,6 +72,8 @@ def build(base: str) -> str:
                WHEN 8 THEN '🚀 ' || replace(text, 'e', '🎉')
                WHEN 9 THEN replace(text, ' ', chr(160))
                WHEN 10 THEN replace(text, 'o', 'o' || chr(776))
+               WHEN 12 THEN replace(text, ' ', chr(11))
+               WHEN 13 THEN chr(12) || replace(text, ' ', chr(12)) || chr(11)
                ELSE text
              END AS text,
              lang, source, n_chars

@@ -31,6 +31,25 @@ from soict20221_bigdata_financialplatform_spark.session import get_spark
 from soict20221_bigdata_financialplatform_spark.sources import TABLES
 
 
+def _register_views(con, sf_dir: str) -> None:
+    """DuckDB twins of the engine's table loaders. events.value carries the
+    same ingest hygiene as ``readers._quarantine_specials`` (NaN/±Inf ->
+    NULL): IEEE specials are cross-engine non-portable (DuckDB aborts on
+    stddev/quantile/ln/casts where Spark returns NULL or NaN), so both
+    engines must quarantine identically. On the driver's clean testdata
+    this view is value-identical to ``SELECT *``."""
+    for t in TABLES:
+        path = os.path.join(sf_dir, t + ".parquet")
+        if t == "events":
+            con.sql(
+                f"CREATE VIEW events AS SELECT event_id, ts, user_id,"
+                f" event_type, CASE WHEN isfinite(value) THEN value END"
+                f" AS value, props FROM '{path}'"
+            )
+        else:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+
 def _norm_cell(v):
     if v is None:
         return None
@@ -89,10 +108,7 @@ def _spark_to_duck(t: str):
 def audit(sf_dir: str, only) -> int:
     spark = get_spark("type-audit")
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+    _register_views(con, sf_dir)
     n_ok = n_flag = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -178,10 +194,7 @@ def main() -> int:
         return audit(sf_dir, only)
     spark = get_spark("parity-check")
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+    _register_views(con, sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in QUERIES.items():
