@@ -111,12 +111,27 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}") for c in rc]
-    carried_ts = F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
-
-    out = both.select("*", *carried, carried_ts.alias("__carry_ts")).where(
-        F.col("__side") == 1
+    # STRUCT-carry (the q124 bracketing idiom), not per-column
+    # last(ignorenulls): the match is the latest right ROW — if that row's
+    # payload is NULL the asof result is NULL (DuckDB ASOF semantics).
+    # Per-column carries skipped NULL cells and stitched together fields
+    # from DIFFERENT right rows (r13 dirty-numeric gate, q25: a matched
+    # view with a quarantined NULL value returned the PREVIOUS view's
+    # value). The when() leaves left rows' payload NULL so only right
+    # rows enter the carry; a right row always yields a non-null struct.
+    payload = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c).alias(c) for c in rc])
     )
+    carried_row = F.last(payload, ignorenulls=True).over(w)
+    carried_ts = F.last(
+        F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w)
+
+    out = both.select(
+        "*",
+        *[carried_row.getField(c).alias(f"__carry_{c}") for c in rc],
+        carried_ts.alias("__carry_ts"),
+    ).where(F.col("__side") == 1)
     if tolerance_seconds is not None:
         in_tol = (
             F.col("__ts").cast("long") - F.col("__carry_ts").cast("long")

@@ -427,7 +427,14 @@ def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.user_id, p.event_id, p.ts, v.value AS view_value
     FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rnv
+        FROM events WHERE event_type = 'view'
+      ) WHERE rnv = 1
+    ) v
       ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
 )
@@ -435,13 +442,23 @@ def q25_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     """As-of join (engine-added, SURVEY §2.4): for each purchase, the latest
     prior view's value. Spark has no builtin; implemented as union-and-carry
     in ``operators/asof.py`` (one shuffle on the key, no range explosion).
-    DuckDB's native ASOF JOIN is the oracle."""
+    DuckDB's native ASOF JOIN is the oracle.
+
+    Views dedupe to ONE row per (user, ts) first — keeping the highest
+    event_id — because under duplicate view timestamps BOTH engines'
+    asof picks among the tied rows arbitrarily (r13 dirty-numeric gate's
+    tie class); with the right side (key, ts)-unique both are
+    deterministic."""
     e = _t(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts"
     )
-    views = e.where(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("view_value")
+    wv = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        e.where(F.col("event_type") == "view")
+        .withColumn("__rnv", F.row_number().over(wv))
+        .where(F.col("__rnv") == 1)
+        .select("user_id", "ts", F.col("value").alias("view_value"))
     )
     return asof_join(
         purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
@@ -713,7 +730,7 @@ def q22_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), ema(user_id, event_id, ts, value, rn, ema) AS (
       SELECT user_id, event_id, ts, value, rn, value::DOUBLE FROM ranked WHERE rn = 1
       UNION ALL
@@ -731,7 +748,11 @@ def q23_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive CTE (depth = rows per key; IEEE adds commute, so the
     pandas C loop and the SQL recursion agree bit-for-bit before the final
     round)."""
-    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .where(F.col("value").isNotNull())  # EMA is over observations
+    )
     # events has ~15 keys/core (1,500 users) — unlike the 10-symbol backfill
     # (keys ≪ cores → cores/4), full parallelism wins here: one Arrow stream
     # per core, each handling ~50 groups (measured 30% faster than cores/4).
@@ -747,11 +768,21 @@ def q23_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q24_daily_bars",
     """
-    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-           arg_min(value, ts) AS open, max(value) AS high,
-           min(value) AS low, arg_max(value, ts) AS close,
+    SELECT user_id, day,
+           max(CASE WHEN rno = 1 THEN value END) AS open, max(value) AS high,
+           min(value) AS low, max(CASE WHEN rnc = 1 THEN value END) AS close,
            round(sum(value), 2) AS turnover, count(*) AS n_events
-    FROM events
+    FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      )
     GROUP BY 1, 2
     """,
 )
@@ -764,10 +795,10 @@ def q24_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
         )
         .agg(
-            F.min_by("value", "ts").alias("open"),
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
             F.round(F.sum("value"), 2).alias("turnover"),
             F.count(F.lit(1)).alias("n_events"),
         )
@@ -782,7 +813,9 @@ def q24_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q26_json_extract",
     """
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    SELECT event_id,
+           CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_val
     FROM events
     """,
 )
@@ -2494,9 +2527,19 @@ def q70_bulk_suppliers_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q71_gap_fill",
     """
     WITH bars AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             arg_max(value, ts) AS close
-      FROM events GROUP BY 1, 2),
+      SELECT user_id, day,
+             max(CASE WHEN rnc = 1 THEN value END) AS close
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2),
     spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM bars GROUP BY 1),
     cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
             FROM spans)
@@ -2525,7 +2568,7 @@ def q71_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     bars = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
     spans = bars.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -3714,7 +3757,7 @@ def q90_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
            round(stddev_samp(l_discount), 6)                 AS disc_stddev,
            round(var_samp(l_discount), 6)                    AS disc_var
     FROM lineitem
@@ -3736,7 +3779,7 @@ def q91_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
                 "qty_price_corr"
             ),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
                 "qty_price_covar"
             ),
             F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
@@ -3911,7 +3954,7 @@ def q95_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), rec(user_id, event_id, ts, value, rn, e12, e26, sig) AS (
       SELECT user_id, event_id, ts, value, rn,
              value::DOUBLE, value::DOUBLE, 0.0::DOUBLE
@@ -3938,7 +3981,11 @@ def q96_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three accumulators (e12, e26, signal) — the same cross-engine
     recursion check as q23, three-wide. Seeds: e12=e26=first value (so the
     line starts at exactly 0.0) and signal=first line value."""
-    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .where(F.col("value").isNotNull())  # MACD is over observations
+    )
     npart = max(2, spark.sparkContext.defaultParallelism)
     out = ind.macd(
         e, 12, 26, 9, ("user_id",), ("ts", "event_id"), "value",
@@ -3964,7 +4011,7 @@ def q96_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(sum(l_quantity) OVER win, 2)      AS run_qty
       FROM lineitem
       WINDOW win AS (PARTITION BY l_partkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT l_partkey, l_orderkey, l_linenumber, run_amount, run_qty,
@@ -4130,12 +4177,18 @@ def q101_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q102_variant_json",
     """
-    SELECT event_id, user_id, event_type,
-           (props->>'k')::INTEGER AS k,
-           props->>'missing'      AS missing_field,
-           count(*) OVER (PARTITION BY user_id, (props->>'k')::INTEGER % 10)
-             ::BIGINT             AS bucket_peers
-    FROM events
+    WITH p AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN json_valid(props)
+                  THEN (props->>'k')::INTEGER END AS k,
+             CASE WHEN json_valid(props)
+                  THEN props->>'missing' END AS missing_field
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, k, missing_field,
+           count(*) OVER (PARTITION BY user_id, k % 10)::BIGINT
+             AS bucket_peers
+    FROM p
     """,
 )
 def q102_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4149,7 +4202,7 @@ def q102_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")  # malformed props -> NULL, not ANSI error
     shredded = e.select(
         "event_id",
         "user_id",
@@ -4735,8 +4788,8 @@ def q111_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT event_type, value,
-             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
-               AS bucket
+             ntile(10) OVER (PARTITION BY event_type
+               ORDER BY value NULLS FIRST, event_id) AS bucket
       FROM events
     )
     SELECT event_type, bucket,
@@ -6408,16 +6461,29 @@ def q137_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BARS_SQL = """
-    bars AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+    bars_rn AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rnc
+      FROM events
+    ), bars AS (
+      SELECT user_id, day,
              max(value) AS high, min(value) AS low,
-             arg_max(value, ts) AS close, count(*)::BIGINT AS n_events
-      FROM events GROUP BY 1, 2
+             max(CASE WHEN rnc = 1 THEN value END) AS close,
+             count(*)::BIGINT AS n_events
+      FROM bars_rn GROUP BY 1, 2
     )"""
 
 
 def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily OHLC bars (q24's construction, the indicator batch's input)."""
+    """Daily OHLC bars (q24's construction, the indicator batch's input).
+
+    close picks the LAST event by the unique (ts, event_id) struct key —
+    ``max_by(value, ts)`` alone is nondeterministic under duplicate
+    timestamps and split the engines on the r13 dirty-numeric gate's
+    tie class (the q262 idiom: Spark struct-key min_by/max_by, oracle
+    row_number picks since DuckDB arg_max rejects struct keys)."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -6426,7 +6492,7 @@ def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -8062,7 +8128,7 @@ def q161_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH iv AS (
       SELECT l_suppkey,
              date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS s
-      FROM lineitem
+      FROM lineitem WHERE l_shipdate IS NOT NULL
     ),
     d AS (SELECT DISTINCT l_suppkey, s FROM iv),
     g AS (
@@ -8097,7 +8163,8 @@ def q162_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ELSE branch — NULL ≤ 7 is not TRUE)."""
     li = _t(spark, sf_dir, "lineitem")
     d = (
-        li.select(
+        li.where(F.col("l_shipdate").isNotNull())
+        .select(
             "l_suppkey",
             F.datediff(
                 F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
@@ -8189,7 +8256,8 @@ def q163_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, day,
              CASE WHEN lag(close) OVER w IS NOT NULL
                        AND lag(close) OVER w <> 0
-                  THEN close / lag(close) OVER w - 1.0 END AS ret
+                  THEN least(greatest(close / lag(close) OVER w - 1.0,
+                                      -10000.0), 10000.0) END AS ret
       FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
     ),
     p AS (
@@ -8206,24 +8274,42 @@ def q163_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q164_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling lag-1 autocorrelation of daily returns (trailing 20 bars) —
     the mean-reversion / momentum regime signal. Returns are guarded
-    per-row chains (ANSI, invariant 4); the windowed Pearson corr is an
+    per-row chains (ANSI, invariant 4) WINSORIZED at ±10000 (a 10⁶%
+    daily move is a data error by contract; keeps the corr moments
+    inside the round-6 canonicalization grain under the dirty-numeric
+    gate's magnitude class, r13); the windowed Pearson corr is an
     order-dependent accumulation → round 6 both engines (q91's moments
-    policy); frames with < 2 valid (ret, ret_prev) pairs emit NULL
-    identically. One user-keyed exchange feeds all three stacked
-    windows."""
+    policy); frames with < 2 valid (ret, ret_prev) pairs or ZERO
+    VARIANCE emit NULL identically — Spark 4's ANSI ``corr`` THROWS
+    DIVIDE_BY_ZERO on a zero-variance frame where DuckDB returns NULL
+    (r13 probe), so the Spark side builds Pearson from guarded
+    covar_pop/var_pop over the same frame. One user-keyed exchange
+    feeds all the stacked windows."""
     w = Window.partitionBy("user_id").orderBy("day")
     prev = F.lag("close").over(w)
     ret = F.when(
-        prev.isNotNull() & (prev != 0), F.col("close") / prev - 1.0
+        prev.isNotNull() & (prev != 0),
+        F.least(
+            F.greatest(F.col("close") / prev - 1.0, F.lit(-10000.0)),
+            F.lit(10000.0),
+        ),
     )
     f = w.rowsBetween(-19, 0)
+    cv = F.covar_pop("ret", "ret_prev").over(f)
+    vx = F.var_pop(
+        F.when(F.col("ret_prev").isNotNull(), F.col("ret"))
+    ).over(f)
+    vy = F.var_pop(
+        F.when(F.col("ret").isNotNull(), F.col("ret_prev"))
+    ).over(f)
+    corr = F.when((vx != 0) & (vy != 0), cv / F.sqrt(vx * vy))
     return (
         _bars(spark, sf_dir)
         .withColumn("ret", ret)
         .withColumn("ret_prev", F.lag("ret").over(w))
         .select(
             "user_id", "day",
-            F.round(F.corr("ret", "ret_prev").over(f), 6).alias("autocorr20"),
+            F.round(corr, 6).alias("autocorr20"),
         )
     )
 
@@ -8455,7 +8541,8 @@ def q167_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, day,
              CASE WHEN lag(close) OVER w IS NOT NULL
                        AND lag(close) OVER w <> 0
-                  THEN close / lag(close) OVER w - 1.0 END AS ret
+                  THEN least(greatest(close / lag(close) OVER w - 1.0,
+                                      -10000.0), 10000.0) END AS ret
       FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
     ),
     mkt AS (
@@ -8471,11 +8558,13 @@ def q167_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, count(*)::BIGINT AS n,
              round(covar_pop(ret, mret), 6) AS cov_rm,
-             round(var_pop(mret), 6) AS var_m,
-             round(corr(ret, mret), 6) AS corr_rm
+             round(var_pop(ret), 6) AS var_r,
+             round(var_pop(mret), 6) AS var_m
       FROM j GROUP BY user_id
     )
-    SELECT user_id, n, corr_rm,
+    SELECT user_id, n,
+           CASE WHEN var_r <> 0 AND var_m <> 0
+                THEN round(cov_rm / sqrt(var_r * var_m), 6) END AS corr_rm,
            CASE WHEN var_m <> 0 THEN cov_rm / var_m END AS beta
     FROM s
     """,
@@ -8485,13 +8574,24 @@ def q168_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     β = cov(rᵢ, r_m)/var(r_m) — the systematic-risk measure completing
     the risk family (VaR q165, drawdown/Sharpe q108). The market return
     is a cross-sectional micro-unit mean per day (exact integers, the
-    q141 machinery); cov/var/corr are order-dependent accumulations →
-    round 6 both engines (q91 moments policy); β is one guarded division
-    of identically-rounded values. The join is day-keyed; the moment aggs
-    map-side combine."""
+    q141 machinery); returns are WINSORIZED at ±10000 (a 10⁶% daily
+    move is a data error by contract — keeps the moments inside the
+    round-6 grain under the r13 dirty-numeric gate's magnitude class);
+    cov/var are order-dependent accumulations → round 6 both engines
+    (q91 moments policy); β and the Pearson corr are fixed guarded
+    chains on those identically-rounded values — Spark 4's ANSI
+    ``corr`` THROWS DIVIDE_BY_ZERO on zero variance where DuckDB
+    returns NULL (r13 probe), so neither side uses the builtin. The
+    join is day-keyed; the moment aggs map-side combine."""
     w = Window.partitionBy("user_id").orderBy("day")
     prev = F.lag("close").over(w)
-    ret = F.when(prev.isNotNull() & (prev != 0), F.col("close") / prev - 1.0)
+    ret = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.least(
+            F.greatest(F.col("close") / prev - 1.0, F.lit(-10000.0)),
+            F.lit(10000.0),
+        ),
+    )
     r = (
         _bars(spark, sf_dir)
         .withColumn("ret", ret)
@@ -8509,11 +8609,17 @@ def q168_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = j.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.covar_pop("ret", "mret"), 6).alias("cov_rm"),
+        F.round(F.var_pop("ret"), 6).alias("var_r"),
         F.round(F.var_pop("mret"), 6).alias("var_m"),
-        F.round(F.corr("ret", "mret"), 6).alias("corr_rm"),
+    )
+    corr_rm = F.when(
+        (F.col("var_r") != 0) & (F.col("var_m") != 0),
+        F.round(
+            F.col("cov_rm") / F.sqrt(F.col("var_r") * F.col("var_m")), 6
+        ),
     )
     return s.select(
-        "user_id", "n", "corr_rm",
+        "user_id", "n", corr_rm.alias("corr_rm"),
         F.when(F.col("var_m") != 0, F.col("cov_rm") / F.col("var_m")).alias(
             "beta"
         ),
@@ -11170,10 +11276,20 @@ def q204_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q205_heikin_ashi",
     """
     WITH RECURSIVE barso AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             arg_min(value, ts) AS open, max(value) AS high,
-             min(value) AS low, arg_max(value, ts) AS close
-      FROM events GROUP BY 1, 2
+      SELECT user_id, day,
+             max(CASE WHEN rno = 1 THEN value END) AS open, max(value) AS high,
+             min(value) AS low, max(CASE WHEN rnc = 1 THEN value END) AS close
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2
     ),
     nb AS (
       SELECT *, (((open + high) + low) + close) / 4.0 AS ha_close,
@@ -11208,10 +11324,10 @@ def q205_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     barso = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
-        F.min_by("value", "ts").alias("open"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
     )
     arr = barso.groupBy("user_id").agg(
         F.array_sort(
@@ -11332,7 +11448,7 @@ def q206_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (
       SELECT user_id, day,
              CAST(floor((close - lag(close) OVER
-               (PARTITION BY user_id ORDER BY day)) * 10000.0 + 0.5) AS BIGINT)
+               (PARTITION BY user_id ORDER BY day)) * 100.0 + 0.5) AS BIGINT)
                AS dq
       FROM bars
     ),
@@ -11350,27 +11466,30 @@ def q206_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, n,
            CASE WHEN n >= 2 THEN
-             ((n * sxy - sx * sy) / (n * (n - 1.0))) / 100000000.0 END AS cov1,
+             ((n * sxy - sx * sy) / (n * (n - 1.0))) / 10000.0 END AS cov1,
            CASE WHEN n >= 2
-                 AND ((n * sxy - sx * sy) / (n * (n - 1.0))) / 100000000.0 < 0
+                 AND ((n * sxy - sx * sy) / (n * (n - 1.0))) / 10000.0 < 0
                 THEN 2.0 * sqrt(-(((n * sxy - sx * sy) / (n * (n - 1.0)))
-                                  / 100000000.0)) END AS roll_spread
+                                  / 10000.0)) END AS roll_spread
     FROM s
     """,
 )
 def q207_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Roll's implied effective spread (Roll 1984): 2·sqrt(−cov(Δp_t,
     Δp_{t−1})) from the serial covariance of daily close changes. Δp
-    quantizes to 1e-4 units so Σxy/Σx/Σy are exact BIGINTs (unit budgeted
-    for per-user × bounded-day groups — cents² would overflow at larger
-    SFs, the q145 lesson); cov is a fixed integer→double division chain
-    and the spread one sqrt. Scale: per-user windows + one grouped agg."""
+    quantizes to CENTS (1e-2 units) so Σxy/Σx/Σy are exact BIGINTs —
+    exact on the 2dp value grain with zero information loss, and the
+    x·y product stays 1e4× under int64 even at the dirty-numeric gate's
+    magnitude class (the original 1e-4 unit overflowed on ×1e3 closes,
+    r13; budget per the q145/q178 lesson: per-row² × group < 2⁶³). cov
+    is a fixed integer→double division chain and the spread one sqrt.
+    Scale: per-user windows + one grouped agg."""
     w = Window.partitionBy("user_id").orderBy("day")
     b = _bars(spark, sf_dir)
     d = b.select(
         "user_id",
         "day",
-        F.floor((F.col("close") - F.lag("close").over(w)) * 10000.0 + 0.5)
+        F.floor((F.col("close") - F.lag("close").over(w)) * 100.0 + 0.5)
         .cast("long")
         .alias("dq"),
     ).where(F.col("dq").isNotNull())
@@ -11391,7 +11510,7 @@ def q207_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov1 = (
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
         / (F.col("n") * (F.col("n") - F.lit(1.0)))
-    ) / 100000000.0
+    ) / 10000.0
     return s.select(
         "user_id",
         "n",
@@ -11608,10 +11727,20 @@ ORACLE["q209_lsh_recall_eval"] = f"""
     "q210_keltner_channels",
     """
     WITH RECURSIVE bars AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT user_id, day,
              max(value) AS high, min(value) AS low,
-             arg_max(value, ts) AS close
-      FROM events GROUP BY 1, 2
+             max(CASE WHEN rnc = 1 THEN value END) AS close
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2
     ),
     nb AS (
       SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
@@ -12844,9 +12973,19 @@ def q223_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q224_overnight_gaps",
     """
     WITH barso AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             arg_min(value, ts) AS open, arg_max(value, ts) AS close
-      FROM events GROUP BY 1, 2
+      SELECT user_id, day,
+             max(CASE WHEN rno = 1 THEN value END) AS open, max(CASE WHEN rnc = 1 THEN value END) AS close
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2
     ),
     g AS (
       SELECT user_id,
@@ -12875,8 +13014,8 @@ def q224_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     barso = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
-        F.min_by("value", "ts").alias("open"),
-        F.max_by("value", "ts").alias("close"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
     )
     w = Window.partitionBy("user_id").orderBy("day")
     g = barso.select(
@@ -13403,11 +13542,21 @@ def q231_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q232_weekly_bars",
     """
     WITH wk AS (
-      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
-             arg_min(value, ts) AS open, max(value) AS high,
-             min(value) AS low, arg_max(value, ts) AS close,
+      SELECT user_id, week,
+             max(CASE WHEN rno = 1 THEN value END) AS open, max(value) AS high,
+             min(value) AS low, max(CASE WHEN rnc = 1 THEN value END) AS close,
              count(*)::BIGINT AS n_events
-      FROM events GROUP BY 1, 2
+      FROM (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('week', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('week', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2
     )
     SELECT user_id, week, open, high, low, close, n_events,
            CASE WHEN open <> 0 THEN (close - open) / open END AS week_return,
@@ -13430,10 +13579,10 @@ def q232_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
     ).agg(
-        F.min_by("value", "ts").alias("open"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
     return wk.select(
@@ -13670,10 +13819,20 @@ def q235_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q236_candle_patterns",
     """
     WITH b AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             arg_min(value, ts) AS open, max(value) AS high,
-             min(value) AS low, arg_max(value, ts) AS close
-      FROM events GROUP BY 1, 2
+      SELECT user_id, day,
+             max(CASE WHEN rno = 1 THEN value END) AS open, max(value) AS high,
+             min(value) AS low, max(CASE WHEN rnc = 1 THEN value END) AS close
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2
     ),
     c AS (
       SELECT user_id, day, open, high, low, close,
@@ -13707,10 +13866,10 @@ def q236_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
-        F.min_by("value", "ts").alias("open"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
     )
     w = Window.partitionBy("user_id").orderBy("day")
     body = F.abs(F.col("close") - F.col("open"))
@@ -13766,9 +13925,19 @@ def q236_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q237_amihud_illiquidity",
     """
     WITH b AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             arg_max(value, ts) AS close, count(*)::BIGINT AS n_events
-      FROM events GROUP BY 1, 2
+      SELECT user_id, day,
+             max(CASE WHEN rnc = 1 THEN value END) AS close, count(*)::BIGINT AS n_events
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2
     ),
     r AS (
       SELECT user_id, day, n_events,
@@ -13801,7 +13970,7 @@ def q237_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
     w = Window.partitionBy("user_id").orderBy("day")
@@ -14141,7 +14310,8 @@ def q240_interarrival_percentiles(
     ),
     d AS (
       SELECT day, count(*)::BIGINT AS n_events,
-             count(DISTINCT (user_id, event_type, value))::BIGINT AS n_distinct
+             count(DISTINCT (user_id, event_type,
+               coalesce(value, -1.7976931348623157e308)))::BIGINT AS n_distinct
       FROM e GROUP BY day
     )
     SELECT day, n_events, n_distinct,
@@ -14164,7 +14334,13 @@ def q241_daily_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.alias("day"), "user_id", "event_type", "value"
     ).groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.count_distinct("user_id", "event_type", "value")
+        F.count_distinct(
+            F.col("user_id"), F.col("event_type"),
+            # Spark count_distinct DROPS rows with any NULL column while
+            # DuckDB's row-struct distinct keeps them — sentinel-coalesce
+            # (r13 dirty-numeric gate; -DBL_MAX cannot occur in data)
+            F.coalesce(F.col("value"), F.lit(-1.7976931348623157e308)),
+        )
         .cast("long")
         .alias("n_distinct"),
     )
@@ -14390,9 +14566,19 @@ def q243_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q244_seasonal_naive_backtest",
     """
     WITH b AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             arg_max(value, ts) AS close
-      FROM events GROUP BY 1, 2
+      SELECT user_id, day,
+             max(CASE WHEN rnc = 1 THEN value END) AS close
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2
     ),
     f AS (
       SELECT user_id, day, close,
@@ -14429,7 +14615,7 @@ def q244_seasonal_naive_backtest(
     e = _t(spark, sf_dir, "events")
     b = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
     w = Window.partitionBy("user_id").orderBy("day")
     f = b.select(
         "user_id", "close", F.lag("close", 7).over(w).alias("fc")
@@ -14468,15 +14654,25 @@ def q244_seasonal_naive_backtest(
     "q245_changepoint",
     """
     WITH b AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(floor(arg_max(value, ts) * 100.0 + 0.5) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2
+      SELECT user_id, day,
+             CAST(floor(max(CASE WHEN rnc = 1 THEN value END) * 100.0 + 0.5) AS BIGINT) AS c
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id) AS rno,
+               row_number() OVER (PARTITION BY user_id,
+                 CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnc
+        FROM events
+      ) GROUP BY 1, 2
     ),
     p AS (
       SELECT user_id, day, c,
              row_number() OVER w AS i,
              sum(c) OVER w AS s, sum(c * c) OVER w AS sq
-      FROM b
+      FROM b WHERE c IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ),
@@ -14516,16 +14712,21 @@ def q245_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user cumulative window as exact BIGINTs (budget: cents² × days
     ≪ 2^63), each candidate's SSE is a fixed IEEE chain on those
     integers — identical doubles both engines, so the (sse, day)
-    argmin ranking is deterministic cross-engine. Scale: per-user
-    windows + one rank; candidates are one row per user-day."""
+    argmin ranking is deterministic cross-engine. Days whose picked
+    close is NULL (quarantined special) are not candidates — without
+    the filter a user whose FIRST days lack closes carries NULL prefix
+    sums into a NULL sse_split, which ranks FIRST in Spark and LAST in
+    DuckDB (the NULL-ordering default asymmetry, r13 dirty-numeric
+    gate). Scale: per-user windows + one rank; candidates are one row
+    per user-day."""
     e = _t(spark, sf_dir, "events")
     b = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
-        F.floor(F.max_by("value", "ts") * 100.0 + 0.5)
+        F.floor(F.max_by("value", F.struct("ts", "event_id")) * 100.0 + 0.5)
         .cast("long")
         .alias("c")
-    )
+    ).where(F.col("c").isNotNull())
     wcum = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -14592,6 +14793,7 @@ def q245_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o.o_orderpriority AS priority,
              date_diff('day', o.o_orderdate, li.l_shipdate)::BIGINT AS lag_d
       FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+      WHERE li.l_shipdate IS NOT NULL
     ),
     r AS (
       SELECT priority, lag_d,
@@ -14631,9 +14833,13 @@ def q246_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_orderpriority").alias("priority"),
-        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag_d"),
+    l = (
+        li.where(F.col("l_shipdate").isNotNull())
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag_d"),
+        )
     )
     b = l.groupBy("priority", "lag_d").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -16168,7 +16374,7 @@ def q259_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
                  ORDER BY ts DESC, event_id DESC) AS rn
         FROM events
-      ) WHERE rn = 1
+      ) WHERE rn = 1 AND value > 0
     ), p AS (
       SELECT user_id, day, close,
              max(close) OVER (PARTITION BY user_id ORDER BY day
@@ -16219,7 +16425,7 @@ def q260_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
     c = ev.groupBy("user_id", day.alias("day")).agg(
         F.max_by("value", F.struct("ts", "event_id")).alias("close")
-    )
+    ).where(F.col("close") > 0)  # positive closes only (agg-then-filter)
     wpk = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -21814,7 +22020,7 @@ def q308_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
                  ORDER BY ts DESC, event_id DESC) AS rn
         FROM events
-      ) WHERE rn = 1 AND value > 0
+      ) WHERE rn = 1 AND value >= 0.005
     ),
     base AS (
       SELECT user_id, day,
@@ -21898,7 +22104,10 @@ def q309_pairs_trading_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         ev.groupBy("user_id", day.alias("day"))
         .agg(F.max_by("value", F.struct("ts", "event_id")).alias("cl"))
-        .where(F.col("cl") > 0)
+        # >= 0.005: sub-cent closes quantize to ZERO cents and a
+        # cq0 = 0 base price divides by zero (Spark ANSI aborts,
+        # DuckDB -> inf; r13 dirty-numeric gate)
+        .where(F.col("cl") >= 0.005)
     )
     wd = Window.partitionBy("user_id").orderBy("day")
     base = b.select(

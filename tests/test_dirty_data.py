@@ -415,3 +415,69 @@ def test_sketch_family_null_keys(spark):
     assert sorted(map(tuple, samp), key=str) == sorted(
         map(tuple, again), key=str
     )  # deterministic under NULL keys, no throw
+
+
+def test_quarantine_specials_matches_duckdb_view(spark, tmp_path):
+    """r13 ingest-hygiene pin: NaN/±Inf in events.value become NULL at
+    the scan (readers._quarantine_specials), and the DuckDB events view
+    in tools/parity_check.py (CASE WHEN isfinite(value)...) produces the
+    IDENTICAL column — the two sides of the quarantine contract. IEEE
+    specials are cross-engine non-portable (DuckDB aborts on stddev/
+    quantile/ln over NaN and on non-finite casts where Spark returns
+    NULL/NaN or saturates), so no oracle-paired aggregate can hold
+    parity once one reaches it."""
+    import math
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import parity_check
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.sql(f"""
+      COPY (
+        SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-01 00:00:01', 10, 'view', 1.5, '{{}}'),
+          (2, TIMESTAMP '2024-01-01 00:00:02', 10, 'view', 'NaN'::DOUBLE, '{{}}'),
+          (3, TIMESTAMP '2024-01-01 00:00:03', 10, 'view', 'Infinity'::DOUBLE, '{{}}'),
+          (4, TIMESTAMP '2024-01-01 00:00:04', 10, 'view', '-Infinity'::DOUBLE, '{{}}'),
+          (5, TIMESTAMP '2024-01-01 00:00:05', 10, 'view', NULL, '{{}}'),
+          (6, TIMESTAMP '2024-01-01 00:00:06', 10, 'view', -2.25, '{{}}')
+        ) t(event_id, ts, user_id, event_type, value, props)
+      ) TO '{sf}/events.parquet' (FORMAT parquet)
+    """)
+    from soict20221_bigdata_financialplatform_spark.sources.readers import (
+        load_events_time_range,
+        load_table,
+    )
+
+    expected = {1: 1.5, 2: None, 3: None, 4: None, 5: None, 6: -2.25}
+    got = {
+        r.event_id: r.value
+        for r in load_table(spark, sf, "events").collect()
+    }
+    assert got == expected
+    got_rng = {
+        r.event_id: r.value
+        for r in load_events_time_range(spark, sf).collect()
+    }
+    assert got_rng == expected
+    # DuckDB view twin (parity_check._register_views needs all TABLES on
+    # disk — probe just the events DDL shape it uses)
+    dk = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT event_id, CASE WHEN isfinite(value) THEN value END"
+            f" FROM '{sf}/events.parquet'"
+        ).fetchall()
+    }
+    assert dk == expected
+    assert not any(
+        v is not None and (math.isnan(v) or math.isinf(v))
+        for v in got.values()
+    )

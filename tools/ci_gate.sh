@@ -45,6 +45,10 @@ run_stage "oracle parity (sf0.01)" \
 # latent \s+-vs-single-space oracle class the clean testdata can't see
 run_stage "dirty-text parity (corrupted sf0.001)" \
     python tools/dirty_text_gate.py /root/testdata/sf0.001
+# r13: numeric twin — NaN/Inf, sign/zero/magnitude dirt, NULL payloads,
+# duplicate-timestamp ties on events+lineitem (36 latent pairs at birth)
+run_stage "dirty-numeric parity (corrupted sf0.001)" \
+    python tools/dirty_numeric_gate.py /root/testdata/sf0.001
 if [ $FAST -eq 0 ]; then
     # test_plans.py already passed as stage 2 — don't pay its ~7 min twice
     run_stage "pytest tests/ (minus plan sweep)" \
