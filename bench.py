@@ -241,6 +241,8 @@ HEADLINE = [
     "q334_dp_noisy_counts",
     "q335_dp_noisy_char_sums",
     "q336_dp_gumbel_topk",
+    # r13 addition (ingest-QA dirt panel): baseline on authoring
+    "q337_event_dirt_audit",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -4563,8 +4563,9 @@ def q107_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value,
              max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS run_max,
-             value / lag(value) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) - 1 AS ret
+             least(greatest(value / lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1,
+                            -10000.0), 10000.0) AS ret
       FROM events WHERE value > 0
     )
     SELECT user_id,
@@ -4601,7 +4602,15 @@ def q108_drawdown_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is not unique per user (repo float-policy invariant).
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_max = F.max("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ret = F.col("value") / F.lag("value").over(w) - 1
+    # winsorize at +/-1e4 (the engine's return data-error contract,
+    # q164/q168): dirty-gate magnitudes otherwise push the rounded
+    # avg/stddev past the 6dp canonicalization grain
+    ret = F.least(
+        F.greatest(
+            F.col("value") / F.lag("value").over(w) - 1, F.lit(-10000.0)
+        ),
+        F.lit(10000.0),
+    )
     px = e.withColumn("run_max", run_max).withColumn("ret", ret)
     vol = F.round(F.stddev_samp("ret"), 6)
     mean_ret = F.round(F.avg("ret"), 6)
@@ -8254,64 +8263,109 @@ def q163_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH" + _BARS_SQL + """,
     r AS (
       SELECT user_id, day,
-             CASE WHEN lag(close) OVER w IS NOT NULL
-                       AND lag(close) OVER w <> 0
-                  THEN least(greatest(close / lag(close) OVER w - 1.0,
-                                      -10000.0), 10000.0) END AS ret
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN CAST(floor(least(greatest(
+                         round(ln(close / lag(close) OVER w), 6),
+                         -50.0), 50.0) * 1000000.0 + 0.5) AS BIGINT)
+             END AS rq
       FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
     ),
     p AS (
-      SELECT user_id, day, ret,
-             lag(ret) OVER (PARTITION BY user_id ORDER BY day) AS ret_prev
+      SELECT user_id, day, rq,
+             lag(rq) OVER (PARTITION BY user_id ORDER BY day) AS pq
       FROM r
+    ),
+    m AS (
+      SELECT user_id, day,
+             count(CASE WHEN rq IS NOT NULL AND pq IS NOT NULL
+                   THEN 1 END) OVER f::BIGINT AS n,
+             sum(CASE WHEN rq IS NOT NULL AND pq IS NOT NULL
+                 THEN rq END) OVER f::BIGINT AS sx,
+             sum(CASE WHEN rq IS NOT NULL AND pq IS NOT NULL
+                 THEN pq END) OVER f::BIGINT AS sy,
+             sum(CASE WHEN rq IS NOT NULL AND pq IS NOT NULL
+                 THEN rq * pq END) OVER f::BIGINT AS sxy,
+             sum(CASE WHEN rq IS NOT NULL AND pq IS NOT NULL
+                 THEN rq * rq END) OVER f::BIGINT AS sxx,
+             sum(CASE WHEN rq IS NOT NULL AND pq IS NOT NULL
+                 THEN pq * pq END) OVER f::BIGINT AS syy
+      FROM p
+      WINDOW f AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, day,
-           round(corr(ret, ret_prev) OVER (PARTITION BY user_id ORDER BY day
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS autocorr20
-    FROM p
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy)
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE))
+           END AS autocorr20
+    FROM m
     """,
 )
 def q164_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling lag-1 autocorrelation of daily returns (trailing 20 bars) —
-    the mean-reversion / momentum regime signal. Returns are guarded
-    per-row chains (ANSI, invariant 4) WINSORIZED at ±10000 (a 10⁶%
-    daily move is a data error by contract; keeps the corr moments
-    inside the round-6 canonicalization grain under the dirty-numeric
-    gate's magnitude class, r13); the windowed Pearson corr is an
-    order-dependent accumulation → round 6 both engines (q91's moments
-    policy); frames with < 2 valid (ret, ret_prev) pairs or ZERO
-    VARIANCE emit NULL identically — Spark 4's ANSI ``corr`` THROWS
-    DIVIDE_BY_ZERO on a zero-variance frame where DuckDB returns NULL
-    (r13 probe), so the Spark side builds Pearson from guarded
-    covar_pop/var_pop over the same frame. One user-keyed exchange
-    feeds all the stacked windows."""
+    """Rolling lag-1 autocorrelation of daily LOG returns (trailing 20
+    bars) — the mean-reversion / momentum regime signal.
+
+    r13 rebuild on the integer-moment machinery after the dirty-numeric
+    gate showed rounded float moments can straddle the 6dp grain: the
+    log return is rounded AT the transcendental (the only non-portable
+    op), clamped to ±50 (ratio e⁵⁰ — pure int64 armor, beyond any
+    physical price move), and micro-quantized to an exact BIGINT
+    lattice; all five frame moments (Σx Σy Σxy Σx² Σy², pairwise-
+    complete) are exact integer window sums; Pearson is ONE fixed IEEE
+    chain on those integers — bit-exact cross-engine with NO rounding
+    of the result, zero half-way risk (the q126 micro-unit family
+    argument applied to second moments). Zero-variance frames emit NULL
+    on both engines (the integer variance test `n·Σx²−(Σx)² > 0` —
+    Spark 4's ANSI builtin ``corr`` THROWS there, r13 probe). Budget:
+    |rq| ≤ 5e7 → products ≤ 2.5e15, 20-row sums ≤ 5e16, n·Σ ≤ 1e18 —
+    all under 2⁶³. One user-keyed exchange feeds all stacked windows."""
     w = Window.partitionBy("user_id").orderBy("day")
     prev = F.lag("close").over(w)
-    ret = F.when(
-        prev.isNotNull() & (prev != 0),
-        F.least(
-            F.greatest(F.col("close") / prev - 1.0, F.lit(-10000.0)),
-            F.lit(10000.0),
-        ),
+    rq = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.floor(
+            F.least(
+                F.greatest(
+                    F.round(F.log(F.col("close") / prev), 6), F.lit(-50.0)
+                ),
+                F.lit(50.0),
+            )
+            * 1000000.0
+            + 0.5
+        ).cast("long"),
     )
     f = w.rowsBetween(-19, 0)
-    cv = F.covar_pop("ret", "ret_prev").over(f)
-    vx = F.var_pop(
-        F.when(F.col("ret_prev").isNotNull(), F.col("ret"))
-    ).over(f)
-    vy = F.var_pop(
-        F.when(F.col("ret").isNotNull(), F.col("ret_prev"))
-    ).over(f)
-    corr = F.when((vx != 0) & (vy != 0), cv / F.sqrt(vx * vy))
-    return (
+    both = F.col("rq").isNotNull() & F.col("pq").isNotNull()
+
+    def _s(expr):
+        return F.sum(F.when(both, expr)).over(f).cast("long")
+
+    n = F.count(F.when(both, 1)).over(f).cast("long")
+    m = (
         _bars(spark, sf_dir)
-        .withColumn("ret", ret)
-        .withColumn("ret_prev", F.lag("ret").over(w))
+        .withColumn("rq", rq)
+        .withColumn("pq", F.lag("rq").over(w))
         .select(
-            "user_id", "day",
-            F.round(corr, 6).alias("autocorr20"),
+            "user_id",
+            "day",
+            n.alias("n"),
+            _s(F.col("rq")).alias("sx"),
+            _s(F.col("pq")).alias("sy"),
+            _s(F.col("rq") * F.col("pq")).alias("sxy"),
+            _s(F.col("rq") * F.col("rq")).alias("sxx"),
+            _s(F.col("pq") * F.col("pq")).alias("syy"),
         )
     )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return m.select("user_id", "day", corr.alias("autocorr20"))
 
 
 @register(
@@ -8539,90 +8593,111 @@ def q167_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH" + _BARS_SQL + """,
     r AS (
       SELECT user_id, day,
-             CASE WHEN lag(close) OVER w IS NOT NULL
-                       AND lag(close) OVER w <> 0
-                  THEN least(greatest(close / lag(close) OVER w - 1.0,
-                                      -10000.0), 10000.0) END AS ret
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN CAST(floor(least(greatest(
+                         round(ln(close / lag(close) OVER w), 6),
+                         -50.0), 50.0) * 1000000.0 + 0.5) AS BIGINT)
+             END AS rq
       FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
     ),
     mkt AS (
       SELECT day,
-             sum(CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT))::BIGINT
-               / (1000000.0 * count(*)) AS mret
-      FROM r WHERE ret IS NOT NULL GROUP BY day
+             CAST(floor(sum(rq)::BIGINT / (1.0 * count(*)) + 0.5)
+                  AS BIGINT) AS mq
+      FROM r WHERE rq IS NOT NULL GROUP BY day
     ),
     j AS (
-      SELECT r.user_id, r.ret, mkt.mret
-      FROM r JOIN mkt ON r.day = mkt.day WHERE r.ret IS NOT NULL
+      SELECT r.user_id, r.rq, mkt.mq
+      FROM r JOIN mkt ON r.day = mkt.day WHERE r.rq IS NOT NULL
     ),
     s AS (
       SELECT user_id, count(*)::BIGINT AS n,
-             round(covar_pop(ret, mret), 6) AS cov_rm,
-             round(var_pop(ret), 6) AS var_r,
-             round(var_pop(mret), 6) AS var_m
+             sum(rq)::BIGINT AS sx, sum(mq)::BIGINT AS sy,
+             sum(rq * mq)::BIGINT AS sxy,
+             sum(rq * rq)::BIGINT AS sxx,
+             sum(mq * mq)::BIGINT AS syy
       FROM j GROUP BY user_id
     )
     SELECT user_id, n,
-           CASE WHEN var_r <> 0 AND var_m <> 0
-                THEN round(cov_rm / sqrt(var_r * var_m), 6) END AS corr_rm,
-           CASE WHEN var_m <> 0 THEN cov_rm / var_m END AS beta
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy)
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE))
+           END AS corr_rm,
+           CASE WHEN n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy) / ((n * syy - sy * sy)::DOUBLE)
+           END AS beta
     FROM s
     """,
 )
 def q168_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPM beta per user vs the equal-weighted market return:
-    β = cov(rᵢ, r_m)/var(r_m) — the systematic-risk measure completing
-    the risk family (VaR q165, drawdown/Sharpe q108). The market return
-    is a cross-sectional micro-unit mean per day (exact integers, the
-    q141 machinery); returns are WINSORIZED at ±10000 (a 10⁶% daily
-    move is a data error by contract — keeps the moments inside the
-    round-6 grain under the r13 dirty-numeric gate's magnitude class);
-    cov/var are order-dependent accumulations → round 6 both engines
-    (q91 moments policy); β and the Pearson corr are fixed guarded
-    chains on those identically-rounded values — Spark 4's ANSI
-    ``corr`` THROWS DIVIDE_BY_ZERO on zero variance where DuckDB
-    returns NULL (r13 probe), so neither side uses the builtin. The
-    join is day-keyed; the moment aggs map-side combine."""
+    beta = cov(r_i, r_m)/var(r_m) on daily LOG returns — the
+    systematic-risk measure completing the risk family (VaR q165,
+    drawdown/Sharpe q108).
+
+    r13 rebuild on the integer-moment machinery (the q164 argument):
+    log returns rounded AT the transcendental, clamped to ±50 (int64
+    armor), micro-quantized to exact BIGINTs; the market return is the
+    HALF-UP-rounded integer mean of the day's return lattice (one IEEE
+    division of exact ints + floor — deterministic both engines); all
+    per-user moments are exact integer sums, and beta / Pearson are
+    fixed IEEE chains on them — bit-exact cross-engine, NO result
+    rounding, zero half-way risk. Zero-variance guards via the integer
+    variance test (Spark 4's ANSI ``corr`` THROWS there, r13 probe).
+    Budget: |rq|,|mq| ≤ 5e7; products ≤ 2.5e15; 30-day sums ≤ 7.5e16;
+    n·Σ ≤ 2.3e18 < 2⁶³. The join is day-keyed; the moment aggs
+    map-side combine."""
     w = Window.partitionBy("user_id").orderBy("day")
     prev = F.lag("close").over(w)
-    ret = F.when(
-        prev.isNotNull() & (prev != 0),
-        F.least(
-            F.greatest(F.col("close") / prev - 1.0, F.lit(-10000.0)),
-            F.lit(10000.0),
-        ),
+    rq = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.floor(
+            F.least(
+                F.greatest(
+                    F.round(F.log(F.col("close") / prev), 6), F.lit(-50.0)
+                ),
+                F.lit(50.0),
+            )
+            * 1000000.0
+            + 0.5
+        ).cast("long"),
     )
     r = (
         _bars(spark, sf_dir)
-        .withColumn("ret", ret)
-        .where(F.col("ret").isNotNull())
-        .select("user_id", "day", "ret")
+        .withColumn("rq", rq)
+        .where(F.col("rq").isNotNull())
+        .select("user_id", "day", "rq")
         .persist()
     )
     mkt = r.groupBy("day").agg(
-        (
-            F.sum(F.floor(F.col("ret") * 1000000.0 + 0.5).cast("long"))
-            / (F.lit(1000000.0) * F.count(F.lit(1)))
-        ).alias("mret")
+        F.floor(
+            F.sum("rq").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
     )
     j = r.join(mkt, "day")
     s = j.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.covar_pop("ret", "mret"), 6).alias("cov_rm"),
-        F.round(F.var_pop("ret"), 6).alias("var_r"),
-        F.round(F.var_pop("mret"), 6).alias("var_m"),
+        F.sum("rq").cast("long").alias("sx"),
+        F.sum("mq").cast("long").alias("sy"),
+        F.sum(F.col("rq") * F.col("mq")).cast("long").alias("sxy"),
+        F.sum(F.col("rq") * F.col("rq")).cast("long").alias("sxx"),
+        F.sum(F.col("mq") * F.col("mq")).cast("long").alias("syy"),
     )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     corr_rm = F.when(
-        (F.col("var_r") != 0) & (F.col("var_m") != 0),
-        F.round(
-            F.col("cov_rm") / F.sqrt(F.col("var_r") * F.col("var_m")), 6
-        ),
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
     )
+    beta = F.when(vy > 0, num / vy.cast("double"))
     return s.select(
-        "user_id", "n", corr_rm.alias("corr_rm"),
-        F.when(F.col("var_m") != 0, F.col("cov_rm") / F.col("var_m")).alias(
-            "beta"
-        ),
+        "user_id", "n", corr_rm.alias("corr_rm"), beta.alias("beta")
     )
 
 
@@ -12715,7 +12790,7 @@ def q220_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (
       SELECT user_id, day,
              CAST(floor((close - lag(close) OVER
-               (PARTITION BY user_id ORDER BY day)) * 10000.0 + 0.5) AS BIGINT)
+               (PARTITION BY user_id ORDER BY day)) * 100.0 + 0.5) AS BIGINT)
                AS x
       FROM bars
     ),
@@ -12743,8 +12818,9 @@ def q220_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q221_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of daily close changes at lags 1-3 per
     user (momentum/mean-reversion fingerprint; the multi-lag extension of
-    q164's rolling lag-1). Changes quantize at 1e-4 (the q207 overflow
-    budget) so every Σx·x_lag and Σx² is an exact BIGINT; each ACF value
+    q164's rolling lag-1). Changes quantize to CENTS (exact on the 2dp
+    value grain; 1e-4 units overflowed the x*x_lag product at the r13
+    dirty gate's magnitude class — the q207 budget argument) so every Σx·x_lag and Σx² is an exact BIGINT; each ACF value
     is one integer division (uncentered normalization, documented).
     Scale: per-user windows + one grouped agg."""
     b = _bars(spark, sf_dir)
@@ -12752,7 +12828,7 @@ def q221_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = b.select(
         "user_id",
         "day",
-        F.floor((F.col("close") - F.lag("close").over(w)) * 10000.0 + 0.5)
+        F.floor((F.col("close") - F.lag("close").over(w)) * 100.0 + 0.5)
         .cast("long")
         .alias("x"),
     ).where(F.col("x").isNotNull())
@@ -13942,7 +14018,9 @@ def q236_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT user_id, day, n_events,
              CASE WHEN lag(close) OVER w <> 0
-                  THEN (close - lag(close) OVER w) / lag(close) OVER w
+                  THEN least(greatest((close - lag(close) OVER w)
+                                        / lag(close) OVER w,
+                                      -10000.0), 10000.0)
              END AS ret
       FROM b WINDOW w AS (PARTITION BY user_id ORDER BY day)
     ),
@@ -13975,10 +14053,19 @@ def q237_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("day")
     pc = F.lag("close").over(w)
+    # winsorize at ±1e4 (the return data-error contract, q164/q168): a
+    # tiny quarantine-surviving close under a large neighbor otherwise
+    # makes |ret| ~1e12 and the micro-unit day terms sum past 2^63
     r = b.select(
         "user_id",
         "n_events",
-        F.when(pc != 0, (F.col("close") - pc) / pc).alias("ret"),
+        F.when(
+            pc != 0,
+            F.least(
+                F.greatest((F.col("close") - pc) / pc, F.lit(-10000.0)),
+                F.lit(10000.0),
+            ),
+        ).alias("ret"),
     ).where(F.col("ret").isNotNull())
     q = r.select(
         "user_id",
@@ -24898,6 +24985,89 @@ def q336_dp_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv.dp_gumbel_topk(d, ["source"], k=5, epsilon=1.0, seed="dpq336")
 
 
+@register(
+    "q337_event_dirt_audit",
+    """
+    WITH a AS (
+      SELECT event_type, count(*)::BIGINT AS n_rows,
+             count(*) FILTER (WHERE value IS NULL)::BIGINT AS n_null_value,
+             count(*) FILTER (WHERE value = 0.0)::BIGINT AS n_zero_value,
+             count(*) FILTER (WHERE value < 0.0)::BIGINT AS n_negative,
+             count(*) FILTER (WHERE props IS NOT NULL
+                              AND NOT json_valid(props))::BIGINT AS n_bad_json,
+             count(DISTINCT (user_id, ts))::BIGINT AS n_distinct_keys
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_rows, n_null_value, n_zero_value, n_negative,
+           n_bad_json,
+           (n_rows - n_distinct_keys)::BIGINT AS n_key_collisions,
+           n_null_value / (1.0 * n_rows) AS null_rate,
+           n_bad_json / (1.0 * n_rows) AS bad_json_rate
+    FROM a
+    """,
+)
+def q337_event_dirt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-stream ingest-QA dirt panel per event_type — the monitor
+    for exactly the pathology classes `tools/dirty_numeric_gate.py`
+    injects (r13): NULL payload rate (after the scan's IEEE-specials
+    quarantine, this INCLUDES former NaN/Inf — the panel an ingest
+    alarms on), zero and negative measurements, malformed-JSON props,
+    and (user_id, ts) key collisions (duplicate-timestamp re-emissions —
+    the tie class that breaks naive windows). Completes the QA family:
+    q146 audits cross-table referential integrity, q241 the daily dup
+    curve, q54 the single-table profile; this is the payload-dirt cut.
+
+    Parity design: all counters exact BIGINTs (conditional counts —
+    map-side combined); rates are ONE integer/double division each
+    (x / (1.0 * n), the r10-lesson-c safe shape). Malformed-JSON:
+    Spark's ``try_parse_json IS NULL`` on a non-null string ==
+    DuckDB's ``NOT json_valid`` (the q102 guard pair). The distinct
+    key count sentinel-free: user_id/ts are schema-contract non-null
+    (q241's count_distinct lesson applies only to nullable members).
+    Scale: one grouped agg + one grouped distinct (two-level partial
+    agg), both event_type-keyed."""
+    e = _t(spark, sf_dir, "events")
+    a = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1))
+        .cast("long")
+        .alias("n_null_value"),
+        F.count(F.when(F.col("value") == 0.0, 1))
+        .cast("long")
+        .alias("n_zero_value"),
+        F.count(F.when(F.col("value") < 0.0, 1))
+        .cast("long")
+        .alias("n_negative"),
+        F.count(
+            F.when(
+                F.col("props").isNotNull()
+                & F.try_parse_json("props").isNull(),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_bad_json"),
+        F.count_distinct("user_id", "ts").cast("long").alias("n_distinct_keys"),
+    )
+    return a.select(
+        "event_type",
+        "n_rows",
+        "n_null_value",
+        "n_zero_value",
+        "n_negative",
+        "n_bad_json",
+        (F.col("n_rows") - F.col("n_distinct_keys"))
+        .cast("long")
+        .alias("n_key_collisions"),
+        (F.col("n_null_value") / (F.lit(1.0) * F.col("n_rows"))).alias(
+            "null_rate"
+        ),
+        (F.col("n_bad_json") / (F.lit(1.0) * F.col("n_rows"))).alias(
+            "bad_json_rate"
+        ),
+    )
+
+
 # ===========================================================================
 # Registry order — the driver evaluates entries in insertion order and may
 # cap how many get a CORRECTNESS row (round 1 checked exactly the first 50).
@@ -24950,6 +25120,9 @@ _FINAL_ORDER = [
     "q297_return_moments", "q298_ams_f2", "q299_degree_assortativity",
     "q300_adamic_adar", "q301_fracdiff", "q302_brier_calibration",
     # ========== 50-slot driver window ends here ==========
+    # -- r13-authored addition (parity-green; per the rotation recipe it
+    #    enters the r14 window FIRST, right after the sentinels)
+    "q337_event_dirt_audit",
     # -- r12 window drops behind (driver-green r12)
     "q332_kmv_intersection", "q333_weighted_sample_es",
     "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",

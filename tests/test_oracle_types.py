@@ -60,12 +60,14 @@ def test_final_order_window_r13_rotation():
     assert [w.split("_")[0] for w in window[44:50]] == [
         "q297", "q298", "q299", "q300", "q301", "q302",
     ]
-    # Behind the boundary: the r12 window occupants drop back first,
-    # then the remaining r11 greens (the r14 second-row queue head).
-    assert _FINAL_ORDER[50:52] == [
+    # Behind the boundary: the r13-authored q337 queues FIRST for the
+    # r14 window, then the r12 window occupants, then the remaining r11
+    # greens (the r14 second-row queue head).
+    assert _FINAL_ORDER[50] == "q337_event_dirt_audit"
+    assert _FINAL_ORDER[51:53] == [
         "q332_kmv_intersection", "q333_weighted_sample_es",
     ]
-    assert _FINAL_ORDER[91] == "q303_pca_power_iteration"
+    assert _FINAL_ORDER[92] == "q303_pca_power_iteration"
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]

@@ -83,7 +83,7 @@ decimal/micro-unit budgets.)
 Usage:
     python tools/dirty_numeric_gate.py [base_sf_dir] [query ...]
 
-Builds the corrupted tables under /tmp/spark_graft_dirty_num_sf (other
+Builds the corrupted tables under /tmp/spark_graft_dirty_num_<base> (other
 tables copied verbatim) and execs parity_check on the dir. Exit code =
 parity_check's. Schema fidelity: corrupted tables are written back
 through pyarrow CAST TO THE ORIGINAL ARROW SCHEMA, so parquet physical
@@ -100,7 +100,14 @@ import sys
 import duckdb
 import pyarrow.parquet as pq
 
-SCRATCH = "/tmp/spark_graft_dirty_num_sf"
+# Scratch is suffixed with the base dir's name: a fixed path let a
+# subset invocation REBUILD the corpus under a still-running full gate
+# (r13 incident: 9 phantom FAILs from sf0.001 files swapped beneath an
+# sf0.01 run). One scratch per base SF also allows concurrent gates.
+def _scratch(base: str) -> str:
+    return "/tmp/spark_graft_dirty_num_" + os.path.basename(
+        os.path.normpath(base)
+    )
 
 _EVENTS_SQL = """
 SELECT event_id,
@@ -159,27 +166,28 @@ FROM '{base}/lineitem.parquet'
 """
 
 
-def _rewrite(con, base: str, name: str, sql: str) -> None:
+def _rewrite(con, base: str, scratch: str, name: str, sql: str) -> None:
     """Corrupt via DuckDB, write back under the ORIGINAL arrow schema so
     parquet physical types match the driver's files bit-for-bit."""
     orig_schema = pq.read_schema(os.path.join(base, f"{name}.parquet"))
     orig_schema = orig_schema.remove_metadata()
     tbl = con.sql(sql.format(base=base)).arrow().cast(orig_schema)
-    pq.write_table(tbl, os.path.join(SCRATCH, f"{name}.parquet"))
+    pq.write_table(tbl, os.path.join(scratch, f"{name}.parquet"))
 
 
 def build(base: str) -> str:
-    shutil.rmtree(SCRATCH, ignore_errors=True)
-    os.makedirs(SCRATCH)
+    scratch = _scratch(base)
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
     for f in os.listdir(base):
         if f.endswith(".parquet") and f not in (
             "events.parquet", "lineitem.parquet"
         ):
-            shutil.copy(os.path.join(base, f), SCRATCH)
+            shutil.copy(os.path.join(base, f), scratch)
     con = duckdb.connect()
-    _rewrite(con, base, "events", _EVENTS_SQL)
-    _rewrite(con, base, "lineitem", _LINEITEM_SQL)
-    return SCRATCH
+    _rewrite(con, base, scratch, "events", _EVENTS_SQL)
+    _rewrite(con, base, scratch, "lineitem", _LINEITEM_SQL)
+    return scratch
 
 
 def main() -> int:

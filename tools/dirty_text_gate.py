@@ -27,7 +27,7 @@ particular tokenizer).
 Usage:
     python tools/dirty_text_gate.py [base_sf_dir]   # default sf0.001
 
-Builds the corrupted corpus under /tmp/spark_graft_dirty_sf (per-doc
+Builds the corrupted corpus under /tmp/spark_graft_dirty_<base> (per-doc
 pathology by doc_id % 14: double spaces, tabs, newlines, leading/
 trailing runs, CRLF runs, accents, CJK, emoji, NBSP separators,
 combining marks, an untouched control class, and — added r13 —
@@ -47,15 +47,21 @@ import sys
 
 import duckdb
 
-SCRATCH = "/tmp/spark_graft_dirty_sf"
+# Per-base scratch: see dirty_numeric_gate._scratch (a fixed path let
+# concurrent gate invocations clobber each other's corpus, r13).
+def _scratch(base: str) -> str:
+    return "/tmp/spark_graft_dirty_" + os.path.basename(
+        os.path.normpath(base)
+    )
 
 
 def build(base: str) -> str:
-    shutil.rmtree(SCRATCH, ignore_errors=True)
-    os.makedirs(SCRATCH)
+    scratch = _scratch(base)
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
     for f in os.listdir(base):
         if f.endswith(".parquet") and f != "documents.parquet":
-            shutil.copy(os.path.join(base, f), SCRATCH)
+            shutil.copy(os.path.join(base, f), scratch)
     con = duckdb.connect()
     con.sql(f"""
     COPY (
@@ -78,9 +84,9 @@ def build(base: str) -> str:
              END AS text,
              lang, source, n_chars
       FROM '{base}/documents.parquet'
-    ) TO '{SCRATCH}/documents.parquet' (FORMAT parquet)
+    ) TO '{scratch}/documents.parquet' (FORMAT parquet)
     """)
-    return SCRATCH
+    return scratch
 
 
 def main() -> int:

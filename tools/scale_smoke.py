@@ -102,8 +102,10 @@ def op_suite(spark, d: str) -> dict:
     executes. Chosen to cover the scaling-critical families: hash agg,
     LSH signature+band join, iterative components, window prefix-sum,
     grouped ANN argmin, sampled quantiles."""
+    from soict20221_bigdata_financialplatform_spark.functions import text as tx
     from soict20221_bigdata_financialplatform_spark.operators import corpus as cp
     from soict20221_bigdata_financialplatform_spark.operators import dedup as dd
+    from soict20221_bigdata_financialplatform_spark.operators import privacy as pv
     from soict20221_bigdata_financialplatform_spark.operators import sketch as sk
     from soict20221_bigdata_financialplatform_spark.operators import similarity as sim
     from soict20221_bigdata_financialplatform_spark.operators.components import (
@@ -211,6 +213,23 @@ def op_suite(spark, d: str) -> dict:
         # a 1-in-7 sparse right side per user; the only shuffle is the
         # union sort on (key, ts) — alpha ~ 1 modulo the sort's log term.
         "asof_join_events": lambda: _asof_count(ev),
+        # r13 (r12-VERDICT task 6): the DP release family — noise is a
+        # per-GROUP projection above the count aggregate, expected
+        # aggregate-bound (alpha ~ scan)
+        "dp_noisy_counts": lambda: pv.dp_laplace_counts(
+            ev.select(
+                F.pmod("user_id", F.lit(64)).cast("string").alias("g")
+            ),
+            ["g"],
+            epsilon=1.0,
+            seed="smoke",
+        ).count(),
+        # r13: the r12-reworked stopword path (strip-to-word-runs regex +
+        # doubled-separator regexp_count = TWO regex passes over full
+        # text) — the one r12 change with per-row cost
+        "stopword_count_regex": lambda: docs.select(
+            tx.stopword_count("text").alias("c")
+        ).agg(F.sum("c")).count(),
     }
 
 
