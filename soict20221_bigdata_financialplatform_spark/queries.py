@@ -25092,10 +25092,12 @@ _FINAL_ORDER = [
     # the second-row queue resumes with the r4-green tail
     # q105..q135 (32 entries, registry order). Slots 45-50: the queue
     # continues into the r11-green block (q297..q302, first 6 in
-    # registry order). R14 ROTATION PLAN: keep sentinels (plus any
-    # r13-authored oracle-able additions right behind them); continue
-    # the second-row queue from q303_pca_power_iteration through slot
-    # 50. Run `parity_check --audit` +
+    # registry order). R14 ROTATION PLAN: keep sentinels; the
+    # r13-authored q337_event_dirt_audit FIRST behind them (slot 10 —
+    # parity-green at three SFs + both dirty gates, the only
+    # oracle-able entry without a driver row); then continue the
+    # second-row queue from q303_pca_power_iteration (registry order)
+    # through slot 50. Run `parity_check --audit` +
     # test_driver_window_schemas_are_hasher_safe before ANY rotation,
     # and update test_oracle_types' rotation pin.
     # -- sentinels (driver-green r1..r12)
