@@ -258,7 +258,30 @@ COMPACT = HEADLINE[:17]  # through q34_ann_bruteforce
 # n_benched — this frozen 17-query sum is the longitudinally stable
 # signal. NEVER add or remove entries; r12 backfill from the archived
 # BENCH_DETAIL (git HEAD@r12): headline_fixed = 7.674 s.
-FIXED_SUBSET = tuple(HEADLINE[:17])
+# Hardcoded literal (r13 ADVICE): a HEADLINE[:17] slice would silently
+# re-define the "frozen" metric if anything were ever inserted near the
+# head of HEADLINE; the assert below keeps the set benched.
+FIXED_SUBSET = (
+    "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
+    "q09_shipping_priority", "q10_local_supplier_volume",
+    "q20_window_change", "q22_rsi", "q23_ema", "q24_daily_bars",
+    "q25_asof_view_before_purchase", "q38_sessionization",
+    "q46_range_join", "q50_decimal_money", "q28_doc_text_stats",
+    "q30_exact_dedup", "q32_minhash_pairs", "q34_ann_bruteforce",
+)
+assert set(FIXED_SUBSET) <= set(HEADLINE), sorted(
+    set(FIXED_SUBSET) - set(HEADLINE)
+)
+
+# Frozen absolute probe reference for the detrended longitudinal metric
+# (r13 VERDICT task 3b): the r13 builder archive's q01 tide-probe median
+# (probes 1..7, excluding the JIT-ramp probe 0) in seconds. A flight's
+# machine speed = its own contemporaneous probe median / this constant;
+# dividing the steady-state fixed-subset sum by that factor yields
+# "headline_fixed_detrended" — seconds on the frozen r13-builder machine
+# scale, comparable across flights and rounds. NEVER change this
+# constant (it is the unit definition, like the 17-query set itself).
+PROBE_REF_SEC = 0.399
 
 # Iterative multi-job queries (5-15 chained Spark jobs each): their first
 # run pays JVM codegen/JIT for the whole chain, which dominated r4 stdev
@@ -376,6 +399,34 @@ def main() -> None:
         _timed(name, _query_runner(QUERIES[name]),
                reps=5 if name in DRIFT_WATCH else 3)
     _tide_probe(len(HEADLINE))
+
+    # ---- steady-state re-measure of the frozen subset (r13 VERDICT
+    # task 3b). headline_fixed (block-0, kept for continuity) proved
+    # structurally unfixable across flights: the r13 judge flight showed
+    # a DECAYING RUN-START BURST (q01-q03 at 2.3-3.2x, probe0 11.8x,
+    # while the all-query median ratio vs the builder flight was 1.016)
+    # — no after-the-fact factor can correct measurements taken inside
+    # such a burst, and block 0 is exactly where the fixed subset lives.
+    # So the longitudinal metric re-times the 17 queries HERE, after the
+    # full sweep (JIT settled, any start burst long past), bracketed by
+    # contemporaneous probes; dividing by (probe_median / PROBE_REF_SEC)
+    # converts to the frozen r13-builder machine scale. Cost: ~35 s.
+    fixed_tail: dict[str, float] = {}
+    spark.catalog.clearCache()
+    for name in FIXED_SUBSET:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            _query_runner(QUERIES[name])()
+            samples.append(time.time() - t0)
+        fixed_tail[name] = round(min(samples), 3)
+    _tide_probe(-1)  # closing bracket probe (after_n=-1 marks the tail)
+    tail_probes = [p["q01_sec"] for p in tide_probes
+                   if p["after_n"] in (len(HEADLINE), -1)]
+    tail_speed = max(statistics.median(tail_probes), 1e-9) / PROBE_REF_SEC
+    headline_fixed_steady = round(sum(fixed_tail.values()), 3)
+    headline_fixed_detrended = round(headline_fixed_steady / tail_speed, 3)
+
     base_probe = max(
         statistics.median(p["q01_sec"] for p in tide_probes), 1e-9
     )
@@ -604,6 +655,9 @@ def main() -> None:
             "metric": "headline_queries_total_detail",
             "value": total,
             "headline_fixed": headline_fixed,
+            "headline_fixed_steady": headline_fixed_steady,
+            "headline_fixed_detrended": headline_fixed_detrended,
+            "fixed_tail": fixed_tail,
             "unit": "sec",
             "queries": timings,
             "variance": variance,
@@ -613,16 +667,27 @@ def main() -> None:
                 "every": TIDE_EVERY,
                 "probes": tide_probes,
                 "factors": tide_factors,
+                "probe_ref_sec": PROBE_REF_SEC,
             },
             "queries_detrended": queries_detrended,
             "sf": sf,
         }
     )
     print(detail)
+    # Archiving is OPT-IN (r13 VERDICT task 3a): an unconditional write
+    # let a diagnostic flight clobber the round's committed record (the
+    # r13 judge flight destroyed the driver's detail file). Default
+    # writes BENCH_DETAIL_last.json (ephemeral scratch, gitignored);
+    # `python bench.py --archive` refreshes the committed archive — the
+    # builder passes it deliberately before a round snapshot.
+    out_name = (
+        "BENCH_DETAIL.json" if "--archive" in sys.argv
+        else "BENCH_DETAIL_last.json"
+    )
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"), "w"
+                         out_name), "w"
         ) as f:
             f.write(detail + "\n")
     except OSError:
@@ -641,6 +706,8 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "headline_fixed": headline_fixed,
+                "headline_fixed_steady": headline_fixed_steady,
+                "headline_fixed_detrended": headline_fixed_detrended,
                 "unit": "sec",
                 "sf": sf,
                 "queries": {k: timings[k] for k in keep},

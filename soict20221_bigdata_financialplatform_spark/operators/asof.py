@@ -69,12 +69,22 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     tolerance_seconds: int | None = None,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, append the most recent right row with
     ``right_ts <= left_ts`` within the same key group.
 
     ``right_cols`` defaults to every non-key, non-ts right column. With
     ``tolerance_seconds``, matches older than the tolerance are nulled.
+
+    **Tie precondition**: the carry window orders by (ts, side), so when
+    one key has MULTIPLE right rows at the SAME ``right_ts`` the carried
+    row among them is nondeterministic (the r13 dirty-numeric tie
+    class). Either guarantee (key, right_ts) uniqueness at the call
+    site (q25 dedupes its right side), or pass ``right_tiebreak`` — a
+    unique right column appended to the window ORDER BY; the LARGEST
+    tiebreak value at the tied instant wins, matching the "latest row
+    by (ts, id)" struct-key convention the day-bar closes use.
 
     NULL timestamps never match (DuckDB ASOF JOIN semantics): a right row
     with NULL ``right_ts`` is dropped (it has no place on the timeline —
@@ -89,12 +99,20 @@ def asof_join(
     rc = list(right_cols)
 
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rsel = list(dict.fromkeys(
+        on + [right_ts] + rc
+        + ([right_tiebreak] if right_tiebreak is not None else [])
+    ))
     rhs = (
         right.where(F.col(right_ts).isNotNull())
-        .select(*on, right_ts, *rc)
+        .select(*rsel)
         .withColumn("__side", F.lit(0))
         .withColumn("__ts", F.col(right_ts))
     )
+    if right_tiebreak is not None:
+        rhs = rhs.withColumn("__tb", F.col(right_tiebreak))
+        if right_tiebreak not in on + [right_ts] + rc:
+            rhs = rhs.drop(right_tiebreak)
     # Align schemas for unionByName.
     for c in left.columns:
         if c not in rhs.columns:
@@ -105,10 +123,17 @@ def asof_join(
     both = lhs.unionByName(rhs.select(*lhs.columns))
 
     # Right rows sort before left rows at the same instant (__side 0 < 1), so
-    # a bar stamped exactly at the left timestamp is visible to it.
+    # a bar stamped exactly at the left timestamp is visible to it. With a
+    # tiebreak, right rows at one instant order ASC on it, so the carry
+    # (last()) deterministically keeps the LARGEST tiebreak; left rows'
+    # NULL __tb sorts first within their __side group — irrelevant, since
+    # the carry only reads right-row payloads.
+    order_cols = ["__ts", "__side"] + (
+        ["__tb"] if right_tiebreak is not None else []
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # STRUCT-carry (the q124 bracketing idiom), not per-column

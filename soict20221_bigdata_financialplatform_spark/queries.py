@@ -2534,9 +2534,6 @@ def q70_bulk_suppliers_in(spark: SparkSession, sf_dir: str) -> DataFrame:
                value,
                row_number() OVER (PARTITION BY user_id,
                  CAST(date_trunc('day', ts) AS DATE)
-                 ORDER BY ts, event_id) AS rno,
-               row_number() OVER (PARTITION BY user_id,
-                 CAST(date_trunc('day', ts) AS DATE)
                  ORDER BY ts DESC, event_id DESC) AS rnc
         FROM events
       ) GROUP BY 1, 2),
@@ -8596,7 +8593,7 @@ def q167_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN close > 0 AND lag(close) OVER w > 0
                   THEN CAST(floor(least(greatest(
                          round(ln(close / lag(close) OVER w), 6),
-                         -50.0), 50.0) * 1000000.0 + 0.5) AS BIGINT)
+                         -20.0), 20.0) * 1000000.0 + 0.5) AS BIGINT)
              END AS rq
       FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
     ),
@@ -8646,9 +8643,16 @@ def q168_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed IEEE chains on them — bit-exact cross-engine, NO result
     rounding, zero half-way risk. Zero-variance guards via the integer
     variance test (Spark 4's ANSI ``corr`` THROWS there, r13 probe).
-    Budget: |rq|,|mq| ≤ 5e7; products ≤ 2.5e15; 30-day sums ≤ 7.5e16;
-    n·Σ ≤ 2.3e18 < 2⁶³. The join is day-keyed; the moment aggs
-    map-side combine."""
+    Budget (r14, ADVICE-tightened ±50 → ±20: ln-returns above ~14 are
+    already unphysical, and these moments pool over ALL of a user's
+    days, so the budget must NOT lean on the generator's 30-day span):
+    |rq|,|mq| ≤ 2e7 → rq² ≤ 4e14 and the worst-case moment term
+    n²·max(rq)² stays < 2⁶³ through n ≈ 151 days even with EVERY
+    return pinned at the clamp (vs ~61 days at ±50); with realistic
+    |ln-return| ≤ 1 the binding term is n²·1e12 → n ≈ 3000 days. The
+    q145 SF-asymmetric overflow class (Spark ANSI throws, DuckDB
+    widens to HUGEINT) stays closed at any plausible span. The join is
+    day-keyed; the moment aggs map-side combine."""
     w = Window.partitionBy("user_id").orderBy("day")
     prev = F.lag("close").over(w)
     rq = F.when(
@@ -8656,9 +8660,9 @@ def q168_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.least(
                 F.greatest(
-                    F.round(F.log(F.col("close") / prev), 6), F.lit(-50.0)
+                    F.round(F.log(F.col("close") / prev), 6), F.lit(-20.0)
                 ),
-                F.lit(50.0),
+                F.lit(20.0),
             )
             * 1000000.0
             + 0.5
@@ -11810,9 +11814,6 @@ ORACLE["q209_lsh_recall_eval"] = f"""
                value,
                row_number() OVER (PARTITION BY user_id,
                  CAST(date_trunc('day', ts) AS DATE)
-                 ORDER BY ts, event_id) AS rno,
-               row_number() OVER (PARTITION BY user_id,
-                 CAST(date_trunc('day', ts) AS DATE)
                  ORDER BY ts DESC, event_id DESC) AS rnc
         FROM events
       ) GROUP BY 1, 2
@@ -14008,9 +14009,6 @@ def q236_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                value,
                row_number() OVER (PARTITION BY user_id,
                  CAST(date_trunc('day', ts) AS DATE)
-                 ORDER BY ts, event_id) AS rno,
-               row_number() OVER (PARTITION BY user_id,
-                 CAST(date_trunc('day', ts) AS DATE)
                  ORDER BY ts DESC, event_id DESC) AS rnc
         FROM events
       ) GROUP BY 1, 2
@@ -14660,9 +14658,6 @@ def q243_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                value,
                row_number() OVER (PARTITION BY user_id,
                  CAST(date_trunc('day', ts) AS DATE)
-                 ORDER BY ts, event_id) AS rno,
-               row_number() OVER (PARTITION BY user_id,
-                 CAST(date_trunc('day', ts) AS DATE)
                  ORDER BY ts DESC, event_id DESC) AS rnc
         FROM events
       ) GROUP BY 1, 2
@@ -14746,9 +14741,6 @@ def q244_seasonal_naive_backtest(
       FROM (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                value,
-               row_number() OVER (PARTITION BY user_id,
-                 CAST(date_trunc('day', ts) AS DATE)
-                 ORDER BY ts, event_id) AS rno,
                row_number() OVER (PARTITION BY user_id,
                  CAST(date_trunc('day', ts) AS DATE)
                  ORDER BY ts DESC, event_id DESC) AS rnc
@@ -25078,99 +25070,99 @@ def q337_event_dirt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _FINAL_ORDER = [
-    # -- Round-13 rotation (recipe from CLAUDE.md invariant 10 / r12
+    # -- Round-14 rotation (recipe from CLAUDE.md invariant 10 / r13
     # VERDICT task 1). The driver caps CORRECTNESS rows at the first 50
-    # registry entries (r1-r12 confirmed), so placement decides which
-    # oracle queries get a driver-green row. After r12 every oracle-able
-    # query except the r12-authored DP trio has a driver-green row, so
-    # the window buys the trio's FIRST rows plus REDUNDANCY (second
-    # rows). Slots 1-9: the standing sentinels. Slots 10-12: the
-    # r12-authored q334/q335/q336 (parity-green at sf0.001/0.01/0.1,
-    # the only oracle-able entries without a driver row; r12 ADVICE
-    # fixes — gumbel clamp + NULL-group sentinel — applied to BOTH
-    # sides and re-parity-verified before this promotion). Slots 13-44:
-    # the second-row queue resumes with the r4-green tail
-    # q105..q135 (32 entries, registry order). Slots 45-50: the queue
-    # continues into the r11-green block (q297..q302, first 6 in
-    # registry order). R14 ROTATION PLAN: keep sentinels; the
-    # r13-authored q337_event_dirt_audit FIRST behind them (slot 10 —
-    # parity-green at three SFs + both dirty gates, the only
-    # oracle-able entry without a driver row); then continue the
-    # second-row queue from q303_pca_power_iteration (registry order)
-    # through slot 50. Run `parity_check --audit` +
-    # test_driver_window_schemas_are_hasher_safe before ANY rotation,
-    # and update test_oracle_types' rotation pin.
-    # -- sentinels (driver-green r1..r12)
+    # registry entries (r1-r13 confirmed), so placement decides which
+    # oracle queries get a driver-green row. Slots 1-9: the standing
+    # sentinels. Slot 10: the r13-authored q337_event_dirt_audit
+    # (parity-green at three SFs + both dirty gates — the only
+    # oracle-able entry without a driver row). Slots 11-50: the
+    # second-row queue continues in registry order from
+    # q303_pca_power_iteration — q303..q331 (29), the r11-window tail
+    # q63/q65..q69 (6), and the r10-green head q256..q260 (5).
+    # R15 ROTATION PLAN: keep sentinels (any r14-authored oracle-able
+    # additions right behind them); continue the second-row queue from
+    # q261_charclass_drift (registry order, marked below) through slot
+    # 50. Rows-only entries stay dead last. Before ANY promotion run
+    # `parity_check --audit` + test_driver_window_schemas_are_hasher_safe
+    # and update test_oracle_types' rotation pin
+    # (r14: test_final_order_window_r14_rotation).
+    # -- sentinels (driver-green r1..r13)
     "q01_pricing_summary", "q02_flagship_range", "q03_latest_n_per_key",
     "q22_rsi", "q23_ema", "q30_exact_dedup", "q50_decimal_money",
     "q53_near_dup_clusters", "q64_embedding_near_dup_lsh",
-    # -- r12-authored additions: first driver rows (slots 10-12)
-    "q334_dp_noisy_counts", "q335_dp_noisy_char_sums", "q336_dp_gumbel_topk",
-    # -- second-row queue: r4-green tail (slots 13-44)
-    "q105_vocab_coverage", "q106_funnel_conversion", "q107_robust_outliers",
-    "q108_drawdown_sharpe", "q109_embedding_quantization", "q110_holt_linear",
-    "q111_fixed_k_sample", "q112_equidepth_histogram", "q51_ann_ivf",
-    "q113_decontamination", "q114_doc_chunking", "q115_fuzzy_dictionary_match",
-    "q116_within_doc_dedup", "q117_pagerank_dup_graph", "q118_pps_sample",
-    "q119_leakage_free_split", "q120_cdc_chunking",
-    "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
-    "q124_grid_interpolate", "q125_containment_pairs", "q126_dsir_importance",
-    "q127_semdedup", "q128_perplexity_lm", "q129_pmi_cooccurrence",
-    "q130_triangle_counts", "q131_pq_adc", "q132_windowed_pmi", "q133_ivfpq",
-    "q134_cms_estimates", "q135_rake_keywords",
-    # -- second-row queue continues: r11 greens (slots 45-50)
-    "q297_return_moments", "q298_ams_f2", "q299_degree_assortativity",
-    "q300_adamic_adar", "q301_fracdiff", "q302_brier_calibration",
-    # ========== 50-slot driver window ends here ==========
-    # -- r13-authored addition (parity-green; per the rotation recipe it
-    #    enters the r14 window FIRST, right after the sentinels)
+    # -- r13-authored addition: first driver row (slot 10)
     "q337_event_dirt_audit",
-    # -- r12 window drops behind (driver-green r12)
-    "q332_kmv_intersection", "q333_weighted_sample_es",
-    "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
-    "q73_order_priority_exists", "q74_nation_trade_volume", "q75_market_share",
-    "q76_product_profit", "q77_important_parts", "q78_late_lines_by_status",
-    "q79_promo_revenue", "q80_top_supplier", "q81_supplier_part_cnt",
-    "q82_discount_or_predicates", "q83_waiting_orders",
-    "q84_min_cost_supplier", "q85_pii_redaction", "q86_tfidf_top_terms",
-    "q88_scd2_intervals", "q89_cohort_retention", "q90_value_histogram",
-    "q91_stat_moments", "q93_array_funcs", "q94_multiset_ops", "q95_bollinger",
-    "q96_macd", "q97_running_vwap", "q98_token_heavy_hitters",
-    "q100_map_funcs", "q101_unpivot", "q102_variant_json",
-    "q103_returned_items",
-    "q08_asia_nations", "q10_local_supplier_volume", "q15_rollup_status",
-    "q16_set_union", "q55_time_range_window", "q61_customer_distribution",
-    "q62_large_orders", "q104_sequence_packing",
-    # -- rest of the r11 window (driver-green r11; q303.. is NEXT IN
-    #    LINE for the r14 second-row queue)
+    # -- second-row queue: r11-green block q303..q331 (slots 11-39)
     "q303_pca_power_iteration", "q304_mi_lang_source", "q305_ljung_box",
     "q306_rich_club", "q307_roc_auc", "q308_embedding_outliers",
     "q309_pairs_trading_ssd", "q310_anova_dow", "q311_newey_west",
-    "q312_theil_sen", "q313_realized_corr_matrix", "q314_permutation_entropy",
-    "q315_rank_persistence", "q316_filter_attrition", "q317_dedup_savings",
-    "q318_mann_kendall", "q319_behavior_entropy", "q320_downside_beta",
+    "q312_theil_sen", "q313_realized_corr_matrix",
+    "q314_permutation_entropy", "q315_rank_persistence",
+    "q316_filter_attrition", "q317_dedup_savings", "q318_mann_kendall",
+    "q319_behavior_entropy", "q320_downside_beta",
     "q321_activity_half_life", "q322_ochiai_collocations",
     "q323_nearest_centroid_eval", "q324_spectral_pair",
     "q325_interval_join_counts", "q326_running_user_stats",
     "q327_out_of_order_audit", "q328_minute_bar_gaps",
     "q329_native_session_window", "q330_join_state_audit",
-    "q331_dedup_watermark_catch", "q63_semantic_neighbors",
-    "q65_gopher_quality", "q66_shared_ngrams", "q67_winnow_overlap",
-    "q68_small_qty_revenue", "q69_dormant_rich_customers",
-    # -- earlier retirees in prior relative order (r10 window q256-q296,
-    #    then r9/r7/r8/r6/r5 blocks — each has >=1 driver-green row)
+    "q331_dedup_watermark_catch",
+    # -- second-row queue: r11-window tail (slots 40-45)
+    "q63_semantic_neighbors", "q65_gopher_quality", "q66_shared_ngrams",
+    "q67_winnow_overlap", "q68_small_qty_revenue",
+    "q69_dormant_rich_customers",
+    # -- second-row queue: r10-green head (slots 46-50)
     "q256_kmv_distinct", "q257_flesch_readability",
-    "q258_parkinson_volatility", "q259_kyle_lambda", "q260_drawdown_duration",
+    "q258_parkinson_volatility", "q259_kyle_lambda",
+    "q260_drawdown_duration",
+    # ========== 50-slot driver window ends here ==========
+    # -- r13 window drops behind (driver-green r13, prior relative order)
+    "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
+    "q336_dp_gumbel_topk", "q105_vocab_coverage", "q106_funnel_conversion",
+    "q107_robust_outliers", "q108_drawdown_sharpe",
+    "q109_embedding_quantization", "q110_holt_linear",
+    "q111_fixed_k_sample", "q112_equidepth_histogram", "q51_ann_ivf",
+    "q113_decontamination", "q114_doc_chunking",
+    "q115_fuzzy_dictionary_match", "q116_within_doc_dedup",
+    "q117_pagerank_dup_graph", "q118_pps_sample",
+    "q119_leakage_free_split", "q120_cdc_chunking",
+    "q121_temperature_rebalance", "q122_bm25", "q123_vshape_patterns",
+    "q124_grid_interpolate", "q125_containment_pairs",
+    "q126_dsir_importance", "q127_semdedup", "q128_perplexity_lm",
+    "q129_pmi_cooccurrence", "q130_triangle_counts", "q131_pq_adc",
+    "q132_windowed_pmi", "q133_ivfpq", "q134_cms_estimates",
+    "q135_rake_keywords", "q297_return_moments", "q298_ams_f2",
+    "q299_degree_assortativity", "q300_adamic_adar", "q301_fracdiff",
+    "q302_brier_calibration",
+    # -- earlier retirees in prior relative order (each has >=1
+    #    driver-green row)
+    "q332_kmv_intersection", "q333_weighted_sample_es",
+    "q70_bulk_suppliers_in", "q71_gap_fill", "q72_ann_ivf_det",
+    "q73_order_priority_exists", "q74_nation_trade_volume",
+    "q75_market_share", "q76_product_profit", "q77_important_parts",
+    "q78_late_lines_by_status", "q79_promo_revenue", "q80_top_supplier",
+    "q81_supplier_part_cnt", "q82_discount_or_predicates",
+    "q83_waiting_orders", "q84_min_cost_supplier", "q85_pii_redaction",
+    "q86_tfidf_top_terms", "q88_scd2_intervals", "q89_cohort_retention",
+    "q90_value_histogram", "q91_stat_moments", "q93_array_funcs",
+    "q94_multiset_ops", "q95_bollinger", "q96_macd", "q97_running_vwap",
+    "q98_token_heavy_hitters", "q100_map_funcs", "q101_unpivot",
+    "q102_variant_json", "q103_returned_items", "q08_asia_nations",
+    "q10_local_supplier_volume", "q15_rollup_status", "q16_set_union",
+    "q55_time_range_window", "q61_customer_distribution",
+    "q62_large_orders", "q104_sequence_packing",
+    # -- q261.. is NEXT IN LINE for the r15 second-row queue
     "q261_charclass_drift", "q262_garman_klass", "q263_variance_ratio",
     "q264_downside_risk", "q265_centroid_drift", "q266_leadlag_market",
     "q267_hill_diversity", "q268_vpin", "q269_rfm_migration",
-    "q270_loo_source_value", "q271_weighted_reservoir", "q272_triple_barrier",
-    "q273_purged_kfold", "q274_label_uniqueness", "q275_runs_test",
-    "q276_corwin_schultz", "q277_cointegration_hedge", "q278_embedding_shift",
-    "q279_word_burstiness", "q280_woe_iv", "q281_hurst_rs",
-    "q282_event_study_car", "q283_hard_negatives", "q284_momentum_deciles",
-    "q285_embedding_anisotropy", "q286_activity_gini", "q287_tail_index",
-    "q288_kanonymity_audit", "q289_behavior_markov", "q290_price_staleness",
+    "q270_loo_source_value", "q271_weighted_reservoir",
+    "q272_triple_barrier", "q273_purged_kfold", "q274_label_uniqueness",
+    "q275_runs_test", "q276_corwin_schultz", "q277_cointegration_hedge",
+    "q278_embedding_shift", "q279_word_burstiness", "q280_woe_iv",
+    "q281_hurst_rs", "q282_event_study_car", "q283_hard_negatives",
+    "q284_momentum_deciles", "q285_embedding_anisotropy",
+    "q286_activity_gini", "q287_tail_index", "q288_kanonymity_audit",
+    "q289_behavior_markov", "q290_price_staleness",
     "q291_template_detection", "q292_packing_efficiency",
     "q293_market_dispersion", "q294_avg_correlation",
     "q295_intraday_vol_signature", "q296_bigram_oov",
@@ -25191,9 +25183,9 @@ _FINAL_ORDER = [
     "q48_corpus_survivors", "q52_hourly_window", "q54_data_profile",
     "q56_grouping_sets", "q57_minhash_md5", "q58_simhash_md5",
     "q59_bpe_token_count", "q60_corpus_clean_exact",
-    "q216_vocab_coverage_curve", "q217_js_divergence", "q218_spearman_trend",
-    "q219_kaplan_meier", "q220_wasserstein", "q221_acf",
-    "q222_conditional_entropy", "q223_source_vocab_overlap",
+    "q216_vocab_coverage_curve", "q217_js_divergence",
+    "q218_spearman_trend", "q219_kaplan_meier", "q220_wasserstein",
+    "q221_acf", "q222_conditional_entropy", "q223_source_vocab_overlap",
     "q224_overnight_gaps", "q225_calendar_heatmap", "q226_domain_bpb",
     "q227_memorization_spans", "q228_hll_partition_union",
     "q229_source_overlap_attribution", "q230_minhash_hot_bands",
@@ -25201,33 +25193,36 @@ _FINAL_ORDER = [
     "q04_global_minmax", "q06_topk_orders", "q07_segment_revenue",
     "q09_shipping_priority", "q12_semi_join", "q13_anti_join",
     "q14_monthly_rollup", "q17_set_intersect", "q18_set_except",
-    "q19_keyed_dedup", "q20_window_change", "q21_window_sma", "q24_daily_bars",
-    "q25_asof_view_before_purchase", "q26_json_extract", "q27_gain_loss_split",
-    "q28_doc_text_stats", "q29_doc_quality", "q34_ann_bruteforce",
-    "q35_ann_lsh", "q37_percentiles", "q39_pivot", "q40_window_grabbag",
-    "q11_outer_join_activity", "q176_theil_index", "q177_lorenz_deciles",
-    "q178_burstiness", "q179_heaps_fit", "q180_lexical_stats",
-    "q181_novel_ngram_rate", "q182_kl_drift", "q183_corpus_clean_lsh",
-    "q184_longest_common_run", "q185_ivf_cell_balance", "q186_hll_md5",
-    "q187_sampled_quantiles", "q188_bpe_merges", "q189_domain_mixture",
-    "q190_paragraph_dedup", "q191_repetition_filters", "q192_ccnet_buckets",
+    "q19_keyed_dedup", "q20_window_change", "q21_window_sma",
+    "q24_daily_bars", "q25_asof_view_before_purchase", "q26_json_extract",
+    "q27_gain_loss_split", "q28_doc_text_stats", "q29_doc_quality",
+    "q34_ann_bruteforce", "q35_ann_lsh", "q37_percentiles", "q39_pivot",
+    "q40_window_grabbag", "q11_outer_join_activity", "q176_theil_index",
+    "q177_lorenz_deciles", "q178_burstiness", "q179_heaps_fit",
+    "q180_lexical_stats", "q181_novel_ngram_rate", "q182_kl_drift",
+    "q183_corpus_clean_lsh", "q184_longest_common_run",
+    "q185_ivf_cell_balance", "q186_hll_md5", "q187_sampled_quantiles",
+    "q188_bpe_merges", "q189_domain_mixture", "q190_paragraph_dedup",
+    "q191_repetition_filters", "q192_ccnet_buckets",
     "q193_soft_dedup_weights", "q194_quantile_normalize", "q195_ks_test",
     "q196_mann_whitney", "q197_benford", "q198_llr_collocations",
     "q199_kneser_ney_bigram", "q200_tokenizer_fertility",
-    "q201_dedup_cluster_stats", "q202_length_log_histogram", "q203_kaufman_er",
-    "q204_donchian_channels", "q205_heikin_ashi", "q206_realized_volatility",
-    "q207_roll_spread", "q208_hits_scores", "q209_lsh_recall_eval",
-    "q210_keltner_channels", "q211_ichimoku", "q212_simhash_hot_chunks",
-    "q213_minhash_estimate_error", "q214_idf_doc_filter",
-    "q215_stratified_kfold", "q136_negative_sampling", "q137_clustering_coeff",
-    "q138_atr", "q139_stochastic", "q140_obv", "q141_seasonal_decompose",
+    "q201_dedup_cluster_stats", "q202_length_log_histogram",
+    "q203_kaufman_er", "q204_donchian_channels", "q205_heikin_ashi",
+    "q206_realized_volatility", "q207_roll_spread", "q208_hits_scores",
+    "q209_lsh_recall_eval", "q210_keltner_channels", "q211_ichimoku",
+    "q212_simhash_hot_chunks", "q213_minhash_estimate_error",
+    "q214_idf_doc_filter", "q215_stratified_kfold",
+    "q136_negative_sampling", "q137_clustering_coeff", "q138_atr",
+    "q139_stochastic", "q140_obv", "q141_seasonal_decompose",
     "q142_rfm_segments", "q143_assoc_rules", "q144_gini_concentration",
-    "q145_hhi_concentration", "q146_integrity_audit", "q147_winsorized_stats",
-    "q148_markov_transitions", "q149_zipf_fit", "q150_cusum_drift",
-    "q151_silhouette", "q152_phrase_search", "q153_token_budget_mixture",
-    "q154_rrf_hybrid", "q155_item_cf", "q156_pareto_skyline", "q157_ab_test",
-    "q158_dau_wau", "q159_cycle_time", "q160_cohort_ltv",
-    "q161_bloom_semijoin", "q162_interval_islands", "q163_longest_streak",
+    "q145_hhi_concentration", "q146_integrity_audit",
+    "q147_winsorized_stats", "q148_markov_transitions", "q149_zipf_fit",
+    "q150_cusum_drift", "q151_silhouette", "q152_phrase_search",
+    "q153_token_budget_mixture", "q154_rrf_hybrid", "q155_item_cf",
+    "q156_pareto_skyline", "q157_ab_test", "q158_dau_wau",
+    "q159_cycle_time", "q160_cohort_ltv", "q161_bloom_semijoin",
+    "q162_interval_islands", "q163_longest_streak",
     "q164_rolling_autocorr", "q165_var_cvar", "q166_chi_square",
     "q167_langid_eval", "q168_capm_beta", "q169_abc_analysis",
     "q170_seasonal_anomalies", "q171_behavior_similarity",

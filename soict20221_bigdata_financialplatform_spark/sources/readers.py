@@ -31,6 +31,14 @@ TABLES = (
 # Small dimension tables that an optimizer should broadcast in joins.
 SMALL_DIMS = frozenset({"region", "nation"})
 
+# Corpus schema contract: every valid embedding has exactly this many
+# components (TESTDATA.md; the reference's embedding column is likewise a
+# fixed-width vector). A vector of any OTHER length is a malformed row —
+# a truncated write or a mixed-model ingest — not a different-but-valid
+# value; length dirt otherwise flows SILENTLY through zip_with (Spark
+# null-pads the short side) while DuckDB list ops error or mis-align.
+EMBEDDING_DIM = 64
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table (S5 analog: keyed reads answered by
@@ -71,7 +79,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
         df = _quarantine_specials(df)
+    if name == "embeddings":
+        df = _quarantine_embeddings(df)
     return df
+
+
+def _quarantine_embeddings(df: DataFrame) -> DataFrame:
+    """Ingest hygiene on the vector column (r14, the dirty-embedding
+    gate's scan contract — the events.value quarantine's sibling): an
+    embedding is VALID iff it is non-null, has exactly ``EMBEDDING_DIM``
+    components, and every component is a non-null FINITE float. Any
+    malformed vector -> NULL (the row survives; vec_id/label remain).
+
+    Why whole-vector, not per-component: a vector with a NULL/NaN/Inf
+    component or the wrong length carries no usable geometry — patching
+    components would fabricate data, and the specific dirt classes are
+    cross-engine poison: NULL elements arrive in Arrow as
+    float64-with-NaN and ``astype(int64)`` silently wraps to INT64_MIN
+    (r11 lesson a); ragged lengths null-pad through Spark ``zip_with``
+    while DuckDB errors or mis-aligns; non-finite components abort
+    DuckDB aggregates where Spark returns NULL/NaN. Quarantining the
+    vector makes every consumer's ``isNotNull`` guard sufficient. The
+    DuckDB twin lives in tools/parity_check.py's embeddings view DDL.
+    On the driver's clean testdata this is value-identical to the raw
+    scan (verified: clean-parity suite unchanged).
+
+    Zero-norm vectors stay: all-zero is well-formed float data — cosine
+    consumers guard the division per CLAUDE.md invariant 4 instead.
+
+    Scale note: one CodegenFallback HOF pass over a column the query
+    was about to read anyway — no shuffle, no pushdown loss (vec_id
+    predicates still prune; there are no element-level PushedFilters on
+    list columns to lose)."""
+    bad_elem = F.exists(
+        "embedding",
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    valid = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMBEDDING_DIM)
+        & ~bad_elem
+    )
+    return df.withColumn("embedding", F.when(valid, F.col("embedding")))
 
 
 def _quarantine_specials(df: DataFrame) -> DataFrame:

@@ -50,6 +50,36 @@ def test_asof_join_tolerance(spark):
     assert drop[0].px is None  # match older than tolerance nulled
 
 
+def test_asof_join_right_tiebreak_picks_largest(spark):
+    # Duplicate right timestamps in one key: without a tiebreak the carry
+    # is nondeterministic (r13 ADVICE); with right_tiebreak the row with
+    # the LARGEST tiebreak at the tied instant wins — the same "latest by
+    # (ts, id)" convention the day-bar closes use. The tiebreak column
+    # (eid) is not in right_cols, so it must also not leak into the output.
+    left = spark.createDataFrame([Row(k="a", ts=_ts(10))])
+    right = spark.createDataFrame(
+        [Row(k="a", rts=_ts(9), px=1.0, eid=7),
+         Row(k="a", rts=_ts(9), px=2.0, eid=3),
+         Row(k="a", rts=_ts(9), px=3.0, eid=9)]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["px"], right_tiebreak="eid",
+    )
+    rows = out.collect()
+    assert rows[0].px == 3.0  # eid=9 is the largest at the tied instant
+    assert set(out.columns) == {"k", "ts", "px"}
+    # A later right row still beats any tied earlier ones.
+    right2 = right.union(
+        spark.createDataFrame([Row(k="a", rts=_ts(9, 30), px=4.0, eid=1)])
+    )
+    rows2 = asof_join(
+        left, right2, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["px"], right_tiebreak="eid",
+    ).collect()
+    assert rows2[0].px == 4.0
+
+
 def test_text_features(spark):
     df = spark.createDataFrame(
         [Row(text="The quick brown fox, with a vengeance!"),

@@ -21,18 +21,17 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r13_rotation():
+def test_final_order_window_r14_rotation():
     """The driver checks the FIRST 50 registry entries. Pin the
-    round-13 window: 9 sentinels up front, the r12-authored DP trio
-    q334/q335/q336 in slots 10-12 (the only oracle-able entries without
-    a driver row after r12), the second-row queue's r4-green tail
-    q105..q135 in slots 13-44 (32 entries, registry order with q51
-    interleaved), the queue continuing into the r11-green block
-    q297..q302 in slots 45-50, every window entry oracle-backed, the
+    round-14 window: 9 sentinels up front, the r13-authored
+    q337_event_dirt_audit in slot 10 (the only oracle-able entry
+    without a driver row after r13), the second-row queue continuing in
+    registry order — the r11-green block q303..q331 in slots 11-39, the
+    r11-window tail q63/q65..q69 in slots 40-45, the r10-green head
+    q256..q260 in slots 46-50 — every window entry oracle-backed, the
     rows-only six dead last, and the full registry covered exactly
-    once. The r12 window occupants drop right behind the boundary;
-    q303_pca_power_iteration is next in the second-row queue for
-    r14."""
+    once. The r13 window occupants drop right behind the boundary;
+    q261_charclass_drift is next in the second-row queue for r15."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -46,28 +45,22 @@ def test_final_order_window_r13_rotation():
     ]
     assert _FINAL_ORDER[:9] == sentinels
     window = _FINAL_ORDER[:50]
-    assert window[9:12] == [
+    assert window[9] == "q337_event_dirt_audit"
+    expected_queue = [f"q{n}" for n in range(303, 332)]
+    assert [w.split("_")[0] for w in window[10:39]] == expected_queue
+    assert [w.split("_")[0] for w in window[39:45]] == [
+        "q63", "q65", "q66", "q67", "q68", "q69",
+    ]
+    assert [w.split("_")[0] for w in window[45:50]] == [
+        "q256", "q257", "q258", "q259", "q260",
+    ]
+    # Behind the boundary: the r13 window occupants (DP trio first),
+    # then the earlier retirees; q261 heads the r15 second-row queue.
+    assert _FINAL_ORDER[50:53] == [
         "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
         "q336_dp_gumbel_topk",
     ]
-    expected_tail = [
-        "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112",
-        "q51", "q113", "q114", "q115", "q116", "q117", "q118", "q119",
-        "q120", "q121", "q122", "q123", "q124", "q125", "q126", "q127",
-        "q128", "q129", "q130", "q131", "q132", "q133", "q134", "q135",
-    ]
-    assert [w.split("_")[0] for w in window[12:44]] == expected_tail
-    assert [w.split("_")[0] for w in window[44:50]] == [
-        "q297", "q298", "q299", "q300", "q301", "q302",
-    ]
-    # Behind the boundary: the r13-authored q337 queues FIRST for the
-    # r14 window, then the r12 window occupants, then the remaining r11
-    # greens (the r14 second-row queue head).
-    assert _FINAL_ORDER[50] == "q337_event_dirt_audit"
-    assert _FINAL_ORDER[51:53] == [
-        "q332_kmv_intersection", "q333_weighted_sample_es",
-    ]
-    assert _FINAL_ORDER[92] == "q303_pca_power_iteration"
+    assert _FINAL_ORDER[132] == "q261_charclass_drift"
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]

@@ -92,6 +92,7 @@ types (timestamp unit, int widths) are identical to the driver's files.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import subprocess
@@ -100,13 +101,19 @@ import sys
 import duckdb
 import pyarrow.parquet as pq
 
-# Scratch is suffixed with the base dir's name: a fixed path let a
-# subset invocation REBUILD the corpus under a still-running full gate
-# (r13 incident: 9 phantom FAILs from sf0.001 files swapped beneath an
-# sf0.01 run). One scratch per base SF also allows concurrent gates.
+# Scratch is suffixed with the base dir's name PLUS a hash of its
+# resolved absolute path PLUS the PID: a fixed path let a subset
+# invocation REBUILD the corpus under a still-running full gate (r13
+# incident: 9 phantom FAILs from sf0.001 files swapped beneath an
+# sf0.01 run), and basename-only still collided for two bases with the
+# same leaf name or two concurrent invocations on the SAME base (r13
+# ADVICE). The PID makes every invocation fully isolated; main()
+# removes the dir after the parity run so /tmp doesn't accumulate.
 def _scratch(base: str) -> str:
-    return "/tmp/spark_graft_dirty_num_" + os.path.basename(
-        os.path.normpath(base)
+    real = os.path.realpath(os.path.normpath(base))
+    tag = hashlib.md5(real.encode()).hexdigest()[:8]
+    return "/tmp/spark_graft_dirty_num_{}_{}_{}".format(
+        os.path.basename(real), tag, os.getpid()
     )
 
 _EVENTS_SQL = """
@@ -194,10 +201,13 @@ def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     d = build(base)
     here = os.path.dirname(os.path.abspath(__file__))
-    return subprocess.call(
-        [sys.executable, os.path.join(here, "parity_check.py"), d]
-        + sys.argv[2:]
-    )
+    try:
+        return subprocess.call(
+            [sys.executable, os.path.join(here, "parity_check.py"), d]
+            + sys.argv[2:]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

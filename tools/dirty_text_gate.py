@@ -40,6 +40,7 @@ char). Exit code = parity_check's.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import subprocess
@@ -47,11 +48,15 @@ import sys
 
 import duckdb
 
-# Per-base scratch: see dirty_numeric_gate._scratch (a fixed path let
-# concurrent gate invocations clobber each other's corpus, r13).
+# Per-invocation scratch: see dirty_numeric_gate._scratch (a fixed
+# path let concurrent gate invocations clobber each other's corpus,
+# r13; basename-only still collided for same-leaf bases or concurrent
+# runs on the SAME base, r13 ADVICE — hence the path hash + PID).
 def _scratch(base: str) -> str:
-    return "/tmp/spark_graft_dirty_" + os.path.basename(
-        os.path.normpath(base)
+    real = os.path.realpath(os.path.normpath(base))
+    tag = hashlib.md5(real.encode()).hexdigest()[:8]
+    return "/tmp/spark_graft_dirty_{}_{}_{}".format(
+        os.path.basename(real), tag, os.getpid()
     )
 
 
@@ -93,10 +98,13 @@ def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     d = build(base)
     here = os.path.dirname(os.path.abspath(__file__))
-    return subprocess.call(
-        [sys.executable, os.path.join(here, "parity_check.py"), d]
-        + sys.argv[2:]
-    )
+    try:
+        return subprocess.call(
+            [sys.executable, os.path.join(here, "parity_check.py"), d]
+            + sys.argv[2:]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

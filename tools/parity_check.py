@@ -46,6 +46,21 @@ def _register_views(con, sf_dir: str) -> None:
                 f" event_type, CASE WHEN isfinite(value) THEN value END"
                 f" AS value, props FROM '{path}'"
             )
+        elif t == "embeddings":
+            # Twin of readers._quarantine_embeddings (r14): a vector is
+            # valid iff non-null, exactly EMBEDDING_DIM components, all
+            # components non-null finite; else the whole vector -> NULL.
+            # Identity on the driver's clean testdata.
+            con.sql(
+                f"CREATE VIEW embeddings AS SELECT vec_id,"
+                f" CASE WHEN embedding IS NOT NULL"
+                f"       AND len(embedding) = 64"
+                f"       AND NOT coalesce(list_contains(list_transform("
+                f"             embedding, x -> (x IS NULL OR NOT isfinite(x))"
+                f"           ), true), false)"
+                f"      THEN embedding END AS embedding,"
+                f" label FROM '{path}'"
+            )
         else:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
