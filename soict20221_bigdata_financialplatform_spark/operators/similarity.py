@@ -27,8 +27,31 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _inf_null(d: Column) -> Column:
+    """NULL distance -> +infinity, so a NULL vector or NULL centroid can
+    never WIN an argmin. Spark's struct comparator ranks a NULL first
+    field ahead of real values while DuckDB's ``ORDER BY d, cid`` puts
+    NULLs LAST — without this, every argmin over dirt flips cross-engine
+    (r14 dirty-embedding gate: q51/q127/q151/q185 all diverged here).
+    +inf ties (all-NULL candidate sets) fall to the cid tiebreak in both
+    engines, same as DuckDB's all-NULL ordering."""
+    return F.coalesce(d, F.lit(float("inf")))
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_safe(a: Column, b: Column) -> Column:
+    """Cosine that is NULL when either vector is NULL or zero-norm —
+    exactly DuckDB's semantics for the same expression (x/0 and
+    NULL-poisoned norms both yield NULL there, while Spark ANSI THROWS
+    on the division; r14 dirty-embedding gate). Use this when the score
+    is a plain output column; RANKED consumers must EXCLUDE bad rows
+    instead (see brute_force_topk — NULL must never reach an ORDER BY
+    whose placement defaults could differ)."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb))
 
 
 def brute_force_topk(
@@ -49,16 +72,24 @@ def brute_force_topk(
     """
     # norms precomputed once per row (not once per pair): scoring a pair is
     # then one dot product + two lookups — identical arithmetic, ~3x less work
+    # Zero-norm/NULL exclusion (r14 dirty-embedding contract): a vector
+    # with no positive norm has no direction — it can never be a cosine
+    # match. `__qnorm > 0` is NULL-safe on both engines (NULL fails the
+    # comparison), covering quarantined-NULL vectors AND all-zero ones.
+    # Guarding the division to NULL instead would leave NULL scores in
+    # rank windows — ASC NULL-ordering defaults differ cross-engine
+    # (Spark FIRST, DuckDB LAST), and Spark ANSI throws on the division
+    # anyway; exclusion keeps ranked results engine-identical.
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             _norm(F.col(vec_col)).alias("__qnorm"),
-        )
+        ).where(F.col("__qnorm") > 0)
     )
     scored = corpus.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__cnorm")
-    ).join(q).select(
+    ).where(F.col("__cnorm") > 0).join(q).select(
         F.col(query_id_col),
         F.col(id_col),
         (_dot(F.col(vec_col), F.col("__qvec"))
@@ -137,6 +168,9 @@ def lsh_topk(
         lsh_bucket(F.col(vec_col), planes).alias("__b0"),
         _norm(F.col(vec_col)).alias("__qnorm"),
     )
+    # r14 zero-norm/NULL exclusion — see brute_force_topk
+    c = c.where(F.col("__cnorm") > 0)
+    qbase = qbase.where(F.col("__qnorm") > 0)
     if multi_probe >= 1:
         probes = F.array(
             F.col("__b0"),
@@ -254,8 +288,17 @@ def ivf_topk(
     scored = c.join(q, "__cell").select(
         F.col(query_id_col),
         F.col(id_col),
+        F.col(vec_col),
+        F.col("__qvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
+        _norm(F.col("__qvec")).alias("__qnorm"),
+    ).where(  # r14 zero-norm/NULL exclusion — see brute_force_topk
+        (F.col("__cnorm") > 0) & (F.col("__qnorm") > 0)
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
         (_dot(F.col(vec_col), F.col("__qvec"))
-         / (_norm(F.col(vec_col)) * _norm(F.col("__qvec")))).alias("score"),
+         / (F.col("__cnorm") * F.col("__qnorm"))).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -314,7 +357,7 @@ def ivf_topk_fixed(
     def _dists(vec: Column) -> Column:
         return F.transform(
             F.col("__cents"),
-            lambda c: F.struct(_sq(vec, c["cv"]).alias("d"), c["cid"].alias("cid")),
+            lambda c: F.struct(_inf_null(_sq(vec, c["cv"])).alias("d"), c["cid"].alias("cid")),
         )
 
     cells = (
@@ -346,7 +389,10 @@ def ivf_topk_fixed(
             ).alias("__cell"),
         )
     )
-    scored = probes.join(cells, "__cell").select(
+    # r14 zero-norm/NULL exclusion — see brute_force_topk
+    scored = probes.where(F.col("__qnorm") > 0).join(
+        cells.where(F.col("__cnorm") > 0), "__cell"
+    ).select(
         query_id_col,
         id_col,
         (
@@ -418,7 +464,7 @@ def kmeans_lloyd_det(
                 F.transform(
                     F.col("__cents"),
                     lambda c: F.struct(
-                        _sq(F.col(vec_col), c["cv"]).alias("d"),
+                        _inf_null(_sq(F.col(vec_col), c["cv"])).alias("d"),
                         c["cid"].alias("cid"),
                     ),
                 )
@@ -454,9 +500,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: self-join within LSH buckets,
     verify cosine >= threshold. (id_a < id_b.)"""
     planes = random_hyperplanes(dim, n_planes, seed)
+    # r14 zero-norm/NULL exclusion — see brute_force_topk: a zero/NULL
+    # vector has no direction, so it can never clear a cosine threshold.
     b = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("__b")
-    )
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("__b"),
+        _norm(F.col(vec_col)).alias("__n"),
+    ).where(F.col("__n") > 0).drop("__n")
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(
@@ -596,7 +645,7 @@ def assign_cells(
                 F.transform(
                     F.col("__cents"),
                     lambda c: F.struct(
-                        _sq(F.col(vec_col), c["cv"]).alias("d"),
+                        _inf_null(_sq(F.col(vec_col), c["cv"])).alias("d"),
                         c["cid"].alias("cid"),
                     ),
                 )
@@ -662,17 +711,23 @@ def semdedup_keep(
                 F.transform(
                     F.col("__cents"),
                     lambda c: F.struct(
-                        _sq(F.col(vec_col), c["cv"]).alias("d"),
+                        _inf_null(_sq(F.col(vec_col), c["cv"])).alias("d"),
                         c["cid"].alias("cid"),
                     ),
                 )
             )["cid"].alias("cell"),
         )
     ).persist()
-    a = cells.select(
+    # r14 zero-norm/NULL exclusion, PAIR SIDES ONLY: a zero/NULL vector
+    # can neither be a near-duplicate nor prune one (its cosine is
+    # undefined), but it keeps its row in the output (keep=true — same
+    # as the DuckDB twin, where its NULL cosine fails the threshold
+    # comparison). Spark ANSI would THROW on the division instead, so
+    # the exclusion must happen before the cosine.
+    a = cells.where(_norm(F.col(vec_col)) > 0).select(
         F.col("cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
     )
-    b = cells.select(
+    b = cells.where(_norm(F.col(vec_col)) > 0).select(
         F.col("cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
     )
     pruned = (
@@ -864,13 +919,17 @@ def _pq_encode(
     def _dist_struct_fn(sub_name: str) -> Callable[[Column], Column]:
         def fn(c: Column) -> Column:
             return F.struct(
-                _sq(F.col(sub_name), c["cv"]).alias("d"),
+                _inf_null(_sq(F.col(sub_name), c["cv"])).alias("d"),
                 c["cid"].alias("cid"),
             )
 
         return fn
 
     def _entry_struct_fn(sub_name: str) -> Callable[[Column], Column]:
+        # RAW distance, not _inf_null: these structs build the ADC
+        # distance TABLES whose values reach the OUTPUT (approx_sqdist)
+        # — a NULL query slice must emit NULL like the oracle, not +inf.
+        # Only argmin PICKS (the _dist_struct_fn above) coalesce to inf.
         def fn(c: Column) -> Column:
             return F.struct(
                 c["cid"].alias("cid"),
@@ -973,7 +1032,7 @@ def ivfpq_topk_det(
         return F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                _sq(F.col(vec_name), c["cv"]).alias("d"), c["cid"].alias("cid")
+                _inf_null(_sq(F.col(vec_name), c["cv"])).alias("d"), c["cid"].alias("cid")
             ),
         )
 
@@ -1060,7 +1119,7 @@ def kmeans_lloyd_det_stacked(
                         F.col("__cents"), lambda c: c["g"] == F.col(grp_col)
                     ),
                     lambda c: F.struct(
-                        _sq(F.col(vec_col), c["cv"]).alias("d"),
+                        _inf_null(_sq(F.col(vec_col), c["cv"])).alias("d"),
                         c["cid"].alias("cid"),
                     ),
                 )
@@ -1120,17 +1179,21 @@ def mine_hard_negatives(
     Self-pairs are nulled explicitly (an anchor scores 1.0
     against itself — outside any sane band, but the guard documents
     the contract). Ties break on the candidate id."""
+    # r14 zero-norm/NULL exclusion — see brute_force_topk: equals the
+    # oracle's NULL-cosine-fails-the-band semantics, without the ANSI
+    # divide-by-zero throw.
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             _norm(F.col(vec_col)).alias("__qnorm"),
-        )
+        ).where(F.col("__qnorm") > 0)
     )
     scored = (
         corpus.select(
             F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__cnorm")
         )
+        .where(F.col("__cnorm") > 0)
         .join(q)
         .select(
             F.col(query_id_col),

@@ -1882,7 +1882,9 @@ def q45_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_ORACLE = """
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 8
+        AND sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) > 0
     ), scored AS (
       SELECT q.query_id, e.vec_id,
              list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -1890,6 +1892,7 @@ _ANN_ORACLE = """
              / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
                 * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS score
       FROM embeddings e CROSS JOIN q
+      WHERE sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) > 0
     ), ranked AS (
       SELECT query_id, vec_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
@@ -1932,10 +1935,12 @@ def _lsh_oracle_sql() -> str:
         return "(" + " + ".join(bits) + ")"
     probes = ", ".join(f"xor(b0, {1 << i})" for i in range(6))
     return f"""
-    WITH c AS (
+    WITH c0 AS (
       SELECT vec_id, embedding, {bucket('embedding')} AS bucket,
              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       FROM embeddings
+    ), c AS (
+      SELECT * FROM c0 WHERE nrm > 0
     ), q0 AS (
       SELECT vec_id AS query_id, embedding AS qe, bucket AS b0, nrm AS qnrm
       FROM c WHERE vec_id < 8
@@ -1978,7 +1983,9 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_semantic_neighbors",
     """
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 4
+        AND sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) > 0
     ), scored AS (
       SELECT q.query_id, e.vec_id,
              list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -1987,6 +1994,7 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS score
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> q.query_id
+        AND sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) > 0
     ), ranked AS (
       SELECT query_id, vec_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
@@ -2100,7 +2108,9 @@ def _q51_oracle_sql(
         "i -> e.emb[i] * p.qe[i])) "
         "/ (sqrt(list_sum(list_transform(e.emb, x -> x * x))) "
         "* sqrt(list_sum(list_transform(p.qe, x -> x * x)))) AS score "
-        "FROM probes p JOIN cells e ON e.cell = p.cell)"
+        "FROM probes p JOIN cells e ON e.cell = p.cell "
+        "WHERE sqrt(list_sum(list_transform(e.emb, x -> x * x))) > 0 "
+        "AND sqrt(list_sum(list_transform(p.qe, x -> x * x))) > 0)"
     )
     ctes.append(
         "ranked AS (SELECT query_id, vec_id, score, row_number() OVER ("
@@ -2189,7 +2199,7 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-pair work is CPU-heavy CodegenFallback)
     a = emb.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = emb.alias("b")
-    cos = sim.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = sim.cosine_safe(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .where(cos >= 0.35)
@@ -2626,6 +2636,8 @@ def q71_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
                 * sqrt(list_sum(list_transform(p.qe, x -> x::DOUBLE * x::DOUBLE)))) AS score
       FROM probes p JOIN cells e ON e.cell = p.cell
+      WHERE sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) > 0
+        AND sqrt(list_sum(list_transform(p.qe, x -> x::DOUBLE * x::DOUBLE))) > 0
     ),
     ranked AS (
       SELECT query_id, vec_id, score,
@@ -6398,7 +6410,7 @@ def q136_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id",
             "j",
             "neg_id",
-            F.round(sim.cosine(F.col("__ea"), F.col("__eb")), 6).alias("cos"),
+            F.round(sim.cosine_safe(F.col("__ea"), F.col("__eb")), 6).alias("cos"),
         )
     )
 
@@ -7332,16 +7344,29 @@ def q151_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # r14: the CELL pick coalesces NULL distances to +inf (a NULL vector
+    # can't win an argmin; matches the oracle's ASC-NULLS-LAST — see
+    # similarity._inf_null), but __a/__b below read the RAW distances so
+    # a NULL vector's silhouette stays NULL -> the 0 branch, as in the
+    # oracle's CASE.
     dists = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
             _sq(F.col("embedding"), c["cv"]).alias("d"), c["cid"].alias("cid")
         ),
     )
+    dists_inf = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.coalesce(_sq(F.col("embedding"), c["cv"]), F.lit(float("inf")))
+            .alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
     staged = (
         emb.crossJoin(carr)
         .withColumn("__ds", dists)
-        .withColumn("cell", F.array_min(F.col("__ds"))["cid"])
+        .withColumn("cell", F.array_min(dists_inf)["cid"])
         .withColumn(
             "__a",
             F.array_min(
@@ -7564,6 +7589,8 @@ def q153_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
                 * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS cos
       FROM e CROSS JOIN q
+      WHERE sqrt(list_sum(list_transform(e.emb, x -> x * x))) > 0
+        AND sqrt(list_sum(list_transform(q.qe, x -> x * x))) > 0
     ),
     antop AS (SELECT doc_id, cos FROM sc ORDER BY cos DESC, doc_id LIMIT 20),
     anarr AS (
@@ -7660,9 +7687,11 @@ def q154_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = F.broadcast(
         emb.where(F.col("doc_id") == 0).select(F.col("emb").alias("qe"))
     )
+    # r14 zero-norm/NULL exclusion (ranked consumer): cosine_safe's NULL
+    # marks exactly the rows the oracle's norm>0 guard drops
     sc = emb.crossJoin(qv).select(
-        "doc_id", sim.cosine(F.col("emb"), F.col("qe")).alias("cos")
-    )
+        "doc_id", sim.cosine_safe(F.col("emb"), F.col("qe")).alias("cos")
+    ).where(F.col("cos").isNotNull())
     antop = sc.orderBy(F.desc("cos"), "doc_id").limit(20)
     bmrank = toprank(bmtop, "score").withColumnRenamed("r", "bm25_rank")
     anrank = toprank(antop, "cos").withColumnRenamed("r", "ann_rank")
@@ -21233,7 +21262,7 @@ def _embedding_gram_cn(spark: SparkSession, emb: DataFrame):
              CAST(floor(emb[t.i]::DOUBLE * 1e4 + 0.5) AS BIGINT) AS eq
       FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
     ),
-    nv AS (SELECT count(*)::BIGINT AS n FROM e),
+    nv AS (SELECT count(*)::BIGINT AS n FROM e WHERE emb IS NOT NULL),
     sd AS (SELECT i, sum(eq)::BIGINT AS si FROM el GROUP BY i),
     pr AS (
       SELECT a.i AS i, b.i AS j, sum(a.eq * b.eq)::BIGINT AS sij
@@ -24003,7 +24032,7 @@ _Q324_SQL = (
              CAST(floor(emb[t.i]::DOUBLE * 1e4 + 0.5) AS BIGINT) AS eq
       FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
     ),
-    nv AS (SELECT count(*)::BIGINT AS n FROM e),
+    nv AS (SELECT count(*)::BIGINT AS n FROM e WHERE emb IS NOT NULL),
     sd AS MATERIALIZED (SELECT i, sum(eq)::BIGINT AS si FROM el GROUP BY i),
     pr AS MATERIALIZED (
       SELECT a.i AS i, b.i AS j, sum(a.eq * b.eq)::BIGINT AS sij

@@ -8,11 +8,15 @@
 #   bash tools/ci_gate.sh              # full gate, ~32 min wall on local[32]
 #   bash tools/ci_gate.sh --fast       # skip pytest (~14 min): audit+lint+parity
 #
-# Stages (fail-fast, timed; minutes are the r11 measured run):
+# Stages (fail-fast, timed; minutes are the r11/r13 measured runs):
 #   1. output-TYPE audit  (schema-only, catches driver-hasher burns)   ~2 min
 #   2. plan linter sweep  (BNLJ / unpartitioned-window bans)           ~7 min
 #   3. full sf0.01 oracle parity (bit-exact vs DuckDB, no tolerance)   ~6 min
-#   4. pytest tests/      (streaming/multimodal/property pins)        ~18 min
+#   4. dirty-text parity on corrupted sf0.001 documents                ~6 min
+#   5. dirty-numeric parity on corrupted sf0.001 events+lineitem       ~8 min
+#   6. dirty-numeric parity AT SCALE (sf0.01 — SF-asymmetric overflow) ~9 min
+#   7. dirty-embedding parity on corrupted sf0.001 embeddings          ~6 min
+#   8. pytest tests/      (streaming/multimodal/property pins)        ~18 min
 #
 # Exit 0 = safe to snapshot. Any non-zero: fix before committing.
 set -u
@@ -49,6 +53,17 @@ run_stage "dirty-text parity (corrupted sf0.001)" \
 # duplicate-timestamp ties on events+lineitem (36 latent pairs at birth)
 run_stage "dirty-numeric parity (corrupted sf0.001)" \
     python tools/dirty_numeric_gate.py /root/testdata/sf0.001
+# r14: the numeric gate ALSO at sf0.01 — the overflow and 6dp-half-way
+# classes are SF-ASYMMETRIC (r13 lesson h: q221/q237 passed sf0.001 dirty
+# and overflowed at sf0.01; q108/q164/q168 straddled the grain only at
+# sf0.01). Without this stage that class can silently re-enter.
+run_stage "dirty-numeric parity AT SCALE (corrupted sf0.01)" \
+    python tools/dirty_numeric_gate.py /root/testdata/sf0.01
+# r14: embedding twin — NULL vectors/elements, non-finite components,
+# zero norms, ragged lengths, x1e3 magnitude on embeddings (quarantine
+# contract + cosine guards + trainer drop-null steps)
+run_stage "dirty-embedding parity (corrupted sf0.001)" \
+    python tools/dirty_embedding_gate.py /root/testdata/sf0.001
 if [ $FAST -eq 0 ]; then
     # test_plans.py already passed as stage 2 — don't pay its ~7 min twice
     run_stage "pytest tests/ (minus plan sweep)" \
