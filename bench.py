@@ -243,6 +243,10 @@ HEADLINE = [
     "q336_dp_gumbel_topk",
     # r13 addition (ingest-QA dirt panel): baseline on authoring
     "q337_event_dirt_audit",
+    # r14 additions (embedding QA panel + kNN label eval): baseline on
+    # authoring so their r15 window promotion ships with a perf history
+    "q338_embedding_dirt_audit",
+    "q339_knn_label_consistency",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -230,7 +230,109 @@ def op_suite(spark, d: str) -> dict:
         "stopword_count_regex": lambda: docs.select(
             tx.stopword_count("text").alias("c")
         ).agg(F.sum("c")).count(),
+        # r14 (r13-VERDICT task 7): the struct-key bar close ~24 queries
+        # adopted in r13 (max_by on the (ts, event_id) struct) — expect
+        # agg-bound alpha like any hash agg
+        "bar_close_structkey": lambda: _bar_close_structkey_count(ev),
+        # r14: the IEEE-specials quarantine projection every events scan
+        # now carries — pure scan+project, alpha ~ scan
+        "events_scan_quarantined": lambda: _quarantined_scan_count(ev),
+        # r14: the q168-shape integer-moment chain (struct-key bars ->
+        # clamped 6dp-rounded quantized ln-returns -> day-keyed join ->
+        # exact integer moments per user)
+        "capm_beta_moments": lambda: _capm_moments_count(ev),
+        # r14: the embedding-vector validity quarantine (one
+        # CodegenFallback HOF pass per scan)
+        "embedding_quarantine": lambda: _emb_quarantine_count(
+            spark.read.parquet(f"{d}/embeddings.parquet")
+        ),
     }
+
+
+def _bar_close_structkey_count(ev) -> int:
+    sec = F.floor(F.col("ts_us") / F.lit(1_000_000))
+    return (
+        ev.groupBy("user_id", sec.alias("bar"))
+        .agg(
+            F.max_by("value", F.struct("ts_us", "event_id")).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .count()
+    )
+
+
+def _quarantined_scan_count(ev) -> int:
+    finite = ~F.isnan("value") & (F.abs("value") != F.lit(float("inf")))
+    return (
+        ev.withColumn("value", F.when(finite, F.col("value")))
+        .agg(F.sum("value").alias("s"), F.count("value").alias("n"))
+        .count()
+    )
+
+
+def _capm_moments_count(ev) -> int:
+    """q168's chain shape: second-grain struct-key bars, clamped
+    6dp-rounded micro-quantized ln-returns, equal-weight market join,
+    exact integer moments per user (the smoke counts the moment rows —
+    the sums stay inside the +-2e7-clamp budget at both sizes)."""
+    sec = F.floor(F.col("ts_us") / F.lit(1_000_000))
+    b = ev.groupBy("user_id", sec.alias("bar")).agg(
+        F.max_by("value", F.struct("ts_us", "event_id")).alias("close")
+    )
+    w = Window.partitionBy("user_id").orderBy("bar")
+    prev = F.lag("close").over(w)
+    rq = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.floor(
+            F.least(
+                F.greatest(
+                    F.round(F.log(F.col("close") / prev), 6), F.lit(-20.0)
+                ),
+                F.lit(20.0),
+            )
+            * 1000000.0
+            + 0.5
+        ).cast("long"),
+    )
+    r = (
+        b.withColumn("rq", rq)
+        .where(F.col("rq").isNotNull())
+        .select("user_id", "bar", "rq")
+    )
+    mkt = r.groupBy("bar").agg(
+        F.floor(
+            F.sum("rq").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    return (
+        r.join(mkt, "bar")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rq").cast("long").alias("sx"),
+            F.sum(F.col("rq") * F.col("mq")).cast("long").alias("sxy"),
+            F.sum(F.col("rq") * F.col("rq")).cast("long").alias("sxx"),
+            F.sum(F.col("mq") * F.col("mq")).cast("long").alias("syy"),
+        )
+        .count()
+    )
+
+
+def _emb_quarantine_count(emb_raw) -> int:
+    from soict20221_bigdata_financialplatform_spark.sources.readers import (
+        _quarantine_embeddings,
+    )
+
+    return (
+        _quarantine_embeddings(emb_raw)
+        .where(F.col("embedding").isNotNull())
+        .count()
+    )
 
 
 def _ema_segmented_count(ev) -> int:
