@@ -306,7 +306,18 @@ ITERATIVE = {"q117_pagerank_dup_graph", "q119_leakage_free_split",
 # EMPTY — the r12 closure (q306/q82/q235/q233/q234, the five r11 movers)
 # ruled all five NOISE with 4 matched runs + isolation probes; see
 # SCALE.md "Round-12 drift closure".
-DRIFT_WATCH: set[str] = set()
+# R14 re-open + same-session closure: q306/q322/q235 rose 1.4-1.6x vs
+# the r13 archive across all three r14 validation flights WHILE the
+# 193-query median ratio was 0.87 (machine faster). Fresh-session
+# isolation probes (SCALE.md "Round-14 drift closure") ruled all three
+# NOISE: q322 0.779 / q235 0.589 reproduce their r13 archive values;
+# q306 settles to 1.766 (within 7% of the 1.649 archive, code+plan
+# git-verified unchanged since creation). Kept at 5 reps for the r14
+# driver flight so the round record carries robust medians; empty the
+# set in r15.
+DRIFT_WATCH: set[str] = {
+    "q306_rich_club", "q322_ochiai_collocations", "q235_vocab_growth",
+}
 
 
 def main() -> None:
