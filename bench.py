@@ -247,6 +247,12 @@ HEADLINE = [
     # authoring so their r15 window promotion ships with a perf history
     "q338_embedding_dirt_audit",
     "q339_knn_label_consistency",
+    # late-r14 additions (eval metrics + TwoNN ID + MATTR): baseline on
+    # authoring
+    "q340_average_precision",
+    "q341_twonn_intrinsic_dim",
+    "q342_mcc_kappa",
+    "q343_mattr_diversity",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

@@ -1419,3 +1419,62 @@ def paragraph_dedup(
             ).alias("kept_text"),
         )
     )
+
+
+def mattr_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document MATTR numerator/denominator counts (Covington &
+    McFall 2010 moving-average type-token ratio, window ``window``
+    tokens) in EXACT integers: returns (id, *carry_cols, tn, sc) where
+    tn = token count and sc = Σ over the tn−w+1 sliding windows of the
+    window's DISTINCT-type count; MATTR = sc / ((tn−w+1)·w). Documents
+    shorter than ``window`` tokens are dropped (the statistic is
+    undefined there).
+
+    Instead of re-counting distinct types per window (O(T·w) state),
+    uses the exact closed form: the token at position p is
+    distinct-in-window s iff its PREVIOUS occurrence sits before s, so
+    p contributes to exactly
+    max(0, min(p, T−w) − max(p−w+1, prev+1, 0) + 1) windows — one lag
+    over each (doc, token) occurrence chain and pure integer
+    arithmetic (property-tested against the brute-force window count in
+    tests/test_equivalence_properties.py). Scale: one explode, one
+    keyed window, one grouped agg; token strings never leave their
+    (doc, token) partition."""
+    w_sz = int(window)
+    carry = list(carry_cols)
+    toks = docs.select(
+        id_col,
+        *carry,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    )
+    tk = toks.select(
+        id_col, *carry, "__t", F.size("__t").cast("long").alias("tn")
+    ).where(F.col("tn") >= w_sz)
+    pos = tk.select(
+        id_col, *carry, "tn", F.posexplode("__t").alias("p", "__tok")
+    )
+    wprev = Window.partitionBy(id_col, "__tok").orderBy("p")
+    pc = pos.select(
+        id_col, *carry, "tn", "p", F.lag("p").over(wprev).alias("__prev")
+    )
+    contrib = F.greatest(
+        F.least(F.col("p"), F.col("tn") - w_sz)
+        - F.greatest(
+            F.col("p") - (w_sz - 1),
+            F.coalesce(F.col("__prev") + 1, F.lit(0)),
+            F.lit(0),
+        )
+        + 1,
+        F.lit(0),
+    )
+    return (
+        pc.select(id_col, *carry, "tn", contrib.alias("__c"))
+        .groupBy(id_col, *carry, "tn")
+        .agg(F.sum("__c").cast("long").alias("sc"))
+    )

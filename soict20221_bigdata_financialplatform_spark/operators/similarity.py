@@ -1224,3 +1224,75 @@ def mine_hard_negatives(
         .where(F.col("score").isNotNull() & (F.col("rank") <= k))
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def nearest2_sqdist(
+    quantized: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "eq",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-point nearest-2 EXACT squared distances over an integer-lattice
+    vector frame (``vec_col``: array<long>, e.g. ``floor(x·1e4 + 0.5)`` —
+    the q265/q308 quantization): returns (id, d1, d2) where d1 ≤ d2 are
+    the two smallest non-self squared distances, ties broken by the
+    neighbor id. The base of the TwoNN intrinsic-dimension estimator
+    (q341) and any exact-integer kNN stat.
+
+    Self-exclusion is the q339/q63 drop-self re-rank: rank the top-3
+    including self (self always scores 0), filter self ABOVE the first
+    window — never a conditional join predicate (r9 lesson c: a filter
+    on a broadcast cross join's output is pushed INTO the join condition
+    and plans the banned BNLJ) — then re-rank to 2; in every tie
+    arrangement the survivors are exactly the non-self top-2
+    (property-tested against brute force in
+    tests/test_equivalence_properties.py). Scale: the corpus never
+    shuffles for scoring (quantized queries broadcast, q34's shape); the
+    one exchange carries (anchor, dq) pairs; anchors subsample cleanly
+    because downstream estimators are anchor means.
+
+    Pass ``dim`` when the vector length is a known constant: the pair
+    distance is then an UNROLLED ``element_at`` sum that stays inside
+    whole-stage codegen instead of the CodegenFallback HOF fold — ~20x
+    on the scoring stage (r10 lesson b's family), and EXACTLY the same
+    value because integer addition is order-free (no float-summation
+    caveat applies). Callers are expected to repartition a single-file
+    corpus first (invariant 8: the scoring projection is CPU-bound)."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        quantized.select(
+            F.col(id_col).alias("__aid"), F.col(vec_col).alias("__qe")
+        )
+    )
+    if dim is not None:
+        terms = [
+            (F.element_at(vec_col, i) - F.element_at("__qe", i))
+            * (F.element_at(vec_col, i) - F.element_at("__qe", i))
+            for i in range(1, dim + 1)
+        ]
+        dq = terms[0]
+        for t in terms[1:]:
+            dq = dq + t
+    else:
+        dq = F.aggregate(
+            F.zip_with(vec_col, "__qe", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    pairs = quantized.join(q).select(
+        "__aid", F.col(id_col).alias("__bid"), dq.alias("dq")
+    )
+    w3 = Window.partitionBy("__aid").orderBy("dq", "__bid")
+    top3 = pairs.withColumn("rk", F.row_number().over(w3)).where(
+        F.col("rk") <= 3
+    )
+    no_self = top3.where(F.col("__aid") != F.col("__bid"))
+    w2 = Window.partitionBy("__aid").orderBy("dq", "__bid")
+    top2 = no_self.withColumn("rk2", F.row_number().over(w2)).where(
+        F.col("rk2") <= 2
+    )
+    return top2.groupBy(F.col("__aid").alias(id_col)).agg(
+        F.max(F.when(F.col("rk2") == 1, F.col("dq"))).alias("d1"),
+        F.max(F.when(F.col("rk2") == 2, F.col("dq"))).alias("d2"),
+    )

@@ -89,6 +89,65 @@ def test_asof_join_matches_bruteforce(spark, case):
         assert got[(k, t, v)] == want, (k, t, v, cands)
 
 
+@st.composite
+def _asof_tied_case(draw):
+    """Like _asof_case but right timestamps may REPEAT within a key —
+    the regime the ``right_tiebreak`` parameter exists for (r13 ADVICE:
+    without a tiebreak the carry among tied right rows is
+    nondeterministic). Each right row gets a unique eid tiebreak."""
+    left = []
+    right = []
+    eid = 0
+    for k in _KEYS:
+        lts = draw(
+            st.lists(st.one_of(st.integers(0, 20), st.none()),
+                     min_size=0, max_size=5)
+        )
+        rts = draw(
+            st.lists(st.one_of(st.integers(0, 20), st.none()),
+                     min_size=0, max_size=6)
+        )
+        left += [(k, t, float(i)) for i, t in enumerate(lts)]
+        for t in rts:
+            right.append((k, t, 100.0 + eid, eid))
+            eid += 1
+    return left, right
+
+
+@given(_asof_tied_case())
+@settings(**_SETTINGS)
+def test_asof_join_right_tiebreak_matches_bruteforce(spark, case):
+    """With duplicate right timestamps and ``right_tiebreak``: the carry
+    is the right row with the largest (rts, eid) at-or-before the left
+    timestamp — deterministic, matching the (ts, event_id) struct-key
+    convention of the day-bar closes."""
+    left, right = case
+    l = spark.createDataFrame(
+        [Row(k=k, ts=t, v=v) for k, t, v in left],
+        "k string, ts long, v double",
+    )
+    r = spark.createDataFrame(
+        [Row(k=k, rts=t, rv=v, eid=e) for k, t, v, e in right],
+        "k string, rts long, rv double, eid long",
+    )
+    got = {
+        (row.k, row.ts, row.v): row.rv
+        for row in asof_join(
+            l, r, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["rv"], right_tiebreak="eid",
+        ).collect()
+    }
+    assert len(got) == len(left)
+    for k, t, v in left:
+        cands = [
+            (rt, e, rv)
+            for rk, rt, rv, e in right
+            if rk == k and rt is not None and t is not None and rt <= t
+        ]
+        want = max(cands)[2] if cands else None
+        assert got[(k, t, v)] == want, (k, t, v, cands)
+
+
 @given(_asof_case(), st.integers(0, 20))
 @settings(**_SETTINGS)
 def test_asof_join_tolerance_nulls_stale_matches(spark, case, tol):
@@ -571,3 +630,76 @@ def test_winnow_fingerprints_matches_bruteforce_and_guarantee(
             else set()
         )
         assert got[i] == sorted(mins), (i, t, got[i], sorted(mins))
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_mattr_counts_matches_bruteforce(spark, docs_tokens, w):
+    """corpus.mattr_counts's closed form (per-position window-overlap
+    contributions via one lag) equals the brute-force definition: the
+    sum over every sliding window of its DISTINCT-type count. Small
+    alphabet so repeats are dense — the regime the prev-occurrence
+    bound actually bites in."""
+    from soict20221_bigdata_financialplatform_spark.operators import (
+        corpus as cp,
+    )
+
+    rows = [
+        Row(doc_id=i, text=" ".join(toks))
+        for i, toks in enumerate(docs_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.tn, r.sc)
+        for r in cp.mattr_counts(df, window=w).collect()
+    }
+    for i, toks in enumerate(docs_tokens):
+        t = len(toks)
+        if t < w:
+            assert i not in got, (i, toks)
+            continue
+        sc = sum(len(set(toks[s : s + w])) for s in range(t - w + 1))
+        assert got[i] == (t, sc), (i, toks, w, got.get(i))
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_nearest2_sqdist_matches_bruteforce(spark, vecs):
+    """similarity.nearest2_sqdist's top-3/drop-self/re-rank pipeline
+    returns exactly the brute-force two smallest non-self squared
+    distances — including under dense ties and exact-duplicate points
+    (d1 = 0), the arrangements where the drop-self shortcut could
+    plausibly go wrong."""
+    from soict20221_bigdata_financialplatform_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [Row(vec_id=i, eq=[int(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, eq array<long>")
+    got = {
+        r.vec_id: (r.d1, r.d2)
+        for r in sim.nearest2_sqdist(df, id_col="vec_id", vec_col="eq").collect()
+    }
+    assert len(got) == len(vecs)
+    for i, v in enumerate(vecs):
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(v, u)), j)
+            for j, u in enumerate(vecs)
+            if j != i
+        )
+        want_d1 = d[0][0]
+        want_d2 = d[1][0] if len(d) >= 2 else None
+        assert got[i] == (want_d1, want_d2), (i, vecs, got[i])

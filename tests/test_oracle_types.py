@@ -54,17 +54,19 @@ def test_final_order_window_r14_rotation():
     assert [w.split("_")[0] for w in window[45:50]] == [
         "q256", "q257", "q258", "q259", "q260",
     ]
-    # Behind the boundary: the r14-authored pair queued first for the
+    # Behind the boundary: the r14-authored six queued first for the
     # r15 window, then the r13 window occupants (DP trio first), then
     # the earlier retirees; q261 heads the r15 second-row queue.
-    assert _FINAL_ORDER[50:52] == [
+    assert _FINAL_ORDER[50:56] == [
         "q338_embedding_dirt_audit", "q339_knn_label_consistency",
+        "q340_average_precision", "q341_twonn_intrinsic_dim",
+        "q342_mcc_kappa", "q343_mattr_diversity",
     ]
-    assert _FINAL_ORDER[52:55] == [
+    assert _FINAL_ORDER[56:59] == [
         "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
         "q336_dp_gumbel_topk",
     ]
-    assert _FINAL_ORDER[134] == "q261_charclass_drift"
+    assert _FINAL_ORDER[138] == "q261_charclass_drift"
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]
