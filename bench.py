@@ -253,6 +253,7 @@ HEADLINE = [
     "q341_twonn_intrinsic_dim",
     "q342_mcc_kappa",
     "q343_mattr_diversity",
+    "q344_participation_ratio",
 ]
 
 # The compact final stdout line (driver keeps only a 2000-char tail) reports

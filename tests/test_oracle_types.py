@@ -57,16 +57,17 @@ def test_final_order_window_r14_rotation():
     # Behind the boundary: the r14-authored six queued first for the
     # r15 window, then the r13 window occupants (DP trio first), then
     # the earlier retirees; q261 heads the r15 second-row queue.
-    assert _FINAL_ORDER[50:56] == [
+    assert _FINAL_ORDER[50:57] == [
         "q338_embedding_dirt_audit", "q339_knn_label_consistency",
         "q340_average_precision", "q341_twonn_intrinsic_dim",
         "q342_mcc_kappa", "q343_mattr_diversity",
+        "q344_participation_ratio",
     ]
-    assert _FINAL_ORDER[56:59] == [
+    assert _FINAL_ORDER[57:60] == [
         "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
         "q336_dp_gumbel_topk",
     ]
-    assert _FINAL_ORDER[138] == "q261_charclass_drift"
+    assert _FINAL_ORDER[139] == "q261_charclass_drift"
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]
