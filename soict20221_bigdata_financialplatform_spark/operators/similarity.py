@@ -1231,6 +1231,7 @@ def nearest2_sqdist(
     id_col: str = "vec_id",
     vec_col: str = "eq",
     dim: int | None = None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Per-point nearest-2 EXACT squared distances over an integer-lattice
     vector frame (``vec_col``: array<long>, e.g. ``floor(x·1e4 + 0.5)`` —
@@ -1257,11 +1258,17 @@ def nearest2_sqdist(
     on the scoring stage (r10 lesson b's family), and EXACTLY the same
     value because integer addition is order-free (no float-summation
     caveat applies). Callers are expected to repartition a single-file
-    corpus first (invariant 8: the scoring projection is CPU-bound)."""
+    corpus first (invariant 8: the scoring projection is CPU-bound).
+
+    Pass ``anchors`` (a subset of ``quantized``, same schema) to get
+    nearest-2 for only those points against the FULL corpus — the
+    100 TB scale hatch: downstream estimators (TwoNN ID) are anchor
+    MEANS, so anchor subsampling is unbiased and turns the O(n²) exact
+    form into O(n·a). Default: every point is an anchor."""
     from pyspark.sql import Window
 
     q = F.broadcast(
-        quantized.select(
+        (anchors if anchors is not None else quantized).select(
             F.col(id_col).alias("__aid"), F.col(vec_col).alias("__qe")
         )
     )

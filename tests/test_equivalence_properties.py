@@ -703,3 +703,38 @@ def test_nearest2_sqdist_matches_bruteforce(spark, vecs):
         want_d1 = d[0][0]
         want_d2 = d[1][0] if len(d) >= 2 else None
         assert got[i] == (want_d1, want_d2), (i, vecs, got[i])
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_nearest2_sqdist_anchor_subset_matches_full(spark, vecs):
+    """The ``anchors`` scale hatch returns exactly the full self-form's
+    rows restricted to the anchor ids — anchor subsampling must never
+    change any anchor's (d1, d2) against the full corpus."""
+    from soict20221_bigdata_financialplatform_spark.operators import (
+        similarity as sim,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [Row(vec_id=i, eq=[int(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, eq array<long>")
+    full = {
+        r.vec_id: (r.d1, r.d2)
+        for r in sim.nearest2_sqdist(df, id_col="vec_id", vec_col="eq").collect()
+    }
+    sub = {
+        r.vec_id: (r.d1, r.d2)
+        for r in sim.nearest2_sqdist(
+            df,
+            id_col="vec_id",
+            vec_col="eq",
+            anchors=df.where(F.col("vec_id") % 2 == 0),
+        ).collect()
+    }
+    assert sub == {i: v for i, v in full.items() if i % 2 == 0}, (vecs, sub)

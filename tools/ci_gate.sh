@@ -16,7 +16,8 @@
 #   5. dirty-numeric parity on corrupted sf0.001 events+lineitem       ~8 min
 #   6. dirty-numeric parity AT SCALE (sf0.01 — SF-asymmetric overflow) ~9 min
 #   7. dirty-embedding parity on corrupted sf0.001 embeddings          ~6 min
-#   8. pytest tests/      (streaming/multimodal/property pins)        ~18 min
+#   8. dirty-embedding parity AT SCALE (sf0.01 — magnitude budgets)    ~8 min
+#   9. pytest tests/      (streaming/multimodal/property pins)        ~18 min
 #
 # Exit 0 = safe to snapshot. Any non-zero: fix before committing.
 set -u
@@ -64,6 +65,12 @@ run_stage "dirty-numeric parity AT SCALE (corrupted sf0.01)" \
 # contract + cosine guards + trainer drop-null steps)
 run_stage "dirty-embedding parity (corrupted sf0.001)" \
     python tools/dirty_embedding_gate.py /root/testdata/sf0.001
+# late-r14: the embedding gate ALSO at sf0.01 — the numeric-gate
+# precedent (r13 lesson h): magnitude/overflow classes are
+# SF-asymmetric, so the small-SF pass alone can't protect the
+# micro-unit budgets as vector counts grow
+run_stage "dirty-embedding parity AT SCALE (corrupted sf0.01)" \
+    python tools/dirty_embedding_gate.py /root/testdata/sf0.01
 if [ $FAST -eq 0 ]; then
     # test_plans.py already passed as stage 2 — don't pay its ~7 min twice
     run_stage "pytest tests/ (minus plan sweep)" \

@@ -246,6 +246,14 @@ def op_suite(spark, d: str) -> dict:
         "embedding_quarantine": lambda: _emb_quarantine_count(
             spark.read.parquet(f"{d}/embeddings.parquet")
         ),
+        # late-r14: the MATTR closed form (q343) — one explode + one
+        # (doc, token)-keyed lag window; linear in tokens, alpha ~ 1
+        "mattr_counts": lambda: cp.mattr_counts(docs, window=20).count(),
+        # late-r14: nearest-2 with FIXED 256 sampled anchors vs a
+        # growing corpus — the q341 TwoNN scale hatch; the exact
+        # self-form is O(n^2) BY DESIGN (documented), the hatch must
+        # measure alpha ~ 1 (corpus scan x constant anchors)
+        "nearest2_sampled_anchors": lambda: _nearest2_count(emb),
     }
 
 
@@ -321,6 +329,31 @@ def _capm_moments_count(ev) -> int:
         )
         .count()
     )
+
+
+def _nearest2_count(emb) -> int:
+    from soict20221_bigdata_financialplatform_spark.operators import (
+        similarity as sim,
+    )
+
+    u = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(10000.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("eq"),
+    ).persist()
+    n = sim.nearest2_sqdist(
+        u,
+        id_col="vec_id",
+        vec_col="eq",
+        dim=64,
+        anchors=u.where(F.col("vec_id") < 256),
+    ).count()
+    u.unpersist()
+    return n
 
 
 def _emb_quarantine_count(emb_raw) -> int:
