@@ -218,3 +218,32 @@ def test_property_stopword_count_three_way(spark, texts):
         dk = con.execute(sql, [s]).fetchone()[0]
         assert got[i] == brute, (repr(s), got[i], brute)
         assert dk == brute, (repr(s), dk, brute)
+
+
+def test_concat_null_semantics_are_known_divergent(spark):
+    """r14 relational-dirt-gate pin: Spark ``concat_ws`` DROPS a NULL
+    argument AND its separator while DuckDB ``concat`` renders NULL as
+    empty string — 'ECONOMY' vs ':ECONOMY' (the q44 find). Oracle-paired
+    string concatenations must coalesce each nullable part to '' on
+    BOTH sides, which makes the two forms identical (and is identity on
+    NULL-free data)."""
+    row = (
+        spark.createDataFrame([(None, "ECONOMY")], "a string, b string")
+        .select(
+            F.concat_ws(":", "a", "b").alias("raw"),
+            F.concat_ws(
+                ":",
+                F.coalesce(F.col("a"), F.lit("")),
+                F.coalesce(F.col("b"), F.lit("")),
+            ).alias("fixed"),
+        )
+        .collect()[0]
+    )
+    duck_raw, duck_fixed = duckdb.connect().execute(
+        "SELECT concat(NULL, ':', 'ECONOMY'),"
+        " concat(coalesce(NULL, ''), ':', coalesce('ECONOMY', ''))"
+    ).fetchone()
+    assert row.raw == "ECONOMY"          # Spark drops NULL + separator
+    assert duck_raw == ":ECONOMY"        # DuckDB renders NULL as ''
+    assert row.raw != duck_raw           # the divergence this pins
+    assert row.fixed == duck_fixed == ":ECONOMY"  # the mandated form

@@ -17,7 +17,8 @@
 #   6. dirty-numeric parity AT SCALE (sf0.01 — SF-asymmetric overflow) ~9 min
 #   7. dirty-embedding parity on corrupted sf0.001 embeddings          ~6 min
 #   8. dirty-embedding parity AT SCALE (sf0.01 — magnitude budgets)    ~8 min
-#   9. pytest tests/      (streaming/multimodal/property pins)        ~18 min
+#   9. dirty-relational parity on corrupted sf0.001 dims/orders        ~7 min
+#  10. pytest tests/      (streaming/multimodal/property pins)        ~18 min
 #
 # Exit 0 = safe to snapshot. Any non-zero: fix before committing.
 set -u
@@ -71,6 +72,12 @@ run_stage "dirty-embedding parity (corrupted sf0.001)" \
 # micro-unit budgets as vector counts grow
 run_stage "dirty-embedding parity AT SCALE (corrupted sf0.01)" \
     python tools/dirty_embedding_gate.py /root/testdata/sf0.01
+# late-r14: relational twin — NULL/boundary dates, NULL + dangling
+# FKs, degenerate string group keys, sign/NULL money on
+# orders/customer/part/supplier (4 latent pairs at birth: q44 concat
+# NULL semantics, q156/q160/q246 NULL order keys in windows/ranks)
+run_stage "dirty-relational parity (corrupted sf0.001)" \
+    python tools/dirty_relational_gate.py /root/testdata/sf0.001
 if [ $FAST -eq 0 ]; then
     # test_plans.py already passed as stage 2 — don't pay its ~7 min twice
     run_stage "pytest tests/ (minus plan sweep)" \
