@@ -18,7 +18,8 @@
 #   7. dirty-embedding parity on corrupted sf0.001 embeddings          ~6 min
 #   8. dirty-embedding parity AT SCALE (sf0.01 — magnitude budgets)    ~8 min
 #   9. dirty-relational parity on corrupted sf0.001 dims/orders        ~7 min
-#  10. pytest tests/      (streaming/multimodal/property pins)        ~18 min
+#  10. dirty-relational parity AT SCALE (sf0.01 — rare-row classes)   ~10 min
+#  11. pytest tests/      (streaming/multimodal/property pins)        ~18 min
 #
 # Exit 0 = safe to snapshot. Any non-zero: fix before committing.
 set -u
@@ -78,6 +79,11 @@ run_stage "dirty-embedding parity AT SCALE (corrupted sf0.01)" \
 # NULL semantics, q156/q160/q246 NULL order keys in windows/ranks)
 run_stage "dirty-relational parity (corrupted sf0.001)" \
     python tools/dirty_relational_gate.py /root/testdata/sf0.001
+# late-r14: AT SCALE too — the q144 find was sf0.01-ONLY (a customer
+# with every order NULL-priced first materializes at sf0.01 row
+# counts, and their NULL rank shifted the whole partition)
+run_stage "dirty-relational parity AT SCALE (corrupted sf0.01)" \
+    python tools/dirty_relational_gate.py /root/testdata/sf0.01
 if [ $FAST -eq 0 ]; then
     # test_plans.py already passed as stage 2 — don't pay its ~7 min twice
     run_stage "pytest tests/ (minus plan sweep)" \
