@@ -1198,6 +1198,14 @@ def test_q324_spectral_pair_sanity(spark, sf_dir):
     assert abs(q303.explained_share - r.share1) < 1e-9
 
 
+def _gram_as_map(mat1):
+    """Cell map {(i, j): c} from the r14 1-row array-carried Gram frame."""
+    m = mat1.first().m
+    return {
+        (i, j): c for i, row in enumerate(m) for j, c in enumerate(row)
+    }
+
+
 def test_embedding_gram_null_rows_dropped(spark):
     """r10 ADVICE: a NULL embedding row used to crash the rebuilt Gram
     pass (np.stack raises on a NULL array), a dirty-data regression vs
@@ -1220,10 +1228,9 @@ def test_embedding_gram_null_rows_dropped(spark):
             "vec_id long, embedding array<float>",
         )
     )
-    _, cn_clean, trq_clean = _embedding_gram_cn(spark, clean)
-    _, cn_dirty, trq_dirty = _embedding_gram_cn(spark, dirty)
-    as_map = lambda cn: {(r.i, r.j): r.c for r in cn.collect()}
-    assert as_map(cn_dirty) == as_map(cn_clean)   # bit-identical cells
+    m_clean, trq_clean = _embedding_gram_cn(spark, clean)
+    m_dirty, trq_dirty = _embedding_gram_cn(spark, dirty)
+    assert _gram_as_map(m_dirty) == _gram_as_map(m_clean)  # bit-identical
     assert trq_dirty.first().trs == trq_clean.first().trs
 
 
@@ -1247,10 +1254,9 @@ def test_embedding_gram_ragged_rows_match_zero_padding(spark):
         base_rows + [(50, [0.7, 0.3, 0.0, 0.0]), (51, [0.0, 0.0, 0.0, 0.0])],
         "vec_id long, embedding array<float>",
     )
-    _, cn_r, trq_r = _embedding_gram_cn(spark, ragged)
-    _, cn_p, trq_p = _embedding_gram_cn(spark, padded)
-    as_map = lambda cn: {(r.i, r.j): r.c for r in cn.collect()}
-    assert as_map(cn_r) == as_map(cn_p)
+    m_r, trq_r = _embedding_gram_cn(spark, ragged)
+    m_p, trq_p = _embedding_gram_cn(spark, padded)
+    assert _gram_as_map(m_r) == _gram_as_map(m_p)
     assert trq_r.first().trs == trq_p.first().trs
 
 
@@ -1272,8 +1278,7 @@ def test_embedding_gram_null_elements_quantize_to_zero(spark):
         rows + [(50, [0.7, 0.0, 0.3, 0.1])],
         "vec_id long, embedding array<float>",
     )
-    _, cn_n, trq_n = _embedding_gram_cn(spark, with_null)
-    _, cn_z, trq_z = _embedding_gram_cn(spark, with_zero)
-    as_map = lambda cn: {(r.i, r.j): r.c for r in cn.collect()}
-    assert as_map(cn_n) == as_map(cn_z)
+    m_n, trq_n = _embedding_gram_cn(spark, with_null)
+    m_z, trq_z = _embedding_gram_cn(spark, with_zero)
+    assert _gram_as_map(m_n) == _gram_as_map(m_z)
     assert trq_n.first().trs == trq_z.first().trs
