@@ -1226,6 +1226,162 @@ def mine_hard_negatives(
     )
 
 
+def _stack_padded(series, dtype, nan_to_zero: bool):
+    """Stack a pandas object column of arrays into one 2-D numpy block,
+    zero-padding ragged rows to the task max length (missing tail dims
+    ≡ zeros under products and sums — the exploded-equi-join semantics,
+    same convention as queries._embedding_gram_cn). ``nan_to_zero``
+    maps NULL ELEMENTS (Arrow delivers them as float NaN) to 0 for
+    integer-lattice inputs (the SQL SUM null-skip twin — r11 lesson a:
+    a bare astype(int64) silently wraps NaN to INT64_MIN); float
+    consumers keep the NaN so a poisoned row fails its norm guard
+    exactly like the NULL-poisoned HOF fold it replaces."""
+    import numpy as np
+
+    arrs = [np.asarray(a, dtype=np.float64) for a in series]
+    try:
+        e = np.stack(arrs)
+    except ValueError:  # ragged: np.stack refuses mixed lengths
+        d = max(a.shape[0] for a in arrs)
+        e = np.zeros((len(arrs), d), dtype=np.float64)
+        for r, a in enumerate(arrs):
+            e[r, : a.shape[0]] = a
+    if nan_to_zero:
+        e = np.nan_to_num(e, nan=0.0, copy=False)
+    return e.astype(dtype, copy=False)
+
+
+def _allpairs_tagged(
+    corpus: DataFrame, anchors: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, int]:
+    """Union-tagged frame for blocked all-pairs numpy evaluation (guide
+    §4.2 / r10 lesson b: the per-task vectorized matmul beats both the
+    pair join and the JVM generator rewrite). Anchors land in ONE hash
+    group each; the corpus rides an ``explode(sequence(...))`` generator
+    into EVERY group (a generator, not a broadcast-range cross join —
+    that would plan the linter-watched BNLJ), so each applyInPandas task
+    sees (its anchor slice) × (the full corpus) and the only exchange
+    carries n_groups·|corpus| + |anchors| id+vector rows — never the
+    O(|anchors|·|corpus|) pair frame the join shape shuffled. Group
+    count ≈ cores/4 (invariant 7: few fat Arrow streams beat many)."""
+    spark = corpus.sparkSession
+    g = max(spark.sparkContext.defaultParallelism // 4, 2)
+    a = anchors.select(
+        F.lit(0).alias("__t"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int").alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+    c = corpus.select(
+        F.lit(1).alias("__t"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(g - 1)).cast("array<int>")
+        ).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+    return a.unionByName(c), g
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`brute_force_topk` for LARGE query sets (the all-pairs /
+    self-kNN shape, q339): same contract, same bit-exact scores, blocked
+    numpy evaluation instead of a pair join + rank window.
+
+    The join shape materializes |Q|·|C| rows through a CodegenFallback
+    HOF dot per pair and shuffles them into a rank window; with |Q| ≈
+    |C| ≈ n that is an O(n²)-row exchange. Here each task gets an
+    anchor slice × the full corpus (``_allpairs_tagged``) and computes
+    scores as a dimension-major loop of vectorized adds — acc starts at
+    0.0 and gains one a[k]·b[k] product per step, EXACTLY the
+    ``aggregate(zip_with(a, b, x*y), 0.0, acc+x)`` left fold's IEEE
+    sequence, so every score double is bit-identical to the HOF value
+    (same for the norm folds; the final ``dot/(cnorm·qnorm)`` chain is
+    the same tree). Ranking (score DESC, id ASC) happens in-task on
+    exact doubles — ±0.0 compare equal in numpy and in Spark's sort, so
+    tie-breaks agree — and only |Q|·k result rows ever reach the plan.
+
+    Requires ``array<double>`` vectors (cast float embeddings first:
+    float-arithmetic HOF folds are NOT replicated here). Zero-norm /
+    NULL / NaN-poisoned vectors are excluded on both sides, exactly the
+    ``norm > 0`` guard of the join shape."""
+    fields = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
+    qfields = {f.name: f.dataType.simpleString() for f in queries.schema.fields}
+    out_schema = (
+        f"{query_id_col} {qfields[query_id_col]}, {id_col} {fields[id_col]},"
+        " score double, rank int"
+    )
+    tagged, _ = _allpairs_tagged(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        queries.select(
+            F.col(query_id_col).alias(id_col), F.col(vec_col)
+        ),
+        id_col,
+        vec_col,
+    )
+
+    def _fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a_pdf = pdf[(pdf["__t"] == 0) & pdf["__v"].notna()]
+        c_pdf = pdf[(pdf["__t"] == 1) & pdf["__v"].notna()]
+        qid_out: list = []
+        cid_out: list = []
+        s_out: list = []
+        r_out: list = []
+        if len(a_pdf) and len(c_pdf):
+            A = _stack_padded(a_pdf["__v"], np.float64, nan_to_zero=False)
+            C = _stack_padded(c_pdf["__v"], np.float64, nan_to_zero=False)
+            d = max(A.shape[1], C.shape[1])
+            if A.shape[1] < d:
+                A = np.pad(A, ((0, 0), (0, d - A.shape[1])))
+            if C.shape[1] < d:
+                C = np.pad(C, ((0, 0), (0, d - C.shape[1])))
+            qn = np.zeros(A.shape[0])
+            cn = np.zeros(C.shape[0])
+            for t in range(d):  # the _norm fold, dimension-major
+                qn += A[:, t] * A[:, t]
+                cn += C[:, t] * C[:, t]
+            qn = np.sqrt(qn)
+            cn = np.sqrt(cn)
+            qm = qn > 0  # False for NaN too — the HOF guard's semantics
+            cm = cn > 0
+            A, qn = A[qm], qn[qm]
+            C, cn = C[cm], cn[cm]
+            aid = a_pdf["__id"].to_numpy()[qm]
+            cid = c_pdf["__id"].to_numpy()[cm]
+            if A.shape[0] and C.shape[0]:
+                dot = np.zeros((A.shape[0], C.shape[0]))
+                for t in range(d):  # the _dot fold, dimension-major
+                    dot += A[:, t][:, None] * C[:, t][None, :]
+                s = dot / (cn[None, :] * qn[:, None])
+                for i in range(A.shape[0]):
+                    o = np.lexsort((cid, -s[i]))[:k]
+                    for r, j in enumerate(o, start=1):
+                        qid_out.append(aid[i])
+                        cid_out.append(cid[j])
+                        s_out.append(s[i, j])
+                        r_out.append(r)
+        return pd.DataFrame(
+            {
+                query_id_col: qid_out,
+                id_col: cid_out,
+                "score": pd.array(s_out, dtype="float64"),
+                "rank": pd.array(r_out, dtype="int32"),
+            }
+        )
+
+    return tagged.groupBy("__g").applyInPandas(_fn, out_schema)
+
+
 def nearest2_sqdist(
     quantized: DataFrame,
     id_col: str = "vec_id",
@@ -1240,66 +1396,81 @@ def nearest2_sqdist(
     neighbor id. The base of the TwoNN intrinsic-dimension estimator
     (q341) and any exact-integer kNN stat.
 
-    Self-exclusion is the q339/q63 drop-self re-rank: rank the top-3
-    including self (self always scores 0), filter self ABOVE the first
-    window — never a conditional join predicate (r9 lesson c: a filter
-    on a broadcast cross join's output is pushed INTO the join condition
-    and plans the banned BNLJ) — then re-rank to 2; in every tie
-    arrangement the survivors are exactly the non-self top-2
-    (property-tested against brute force in
-    tests/test_equivalence_properties.py). Scale: the corpus never
-    shuffles for scoring (quantized queries broadcast, q34's shape); the
-    one exchange carries (anchor, dq) pairs; anchors subsample cleanly
-    because downstream estimators are anchor means.
-
-    Pass ``dim`` when the vector length is a known constant: the pair
-    distance is then an UNROLLED ``element_at`` sum that stays inside
-    whole-stage codegen instead of the CodegenFallback HOF fold — ~20x
-    on the scoring stage (r10 lesson b's family), and EXACTLY the same
-    value because integer addition is order-free (no float-summation
-    caveat applies). Callers are expected to repartition a single-file
-    corpus first (invariant 8: the scoring projection is CPU-bound).
+    r14 optimization (guide §2.3/§4.2, r10 lesson b): the old shape
+    broadcast-joined anchors onto the corpus, evaluated |A|·|C| unrolled
+    64-term integer distances in codegen, and shuffled the O(n²)-row
+    (anchor, dq) frame into two rank windows. Now each applyInPandas
+    task gets an anchor slice × the full corpus (``_allpairs_tagged``)
+    and computes EXACT int64 distances via |a|²+|b|²−2a·b with one
+    int64 matmul — integer arithmetic, so order-free and bit-identical
+    to the unrolled sum — then picks each anchor's non-self two
+    smallest (dq, bid) pairs in-task (provably the top-3/drop-self/
+    re-rank result in every tie arrangement; still property-tested vs
+    brute force). Only |anchors| result rows reach the plan; the one
+    exchange carries id+vector rows, never pairs. ``dim`` is accepted
+    for API stability but no longer needed. Element magnitudes must
+    keep per-pair |a|²+|b|²+2|a·b| < 2^63 (the 1e-4 lattice has 500×
+    headroom under the dirty gate's ×1e3 class). NULL vectors score
+    nothing (dropped both sides — the quarantine contract), NULL
+    elements quantize to 0 (SUM null-skip twin), ragged rows zero-pad
+    (missing dims ≡ zeros under products and sums).
 
     Pass ``anchors`` (a subset of ``quantized``, same schema) to get
     nearest-2 for only those points against the FULL corpus — the
     100 TB scale hatch: downstream estimators (TwoNN ID) are anchor
     MEANS, so anchor subsampling is unbiased and turns the O(n²) exact
     form into O(n·a). Default: every point is an anchor."""
-    from pyspark.sql import Window
-
-    q = F.broadcast(
+    fields = {f.name: f.dataType.simpleString() for f in quantized.schema.fields}
+    out_schema = f"{id_col} {fields[id_col]}, d1 long, d2 long"
+    tagged, _ = _allpairs_tagged(
+        quantized.select(F.col(id_col), F.col(vec_col)),
         (anchors if anchors is not None else quantized).select(
-            F.col(id_col).alias("__aid"), F.col(vec_col).alias("__qe")
+            F.col(id_col), F.col(vec_col)
+        ),
+        id_col,
+        vec_col,
+    )
+
+    def _fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a_pdf = pdf[(pdf["__t"] == 0) & pdf["__v"].notna()]
+        c_pdf = pdf[(pdf["__t"] == 1) & pdf["__v"].notna()]
+        id_out: list = []
+        d1_out: list = []
+        d2_out: list = []
+        if len(a_pdf) and len(c_pdf):
+            A = _stack_padded(a_pdf["__v"], np.int64, nan_to_zero=True)
+            C = _stack_padded(c_pdf["__v"], np.int64, nan_to_zero=True)
+            d = max(A.shape[1], C.shape[1])
+            if A.shape[1] < d:
+                A = np.pad(A, ((0, 0), (0, d - A.shape[1])))
+            if C.shape[1] < d:
+                C = np.pad(C, ((0, 0), (0, d - C.shape[1])))
+            aid = a_pdf["__id"].to_numpy()
+            cid = c_pdf["__id"].to_numpy()
+            na = (A * A).sum(axis=1)
+            nc = (C * C).sum(axis=1)
+            D = na[:, None] + nc[None, :] - 2 * (A @ C.T)
+            for i in range(A.shape[0]):
+                m = cid != aid[i]
+                if not m.any():
+                    continue
+                drow = D[i][m]
+                ids = cid[m]
+                o = np.lexsort((ids, drow))
+                id_out.append(aid[i])
+                d1_out.append(int(drow[o[0]]))
+                d2_out.append(
+                    int(drow[o[1]]) if drow.shape[0] > 1 else None
+                )
+        return pd.DataFrame(
+            {
+                id_col: id_out,
+                "d1": pd.array(d1_out, dtype="Int64"),
+                "d2": pd.array(d2_out, dtype="Int64"),
+            }
         )
-    )
-    if dim is not None:
-        terms = [
-            (F.element_at(vec_col, i) - F.element_at("__qe", i))
-            * (F.element_at(vec_col, i) - F.element_at("__qe", i))
-            for i in range(1, dim + 1)
-        ]
-        dq = terms[0]
-        for t in terms[1:]:
-            dq = dq + t
-    else:
-        dq = F.aggregate(
-            F.zip_with(vec_col, "__qe", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-    pairs = quantized.join(q).select(
-        "__aid", F.col(id_col).alias("__bid"), dq.alias("dq")
-    )
-    w3 = Window.partitionBy("__aid").orderBy("dq", "__bid")
-    top3 = pairs.withColumn("rk", F.row_number().over(w3)).where(
-        F.col("rk") <= 3
-    )
-    no_self = top3.where(F.col("__aid") != F.col("__bid"))
-    w2 = Window.partitionBy("__aid").orderBy("dq", "__bid")
-    top2 = no_self.withColumn("rk2", F.row_number().over(w2)).where(
-        F.col("rk2") <= 2
-    )
-    return top2.groupBy(F.col("__aid").alias(id_col)).agg(
-        F.max(F.when(F.col("rk2") == 1, F.col("dq"))).alias("d1"),
-        F.max(F.when(F.col("rk2") == 2, F.col("dq"))).alias("d2"),
-    )
+
+    return tagged.groupBy("__g").applyInPandas(_fn, out_schema)
