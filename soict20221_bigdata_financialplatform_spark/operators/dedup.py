@@ -561,7 +561,13 @@ def ngram_jaccard_pairs(
     pair, then compute |A∩B|/(|A|+|B|−|A∩B|). Quadratic only within a
     shingle's posting list — at corpus scale combine with LSH
     (``minhash_near_dup_pairs``) instead."""
-    sh = df.select(
+    # r14 (invariant 8 / guide §2.5-input-skew): the shingle projection —
+    # regex split + n-gram assembly + explode — is the CPU-heavy single-pass
+    # fan-out stage of this operator, and on a single-file scan it ran as
+    # ONE task. Round-robin repartition first so it parallelizes; the
+    # count is session-derived (scale-adaptive), not a local constant.
+    npart = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    sh = df.select(id_col, text_col).repartition(npart).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("s"),
     ).persist()  # read by both self-join branches + the size agg

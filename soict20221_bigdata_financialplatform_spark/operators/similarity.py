@@ -482,6 +482,17 @@ def kmeans_lloyd_det(
                 ).alias("cv")
             )
             .select(F.col("__cell").alias("cid"), "cv")
+            # r14 (guide §2.4 / invariant 9's broadcast twin): each
+            # round's broadcast used to EMBED the previous round's whole
+            # plan, so the broadcast job re-executed every earlier
+            # assign+mean chain — quadratic re-execution in `iters` —
+            # and every downstream consumer (semdedup's carr,
+            # assign_cells, the PQ encode) re-ran the full training
+            # again. Checkpointing the nlist-row centroid frame per
+            # round costs one tiny job, makes training linear, and hands
+            # consumers a flat 8-row frame; values are bit-identical
+            # (materialization only).
+            .localCheckpoint(eager=True)
         )
     return cents.select(
         F.col("cid").alias(cent_id_col), F.col("cv").alias(vec_col)
@@ -724,18 +735,57 @@ def semdedup_keep(
     # as the DuckDB twin, where its NULL cosine fails the threshold
     # comparison). Spark ANSI would THROW on the division instead, so
     # the exclusion must happen before the cosine.
-    a = cells.where(_norm(F.col(vec_col)) > 0).select(
-        F.col("cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    #
+    # r14 optimization (guide §4.2, the q339 blocked recipe): the pair
+    # stage used to equi-self-join on the cell and evaluate one
+    # CodegenFallback HOF cosine per pair — Σ|cell|² fold evaluations at
+    # ~13µs each (measured: 26s per 2M pairs) dominated the query. Now
+    # each cell is ONE applyInPandas task computing its all-pairs block
+    # with dimension-major numpy loops: norms accumulate 0.0 + x₁² + …
+    # and the dot 0.0 + x₁y₁ + … in index order — EXACTLY the fold's
+    # IEEE sequence, then the same dot/(na·nb) tree — so every cosine
+    # double is bit-identical to the HOF value and the ≥-threshold
+    # verdicts cannot move. Fold semantics on RAGGED vectors are kept by
+    # blocking per vector LENGTH inside the cell (equal-length pairs
+    # score, cross-length pairs are NULL under zip_with padding → fail
+    # the threshold → skipped here). The exchange carries each valid
+    # vector once, keyed by cell — never the pair frame.
+    fields = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
+    valid = cells.where(_norm(F.col(vec_col)) > 0).select(
+        F.col("cell"), F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
-    b = cells.where(_norm(F.col(vec_col)) > 0).select(
-        F.col("cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
-    )
-    pruned = (
-        a.join(b, "cell")
-        .where(F.col("__ida") < F.col("__idb"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
+
+    def _pruned_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out: list = []
+        by_len: dict[int, list] = {}
+        for vid, arr in zip(pdf["__id"], pdf["__v"]):
+            by_len.setdefault(len(arr), []).append((vid, arr))
+        for length, grp in by_len.items():
+            if length == 0 or len(grp) < 2:
+                continue
+            grp.sort(key=lambda t: t[0])
+            ids = np.array([t[0] for t in grp])
+            E = np.stack([np.asarray(t[1], dtype=np.float64) for t in grp])
+            n = np.zeros(E.shape[0])
+            for t in range(length):  # the _norm fold, dimension-major
+                n += E[:, t] * E[:, t]
+            n = np.sqrt(n)
+            dot = np.zeros((E.shape[0], E.shape[0]))
+            for t in range(length):  # the _dot fold, dimension-major
+                dot += E[:, t][:, None] * E[:, t][None, :]
+            cos = dot / (n[:, None] * n[None, :])
+            hit = cos >= threshold
+            np.fill_diagonal(hit, False)
+            # pruned: any lower-id (= lower-index after the sort) witness
+            pruned_mask = np.triu(hit, k=1).any(axis=0)
+            out.extend(ids[pruned_mask].tolist())
+        return pd.DataFrame({id_col: pd.Series(out, dtype="object")})
+
+    pruned = valid.groupBy("cell").applyInPandas(
+        _pruned_fn, f"{id_col} {fields[id_col]}"
     )
     return cells.join(
         pruned.withColumn("__pruned", F.lit(True)), id_col, "left"
@@ -1143,6 +1193,10 @@ def kmeans_lloyd_det_stacked(
                 F.col("__cell").alias("cid"),
                 "cv",
             )
+            # r14: per-round checkpoint — see kmeans_lloyd_det (the
+            # un-truncated rounds re-executed quadratically through each
+            # round's broadcast job, and every consumer re-ran training).
+            .localCheckpoint(eager=True)
         )
     return cents.select(
         F.col("g").alias(grp_col),
