@@ -15,7 +15,9 @@ equal labels, i.e. the labels ARE the components.
 
 Scale notes: the label frame is (node, label) — two longs; the edge list is
 the input. ``max_iterations`` bounds runaway graphs; the loop stops early on
-fixpoint (checked with a cheap ``limit(1).count()``). Exiting WITHOUT
+fixpoint (each node's OLD label rides the round as one extra column, so a
+join-free changed-row count detects convergence, fused into the same job
+that materializes the round's checkpoint). Exiting WITHOUT
 reaching fixpoint raises by default (``allow_partial=True`` downgrades to a
 warning) — silently returning split clusters is how near-dup cluster counts
 quietly go wrong. Pass ``stats={}`` to read back rounds/convergence.
@@ -78,18 +80,36 @@ def connected_components(
         .persist()
     )
 
+    label_type = labels.schema["label"].dataType
+
     converged = False
     rounds = 0
     for rounds in range(1, max_iterations + 1):
-        # 1. propagate: min label over the neighborhood (incl. self)
+        # 1. propagate: min label over the neighborhood (incl. self). The
+        # self row additionally carries the node's OLD label in ``__old``
+        # (NULL on neighbor rows); a group has exactly one self row, so
+        # max(__old) — aggregates skip NULLs — recovers it for the
+        # join-free fixpoint test below. Works for any orderable label
+        # type (fuzzy.py clusters STRING values through this operator).
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "label")
+            .select(
+                F.col("a").alias("node"),
+                "label",
+                F.lit(None).cast(label_type).alias("__old"),
+            )
         )
         propagated = (
-            neighbor_labels.union(labels.select("node", "label"))
+            neighbor_labels.union(
+                labels.select(
+                    "node", "label", F.col("label").alias("__old")
+                )
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max("__old").alias("__old"),
+            )
         )
         # 2. shortcut (pointer doubling): label <- label(label). Every label
         # value is itself a node (labels start as node ids and only ever move
@@ -97,30 +117,34 @@ def connected_components(
         lab_of_lab = propagated.select(
             F.col("node").alias("label"), F.col("label").alias("__ll")
         )
-        # localCheckpoint (eager), NOT persist: each round's plan references
-        # the previous round's TWICE (propagate join + shortcut self-join),
+        # localCheckpoint, NOT persist: each round's plan references the
+        # previous round's TWICE (propagate join + shortcut self-join),
         # so without lineage truncation the logical plan doubles per round —
         # exponential tree growth that OOMs the driver around round ~10.
         # Checkpointing materializes the ~16-byte-per-node label frame and
         # restarts the lineage; at cluster scale prefer
         # ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
         # executor-loss resilience (localCheckpoint trades that for speed).
+        # eager=False: the convergence count below is the round's first
+        # action, so it BOTH saves the checkpoint blocks and returns the
+        # changed-row count — one job per round where the eager-checkpoint
+        # + changed-join-count pair used to cost two (the join, its two
+        # exchanges and the limit are gone entirely; the old label rides
+        # the round as one extra column instead).
         new_labels = (
             propagated.join(lab_of_lab, "label", "left")
             .select(
-                "node", F.coalesce(F.col("__ll"), F.col("label")).alias("label")
+                "node",
+                F.coalesce(F.col("__ll"), F.col("label")).alias("label"),
+                "__old",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.where(
+            F.col("label") != F.col("__old")
+        ).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break
