@@ -320,11 +320,9 @@ ITERATIVE = {"q117_pagerank_dup_graph", "q119_leakage_free_split",
 # NOISE: q322 0.779 / q235 0.589 reproduce their r13 archive values;
 # q306 settles to 1.766 (within 7% of the 1.649 archive, code+plan
 # git-verified unchanged since creation). Kept at 5 reps for the r14
-# driver flight so the round record carries robust medians; empty the
-# set in r15.
-DRIFT_WATCH: set[str] = {
-    "q306_rich_club", "q322_ochiai_collocations", "q235_vocab_growth",
-}
+# driver flight; emptied in r15 per the r14 VERDICT (task 6) — every
+# entry is back on uniform min-of-3.
+DRIFT_WATCH: set[str] = set()
 
 
 def main() -> None:
@@ -652,12 +650,21 @@ def main() -> None:
     }
 
     # Machine-load sentinel: re-time the first query after everything else.
-    # On an idle machine it reproduces its own min; >1.5x means the whole
-    # run was contention-polluted and the record should not be trusted.
+    # On an idle machine it reproduces its own min. TWO-SIDED since r15
+    # (r14 VERDICT task 1): final >> min means END-of-run contention;
+    # min >> final means the block-0 sweep ran inside a decaying
+    # RUN-START BURST (the r14 driver flight: min 2.285 vs final 0.586,
+    # tide_factor_max 7.04 — every block-0 reading was an artifact).
+    # Either way the block-0 values should not be trusted; the steady
+    # fixed-tail re-measures (emitted as "queries" in the compact line)
+    # are the comparison channel.
     t0 = time.time()
     _query_runner(QUERIES[HEADLINE[0]])()
     sentinel = round(time.time() - t0, 3)
-    polluted = sentinel > 1.5 * max(timings[HEADLINE[0]], 0.05)
+    polluted = (
+        sentinel > 1.5 * max(timings[HEADLINE[0]], 0.05)
+        or timings[HEADLINE[0]] > 1.5 * max(sentinel, 0.05)
+    )
 
     total = round(sum(timings.values()), 3)
     headline_fixed = round(
@@ -666,6 +673,7 @@ def main() -> None:
     load_sentinel = {
         "query": HEADLINE[0],
         "min_sec": timings[HEADLINE[0]],
+        "steady_sec": fixed_tail.get(HEADLINE[0]),
         "final_sec": sentinel,
         "polluted": polluted,
     }
@@ -719,9 +727,19 @@ def main() -> None:
     # detail line grew past the capture window. Keep this line small forever.
     # Truncate defensively rather than assert: an AssertionError here would
     # discard the final stdout line after the full ~10-min run — the exact
-    # parsed-null failure this line exists to prevent. Drop trailing COMPACT
-    # entries until the JSON fits the driver's 2000-char tail capture.
-    keep = [k for k in COMPACT if k in timings]
+    # parsed-null failure this line exists to prevent. Drop trailing entries
+    # until the JSON fits the driver's 2000-char tail capture.
+    #
+    # Since r15 (r14 VERDICT task 1) "queries" carries the STEADY-STATE
+    # tail re-measures (fixed_tail): the r14 driver flight proved block-0
+    # measurements sit inside an uncorrectable run-start burst (q01 2.285
+    # block-0 vs 0.586 steady, 15/17 phantom "regressions"), so the
+    # per-query PERF comparison channel must be the post-sweep steady
+    # values. The block-0 sweep mins stay available as "queries_block0"
+    # here (measurement-methodology continuity: r14 and earlier rounds'
+    # "queries" were block-0 mins) and as "queries" in the detail line.
+    keep = [k for k in COMPACT if k in timings and k in fixed_tail]
+    keep0 = [k for k in COMPACT if k in timings]
     while True:
         compact = json.dumps(
             {
@@ -732,7 +750,8 @@ def main() -> None:
                 "headline_fixed_detrended": headline_fixed_detrended,
                 "unit": "sec",
                 "sf": sf,
-                "queries": {k: timings[k] for k in keep},
+                "queries": {k: fixed_tail[k] for k in keep},
+                "queries_block0": {k: timings[k] for k in keep0},
                 "backfill_sec": timings.get("backfill_ref_workload"),
                 "n_benched": len(timings),
                 "streaming_rows_per_sec": streaming["value"],
@@ -740,9 +759,12 @@ def main() -> None:
                 "tide_factor_max": max(tide_factors),
             }
         )
-        if len(compact) < 1900 or not keep:
+        if len(compact) < 1900 or not (keep or keep0):
             break
-        keep.pop()
+        if keep0:
+            keep0.pop()
+        else:
+            keep.pop()
     print(compact)
 
 
