@@ -1269,15 +1269,23 @@ def bpe_learn_merges(
       leftmost-first merge order, e.g. ``aaa`` + (a,a) -> ``(aa)(a)``);
     - pair counts are exact integers; the winning pair breaks ties on
       (count DESC, sym1 ASC, sym2 ASC), so no float enters the loop at all;
-    - the winner joins back as a BROADCAST one-row frame (no collect) and
-      the vocab frame is localCheckpoint'ed each round (CLAUDE.md inv. 9:
-      a round referencing the previous round twice doubles the plan).
+    - the winner is a ONE-ROW exact result: it is collected per round and
+      re-embedded as string LITERALS in the next round's merge replace
+      (the q208 scalar-literal recipe — the replace sees the identical
+      strings either way, so the vocab trajectory is bit-identical), and
+      the vocab frame is LAZY-localCheckpoint'ed each round (CLAUDE.md
+      inv. 9: the vocab is referenced twice per round — pair counting and
+      the merge — so the plan would double without truncation; lazy
+      truncates at the next round's collect without a separate
+      materialization job, and the FINAL round's merged vocab — which no
+      one reads — is never executed at all).
 
     Returns one row per merge round: (bpe_round, sym1, sym2, merged,
     pair_weight). If the vocabulary exhausts (a round finds no adjacent
     pair), the loop stops early and the output holds fewer than
     ``rounds`` rows — it never silently empties the vocab.
     """
+    spark = docs.sparkSession
     wc = (
         docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
         .where(F.col("word") != "")
@@ -1286,8 +1294,8 @@ def bpe_learn_merges(
     )
     enc = wc.select(
         F.regexp_replace("word", "(.)", "<$1>").alias("enc"), "cnt"
-    ).localCheckpoint(eager=True)
-    rules: list[DataFrame] = []
+    ).localCheckpoint(eager=False)
+    rules: list[tuple] = []
     for r in range(1, rounds + 1):
         syms = F.split(F.regexp_replace("enc", "^<|>$", ""), "><")
         pairs = (
@@ -1307,51 +1315,44 @@ def bpe_learn_merges(
             )
             .select("p.sym1", "p.sym2", "cnt")
         )
+        # ONE driver job per round: the 1-row winner collect (exact
+        # integers + symbol strings) ALSO materializes the previous
+        # round's lazy vocab checkpoint. This replaces the old
+        # best-checkpoint job + isEmpty job + crossJoin(broadcast) per
+        # round.
         best = (
             pairs.groupBy("sym1", "sym2")
             .agg(F.sum("cnt").cast("long").alias("pair_weight"))
             .orderBy(F.desc("pair_weight"), "sym1", "sym2")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        if best.isEmpty():
+        if not best:
             # Vocabulary exhausted (every word a single symbol): a further
-            # crossJoin with the empty winner would silently EMPTY the
-            # vocab and yield zero-row rounds with no signal — stop
-            # instead. Output then has fewer than ``rounds`` rows (see
-            # docstring). isEmpty on the checkpointed 1-row limit is free.
+            # merge with an empty winner has no signal — stop instead.
+            # Output then has fewer than ``rounds`` rows (see docstring).
             break
-        rules.append(best.withColumn("bpe_round", F.lit(r).cast("long")))
+        sym1, sym2, weight = best[0]["sym1"], best[0]["sym2"], best[0]["pair_weight"]
+        rules.append((r, sym1, sym2, sym1 + sym2, weight))
         enc = (
-            enc.crossJoin(F.broadcast(best))
-            .select(
+            enc.select(
                 F.replace(
                     F.col("enc"),
-                    F.concat(F.lit("<"), "sym1", F.lit("><"), "sym2", F.lit(">")),
-                    F.concat(F.lit("<"), "sym1", F.col("sym2"), F.lit(">")),
+                    F.lit(f"<{sym1}><{sym2}>"),
+                    F.lit(f"<{sym1}{sym2}>"),
                 ).alias("enc"),
                 "cnt",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    if not rules:
-        # No adjacent pair anywhere even in round 1 — empty result with
-        # the contract schema.
-        spark = docs.sparkSession
-        return spark.createDataFrame(
-            [],
-            "bpe_round long, sym1 string, sym2 string, "
-            "merged string, pair_weight long",
-        )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out.select(
-        "bpe_round",
-        "sym1",
-        "sym2",
-        F.concat("sym1", "sym2").alias("merged"),
-        "pair_weight",
+    # The rules frame is driver-built from the collected winners — a
+    # LocalTableScan, identical values to the old union of one-row
+    # checkpointed frames (Spark's concat of the collected strings ==
+    # Python + on the same strings).
+    return spark.createDataFrame(
+        rules,
+        "bpe_round long, sym1 string, sym2 string, "
+        "merged string, pair_weight long",
     ).orderBy("bpe_round")
 
 

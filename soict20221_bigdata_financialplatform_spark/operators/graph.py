@@ -12,11 +12,14 @@ Execution model (Spark-first, no GraphX/GraphFrames dependency):
     one aggregation (sum of rank/deg by dst) + one left join back onto
     the node set — all key-partitioned on node ids, no driver loop over
     nodes, nothing collected;
-  - every iteration ends in ``localCheckpoint(eager=True)``: persist()
-    does NOT truncate the logical plan, and an iterative frame that
-    re-references the previous round grows its plan each round until the
-    driver chokes on plan size, not data size (see
-    ``components.connected_components``, same invariant).
+  - every iteration ends in a LAZY ``localCheckpoint(eager=False)``:
+    persist() does NOT truncate the logical plan, and an iterative frame
+    that re-references the previous round grows its plan each round until
+    the driver chokes on plan size, not data size (see
+    ``components.connected_components``, same invariant). Lazy keeps the
+    truncation (each round plans over the previous round's LogicalRDD)
+    while the caller's single action materializes the chain — no
+    per-round driver job (r15, the q208 recipe).
 
 Scale notes: state is two longs + a double per node; edges shuffle once
 per iteration on src then dst — at 100 TB pre-partition ``edges`` by
@@ -75,7 +78,19 @@ def pagerank(
     uniform over the seeds — "rank everything by proximity to THESE
     docs through the duplication/similarity graph" (related-document
     expansion, contamination blast-radius). Seeds are broadcast; the
-    iteration shape is unchanged."""
+    iteration shape is unchanged.
+
+    r15 optimization (guide §2.4/§5, the q208 recipe): ``N`` (node or
+    seed count) is an exact integer collected ONCE and re-embedded as a
+    long literal — the division sees the same long either way, so ranks
+    are bit-identical — which removes the per-plan
+    ``crossJoin(broadcast(Σ))`` carry; and every round's checkpoint is
+    LAZY (``eager=False``), planned at build time over the previous
+    round's flat LogicalRDD (constant per-round plan size) but
+    materialized by the CALLER's single action — the per-round eager
+    materialization jobs are gone. ``checkpoint_every`` is retained for
+    API stability but no longer used: a lazy checkpoint per round costs
+    no job, so every round truncates."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -88,44 +103,43 @@ def pagerank(
         .distinct()
         .persist()
     )
-    # 1-row broadcast scalar, never collected to the driver
+    # 1-row exact-integer scalar: collected once, re-embedded as a long
+    # literal (the q208 recipe — a count is exact, so `1.0 / N` is the
+    # same IEEE division either way). The count also materializes the
+    # e/nodes persists before the iteration builds on them.
     if seeds is None:
-        n_frame = nodes.agg(F.count(F.lit(1)).alias("n"))
-        base = nodes.crossJoin(F.broadcast(n_frame)).persist()  # node, n
-        base = base.withColumn("__tmass", F.lit(1.0))  # uniform teleport
-        ranks = base.select(
-            "node", (F.lit(1.0) / F.col("n")).alias("rank")
-        ).localCheckpoint(eager=True)
+        n = F.lit(nodes.count()).cast("long")
+        base = nodes.withColumn("__tmass", F.lit(1.0))  # uniform teleport
+        ranks = base.select("node", (F.lit(1.0) / n).alias("rank"))
     else:
         s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-        n_frame = s.agg(F.count(F.lit(1)).alias("n"))
-        flagged = nodes.join(
+        n = F.lit(s.count()).cast("long")
+        base = nodes.join(
             F.broadcast(s.withColumn("__is_seed", F.lit(True))),
             "node",
             "left",
         )
-        base = flagged.crossJoin(F.broadcast(n_frame)).persist()
         # teleport indicator: 1 on seeds, 0 elsewhere (n = |seeds| here,
         # so the shared (1-d)/n * tmass expression lands (1-d)/|S| mass
         # on each seed and nothing elsewhere)
         base = base.withColumn(
             "__tmass",
             F.when(F.col("__is_seed"), F.lit(1.0)).otherwise(F.lit(0.0)),
-        )
+        ).persist()
         ranks = base.select(
             "node",
-            F.when(F.col("__is_seed"), F.lit(1.0) / F.col("n"))
+            F.when(F.col("__is_seed"), F.lit(1.0) / n)
             .otherwise(F.lit(0.0))
             .alias("rank"),
-        ).localCheckpoint(eager=True)
+        )
     # edge weight stays as rank/deg DIVISION per edge (not a precomputed
     # 1/deg multiply — r/d and r*(1/d) differ bitwise, and the oracle
     # divides)
     ewd = e.join(deg, "src").persist()  # src, dst, deg
     # x * 1.0 is an exact IEEE identity, so the uniform case stays
     # bit-identical to the pre-personalization expression (q117 oracle)
-    teleport = F.lit(1.0 - damping) / F.col("n") * F.col("__tmass")
-    for i in range(iterations):
+    teleport = F.lit(1.0 - damping) / n * F.col("__tmass")
+    for _ in range(iterations):
         contrib = (
             ewd.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -141,13 +155,11 @@ def pagerank(
                 round_to,
             ).alias("rank"),
         )
-        # Each round references the previous ranks exactly ONCE, so the
-        # plan grows linearly (not the doubling of components.py's
-        # two-reference rounds) — a checkpoint every few rounds bounds
-        # analysis cost without paying a materialization job per round.
-        # The final round always checkpoints so callers get a flat plan.
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        # LAZY checkpoint every round: plans each round over the previous
+        # round's LogicalRDD leaf (bounded plan size — invariant 9's
+        # concern) without paying a materialization job; the caller's
+        # action executes the whole nested chain once (q208 pattern).
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
