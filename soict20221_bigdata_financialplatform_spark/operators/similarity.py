@@ -672,6 +672,7 @@ def semdedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent_id_col: str = "cent_id",
+    cell_cap: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     embeddings with k-means, then dropping within each cluster every vector
@@ -754,15 +755,61 @@ def semdedup_keep(
     valid = cells.where(_norm(F.col(vec_col)) > 0).select(
         F.col("cell"), F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
+    # r15 cell-size CAP (r14 VERDICT task 5): one applyInPandas task per
+    # cell concentrates Σ|cell|² work — and an |cell|²-double dot matrix
+    # — in a single task; a hot cell at scale is a straggler AQE cannot
+    # split (skew mitigation does not apply to grouped Python stages).
+    # Cells above ``cell_cap`` rows split into m = ceil(|cell|/cap)
+    # hash-chunks and each UNORDERED chunk pair (i ≤ j) becomes its own
+    # task: every within-cell pair is examined in exactly one task
+    # (same-chunk pairs in (c,c), cross-chunk in (min,max)), so the
+    # union of per-task witnesses is the uncapped witness set and the
+    # per-pair cosine — a dimension-major fold private to the pair — is
+    # bit-identical. Witness ids can repeat across a cell's tasks, so
+    # the prune set is distinct-ed (id-cardinality rows, cheap). At
+    # gate SFs every cell sits under the cap (m = 1: one task per cell,
+    # the pre-cap shape); a forced hot cell is exercised by
+    # tools/scale_smoke.py and the pytest pin.
+    sizes = valid.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(cell_cap)).cast("int").alias("__m")
+    )
+    chunked = valid.join(sizes, "cell").select(
+        "cell",
+        "__id",
+        "__v",
+        F.pmod(F.xxhash64(F.col("__id")), F.col("__m")).cast("int").alias("__c"),
+        F.col("__m"),
+    )
+    tasks = chunked.select(
+        "cell",
+        "__id",
+        "__v",
+        "__c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__m") - 1),
+                lambda o: F.struct(
+                    F.least(F.col("__c"), o).alias("bi"),
+                    F.greatest(F.col("__c"), o).alias("bj"),
+                ),
+            )
+        ).alias("__blk"),
+    ).select(
+        "cell", "__id", "__v", "__c",
+        F.col("__blk.bi").alias("__bi"), F.col("__blk.bj").alias("__bj"),
+    )
 
     def _pruned_fn(pdf):
         import numpy as np
         import pandas as pd
 
         out: list = []
+        # cross-chunk task: only pairs spanning the two chunks count here
+        # (same-chunk pairs belong to their own (c, c) task)
+        cross = len(pdf) > 0 and pdf["__bi"].iloc[0] != pdf["__bj"].iloc[0]
         by_len: dict[int, list] = {}
-        for vid, arr in zip(pdf["__id"], pdf["__v"]):
-            by_len.setdefault(len(arr), []).append((vid, arr))
+        for vid, arr, chunk in zip(pdf["__id"], pdf["__v"], pdf["__c"]):
+            by_len.setdefault(len(arr), []).append((vid, arr, chunk))
         for length, grp in by_len.items():
             if length == 0 or len(grp) < 2:
                 continue
@@ -779,14 +826,17 @@ def semdedup_keep(
             cos = dot / (n[:, None] * n[None, :])
             hit = cos >= threshold
             np.fill_diagonal(hit, False)
+            if cross:
+                chunks = np.array([t[2] for t in grp])
+                hit &= chunks[:, None] != chunks[None, :]
             # pruned: any lower-id (= lower-index after the sort) witness
             pruned_mask = np.triu(hit, k=1).any(axis=0)
             out.extend(ids[pruned_mask].tolist())
         return pd.DataFrame({id_col: pd.Series(out, dtype="object")})
 
-    pruned = valid.groupBy("cell").applyInPandas(
+    pruned = tasks.groupBy("cell", "__bi", "__bj").applyInPandas(
         _pruned_fn, f"{id_col} {fields[id_col]}"
-    )
+    ).distinct()
     return cells.join(
         pruned.withColumn("__pruned", F.lit(True)), id_col, "left"
     ).select(
@@ -1317,7 +1367,17 @@ def _allpairs_tagged(
     sees (its anchor slice) × (the full corpus) and the only exchange
     carries n_groups·|corpus| + |anchors| id+vector rows — never the
     O(|anchors|·|corpus|) pair frame the join shape shuffled. Group
-    count ≈ cores/4 (invariant 7: few fat Arrow streams beat many)."""
+    count ≈ cores/4 (invariant 7: few fat Arrow streams beat many).
+
+    LICENSE BOUND: replicating the corpus into every group is a
+    broadcast in disguise — each task materializes the FULL corpus as a
+    numpy block, so |corpus| must fit one task's memory (~10⁵-10⁶
+    d=64 vectors, i.e. the eval/anchor shapes this serves: q339/q341's
+    ground truth, q242/q209's brute-force side). At 100 TB corpus scale
+    this operator is the WRONG shape — route through the IVF/LSH
+    candidate paths instead (cell-bounded pair sets; q341's anchor
+    subsample + q51-style cells), exactly as the q341 docstring
+    prescribes for its estimator."""
     spark = corpus.sparkSession
     g = max(spark.sparkContext.defaultParallelism // 4, 2)
     a = anchors.select(
