@@ -21,17 +21,17 @@ def test_all_oracle_output_types_hasher_safe(spark, sf_dir, capsys):
     assert rc == 0, f"type audit flagged oracle queries:\n{out}"
 
 
-def test_final_order_window_r14_rotation():
+def test_final_order_window_r15_rotation():
     """The driver checks the FIRST 50 registry entries. Pin the
-    round-14 window: 9 sentinels up front, the r13-authored
-    q337_event_dirt_audit in slot 10 (the only oracle-able entry
-    without a driver row after r13), the second-row queue continuing in
-    registry order — the r11-green block q303..q331 in slots 11-39, the
-    r11-window tail q63/q65..q69 in slots 40-45, the r10-green head
-    q256..q260 in slots 46-50 — every window entry oracle-backed, the
-    rows-only six dead last, and the full registry covered exactly
-    once. The r13 window occupants drop right behind the boundary;
-    q261_charclass_drift is next in the second-row queue for r15."""
+    round-15 window: 9 sentinels up front, the r14-authored
+    q338..q344 in slots 10-16 (the only oracle-able entries without a
+    driver row after r14), the second-row queue continuing in registry
+    order — the r10-green block q261..q294 in slots 17-50 — every
+    window entry oracle-backed, the rows-only six dead last, and the
+    full registry covered exactly once. The r14 window occupants drop
+    right behind the boundary (q337 first, prior relative order);
+    q295_intraday_vol_signature is next in the second-row queue for
+    r16."""
     from soict20221_bigdata_financialplatform_spark.queries import (
         _FINAL_ORDER, ORACLE, QUERIES,
     )
@@ -45,29 +45,25 @@ def test_final_order_window_r14_rotation():
     ]
     assert _FINAL_ORDER[:9] == sentinels
     window = _FINAL_ORDER[:50]
-    assert window[9] == "q337_event_dirt_audit"
-    expected_queue = [f"q{n}" for n in range(303, 332)]
-    assert [w.split("_")[0] for w in window[10:39]] == expected_queue
-    assert [w.split("_")[0] for w in window[39:45]] == [
-        "q63", "q65", "q66", "q67", "q68", "q69",
+    assert [w.split("_")[0] for w in window[9:16]] == [
+        f"q{n}" for n in range(338, 345)
     ]
-    assert [w.split("_")[0] for w in window[45:50]] == [
-        "q256", "q257", "q258", "q259", "q260",
+    expected_queue = [f"q{n}" for n in range(261, 295)]
+    assert [w.split("_")[0] for w in window[16:50]] == expected_queue
+    # Behind the boundary: the r14 window occupants (q337 first, then
+    # q303..q331, q63/q65..q69, q256..q260), then the r13 window
+    # occupants, then the earlier retirees; q295 heads the r16
+    # second-row queue.
+    assert _FINAL_ORDER[50] == "q337_event_dirt_audit"
+    assert [w.split("_")[0] for w in _FINAL_ORDER[51:80]] == [
+        f"q{n}" for n in range(303, 332)
     ]
-    # Behind the boundary: the r14-authored six queued first for the
-    # r15 window, then the r13 window occupants (DP trio first), then
-    # the earlier retirees; q261 heads the r15 second-row queue.
-    assert _FINAL_ORDER[50:57] == [
-        "q338_embedding_dirt_audit", "q339_knn_label_consistency",
-        "q340_average_precision", "q341_twonn_intrinsic_dim",
-        "q342_mcc_kappa", "q343_mattr_diversity",
-        "q344_participation_ratio",
-    ]
-    assert _FINAL_ORDER[57:60] == [
+    assert _FINAL_ORDER[91:94] == [
         "q334_dp_noisy_counts", "q335_dp_noisy_char_sums",
         "q336_dp_gumbel_topk",
     ]
-    assert _FINAL_ORDER[139] == "q261_charclass_drift"
+    idx = _FINAL_ORDER.index("q295_intraday_vol_signature")
+    assert _FINAL_ORDER[idx - 1] == "q104_sequence_packing"
     assert all(name in ORACLE for name in window), [
         n for n in window if n not in ORACLE
     ]
