@@ -254,6 +254,35 @@ def op_suite(spark, d: str) -> dict:
         # self-form is O(n^2) BY DESIGN (documented), the hatch must
         # measure alpha ~ 1 (corpus scan x constant anchors)
         "nearest2_sampled_anchors": lambda: _nearest2_count(emb),
+        # r15 (r14 VERDICT task 5): the semdedup cell-cap pair. "cells" =
+        # 8 spread centroids, the normal multi-cell path — the cap
+        # machinery (per-cell size agg + chunk-pair explode) must not
+        # move this row's alpha; cells crossing the 4096 cap at the 4x
+        # size transition into m>1 chunking with no cliff. Within-cell
+        # pair work is quadratic in |cell| BY CONSTRUCTION (SemDeDup
+        # bounds |cell| by growing k with n at open scale — SCALE.md).
+        "semdedup_cells": lambda: sim.semdedup_keep(
+            emb,
+            emb.where(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("cent_id"), "embedding"
+            ),
+            threshold=0.35,
+        ).where("keep").count(),
+        # Forced HOT CELL (the r14 straggler concern): ONE centroid, so
+        # every vector lands in a single cell that the cap splits into
+        # ceil(n/1024) hash-chunks × pair-blocks. Pre-cap this was ONE
+        # task doing all n² work (a wall-clock straggler no AQE rule can
+        # split); now max task size is constant and wall-clock tracks
+        # total pair work / cores. 20%-subset so the 4x row stays a
+        # smoke-sized job.
+        "semdedup_hot_cell_capped": lambda: sim.semdedup_keep(
+            emb.where(F.pmod("vec_id", F.lit(5)) == 0),
+            emb.where(F.col("vec_id") == 0).select(
+                F.col("vec_id").alias("cent_id"), "embedding"
+            ),
+            threshold=0.35,
+            cell_cap=1024,
+        ).where("keep").count(),
     }
 
 
