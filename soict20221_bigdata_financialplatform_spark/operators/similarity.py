@@ -820,18 +820,37 @@ def semdedup_keep(
             for t in range(length):  # the _norm fold, dimension-major
                 n += E[:, t] * E[:, t]
             n = np.sqrt(n)
-            dot = np.zeros((E.shape[0], E.shape[0]))
-            for t in range(length):  # the _dot fold, dimension-major
-                dot += E[:, t][:, None] * E[:, t][None, :]
-            cos = dot / (n[:, None] * n[None, :])
-            hit = cos >= threshold
-            np.fill_diagonal(hit, False)
+            # r15 two-phase pair stage (guide §4.2 — hand the bulk to
+            # BLAS). Phase 1 (CANDIDATES): one dgemm. BLAS sums in a
+            # different order than the HOF fold, so its dots are NOT the
+            # exact verdict values — but the reassociation error is
+            # bounded: |dot_seq − dot_blas| ≤ 2·γ_d·Σₜ|xₜyₜ| ≤
+            # 2·γ_d·‖x‖‖y‖ (γ_64 ≈ 7.1e-15), so every pair whose EXACT
+            # fold cosine clears the threshold satisfies
+            # dot_blas ≥ (threshold − 1e-9)·nᵢnⱼ — a 1e-9 margin is ~6
+            # orders above the bound, so the candidate set is a strict
+            # superset of the exact hit set. Phase 2 (VERDICTS): only
+            # candidate pairs re-accumulate the dot in the HOF fold's
+            # dimension order and apply the identical cos = dot/(nᵢ·nⱼ)
+            # ≥ threshold test — bit-identical verdicts. The old
+            # all-pairs dimension-major outer-product loop wrote d fresh
+            # n² temporaries (memory-bound, ~25× the matmul: 247 s vs
+            # ~10 s on a 20 k-vector 8-cell probe); pair work is now
+            # O(candidates·d) on top of the dgemm.
+            G = E @ E.T
+            nn = n[:, None] * n[None, :]
+            cand = G >= (threshold - 1e-9) * nn
             if cross:
                 chunks = np.array([t[2] for t in grp])
-                hit &= chunks[:, None] != chunks[None, :]
-            # pruned: any lower-id (= lower-index after the sort) witness
-            pruned_mask = np.triu(hit, k=1).any(axis=0)
-            out.extend(ids[pruned_mask].tolist())
+                cand &= chunks[:, None] != chunks[None, :]
+            ii, jj = np.nonzero(np.triu(cand, k=1))
+            if len(ii):
+                acc = np.zeros(len(ii))
+                for t in range(length):  # the _dot fold, dimension-major
+                    acc += E[ii, t] * E[jj, t]
+                hit = acc / (n[ii] * n[jj]) >= threshold
+                # pruned: any lower-id (= lower-index) witness; ii < jj
+                out.extend(ids[np.unique(jj[hit])].tolist())
         return pd.DataFrame({id_col: pd.Series(out, dtype="object")})
 
     pruned = tasks.groupBy("cell", "__bi", "__bj").applyInPandas(
